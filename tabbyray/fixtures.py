@@ -1,0 +1,334 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1-F6).
+
+Everything is derived from ``random.Random(seed)`` — no wall clock, no
+network — so the same (seed, scale) always produces byte-identical
+parquet. The pages table has EXACTLY the ``input_hint`` shape
+``(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)``; ``text`` is definitionally the output of the frozen
+extractor applied to ``html``.
+
+Canonical tables are rendered as real HTML ``<table>`` elements whose
+header row is ``DATA | RowHeading | ColumnHeading`` and whose cells
+carry ``data-ner`` attributes — the web-input analog of the reference's
+`NER TAGS` sheet (`commands/SpreadsheetController.php:528-532`).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import html as _html
+import json
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .constants import (
+    DATE_NER_LABEL,
+    LOCATION_NER_LABEL,
+    MISC_NER_LABEL,
+    MONEY_NER_LABEL,
+    NONE_NER_LABEL,
+    NUMBER_NER_LABEL,
+    ORGANIZATION_NER_LABEL,
+    PERCENT_NER_LABEL,
+    PERSON_NER_LABEL,
+    TIME_NER_LABEL,
+    DBPEDIA_ONTOLOGY_SECTION,
+    DBPEDIA_RESOURCE_SECTION,
+)
+from .extract import extract_text
+from .normalize import normalize_entry
+
+# class tree: name -> (parent chain upward, NER family)
+_CLASS_TREE = {
+    "Location": ([], LOCATION_NER_LABEL),
+    "PopulatedPlace": (["Location"], LOCATION_NER_LABEL),
+    "City": (["PopulatedPlace", "Location"], LOCATION_NER_LABEL),
+    "Town": (["PopulatedPlace", "Location"], LOCATION_NER_LABEL),
+    "Country": (["PopulatedPlace", "Location"], LOCATION_NER_LABEL),
+    "NaturalPlace": (["Location"], LOCATION_NER_LABEL),
+    "Mountain": (["NaturalPlace", "Location"], LOCATION_NER_LABEL),
+    "River": (["NaturalPlace", "Location"], LOCATION_NER_LABEL),
+    "Person": ([], PERSON_NER_LABEL),
+    "Athlete": (["Person"], PERSON_NER_LABEL),
+    "SoccerPlayer": (["Athlete", "Person"], PERSON_NER_LABEL),
+    "Cyclist": (["Athlete", "Person"], PERSON_NER_LABEL),
+    "Artist": (["Person"], PERSON_NER_LABEL),
+    "MusicalArtist": (["Artist", "Person"], PERSON_NER_LABEL),
+    "Scientist": (["Person"], PERSON_NER_LABEL),
+    "Organisation": ([], ORGANIZATION_NER_LABEL),
+    "Company": (["Organisation"], ORGANIZATION_NER_LABEL),
+    "University": (["Organisation"], ORGANIZATION_NER_LABEL),
+    "Band": (["Organisation"], ORGANIZATION_NER_LABEL),
+    "Work": ([], MISC_NER_LABEL),
+    "Film": (["Work"], MISC_NER_LABEL),
+    "Album": (["Work"], MISC_NER_LABEL),
+}
+
+_SYL = ["ba", "ке", "do", "fa", "gu", "hi", "jo", "ka", "lu", "me", "ni", "po",
+        "qa", "ri", "su", "ta", "vu", "we", "xi", "yo", "zu", "mar", "ten",
+        "vil", "bor", "dal", "fen", "gor", "hal", "kir", "lon", "mos", "nar"]
+
+_HEAD_WORDS = ["Population", "Area", "Capital", "Founded", "Revenue", "Height",
+               "Length", "Members", "Albums", "Matches", "Region", "District"]
+
+_BOILER = ["lorem", "ipsum", "table", "data", "page", "crawl", "web", "index",
+           "content", "section", "report", "archive", "news", "list"]
+
+
+def _name(rng: random.Random, syllables=(2, 4), cyr_ok=False) -> str:
+    n = rng.randint(*syllables)
+    syl = _SYL if cyr_ok else [s for s in _SYL if s.isascii()]
+    word = "".join(rng.choice(syl) for _ in range(n))
+    return word.capitalize()
+
+
+def _entity_label(rng: random.Random, cls: str) -> str:
+    base = _name(rng)
+    if cls in ("City", "Town", "Country"):
+        suffix = rng.choice(["", "", " City", " Land", "ia", " Valley"])
+        return (base + suffix).strip()
+    if cls in ("SoccerPlayer", "Cyclist", "MusicalArtist", "Scientist"):
+        return base + " " + _name(rng)
+    if cls in ("Company", "University", "Band"):
+        return base + rng.choice([" Corp", " Inc", " Group", " Labs", " Union"])
+    return base
+
+
+def _mutate(rng: random.Random, label: str) -> str:
+    """Distractor label at Levenshtein distance 1-3."""
+    chars = list(label)
+    for _ in range(rng.randint(1, 3)):
+        op = rng.randrange(3)
+        pos = rng.randrange(len(chars))
+        c = rng.choice("abcdefghijklmnopqrstuvwxyz")
+        if op == 0:
+            chars[pos] = c
+        elif op == 1:
+            chars.insert(pos, c)
+        elif len(chars) > 2:
+            del chars[pos]
+    return "".join(chars)
+
+
+def build_kb(rng: random.Random, n_entities: int = 1200) -> pa.Table:
+    """F2 KB table: classes + instances + near-miss distractors."""
+    uris, labels, is_class, types, parents, neighbors = [], [], [], [], [], []
+
+    def cls_uri(name: str) -> str:
+        return DBPEDIA_ONTOLOGY_SECTION + name
+
+    for name, (chain, _fam) in _CLASS_TREE.items():
+        uris.append(cls_uri(name))
+        labels.append(name)
+        is_class.append(True)
+        types.append([])
+        parents.append([cls_uri(c) for c in chain])
+        neighbors.append([])
+
+    inst_classes = [c for c in _CLASS_TREE if _CLASS_TREE[c][0]]  # leaf-ish
+    ent_uris: list[str] = []
+    seen_norm: set[str] = set()
+    while len(ent_uris) < n_entities:
+        cls = rng.choice(inst_classes)
+        label = _entity_label(rng, cls)
+        norm = normalize_entry(label)
+        if not norm or norm in seen_norm:
+            continue
+        seen_norm.add(norm)
+        uri = DBPEDIA_RESOURCE_SECTION + norm
+        ent_uris.append(uri)
+        uris.append(uri)
+        labels.append(label)
+        is_class.append(False)
+        t = [cls_uri(cls)]
+        if rng.random() < 0.2:
+            t.append(cls_uri(rng.choice(inst_classes)))
+        types.append(t)
+        chain = _CLASS_TREE[cls][0]
+        parents.append([cls_uri(c) for c in chain])
+        neighbors.append([])
+        # distractor with a near-miss label, 25% of entities
+        if rng.random() < 0.25:
+            dl = _mutate(rng, label)
+            dn = normalize_entry(dl)
+            if dn and dn not in seen_norm:
+                seen_norm.add(dn)
+                duri = DBPEDIA_RESOURCE_SECTION + dn
+                ent_uris.append(duri)
+                uris.append(duri)
+                labels.append(dl)
+                is_class.append(False)
+                dcls = rng.choice(inst_classes)
+                types.append([cls_uri(dcls)])
+                parents.append([cls_uri(c) for c in _CLASS_TREE[dcls][0]])
+                neighbors.append([])
+    # neighbor edges between instances (drives C4 context + CPA counts)
+    n_inst = len(ent_uris)
+    for i, uri in enumerate(uris):
+        if is_class[i] or n_inst < 2:
+            continue
+        k = rng.randint(0, 8)
+        nb = [ent_uris[rng.randrange(n_inst)] for _ in range(k)]
+        if rng.random() < 0.15:
+            nb.append(cls_uri(rng.choice(list(_CLASS_TREE))))
+        neighbors[i] = nb
+    return pa.table({
+        "uri": uris, "label": labels, "is_class": is_class,
+        "types": types, "parents": parents, "neighbors": neighbors,
+    })
+
+
+def _literal_cell(rng: random.Random) -> tuple[str, str]:
+    kind = rng.randrange(5)
+    if kind == 0:
+        return str(rng.randint(1, 5_000_000)), NUMBER_NER_LABEL
+    if kind == 1:
+        return f"{rng.randint(1900, 2025)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}", DATE_NER_LABEL
+    if kind == 2:
+        return f"${rng.randint(1, 900)}.{rng.randint(0, 99):02d}", MONEY_NER_LABEL
+    if kind == 3:
+        return f"{rng.randint(0, 100)}%", PERCENT_NER_LABEL
+    return f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}", TIME_NER_LABEL
+
+
+def _gen_table_rows(rng: random.Random, kb_labels: list[tuple[str, str]],
+                    skew_heads: list[str] | None = None) -> list[dict]:
+    """One canonical table: list of row dicts with data/headings + NER."""
+    n_rows = rng.randint(3, 10)
+    col_head = rng.choice(_HEAD_WORDS)
+    if rng.random() < 0.3:
+        col_head = col_head + " | " + rng.choice(_HEAD_WORDS)
+        col_ner = NONE_NER_LABEL + " | " + NONE_NER_LABEL
+    else:
+        col_ner = NONE_NER_LABEL
+    rows = []
+    for _ in range(n_rows):
+        r = rng.random()
+        if r < 0.55:
+            label, fam = rng.choice(kb_labels)
+            if rng.random() < 0.1:
+                label = _mutate(rng, label)      # unresolvable-ish surface
+            data, data_ner = label, (fam if rng.random() < 0.8 else
+                                     rng.choice([MISC_NER_LABEL, NONE_NER_LABEL]))
+        else:
+            data, data_ner = _literal_cell(rng)
+        if skew_heads and rng.random() < 0.7:
+            rh = rng.choice(skew_heads)
+        elif rng.random() < 0.4:
+            rh, _f = rng.choice(kb_labels)
+        else:
+            rh = rng.choice(_HEAD_WORDS)
+        rh_ner = NONE_NER_LABEL
+        rows.append({
+            "data": data, "row_heading": rh, "column_heading": col_head,
+            "data_ner": data_ner, "row_heading_ner": rh_ner,
+            "column_heading_ner": col_ner,
+        })
+    return rows
+
+
+def _render_page(rng: random.Random, tables: list[list[dict]]) -> str:
+    def esc(s: str) -> str:
+        return _html.escape(s, quote=True)
+
+    parts = ["<html><head><title>", esc(" ".join(rng.choice(_BOILER) for _ in range(3))),
+             "</title><style>body{font:12px}</style></head><body>"]
+    parts.append("<p>" + esc(" ".join(rng.choice(_BOILER) for _ in range(rng.randint(5, 25)))) + "</p>")
+    for rows in tables:
+        parts.append("<table><tr><th>DATA</th><th>RowHeading</th><th>ColumnHeading</th></tr>")
+        for r in rows:
+            parts.append(
+                f'<tr><td data-ner="{esc(r["data_ner"])}">{esc(r["data"])}</td>'
+                f'<td data-ner="{esc(r["row_heading_ner"])}">{esc(r["row_heading"])}</td>'
+                f'<td data-ner="{esc(r["column_heading_ner"])}">{esc(r["column_heading"])}</td></tr>'
+            )
+        parts.append("</table>")
+        if rng.random() < 0.5:
+            parts.append("<p>" + esc(" ".join(rng.choice(_BOILER) for _ in range(rng.randint(3, 12)))) + "</p>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
+                skew: bool = False) -> tuple[pa.Table, pa.Table]:
+    """F1 pages + F3 gold cell rows (the expected extractor output)."""
+    kb_labels = [
+        (lbl, _CLASS_TREE[t[0].rsplit("/", 1)[-1]][1])
+        for lbl, ic, t in zip(kb.column("label").to_pylist(),
+                              kb.column("is_class").to_pylist(),
+                              kb.column("types").to_pylist())
+        if not ic and t
+    ]
+    skew_heads = None
+    if skew:
+        skew_heads = [lbl for lbl, _ in rng.sample(kb_labels, max(2, len(kb_labels) // 10))]
+
+    base_ts = _dt.datetime(2025, 1, 1)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    g_url, g_tidx, g_ridx = [], [], []
+    g_cols = {k: [] for k in ("data", "row_heading", "column_heading",
+                              "data_ner", "row_heading_ner", "column_heading_ner")}
+    for i in range(n_pages):
+        url = f"https://fixture.test/page/{i:06d}"
+        n_tables = rng.choices([0, 1, 2, 3], weights=[10, 55, 25, 10])[0]
+        tables = [_gen_table_rows(rng, kb_labels, skew_heads) for _ in range(n_tables)]
+        html = _render_page(rng, tables)
+        urls.append(url)
+        tss.append(base_ts + _dt.timedelta(seconds=i))
+        htmls.append(html.encode("utf-8"))
+        texts.append(extract_text(html))
+        langs.append("ru" if rng.random() < 0.05 else "en")
+        for t_idx, rows in enumerate(tables):
+            for r_idx, r in enumerate(rows):
+                g_url.append(url)
+                g_tidx.append(t_idx)
+                g_ridx.append(r_idx)
+                for k in g_cols:
+                    g_cols[k].append(r[k])
+    pages = pa.table({
+        "url": urls,
+        "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": texts,
+        "lang": langs,
+    })
+    gold_cells = pa.table({
+        "url": g_url,
+        "table_idx": pa.array(g_tidx, type=pa.int32()),
+        "row_idx": pa.array(g_ridx, type=pa.int32()),
+        **{k: v for k, v in g_cols.items()},
+    })
+    return pages, gold_cells
+
+
+def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
+                   n_entities: int = 1200, skew: bool = False,
+                   root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Generate (or reuse cached) fixture directory with pages.parquet,
+    kb.parquet, gold_cells.parquet. Returns the directory path."""
+    key = f"{name}-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+    path = os.path.join(root, key)
+    marker = os.path.join(path, "_COMPLETE.json")
+    if os.path.exists(marker):
+        return path
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    rng = random.Random(seed)
+    kb = build_kb(rng, n_entities)
+    pages, gold_cells = build_pages(rng, kb, n_pages, skew=skew)
+    pq.write_table(kb, os.path.join(tmp, "kb.parquet"))
+    pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
+    pq.write_table(gold_cells, os.path.join(tmp, "gold_cells.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE.json"), "w") as f:
+        json.dump({"name": name, "seed": seed, "n_pages": n_pages,
+                   "n_entities": n_entities, "skew": skew,
+                   "pages": pages.num_rows, "kb": kb.num_rows,
+                   "cells": gold_cells.num_rows}, f)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path

@@ -1,0 +1,100 @@
+"""String normalization and distance primitives with PHP-parity semantics.
+
+The normalization function is the canonicalization key for the
+groupby shuffle that unifies subject nodes, so it is re-implemented
+bit-for-bit from the reference (`components/CanonicalTableAnnotator.php:121-137`).
+The Levenshtein distance replicates PHP's byte-oriented ``levenshtein()``
+including the 255-byte limit (returns -1), because the reference compares
+raw UTF-8 byte strings (scores C1, C2, C4, C5).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .constants import ALL_URI_SECTIONS
+
+# [^a-zA-Zа-яА-Я0-9\s] with the /i flag — the explicit class already
+# contains both cases, so the flag is a no-op; note ё/Ё are NOT in а-я/А-Я
+# and are therefore stripped, exactly as in PCRE.
+_STRIP_RE = re.compile(r"[^a-zA-Zа-яА-Я0-9\s]")
+# runs of whitespace except CR/LF -> one space
+_WS_RE = re.compile(r"[^\S\r\n]+")
+
+
+def normalize_entry(entry: str) -> str:
+    """Parity re-implementation of ``getNormalizedEntry``
+    (components/CanonicalTableAnnotator.php:121-137).
+
+    Steps: strip all chars except ASCII letters, Cyrillic а-яА-Я, digits
+    and whitespace; collapse non-newline whitespace runs to one space;
+    trim; lowercase (full Unicode, as mb_strtolower); uppercase the first
+    character only if it is a single-byte ASCII letter (PHP ``ucfirst`` is
+    byte-oriented and leaves a leading multi-byte Cyrillic char alone);
+    replace spaces with underscores.
+
+    The reference also runs a per-line space-padding regex
+    (':127-128') whose effect is erased by the subsequent trim for
+    single-line values; extracted cell text is always single-line here
+    (the extractor collapses whitespace), so it is intentionally omitted.
+    """
+    if entry is None:
+        return ""
+    s = _STRIP_RE.sub("", str(entry))
+    s = _WS_RE.sub(" ", s)
+    s = s.strip()
+    s = s.lower()
+    if s and "a" <= s[0] <= "z":
+        s = s[0].upper() + s[1:]
+    return s.replace(" ", "_")
+
+
+@lru_cache(maxsize=1 << 18)
+def php_levenshtein(a: str, b: str) -> int:
+    """PHP ``levenshtein()`` parity: byte-level DP over the UTF-8
+    encodings, unit costs, and -1 when either side exceeds 255 bytes
+    (the documented PHP limit). Used by C1/C2/C4/C5 scorers; the
+    ``== 0`` check in context similarity therefore means byte equality
+    (`components/CanonicalTableAnnotator.php:795`).
+    """
+    ba = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    if len(ba) > 255 or len(bb) > 255:
+        return -1
+    if ba == bb:
+        return 0
+    if not ba:
+        return len(bb)
+    if not bb:
+        return len(ba)
+    if len(ba) < len(bb):
+        ba, bb = bb, ba
+    prev = list(range(len(bb) + 1))
+    for i, ca in enumerate(ba, 1):
+        cur = [i] + [0] * len(bb)
+        for j, cb in enumerate(bb, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def strip_uri_prefix(uri: str) -> str:
+    """M7: remove dbo:/dbr:/dbp: namespace prefixes before string
+    comparison (`components/CanonicalTableAnnotator.php:226-230`)."""
+    for section in ALL_URI_SECTIONS:
+        uri = uri.replace(section, "")
+    return uri
+
+
+def encode_partition_name(name: str) -> str:
+    """M4 analog of ``encodeFileName``
+    (components/CanonicalTableAnnotator.php:80-92): make a string safe
+    for use in manifest/partition paths. Same 9 substitutions."""
+    for ch, tok in (
+        ("\\", "+SS-LS+"), ("/", "+SS-RS+"), ("*", "+SS-S+"), ("?", "+SS-Q+"),
+        (":", "+SS-C+"), ('"', "+SS-QM+"), ("<", "+SS-LB+"), (">", "+SS-RB+"),
+        ("|", "+SS-VL+"),
+    ):
+        name = name.replace(ch, tok)
+    return name
