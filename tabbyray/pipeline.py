@@ -1,0 +1,222 @@
+"""Ray Data pipeline stages composing the KG-construction flow.
+
+Physical plan (SURVEY.md §4.2):
+
+1. ``read_parquet(pages)`` — file/row-group parallel scan; only the
+   columns a stage needs are read (``html`` for extraction; the wide
+   binary column is dropped immediately after).
+2. **extract** — stateless ``map_batches`` (Arrow in/out): HTML ->
+   canonical cell rows + NER tags (inline ``data-ner`` attributes take
+   precedence; the rule-based tagger fills the rest, with a
+   KB-gazetteer loaded once per actor).
+3. **annotate** — the FIRST shuffle: ``groupby(table_id)`` then
+   ``map_groups(TableAnnotator)``; ``table_id = url#table_idx`` is
+   high-cardinality and balanced by construction. The KB index is
+   broadcast via ``ray.put`` once and fetched per actor in
+   ``__init__`` — never re-shipped per batch. Output is a union-schema
+   dataset (kind ∈ {annotation, row, triple}) so CEA+CTA+CPA+assembly+
+   triples all happen in ONE pass over each group; downstream splits by
+   the ``kind`` column (or ``write_parquet(partition_cols=["kind"])``
+   writes all three outputs in one execution).
+4. **canonicalize** — the SECOND shuffle: salted two-phase groupby on
+   the normalized subject surface form (``tabbyray.canonicalize``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .constants import LITERAL_INSTANCE_MAP, NONE_NER_LABEL
+from .extract import extract_tables, extract_text
+from .kb import KBIndex
+from .ner import tag_value
+from .sti import Weights, annotate_table
+
+# union output schema of the annotate stage
+RESULT_SCHEMA = pa.schema([
+    ("kind", pa.string()),            # annotation | row | triple
+    ("url", pa.string()),
+    ("table_idx", pa.int32()),
+    ("row_idx", pa.int32()),          # row/triple kinds
+    ("cell_type", pa.int32()),        # annotation kind
+    ("surface_form", pa.string()),
+    ("entity", pa.string()),
+    ("aggregated_rank", pa.float64()),
+    ("rel_rank", pa.int64()),         # CPA relationship count of the winner
+    ("n_candidates", pa.int64()),
+    ("data", pa.string()),            # row kind (assembled output row)
+    ("row_heading", pa.string()),
+    ("column_heading", pa.string()),
+    ("subj", pa.string()),            # triple kind
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("obj_is_literal", pa.bool_()),
+])
+
+CELL_COLUMNS = ["url", "table_idx", "row_idx", "table_id", "data", "row_heading",
+                "column_heading", "data_ner", "row_heading_ner", "column_heading_ner"]
+
+
+class ExtractTables:
+    """Stateless-per-batch, stateful-per-actor extract stage: the
+    gazetteer (norm label -> NER family) is fetched from the object
+    store once per actor (S2 replacement, SURVEY.md §2.1)."""
+
+    def __init__(self, gazetteer_ref=None, check_text_invariant: bool = False):
+        self.gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else None
+        self.check = check_text_invariant
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        out = {k: [] for k in CELL_COLUMNS}
+        for url, html, text in zip(urls, htmls, texts):
+            if self.check and text is not None:
+                extracted = extract_text(html)
+                if extracted != text:
+                    raise ValueError(f"text invariant violated for {url}")
+            for t_idx, rows in enumerate(extract_tables(html)):
+                table_id = f"{url}#{t_idx}"
+                for r_idx, r in enumerate(rows):
+                    out["url"].append(url)
+                    out["table_idx"].append(t_idx)
+                    out["row_idx"].append(r_idx)
+                    out["table_id"].append(table_id)
+                    out["data"].append(r["data"])
+                    out["row_heading"].append(r["row_heading"])
+                    out["column_heading"].append(r["column_heading"])
+                    out["data_ner"].append(self._ner(r["data_ner"], r["data"]))
+                    out["row_heading_ner"].append(self._ner(r["row_heading_ner"], r["row_heading"]))
+                    out["column_heading_ner"].append(self._ner(r["column_heading_ner"], r["column_heading"]))
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "table_idx": pa.array(out["table_idx"], pa.int32()),
+            "row_idx": pa.array(out["row_idx"], pa.int32()),
+            "table_id": pa.array(out["table_id"], pa.string()),
+            "data": pa.array(out["data"], pa.string()),
+            "row_heading": pa.array(out["row_heading"], pa.string()),
+            "column_heading": pa.array(out["column_heading"], pa.string()),
+            "data_ner": pa.array(out["data_ner"], pa.string()),
+            "row_heading_ner": pa.array(out["row_heading_ner"], pa.string()),
+            "column_heading_ner": pa.array(out["column_heading_ner"], pa.string()),
+        })
+
+    def _ner(self, inline: Optional[str], value: str) -> str:
+        if inline:
+            return inline
+        return tag_value(value, self.gaz)
+
+
+class TableAnnotator:
+    """map_groups callable: one canonical table per group. KB index is
+    actor state (A1-A5), fetched once in ``__init__``."""
+
+    def __init__(self, kb_ref, weights: Optional[Weights] = None):
+        self.kb: KBIndex = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
+        self.w = weights or Weights()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        group = group.sort_by("row_idx")
+        rows = group.to_pylist()
+        if not rows:
+            return RESULT_SCHEMA.empty_table()
+        url = rows[0]["url"]
+        tidx = rows[0]["table_idx"]
+        res = annotate_table(rows, self.kb, self.w)
+        cols = {f.name: [] for f in RESULT_SCHEMA}
+
+        def emit(kind, **kw):
+            cols["kind"].append(kind)
+            cols["url"].append(url)
+            cols["table_idx"].append(tidx)
+            for f in RESULT_SCHEMA:
+                if f.name in ("kind", "url", "table_idx"):
+                    continue
+                cols[f.name].append(kw.get(f.name))
+
+        for cell_type, cells_of_type in res.cells.items():
+            for surface, cell in cells_of_type.items():
+                wnr = cell.winner()
+                if wnr is not None:
+                    emit("annotation", cell_type=cell_type, surface_form=surface,
+                         entity=wnr.entity, aggregated_rank=wnr.agg_rank,
+                         rel_rank=wnr.rel_rank, n_candidates=len(cell.candidates))
+        for r in res.annotated_rows:
+            emit("row", row_idx=r["row_idx"], data=r["data"],
+                 row_heading=r["row_heading"], column_heading=r["column_heading"])
+        for t in res.triples:
+            emit("triple", row_idx=t["row_idx"], subj=t["subj"], pred=t["pred"],
+                 obj=t["obj"], obj_is_literal=t["obj_is_literal"])
+        return pa.table(cols, schema=RESULT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# stage compositions (Dataset -> Dataset; lazy, streaming)
+# --------------------------------------------------------------------------
+
+def read_pages(path: str, columns: Optional[list[str]] = None) -> rd.Dataset:
+    """Prune at the read: extraction only needs url+html (+text when
+    verifying the byte-identical invariant)."""
+    return rd.read_parquet(path, columns=columns or ["url", "html"])
+
+
+def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,
+                  check_text_invariant: bool = False,
+                  batch_size: int = 64, concurrency=(1, 8)) -> rd.Dataset:
+    return pages.map_batches(
+        ExtractTables,
+        fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref,
+                               "check_text_invariant": check_text_invariant},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
+                   concurrency=(1, 16), num_cpus: float = 1) -> rd.Dataset:
+    """The per-table shuffle + annotate pass (first shuffle)."""
+    return cells.groupby("table_id").map_groups(
+        TableAnnotator,
+        fn_constructor_kwargs={"kb_ref": kb_ref, "weights": weights},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+    keep = {
+        "annotation": ["url", "table_idx", "cell_type", "surface_form", "entity",
+                       "aggregated_rank", "rel_rank", "n_candidates"],
+        "row": ["url", "table_idx", "row_idx", "data", "row_heading", "column_heading"],
+        "triple": ["url", "table_idx", "row_idx", "subj", "pred", "obj", "obj_is_literal"],
+    }[kind]
+    return results.map_batches(
+        lambda t, k=kind, cols=keep: t.filter(pc.equal(t["kind"], k)).select(cols),
+        batch_format="pyarrow",
+    )
+
+
+def kg_pipeline(pages_path: str, kb_ref, gazetteer_ref=None, *,
+                weights: Optional[Weights] = None,
+                check_text_invariant: bool = False,
+                annotate_concurrency=(1, 16)) -> rd.Dataset:
+    """pages parquet -> union-schema results Dataset (lazy)."""
+    pages = read_pages(pages_path,
+                       columns=["url", "html", "text"] if check_text_invariant else None)
+    cells = extract_stage(pages, gazetteer_ref,
+                          check_text_invariant=check_text_invariant)
+    return annotate_stage(cells, kb_ref, weights, concurrency=annotate_concurrency)
+
+
+def put_kb(kb: KBIndex):
+    """Broadcast the KB index (and its gazetteer) once per job."""
+    return ray.put(kb), ray.put(kb.gazetteer())

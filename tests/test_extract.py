@@ -1,0 +1,80 @@
+"""S2 extractor: byte-identical text invariant + table recovery."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from tabbyray.extract import extract_tables, extract_text, split_labels
+from tabbyray.ner import tag_value
+
+
+def test_text_invariant_byte_identical(smoke_fixture):
+    pages = pq.read_table(os.path.join(smoke_fixture, "pages.parquet"))
+    for html, text in zip(pages.column("html").to_pylist(),
+                          pages.column("text").to_pylist()):
+        assert extract_text(html) == text
+
+
+def test_extractor_recovers_gold_cells(smoke_fixture):
+    pages = pq.read_table(os.path.join(smoke_fixture, "pages.parquet"))
+    gold = pq.read_table(os.path.join(smoke_fixture, "gold_cells.parquet")).to_pylist()
+    got = []
+    for url, html in zip(pages.column("url").to_pylist(),
+                         pages.column("html").to_pylist()):
+        for ti, t in enumerate(extract_tables(html)):
+            for ri, r in enumerate(t):
+                got.append({"url": url, "table_idx": ti, "row_idx": ri, **r})
+    key = lambda r: (r["url"], r["table_idx"], r["row_idx"])
+    got.sort(key=key)
+    gold.sort(key=key)
+    assert len(got) == len(gold)
+    for a, b in zip(got, gold):
+        for k in ("data", "row_heading", "column_heading",
+                  "data_ner", "row_heading_ner", "column_heading_ner"):
+            assert a[k] == b[k], (a, b)
+
+
+def test_canonical_table_extraction():
+    html = ("<table><tr><th>DATA</th><th>RowHeading</th><th>ColumnHeading</th></tr>"
+            '<tr><td data-ner="LOCATION">Berlin</td><td>Germany</td>'
+            "<td>Capital | City</td></tr></table>")
+    tables = extract_tables(html)
+    assert len(tables) == 1
+    row = tables[0][0]
+    assert row["data"] == "Berlin"
+    assert row["data_ner"] == "LOCATION"
+    assert row["row_heading"] == "Germany"
+    assert split_labels(row["column_heading"]) == ["Capital", "City"]
+
+
+def test_generic_table_pivot():
+    html = ("<table><tr><th>Country</th><th>Capital</th><th>Population</th></tr>"
+            "<tr><td>France</td><td>Paris</td><td>67m</td></tr></table>")
+    tables = extract_tables(html)
+    assert len(tables) == 1
+    rows = tables[0]
+    assert rows[0] == {
+        "data": "Paris", "row_heading": "France", "column_heading": "Capital",
+        "data_ner": None, "row_heading_ner": None, "column_heading_ner": None,
+    }
+    assert rows[1]["data"] == "67m"
+    assert rows[1]["column_heading"] == "Population"
+
+
+def test_text_skips_script_and_style():
+    html = "<html><head><script>var x=1;</script></head><body><p>Hi   there</p></body></html>"
+    assert extract_text(html) == "Hi there"
+
+
+def test_ner_tagger_literals():
+    assert tag_value("123456") == "NUMBER"
+    assert tag_value("1234") == "DATE"  # bare 4-digit year heuristic
+    assert tag_value("1,234,567") == "NUMBER"
+    assert tag_value("42%") == "PERCENT"
+    assert tag_value("$9.99") == "MONEY"
+    assert tag_value("2020-01-31") == "DATE"
+    assert tag_value("1987") == "DATE"
+    assert tag_value("12:30") == "TIME"
+    assert tag_value("3rd") == "ORDINAL"
+    assert tag_value("Berlin") == "NONE"
+    assert tag_value("Berlin", {"Berlin": "LOCATION"}) == "LOCATION"

@@ -1,0 +1,76 @@
+"""Lineage manifests + resume-from-last-completed-partition (north rule)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sharded_input(ray_session, tmp_path_factory):
+    """Split the smoke fixture pages into 4 parquet files."""
+    import pyarrow.parquet as pq
+
+    from tabbyray.fixtures import ensure_fixture
+
+    path = ensure_fixture("smoke", seed=7, n_pages=30, n_entities=400)
+    pages = pq.read_table(os.path.join(path, "pages.parquet"))
+    d = str(tmp_path_factory.mktemp("pages_sharded"))
+    n = 4
+    step = (pages.num_rows + n - 1) // n
+    for i in range(n):
+        pq.write_table(pages.slice(i * step, step), os.path.join(d, f"part-{i:03d}.parquet"))
+    return path, d
+
+
+def _read_all(out_dir):
+    import ray.data as rd
+    frames = {}
+    for kind in ("annotation", "row", "triple"):
+        files = sorted(glob.glob(os.path.join(out_dir, "shard=*", f"kind={kind}", "*.parquet")))
+        if files:
+            df = rd.read_parquet(files).to_pandas()
+            frames[kind] = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return frames
+
+
+def test_resume_skips_completed_and_output_identical(sharded_input, tmp_path_factory):
+    from tabbyray import lineage, pipeline
+    from tabbyray.kb import load_kb
+
+    fix, pages_dir = sharded_input
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    kb_ref, gaz_ref = pipeline.put_kb(kb)
+
+    out_full = str(tmp_path_factory.mktemp("out_full"))
+    s1 = lineage.run_resumable(pages_dir, out_full, kb_ref, gaz_ref, num_shards=4)
+    assert s1["shards_run"] == [0, 1, 2, 3]
+    assert s1["row_counts"]["annotation"] > 0
+
+    # simulate a killed run: shards 0-1 complete, 2-3 missing
+    out_killed = str(tmp_path_factory.mktemp("out_killed"))
+    shards = lineage.shard_inputs(pages_dir, 4)
+    for i in (0, 1):
+        lineage.run_shard(shards[i], i, out_killed, kb_ref, gaz_ref)
+    # a half-written shard (no manifest) must be redone
+    os.makedirs(os.path.join(out_killed, "shard=2.tmp"), exist_ok=True)
+
+    s2 = lineage.run_resumable(pages_dir, out_killed, kb_ref, gaz_ref, num_shards=4)
+    assert s2["shards_skipped"] == [0, 1]
+    assert s2["shards_run"] == [2, 3]
+
+    a, b = _read_all(out_full), _read_all(out_killed)
+    assert set(a) == set(b)
+    for kind in a:
+        pd.testing.assert_frame_equal(a[kind], b[kind])
+
+    # counters recomputable from manifests alone
+    s3 = lineage.summarize(out_killed)
+    assert s3["row_counts"] == s1["row_counts"]
+    for mp in glob.glob(os.path.join(out_killed, "shard=*", "_MANIFEST.json")):
+        with open(mp) as f:
+            m = json.load(f)
+        assert m["complete"] and m["row_counts"]
