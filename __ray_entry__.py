@@ -182,11 +182,11 @@ def _q_hourly_user_agg(sf_dir: str):
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "value"])
     out = hourly_user_agg(ev.map_batches(cents, batch_format="pandas"))
-    import pyarrow as pa
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["user_id", "hour", "n_events", "sum_value_cents"])
-    return out.map_batches(rename, batch_format="pyarrow")
+    def rename(df):
+        return df.rename(columns={"sum_value": "sum_value_cents"})[
+            ["user_id", "hour", "n_events", "sum_value_cents"]]
+    return out.map_batches(rename, batch_format="pandas")
 
 
 def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:

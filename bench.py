@@ -1,0 +1,136 @@
+"""Benchmark driver (run per-round; see BENCH/BASELINE.md).
+
+Headline: the full KG-construction pipeline (read pages -> extract ->
+CEA/CTA/CPA annotate -> triples -> canonicalize -> write parquet) over a
+deterministic Common-Crawl-style pages fixture sized to the scale
+factor of ``$GRAFT_SF_DIR`` (sf0.1 -> 20,000 pages), plus per-operator
+timings over the sf tables. Prints ONE JSON line.
+
+``--scaling``: runs the headline twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input (the sandbox
+stand-in for N vs 4N nodes) and reports throughput at both plus the
+scaling efficiency = (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_pages = max(200, int(200_000 * sf))
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from tabbyray import pipeline
+    from tabbyray.canonicalize import canonicalize_triples
+    from tabbyray.fixtures import ensure_fixture
+    from tabbyray.kb import load_kb
+
+    fix = ensure_fixture("bench", seed=23, n_pages=n_pages, n_entities=5000)
+    pages_path = os.path.join(fix, "pages.parquet")
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 22):
+            pass
+
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    kb_ref, gaz_ref = pipeline.put_kb(kb)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    results = pipeline.kg_pipeline(pages_path, kb_ref, gaz_ref)
+    out_dir = f"/tmp/tabbyray_bench_out/cpus{num_cpus}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    results.write_parquet(out_dir, partition_cols=["kind"])
+    t_annotate = time.monotonic() - t0
+    queries["kg_annotate_write"] = round(t_annotate, 3)
+
+    t0 = time.monotonic()
+    import ray.data as rd
+    import glob
+    triple_files = sorted(glob.glob(os.path.join(out_dir, "kind=triple", "*.parquet")))
+    tri = rd.read_parquet(triple_files)
+    canon = canonicalize_triples(tri)
+    n_triples = canon.count()
+    queries["kg_canonicalize"] = round(time.monotonic() - t0, 3)
+
+    headline = queries["kg_annotate_write"] + queries["kg_canonicalize"]
+
+    # representative operator timings over the sf tables
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+    qs = E.queries()
+    for name in ("lineitem_agg", "top_event_per_user", "exact_dedup_docs",
+                 "minhash_lsh_dedup", "knn_cosine", "hourly_user_agg"):
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "kg_pipeline_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+        "triples": int(n_triples),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "docs": lo["docs"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -55,29 +55,36 @@ def _partial_counts(batch: pa.Table, num_salt: int) -> pa.Table:
                      "salt": pa.array(salts, pa.int32())})
 
 
-def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
-    out = g.groupby(["norm_key", "subj"], as_index=False)["cnt"].sum()
-    return out
-
-
-def _pick_representative(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.groupby(["norm_key", "subj"], as_index=False)["cnt"].sum()
-    g = g.sort_values(["cnt", "subj"], ascending=[False, True], kind="stable")
-    top = g.iloc[0]
-    return pd.DataFrame({"norm_key": [top["norm_key"]],
-                         "canonical_subj": [top["subj"]],
-                         "support": [int(g["cnt"].sum())]})
-
-
 def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> rd.Dataset:
-    """norm_key -> canonical_subj mapping as a (small) Dataset."""
+    """norm_key -> canonical_subj mapping as a (small) Dataset.
+
+    Both merge phases are NATIVE grouped aggregates (vectorized
+    sort-based Sum) — no per-group Python. The salted phase-1 key
+    ``(norm_key, salt, subj)`` bounds any reducer's share of a hot key;
+    phase 2 runs over <= num_salt rows per (key, subj). The final
+    representative pick is a vectorized per-batch argmax after the
+    phase-2 shuffle has co-located each norm_key."""
+    from ray.data.aggregate import Sum
+
     partial = triples.map_batches(
         lambda t, n=num_salt: _partial_counts(t, n), batch_format="pyarrow")
-    phase1 = partial.groupby(["norm_key", "salt"]).map_groups(
-        _merge_group, batch_format="pandas")
-    phase2 = phase1.groupby("norm_key").map_groups(
-        _pick_representative, batch_format="pandas")
-    return phase2
+    # ONE salted shuffle: unique (norm_key, salt, subj) rows out — no
+    # reducer sees more than ~1/num_salt of a hot key's partials.
+    phase1 = partial.groupby(["norm_key", "salt", "subj"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # phase 2 over the dimension-sized (distinct-subject-scale)
+        # phase-1 output, coalesced into one block: merge salt splits,
+        # then argmax (cnt desc, subj asc) per norm_key — vectorized.
+        m = df.groupby(["norm_key", "subj"], as_index=False)["cnt"].sum()
+        m = m.sort_values(["cnt", "subj"], ascending=[False, True], kind="stable")
+        best = m.drop_duplicates(subset=["norm_key"], keep="first")
+        tot = m.groupby("norm_key", as_index=False)["cnt"].sum()
+        out = best[["norm_key", "subj"]].merge(tot, on="norm_key")
+        return out.rename(columns={"subj": "canonical_subj", "cnt": "support"})
+
+    return phase1.repartition(1).map_batches(resolve, batch_format="pandas")
 
 
 def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> rd.Dataset:
@@ -90,20 +97,18 @@ def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> r
     lookup = dict(zip(mapping["norm_key"], mapping["canonical_subj"]))
     lookup_ref = ray.put(lookup)
 
-    class Rewrite:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
+    def rewrite(batch: pa.Table) -> pa.Table:
+        # stateless task; ray.get of the broadcast ref hits the local
+        # object store after the first batch on a worker
+        lk = ray.get(lookup_ref)
+        subs = batch.column("subj").to_pylist()
+        objs = batch.column("obj").to_pylist()
+        lits = batch.column("obj_is_literal").to_pylist()
+        new_s = [lk.get(normalize_entry(strip_uri_prefix(s)), s) for s in subs]
+        new_o = [o if lit else lk.get(normalize_entry(strip_uri_prefix(o)), o)
+                 for o, lit in zip(objs, lits)]
+        return (batch
+                .set_column(batch.column_names.index("subj"), "subj", pa.array(new_s, pa.string()))
+                .set_column(batch.column_names.index("obj"), "obj", pa.array(new_o, pa.string())))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            subs = batch.column("subj").to_pylist()
-            objs = batch.column("obj").to_pylist()
-            lits = batch.column("obj_is_literal").to_pylist()
-            new_s = [self.lookup.get(normalize_entry(strip_uri_prefix(s)), s) for s in subs]
-            new_o = [o if lit else self.lookup.get(normalize_entry(strip_uri_prefix(o)), o)
-                     for o, lit in zip(objs, lits)]
-            return (batch
-                    .set_column(batch.column_names.index("subj"), "subj", pa.array(new_s, pa.string()))
-                    .set_column(batch.column_names.index("obj"), "obj", pa.array(new_o, pa.string())))
-
-    return triples.map_batches(Rewrite, fn_constructor_kwargs={"ref": lookup_ref},
-                               batch_format="pyarrow", concurrency=(1, 8))
+    return triples.map_batches(rewrite, batch_format="pyarrow")

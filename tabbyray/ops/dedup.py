@@ -144,20 +144,24 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2 or len(ids) > max_posting:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = ((df["band_hash"] * 31 + df["band_id"]) % P).astype("int64")
+        return df
 
-    cand = (band_rows.groupby(["band_id", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within the hash partition: self-merge on the bucket
+        # key; posting lists above max_posting are dropped (skew guard —
+        # a reported cap, not silent: they reappear via other bands)
+        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        g = g[sizes <= max_posting]
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+
+    cand = (band_rows.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(bucket_pairs, batch_format="pandas"))
     cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
 
     # exact verification against broadcast shingle sets
@@ -225,22 +229,26 @@ def simhash_neardup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
                          "band_key": pa.array(keys, pa.int64()),
                          "simhash": pa.array(vals, pa.uint64())})
 
+    def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = ((df["band_key"] * 31 + df["band_id"]) % P).astype("int64")
+        return df
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["doc_id"], g["simhash"])))
-        a, b, d = [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                ham = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
-                if ham <= max_hamming:
-                    a.append(recs[i][0])
-                    b.append(recs[j][0])
-                    d.append(ham)
-        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                             "doc_b": pd.Series(b, dtype="int64"),
-                             "hamming": pd.Series(d, dtype="int64")})
+        m = g.merge(g, on=["band_id", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]][
+            ["doc_id_x", "doc_id_y", "simhash_x", "simhash_y"]].drop_duplicates(
+            subset=["doc_id_x", "doc_id_y"])
+        ham = [bin(int(x) ^ int(y)).count("1")
+               for x, y in zip(m["simhash_x"], m["simhash_y"])]
+        m = m.assign(hamming=pd.Series(ham, index=m.index, dtype="int64"))
+        m = m[m["hamming"] <= max_hamming]
+        return m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})[
+            ["doc_a", "doc_b", "hamming"]]
 
     pairs = (sims.map_batches(to_bands, batch_format="pyarrow")
-             .groupby(["band_id", "band_key"])
+             .map_batches(add_part, batch_format="pandas")
+             .groupby("part")
              .map_groups(bucket_pairs, batch_format="pandas"))
     df = pairs.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
     return rd.from_pandas(df)
@@ -271,27 +279,36 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
 
     shingle_rows = docs.map_batches(explode, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count, Sum
-    sizes = (shingle_rows.groupby("doc_id")
-             .aggregate(Count(alias_name="n_shingles")).to_pandas())
-    size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
+    # per-doc distinct-shingle sizes: per-batch pandas count + tiny merge
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n"})
+
+    sizes = (shingle_rows.map_batches(size_partial, batch_format="pandas")
+             .to_pandas().groupby("doc_id", as_index=False)["n"].sum())
+    size_map = dict(zip(sizes["doc_id"], sizes["n"]))
     size_ref = ray.put(size_map)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                             "doc_b": pd.Series(b, dtype="int64"),
-                             "inter": pd.Series([1] * len(a), dtype="int64")})
+    # pair intersection counts: partition by hash(shingle) so each
+    # shingle's posting list is wholly inside one partition, then a
+    # vectorized self-merge per partition (no per-shingle Python)
+    def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (pd.util.hash_pandas_object(df["shingle"], index=False)
+                      % P).astype("int64")
+        return df
 
-    inter = (shingle_rows.groupby("shingle")
-             .map_groups(emit_pairs, batch_format="pandas")
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Sum("inter", alias_name="inter")))
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
+                                   "size": "inter"})
+
+    from .relational import hash_aggregate
+    partials = (shingle_rows.map_batches(add_part, batch_format="pandas")
+                .groupby("part").map_groups(pair_counts, batch_format="pandas"))
+    inter = hash_aggregate(partials, ["doc_a", "doc_b"], {"inter": "inter"})
 
     def jaccard(t: pa.Table) -> pa.Table:
         sm = ray.get(size_ref)

@@ -67,6 +67,42 @@ def normalized_key_counts(ds: rd.Dataset, col: str, id_col: str) -> rd.Dataset:
                        Count(alias_name="n_members")))
 
 
+def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
+                   count_alias: str | None = None,
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Explicit partitioned hash-aggregate for HIGH-cardinality keys.
+
+    Ray's native sort-based ``groupby().aggregate`` pays per-group
+    overhead, which dominates when #groups ~ #rows; this plan instead
+    (1) pre-aggregates each batch with a vectorized pandas groupby
+    (combiner), (2) shuffles on ``part = hash(keys) % P`` so the wide
+    exchange has P partitions regardless of key cardinality, and
+    (3) finishes each partition with one vectorized pandas groupby.
+    Deterministic (pd.util.hash_pandas_object with the fixed default
+    hash key). This is the guide's 'explicit partitioned hash join'
+    shape applied to aggregation.
+    """
+    in_cols = list(sum_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False)[in_cols].sum()
+        if count_alias:
+            g[count_alias] = df.groupby(keys, as_index=False).size()["size"].astype("int64")
+        h = pd.util.hash_pandas_object(g[keys].astype(str).agg("|".join, axis=1),
+                                       index=False)
+        g["part"] = (h % num_partitions).astype("int64")
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg_cols = in_cols + ([count_alias] if count_alias else [])
+        out = g.groupby(keys, as_index=False)[agg_cols].sum()
+        return out.rename(columns=sum_cols)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(final, batch_format="pandas"))
+
+
 def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
     """Per (user_id, hour bucket): event count + value sum — the
     batch-engine rendering of a tumbling window (ray_guide
@@ -76,8 +112,8 @@ def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
         df["hour"] = df["ts"].dt.floor("h")
         return df.drop(columns=["ts"])
 
-    from ray.data.aggregate import Count, Sum
-    return (events.map_batches(add_bucket, batch_format="pandas")
-            .groupby(["user_id", "hour"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value", alias_name="sum_value")))
+    bucketed = events.map_batches(add_bucket, batch_format="pandas")
+    # (user_id, hour) is near-unique per event -> high-cardinality key ->
+    # partitioned hash aggregate, not the per-group native plan
+    return hash_aggregate(bucketed, ["user_id", "hour"],
+                          {"value": "sum_value"}, count_alias="n_events")

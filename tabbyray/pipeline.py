@@ -5,18 +5,19 @@ Physical plan (SURVEY.md §4.2):
 1. ``read_parquet(pages)`` — file/row-group parallel scan; only the
    columns a stage needs are read (``html`` for extraction; the wide
    binary column is dropped immediately after).
-2. **extract** — stateless ``map_batches`` (Arrow in/out): HTML ->
+2. **extract** — stateless ``map_batches`` tasks (Arrow in/out): HTML ->
    canonical cell rows + NER tags (inline ``data-ner`` attributes take
-   precedence; the rule-based tagger fills the rest, with a
-   KB-gazetteer loaded once per actor).
+   precedence; the rule-based tagger fills the rest, with the
+   KB-gazetteer broadcast once and cached per worker process).
 3. **annotate** — the FIRST shuffle: ``groupby(table_id)`` then
-   ``map_groups(TableAnnotator)``; ``table_id = url#table_idx`` is
-   high-cardinality and balanced by construction. The KB index is
-   broadcast via ``ray.put`` once and fetched per actor in
-   ``__init__`` — never re-shipped per batch. Output is a union-schema
-   dataset (kind ∈ {annotation, row, triple}) so CEA+CTA+CPA+assembly+
-   triples all happen in ONE pass over each group; downstream splits by
-   the ``kind`` column (or ``write_parquet(partition_cols=["kind"])``
+   ``map_groups``; ``table_id = url#table_idx`` is high-cardinality and
+   balanced by construction. The KB index is broadcast via ``ray.put``
+   once and fetched ONCE per worker process (module-level cache — the
+   actor-pool state pattern with stateless-task elasticity; see
+   ``_cached_get``). Output is a union-schema dataset (kind ∈
+   {annotation, row, triple}) so CEA+CTA+CPA+assembly+triples all
+   happen in ONE pass over each group; downstream splits by the
+   ``kind`` column (or ``write_parquet(partition_cols=["kind"])``
    writes all three outputs in one execution).
 4. **canonicalize** — the SECOND shuffle: salted two-phase groupby on
    the normalized subject surface form (``tabbyray.canonicalize``).
@@ -30,7 +31,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .constants import LITERAL_INSTANCE_MAP, NONE_NER_LABEL
 from .extract import extract_tables, extract_text
 from .kb import KBIndex
 from .ner import tag_value
@@ -60,107 +60,110 @@ RESULT_SCHEMA = pa.schema([
 CELL_COLUMNS = ["url", "table_idx", "row_idx", "table_id", "data", "row_heading",
                 "column_heading", "data_ner", "row_heading_ner", "column_heading_ner"]
 
-
-class ExtractTables:
-    """Stateless-per-batch, stateful-per-actor extract stage: the
-    gazetteer (norm label -> NER family) is fetched from the object
-    store once per actor (S2 replacement, SURVEY.md §2.1)."""
-
-    def __init__(self, gazetteer_ref=None, check_text_invariant: bool = False):
-        self.gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else None
-        self.check = check_text_invariant
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * len(urls)
-        out = {k: [] for k in CELL_COLUMNS}
-        for url, html, text in zip(urls, htmls, texts):
-            if self.check and text is not None:
-                extracted = extract_text(html)
-                if extracted != text:
-                    raise ValueError(f"text invariant violated for {url}")
-            for t_idx, rows in enumerate(extract_tables(html)):
-                table_id = f"{url}#{t_idx}"
-                for r_idx, r in enumerate(rows):
-                    out["url"].append(url)
-                    out["table_idx"].append(t_idx)
-                    out["row_idx"].append(r_idx)
-                    out["table_id"].append(table_id)
-                    out["data"].append(r["data"])
-                    out["row_heading"].append(r["row_heading"])
-                    out["column_heading"].append(r["column_heading"])
-                    out["data_ner"].append(self._ner(r["data_ner"], r["data"]))
-                    out["row_heading_ner"].append(self._ner(r["row_heading_ner"], r["row_heading"]))
-                    out["column_heading_ner"].append(self._ner(r["column_heading_ner"], r["column_heading"]))
-        return pa.table({
-            "url": pa.array(out["url"], pa.string()),
-            "table_idx": pa.array(out["table_idx"], pa.int32()),
-            "row_idx": pa.array(out["row_idx"], pa.int32()),
-            "table_id": pa.array(out["table_id"], pa.string()),
-            "data": pa.array(out["data"], pa.string()),
-            "row_heading": pa.array(out["row_heading"], pa.string()),
-            "column_heading": pa.array(out["column_heading"], pa.string()),
-            "data_ner": pa.array(out["data_ner"], pa.string()),
-            "row_heading_ner": pa.array(out["row_heading_ner"], pa.string()),
-            "column_heading_ner": pa.array(out["column_heading_ner"], pa.string()),
-        })
-
-    def _ner(self, inline: Optional[str], value: str) -> str:
-        if inline:
-            return inline
-        return tag_value(value, self.gaz)
+_STATE_CACHE: dict[str, object] = {}
 
 
-class TableAnnotator:
-    """map_groups callable: one canonical table per group. KB index is
-    actor state (A1-A5), fetched once in ``__init__``."""
+def _cached_get(ref):
+    """Fetch a broadcast ObjectRef once per worker PROCESS and memoize
+    the deserialized value (module-level cache). This gives actor-pool
+    state semantics (state loaded once, reused across batches) with
+    stateless-task elasticity: no pool ramp-up, and no risk of two
+    eagerly-created fixed pools holding every CPU while the read stage
+    starves (observed deadlock with fixed pools on this plan — the
+    table_id Sort barrier makes the stages sequential, but Ray creates
+    every pool at launch)."""
+    if ref is None or isinstance(ref, (KBIndex, dict)):
+        return ref
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    if key not in _STATE_CACHE:
+        _STATE_CACHE[key] = ray.get(ref)
+    return _STATE_CACHE[key]
 
-    def __init__(self, kb_ref, weights: Optional[Weights] = None):
-        self.kb: KBIndex = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
-        self.w = weights or Weights()
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        group = group.sort_by("row_idx")
-        rows = group.to_pylist()
-        if not rows:
-            return RESULT_SCHEMA.empty_table()
-        url = rows[0]["url"]
-        tidx = rows[0]["table_idx"]
-        res = annotate_table(rows, self.kb, self.w)
-        cols = {f.name: [] for f in RESULT_SCHEMA}
+def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
+    """S2 replacement (SURVEY.md §2.1): page rows -> canonical cell rows."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    texts = (batch.column("text").to_pylist()
+             if "text" in batch.column_names else [None] * len(urls))
+    out = {k: [] for k in CELL_COLUMNS}
 
-        def emit(kind, **kw):
-            cols["kind"].append(kind)
-            cols["url"].append(url)
-            cols["table_idx"].append(tidx)
-            for f in RESULT_SCHEMA:
-                if f.name in ("kind", "url", "table_idx"):
-                    continue
-                cols[f.name].append(kw.get(f.name))
+    def ner_of(inline, value):
+        return inline if inline else tag_value(value, gaz)
 
-        for cell_type, cells_of_type in res.cells.items():
-            for surface, cell in cells_of_type.items():
-                wnr = cell.winner()
-                if wnr is not None:
-                    emit("annotation", cell_type=cell_type, surface_form=surface,
-                         entity=wnr.entity, aggregated_rank=wnr.agg_rank,
-                         rel_rank=wnr.rel_rank, n_candidates=len(cell.candidates))
-        for r in res.annotated_rows:
-            emit("row", row_idx=r["row_idx"], data=r["data"],
-                 row_heading=r["row_heading"], column_heading=r["column_heading"])
-        for t in res.triples:
-            emit("triple", row_idx=t["row_idx"], subj=t["subj"], pred=t["pred"],
-                 obj=t["obj"], obj_is_literal=t["obj_is_literal"])
-        return pa.table(cols, schema=RESULT_SCHEMA)
+    for url, html, text in zip(urls, htmls, texts):
+        if check_text and text is not None:
+            if extract_text(html) != text:
+                raise ValueError(f"text invariant violated for {url}")
+        for t_idx, rows in enumerate(extract_tables(html)):
+            table_id = f"{url}#{t_idx}"
+            for r_idx, r in enumerate(rows):
+                out["url"].append(url)
+                out["table_idx"].append(t_idx)
+                out["row_idx"].append(r_idx)
+                out["table_id"].append(table_id)
+                out["data"].append(r["data"])
+                out["row_heading"].append(r["row_heading"])
+                out["column_heading"].append(r["column_heading"])
+                out["data_ner"].append(ner_of(r["data_ner"], r["data"]))
+                out["row_heading_ner"].append(ner_of(r["row_heading_ner"], r["row_heading"]))
+                out["column_heading_ner"].append(ner_of(r["column_heading_ner"], r["column_heading"]))
+    return pa.table({
+        "url": pa.array(out["url"], pa.string()),
+        "table_idx": pa.array(out["table_idx"], pa.int32()),
+        "row_idx": pa.array(out["row_idx"], pa.int32()),
+        "table_id": pa.array(out["table_id"], pa.string()),
+        "data": pa.array(out["data"], pa.string()),
+        "row_heading": pa.array(out["row_heading"], pa.string()),
+        "column_heading": pa.array(out["column_heading"], pa.string()),
+        "data_ner": pa.array(out["data_ner"], pa.string()),
+        "row_heading_ner": pa.array(out["row_heading_ner"], pa.string()),
+        "column_heading_ner": pa.array(out["column_heading_ner"], pa.string()),
+    })
+
+
+def _annotate_group(group: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
+    """One canonical table -> union-schema result rows (annotation /
+    row / triple kinds)."""
+    group = group.sort_by("row_idx")
+    rows = group.to_pylist()
+    if not rows:
+        return RESULT_SCHEMA.empty_table()
+    url = rows[0]["url"]
+    tidx = rows[0]["table_idx"]
+    res = annotate_table(rows, kb, w)
+    cols = {f.name: [] for f in RESULT_SCHEMA}
+
+    def emit(kind, **kw):
+        cols["kind"].append(kind)
+        cols["url"].append(url)
+        cols["table_idx"].append(tidx)
+        for f in RESULT_SCHEMA:
+            if f.name in ("kind", "url", "table_idx"):
+                continue
+            cols[f.name].append(kw.get(f.name))
+
+    for cell_type, cells_of_type in res.cells.items():
+        for surface, cell in cells_of_type.items():
+            wnr = cell.winner()
+            if wnr is not None:
+                emit("annotation", cell_type=cell_type, surface_form=surface,
+                     entity=wnr.entity, aggregated_rank=wnr.agg_rank,
+                     rel_rank=wnr.rel_rank, n_candidates=len(cell.candidates))
+    for r in res.annotated_rows:
+        emit("row", row_idx=r["row_idx"], data=r["data"],
+             row_heading=r["row_heading"], column_heading=r["column_heading"])
+    for t in res.triples:
+        emit("triple", row_idx=t["row_idx"], subj=t["subj"], pred=t["pred"],
+             obj=t["obj"], obj_is_literal=t["obj_is_literal"])
+    return pa.table(cols, schema=RESULT_SCHEMA)
 
 
 # --------------------------------------------------------------------------
 # stage compositions (Dataset -> Dataset; lazy, streaming)
 # --------------------------------------------------------------------------
 
-def read_pages(path: str, columns: Optional[list[str]] = None) -> rd.Dataset:
+def read_pages(path, columns: Optional[list[str]] = None) -> rd.Dataset:
     """Prune at the read: extraction only needs url+html (+text when
     verifying the byte-identical invariant)."""
     return rd.read_parquet(path, columns=columns or ["url", "html"])
@@ -168,27 +171,25 @@ def read_pages(path: str, columns: Optional[list[str]] = None) -> rd.Dataset:
 
 def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,
                   check_text_invariant: bool = False,
-                  batch_size: int = 64, concurrency=(1, 8)) -> rd.Dataset:
-    return pages.map_batches(
-        ExtractTables,
-        fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref,
-                               "check_text_invariant": check_text_invariant},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+                  batch_size: int = 64) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        gaz = _cached_get(gazetteer_ref)
+        return _extract_batch(batch, gaz, check_text_invariant)
+
+    return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
-                   concurrency=(1, 16), num_cpus: float = 1) -> rd.Dataset:
+                   num_cpus: float = 1) -> rd.Dataset:
     """The per-table shuffle + annotate pass (first shuffle)."""
+    w = weights or Weights()
+
+    def fn(group: pa.Table) -> pa.Table:
+        kb = _cached_get(kb_ref)
+        return _annotate_group(group, kb, w)
+
     return cells.groupby("table_id").map_groups(
-        TableAnnotator,
-        fn_constructor_kwargs={"kb_ref": kb_ref, "weights": weights},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=num_cpus,
-    )
+        fn, batch_format="pyarrow", num_cpus=num_cpus)
 
 
 def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
@@ -205,16 +206,15 @@ def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
     )
 
 
-def kg_pipeline(pages_path: str, kb_ref, gazetteer_ref=None, *,
+def kg_pipeline(pages_path, kb_ref, gazetteer_ref=None, *,
                 weights: Optional[Weights] = None,
-                check_text_invariant: bool = False,
-                annotate_concurrency=(1, 16)) -> rd.Dataset:
+                check_text_invariant: bool = False) -> rd.Dataset:
     """pages parquet -> union-schema results Dataset (lazy)."""
     pages = read_pages(pages_path,
                        columns=["url", "html", "text"] if check_text_invariant else None)
     cells = extract_stage(pages, gazetteer_ref,
                           check_text_invariant=check_text_invariant)
-    return annotate_stage(cells, kb_ref, weights, concurrency=annotate_concurrency)
+    return annotate_stage(cells, kb_ref, weights)
 
 
 def put_kb(kb: KBIndex):
