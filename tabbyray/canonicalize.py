@@ -39,15 +39,16 @@ DEFAULT_SALT = 16
 
 
 def _partial_counts(batch: pa.Table, num_salt: int) -> pa.Table:
-    """Per-batch combiner: (norm_key, subj) -> count, salted."""
+    """Per-batch combiner: (norm_key, subj) -> count, salted. The
+    normalization (regex-heavy) runs once per DISTINCT subject, not per
+    row — head-entity skew makes subjects highly repetitive."""
     subs = batch.column("subj").to_pylist()
-    counts: dict[tuple[str, str], int] = {}
+    counts: dict[str, int] = {}
     for s in subs:
-        k = normalize_entry(strip_uri_prefix(s))
-        counts[(k, s)] = counts.get((k, s), 0) + 1
+        counts[s] = counts.get(s, 0) + 1
     keys, subjs, cnts, salts = [], [], [], []
-    for (k, s), c in counts.items():
-        keys.append(k)
+    for s, c in counts.items():
+        keys.append(normalize_entry(strip_uri_prefix(s)))
         subjs.append(s)
         cnts.append(c)
         salts.append(zlib.crc32(s.encode()) % num_salt)
@@ -101,12 +102,20 @@ def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> r
         # stateless task; ray.get of the broadcast ref hits the local
         # object store after the first batch on a worker
         lk = ray.get(lookup_ref)
+        memo: dict[str, str] = {}
+
+        def canon(u: str) -> str:
+            v = memo.get(u)
+            if v is None:
+                v = lk.get(normalize_entry(strip_uri_prefix(u)), u)
+                memo[u] = v
+            return v
+
         subs = batch.column("subj").to_pylist()
         objs = batch.column("obj").to_pylist()
         lits = batch.column("obj_is_literal").to_pylist()
-        new_s = [lk.get(normalize_entry(strip_uri_prefix(s)), s) for s in subs]
-        new_o = [o if lit else lk.get(normalize_entry(strip_uri_prefix(o)), o)
-                 for o, lit in zip(objs, lits)]
+        new_s = [canon(s) for s in subs]
+        new_o = [o if lit else canon(o) for o, lit in zip(objs, lits)]
         return (batch
                 .set_column(batch.column_names.index("subj"), "subj", pa.array(new_s, pa.string()))
                 .set_column(batch.column_names.index("obj"), "obj", pa.array(new_o, pa.string())))

@@ -23,6 +23,7 @@ _STRIP_RE = re.compile(r"[^a-zA-Zа-яА-Я0-9\s]")
 _WS_RE = re.compile(r"[^\S\r\n]+")
 
 
+@lru_cache(maxsize=1 << 17)
 def normalize_entry(entry: str) -> str:
     """Parity re-implementation of ``getNormalizedEntry``
     (components/CanonicalTableAnnotator.php:121-137).
@@ -79,6 +80,7 @@ def php_levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+@lru_cache(maxsize=1 << 17)
 def strip_uri_prefix(uri: str) -> str:
     """M7: remove dbo:/dbr:/dbp: namespace prefixes before string
     comparison (`components/CanonicalTableAnnotator.php:226-230`)."""

@@ -122,41 +122,48 @@ def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
     })
 
 
-def _annotate_group(group: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
-    """One canonical table -> union-schema result rows (annotation /
-    row / triple kinds)."""
-    group = group.sort_by("row_idx")
-    rows = group.to_pylist()
-    if not rows:
+def _annotate_partition(part: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
+    """All canonical tables of one hash partition -> union-schema result
+    rows. One Python call annotates ~hundreds of tables (iterating a
+    pandas groupby), instead of one framework round-trip per table —
+    the same explicit-partition pattern as ops.relational.hash_aggregate."""
+    if part.num_rows == 0:
         return RESULT_SCHEMA.empty_table()
-    url = rows[0]["url"]
-    tidx = rows[0]["table_idx"]
-    res = annotate_table(rows, kb, w)
+    df = part.to_pandas().sort_values(["table_id", "row_idx"], kind="stable")
     cols = {f.name: [] for f in RESULT_SCHEMA}
+    append = {k: v.append for k, v in cols.items()}
 
-    def emit(kind, **kw):
-        cols["kind"].append(kind)
-        cols["url"].append(url)
-        cols["table_idx"].append(tidx)
-        for f in RESULT_SCHEMA:
-            if f.name in ("kind", "url", "table_idx"):
-                continue
-            cols[f.name].append(kw.get(f.name))
+    def emit(kind, url, tidx, **kw):
+        append["kind"](kind)
+        append["url"](url)
+        append["table_idx"](tidx)
+        for f in _EMIT_FIELDS:
+            append[f](kw.get(f))
 
-    for cell_type, cells_of_type in res.cells.items():
-        for surface, cell in cells_of_type.items():
-            wnr = cell.winner()
-            if wnr is not None:
-                emit("annotation", cell_type=cell_type, surface_form=surface,
-                     entity=wnr.entity, aggregated_rank=wnr.agg_rank,
-                     rel_rank=wnr.rel_rank, n_candidates=len(cell.candidates))
-    for r in res.annotated_rows:
-        emit("row", row_idx=r["row_idx"], data=r["data"],
-             row_heading=r["row_heading"], column_heading=r["column_heading"])
-    for t in res.triples:
-        emit("triple", row_idx=t["row_idx"], subj=t["subj"], pred=t["pred"],
-             obj=t["obj"], obj_is_literal=t["obj_is_literal"])
+    for _tid, g in df.groupby("table_id", sort=False):
+        rows = g.to_dict("records")
+        url = rows[0]["url"]
+        tidx = rows[0]["table_idx"]
+        res = annotate_table(rows, kb, w)
+        for cell_type, cells_of_type in res.cells.items():
+            for surface, cell in cells_of_type.items():
+                wnr = cell.winner()
+                if wnr is not None:
+                    emit("annotation", url, tidx, cell_type=cell_type,
+                         surface_form=surface, entity=wnr.entity,
+                         aggregated_rank=wnr.agg_rank, rel_rank=wnr.rel_rank,
+                         n_candidates=len(cell.candidates))
+        for r in res.annotated_rows:
+            emit("row", url, tidx, row_idx=r["row_idx"], data=r["data"],
+                 row_heading=r["row_heading"], column_heading=r["column_heading"])
+        for t in res.triples:
+            emit("triple", url, tidx, row_idx=t["row_idx"], subj=t["subj"],
+                 pred=t["pred"], obj=t["obj"], obj_is_literal=t["obj_is_literal"])
     return pa.table(cols, schema=RESULT_SCHEMA)
+
+
+_EMIT_FIELDS = [f.name for f in RESULT_SCHEMA
+                if f.name not in ("kind", "url", "table_idx")]
 
 
 # --------------------------------------------------------------------------
@@ -180,16 +187,33 @@ def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,
 
 
 def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
-                   num_cpus: float = 1) -> rd.Dataset:
-    """The per-table shuffle + annotate pass (first shuffle)."""
+                   num_cpus: float = 1, num_partitions: int = 128) -> rd.Dataset:
+    """The per-table shuffle + annotate pass (first shuffle).
+
+    Explicit partitioned plan: a vectorized map adds
+    ``part = hash(table_id) % P``; the groupby shuffle then moves each
+    table's rows to exactly one partition, and one task per partition
+    annotates all of its tables (``_annotate_partition``). table_id is
+    high-cardinality and balanced, so partitions even out; P bounds
+    task count independently of table count (at web scale P scales with
+    cluster size, not data size)."""
     w = weights or Weights()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = t.column("table_id").to_pandas()
+        part = (pd.util.hash_pandas_object(ids, index=False) % num_partitions)
+        return t.append_column("part", pa.array(part.astype("int64")))
 
     def fn(group: pa.Table) -> pa.Table:
         kb = _cached_get(kb_ref)
-        return _annotate_group(group, kb, w)
+        if "part" in group.column_names:
+            group = group.drop_columns(["part"])
+        return _annotate_partition(group, kb, w)
 
-    return cells.groupby("table_id").map_groups(
-        fn, batch_format="pyarrow", num_cpus=num_cpus)
+    return (cells.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fn, batch_format="pyarrow", num_cpus=num_cpus))
 
 
 def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:

@@ -106,8 +106,9 @@ class TableResult:
     annotated_elements: int = 0
 
 
-def _lev_names(a: str, b: str) -> int:
-    return php_levenshtein(a, b)
+# direct alias: php_levenshtein is lru-cached; avoid a wrapper frame in
+# the hot path (hundreds of thousands of calls per block)
+_lev_names = php_levenshtein
 
 
 # --------------------------------------------------------------------------
