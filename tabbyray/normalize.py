@@ -71,13 +71,22 @@ def php_levenshtein(a: str, b: str) -> int:
         return len(ba)
     if len(ba) < len(bb):
         ba, bb = bb, ba
-    prev = list(range(len(bb) + 1))
-    for i, ca in enumerate(ba, 1):
-        cur = [i] + [0] * len(bb)
-        for j, cb in enumerate(bb, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-        prev = cur
-    return prev[-1]
+    lb = len(bb)
+    row = list(range(1, lb + 1))
+    for i, ca in enumerate(ba):
+        diag = i                      # row[-1] of previous row
+        left = i + 1                  # row[0] of current row
+        for j in range(lb):
+            up = row[j]
+            c = diag if ca == bb[j] else diag + 1
+            if left + 1 < c:
+                c = left + 1
+            if up + 1 < c:
+                c = up + 1
+            row[j] = c
+            left = c
+            diag = up
+    return row[-1]
 
 
 @lru_cache(maxsize=1 << 17)
