@@ -1,0 +1,91 @@
+"""CLI entrypoint — the ``ray job submit`` surface.
+
+    ray job submit -- python -m tabbyray \
+        --pages /data/pages/ --kb /data/kb.parquet --out /data/out \
+        --shards 64 [--canonicalize] [--ntriples] [--gold gold.parquet]
+
+Runs the resumable sharded pipeline (tabbyray.lineage): a re-submission
+of the same command after a kill resumes from the last completed shard
+manifest. Owns its Ray session (guarded init) — library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tabbyray")
+    ap.add_argument("--pages", required=True, help="pages parquet file or directory")
+    ap.add_argument("--kb", required=True, help="KB index parquet (FIXTURES.md F2)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="also write canonicalized triples")
+    ap.add_argument("--ntriples", action="store_true",
+                    help="also write N-Triples text of the (canonical) triples")
+    ap.add_argument("--gold", default=None,
+                    help="gold annotations parquet for P/R evaluation")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from tabbyray import lineage, pipeline
+    from tabbyray.kb import load_kb
+
+    kb = load_kb(args.kb)
+    kb_ref, gaz_ref = pipeline.put_kb(kb)
+    annotated_dir = os.path.join(args.out, "annotated")
+    summary = lineage.run_resumable(args.pages, annotated_dir, kb_ref, gaz_ref,
+                                    num_shards=args.shards)
+
+    if args.canonicalize or args.ntriples:
+        import ray.data as rd
+
+        from tabbyray.canonicalize import canonicalize_triples
+        triple_files = sorted(glob.glob(
+            os.path.join(annotated_dir, "shard=*", "kind=triple", "*.parquet")))
+        tri = rd.read_parquet(triple_files)
+        canon = canonicalize_triples(tri)
+        canon_dir = os.path.join(args.out, "canonical_triples")
+        canon.write_parquet(canon_dir)
+        summary["canonical_triples_dir"] = canon_dir
+        if args.ntriples:
+            from tabbyray.io import write_ntriples
+            nt_dir = os.path.join(args.out, "ntriples")
+            write_ntriples(rd.read_parquet(sorted(glob.glob(
+                os.path.join(canon_dir, "*.parquet")))), nt_dir)
+            summary["ntriples_dir"] = nt_dir
+
+    if args.gold:
+        import pandas as pd
+        import ray.data as rd
+
+        from tabbyray.metrics import evaluate
+        ann_files = sorted(glob.glob(
+            os.path.join(annotated_dir, "shard=*", "kind=annotation", "*.parquet")))
+        pred = rd.read_parquet(ann_files).to_pandas()
+        gold = pd.read_parquet(args.gold)
+        summary["metrics"] = evaluate(pred, gold)
+
+    print(json.dumps(summary, indent=1, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
