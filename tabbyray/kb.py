@@ -148,6 +148,31 @@ class KBIndex:
                 out.append(r)
         return out
 
+    # -- A2 (web variant, unused by the reference CLI pipeline) --------
+    def candidates_contains(self, value: str, section: str = "") -> list[str]:
+        """Case-SENSITIVE substring variant
+        (`components/CanonicalTableAnnotator.php:146-183`):
+        ``contains(str(?subject), '$value')`` over ALL subjects with an
+        optional namespace restriction (``strstarts(str(?subject),
+        '$section')``), LIMIT 100, order-preserving dedup."""
+        if not value:
+            return []
+        rows: list[str] = []
+        # case-sensitive scan over all KB rows in stable order; classes
+        # included (the query has no owl:Thing restriction)
+        for i, uri in enumerate(self.uris):
+            if len(rows) >= CANDIDATE_LIMIT:
+                break
+            if value in uri and (not section or uri.startswith(section)):
+                rows.append(uri)
+        out: list[str] = []
+        seen: set[str] = set()
+        for r in rows:
+            if r not in seen:
+                seen.add(r)
+                out.append(r)
+        return out
+
     # -- C2 / heading rank types --------------------------------------
     def types_dbo(self, uri: str) -> list[str]:
         """dbo:-namespace rdf:type classes

@@ -35,3 +35,25 @@ def evaluate(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
     for ct, sub in m.groupby("cell_type"):
         out[f"cell_type_{ct}"] = _stats(sub)
     return out
+
+
+def evaluate_troy200(gold_rows: pd.DataFrame, annotated_rows: pd.DataFrame) -> int:
+    """``calculateTroy200`` adapter
+    (`commands/SpreadsheetController.php:411-445`, disabled at `:709` in
+    the reference but kept as a selectable evaluation adapter): count
+    row-aligned exact matches of annotated values against gold rows —
+    DATA by whole-cell equality, headings per ``" | "`` split with the
+    reference's quadratic any-split-matches counting.
+
+    Both frames need columns (url, table_idx, row_idx, data,
+    row_heading, column_heading). Returns the correctly-annotated
+    element count."""
+    key = ["url", "table_idx", "row_idx"]
+    m = gold_rows.merge(annotated_rows, on=key, suffixes=("_g", "_a"))
+    correct = int((m["data_g"] == m["data_a"]).sum())
+    for col in ("row_heading", "column_heading"):
+        for g_val, a_val in zip(m[f"{col}_g"], m[f"{col}_a"]):
+            a_splits = (a_val or "").split(" | ")
+            for s in (g_val or "").split(" | "):
+                correct += sum(1 for a in a_splits if s == a)
+    return correct

@@ -98,14 +98,25 @@ def strip_uri_prefix(uri: str) -> str:
     return uri
 
 
+_NAME_SUBSTITUTIONS = (
+    ("\\", "+SS-LS+"), ("/", "+SS-RS+"), ("*", "+SS-S+"), ("?", "+SS-Q+"),
+    (":", "+SS-C+"), ('"', "+SS-QM+"), ("<", "+SS-LB+"), (">", "+SS-RB+"),
+    ("|", "+SS-VL+"),
+)
+
+
 def encode_partition_name(name: str) -> str:
     """M4 analog of ``encodeFileName``
     (components/CanonicalTableAnnotator.php:80-92): make a string safe
     for use in manifest/partition paths. Same 9 substitutions."""
-    for ch, tok in (
-        ("\\", "+SS-LS+"), ("/", "+SS-RS+"), ("*", "+SS-S+"), ("?", "+SS-Q+"),
-        (":", "+SS-C+"), ('"', "+SS-QM+"), ("<", "+SS-LB+"), (">", "+SS-RB+"),
-        ("|", "+SS-VL+"),
-    ):
+    for ch, tok in _NAME_SUBSTITUTIONS:
         name = name.replace(ch, tok)
+    return name
+
+
+def decode_partition_name(name: str) -> str:
+    """Inverse of :func:`encode_partition_name`
+    (components/CanonicalTableAnnotator.php:100-112)."""
+    for ch, tok in _NAME_SUBSTITUTIONS:
+        name = name.replace(tok, ch)
     return name

@@ -97,3 +97,12 @@ def test_gazetteer(kb):
     g = kb.gazetteer()
     assert g["Berlin"] == "LOCATION"
     assert g["Germany"] == "LOCATION"
+
+
+def test_candidates_contains_a2_variant(kb):
+    # case-sensitive, optional section restriction, classes included
+    got = kb.candidates_contains("Berlin")
+    assert got == [DBR + "Berlin", DBR + "Berlin_township"]
+    assert kb.candidates_contains("berlin") == []      # case-sensitive
+    only_cls = kb.candidates_contains("o", DBO)
+    assert all(u.startswith(DBO) for u in only_cls)

@@ -62,3 +62,9 @@ def test_strip_uri_prefix():
 
 def test_encode_partition_name():
     assert encode_partition_name('a/b|c"') == "a+SS-RS+b+SS-VL+c+SS-QM+"
+
+
+def test_decode_partition_name_roundtrip():
+    from tabbyray.normalize import decode_partition_name
+    s = 'a/b|c"<>*?:\\'
+    assert decode_partition_name(encode_partition_name(s)) == s
