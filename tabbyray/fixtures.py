@@ -86,6 +86,11 @@ def _name(rng: random.Random, syllables=(2, 4), cyr_ok=False) -> str:
 
 
 def _entity_label(rng: random.Random, cls: str) -> str:
+    if rng.random() < 0.05:
+        # Cyrillic labels exercise the multi-byte branches: normalization
+        # keeps а-яА-Я (no ucfirst on a multi-byte first char) and
+        # levenshtein runs over UTF-8 bytes (SURVEY.md §7.4 item 1)
+        return _name(rng, cyr_ok=True) + " " + _name(rng, cyr_ok=True)
     base = _name(rng)
     if cls in ("City", "Town", "Country"):
         suffix = rng.choice(["", "", " City", " Land", "ia", " Valley"])
@@ -309,7 +314,7 @@ def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
                    root: str = "/tmp/tabbyray_fixtures") -> str:
     """Generate (or reuse cached) fixture directory with pages.parquet,
     kb.parquet, gold_cells.parquet. Returns the directory path."""
-    key = f"{name}-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+    key = f"{name}-v2-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
     path = os.path.join(root, key)
     marker = os.path.join(path, "_COMPLETE.json")
     if os.path.exists(marker):

@@ -194,3 +194,18 @@ def test_materialize_triples(kb):
     assert t["pred"] == "http://dbpedia.org/property/Capital"
     assert t["obj"] == DBR + "Germany"
     assert t["obj_is_literal"] is False
+
+
+def test_evaluate_troy200():
+    import pandas as pd
+    from tabbyray.metrics import evaluate_troy200
+    gold = pd.DataFrame([{
+        "url": "u", "table_idx": 0, "row_idx": 0,
+        "data": "E1", "row_heading": "A | B", "column_heading": "C",
+    }])
+    ann = pd.DataFrame([{
+        "url": "u", "table_idx": 0, "row_idx": 0,
+        "data": "E1", "row_heading": "A | X", "column_heading": "C",
+    }])
+    # data match (1) + row_heading split A (1) + column_heading C (1)
+    assert evaluate_troy200(gold, ann) == 3
