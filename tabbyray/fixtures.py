@@ -39,6 +39,7 @@ from .constants import (
     DBPEDIA_RESOURCE_SECTION,
 )
 from .extract import extract_text
+from .kb import KBIndex
 from .normalize import normalize_entry
 
 # class tree: name -> (parent chain upward, NER family)
@@ -235,22 +236,72 @@ def _gen_table_rows(rng: random.Random, kb_labels: list[tuple[str, str]],
     return rows
 
 
-def _render_page(rng: random.Random, tables: list[list[dict]]) -> str:
+def _gen_generic_table(rng: random.Random, kb_labels: list[tuple[str, str]],
+                       gazetteer: dict[str, str]) -> tuple[str, list[dict]]:
+    """A generic (non-canonical) HTML grid + the canonical rows the
+    extractor's pivot must produce from it. NER labels come from the
+    rule-based tagger (no inline attributes on generic tables), so the
+    expected labels are computed with the same tagger + gazetteer the
+    pipeline uses."""
+    from .ner import tag_value
+
+    n_rows = rng.randint(2, 5)
+    n_cols = rng.randint(2, 4)
+    col_heads = [rng.choice(_HEAD_WORDS) for _ in range(n_cols)]
+    corner = rng.choice(_HEAD_WORDS)
+    grid: list[list[str]] = []
+    for _ in range(n_rows):
+        row_head = rng.choice(kb_labels)[0] if rng.random() < 0.5 else rng.choice(_HEAD_WORDS)
+        cells = []
+        for _c in range(n_cols):
+            if rng.random() < 0.5:
+                cells.append(rng.choice(kb_labels)[0])
+            else:
+                cells.append(_literal_cell(rng)[0])
+        grid.append([row_head] + cells)
+
+    def esc(s: str) -> str:
+        return _html.escape(s, quote=True)
+
+    html = ["<table><tr><th>" + esc(corner) + "</th>"]
+    html += [f"<th>{esc(h)}</th>" for h in col_heads]
+    html.append("</tr>")
+    for row in grid:
+        html.append("<tr>" + "".join(f"<td>{esc(v)}</td>" for v in row) + "</tr>")
+    html.append("</table>")
+
+    expected: list[dict] = []
+    for row in grid:
+        for j, v in enumerate(row[1:]):
+            expected.append({
+                "data": v, "row_heading": row[0], "column_heading": col_heads[j],
+                "data_ner": tag_value(v, gazetteer),
+                "row_heading_ner": tag_value(row[0], gazetteer),
+                "column_heading_ner": tag_value(col_heads[j], gazetteer),
+            })
+    return "".join(html), expected
+
+
+def _render_page(rng: random.Random, tables: list[tuple[str | None, list[dict]]]) -> str:
+    """``tables``: list of (pre-rendered generic html | None, rows)."""
     def esc(s: str) -> str:
         return _html.escape(s, quote=True)
 
     parts = ["<html><head><title>", esc(" ".join(rng.choice(_BOILER) for _ in range(3))),
              "</title><style>body{font:12px}</style></head><body>"]
     parts.append("<p>" + esc(" ".join(rng.choice(_BOILER) for _ in range(rng.randint(5, 25)))) + "</p>")
-    for rows in tables:
-        parts.append("<table><tr><th>DATA</th><th>RowHeading</th><th>ColumnHeading</th></tr>")
-        for r in rows:
-            parts.append(
-                f'<tr><td data-ner="{esc(r["data_ner"])}">{esc(r["data"])}</td>'
-                f'<td data-ner="{esc(r["row_heading_ner"])}">{esc(r["row_heading"])}</td>'
-                f'<td data-ner="{esc(r["column_heading_ner"])}">{esc(r["column_heading"])}</td></tr>'
-            )
-        parts.append("</table>")
+    for pre_html, rows in tables:
+        if pre_html is not None:
+            parts.append(pre_html)
+        else:
+            parts.append("<table><tr><th>DATA</th><th>RowHeading</th><th>ColumnHeading</th></tr>")
+            for r in rows:
+                parts.append(
+                    f'<tr><td data-ner="{esc(r["data_ner"])}">{esc(r["data"])}</td>'
+                    f'<td data-ner="{esc(r["row_heading_ner"])}">{esc(r["row_heading"])}</td>'
+                    f'<td data-ner="{esc(r["column_heading_ner"])}">{esc(r["column_heading"])}</td></tr>'
+                )
+            parts.append("</table>")
         if rng.random() < 0.5:
             parts.append("<p>" + esc(" ".join(rng.choice(_BOILER) for _ in range(rng.randint(3, 12)))) + "</p>")
     parts.append("</body></html>")
@@ -270,6 +321,8 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
     skew_heads = None
     if skew:
         skew_heads = [lbl for lbl, _ in rng.sample(kb_labels, max(2, len(kb_labels) // 10))]
+    # gazetteer as the pipeline builds it, for generic-table NER gold
+    gazetteer = KBIndex(kb).gazetteer()
 
     base_ts = _dt.datetime(2025, 1, 1)
     urls, tss, htmls, texts, langs = [], [], [], [], []
@@ -279,14 +332,19 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
     for i in range(n_pages):
         url = f"https://fixture.test/page/{i:06d}"
         n_tables = rng.choices([0, 1, 2, 3], weights=[10, 55, 25, 10])[0]
-        tables = [_gen_table_rows(rng, kb_labels, skew_heads) for _ in range(n_tables)]
+        tables: list[tuple[str | None, list[dict]]] = []
+        for _ in range(n_tables):
+            if rng.random() < 0.2:   # generic grid -> extractor pivots it
+                tables.append(_gen_generic_table(rng, kb_labels, gazetteer))
+            else:
+                tables.append((None, _gen_table_rows(rng, kb_labels, skew_heads)))
         html = _render_page(rng, tables)
         urls.append(url)
         tss.append(base_ts + _dt.timedelta(seconds=i))
         htmls.append(html.encode("utf-8"))
         texts.append(extract_text(html))
         langs.append("ru" if rng.random() < 0.05 else "en")
-        for t_idx, rows in enumerate(tables):
+        for t_idx, (_pre, rows) in enumerate(tables):
             for r_idx, r in enumerate(rows):
                 g_url.append(url)
                 g_tidx.append(t_idx)
@@ -314,7 +372,7 @@ def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
                    root: str = "/tmp/tabbyray_fixtures") -> str:
     """Generate (or reuse cached) fixture directory with pages.parquet,
     kb.parquet, gold_cells.parquet. Returns the directory path."""
-    key = f"{name}-v2-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+    key = f"{name}-v3-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
     path = os.path.join(root, key)
     marker = os.path.join(path, "_COMPLETE.json")
     if os.path.exists(marker):

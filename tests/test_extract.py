@@ -15,7 +15,10 @@ def test_text_invariant_byte_identical(smoke_fixture):
         assert extract_text(html) == text
 
 
-def test_extractor_recovers_gold_cells(smoke_fixture):
+def test_extractor_recovers_gold_cells(smoke_fixture, smoke_kb):
+    # mirror the pipeline: inline data-ner attrs win, the rule-based
+    # tagger (with the KB gazetteer) fills generic-table cells
+    gaz = smoke_kb.gazetteer()
     pages = pq.read_table(os.path.join(smoke_fixture, "pages.parquet"))
     gold = pq.read_table(os.path.join(smoke_fixture, "gold_cells.parquet")).to_pylist()
     got = []
@@ -23,6 +26,9 @@ def test_extractor_recovers_gold_cells(smoke_fixture):
                          pages.column("html").to_pylist()):
         for ti, t in enumerate(extract_tables(html)):
             for ri, r in enumerate(t):
+                for role in ("data", "row_heading", "column_heading"):
+                    if not r[f"{role}_ner"]:
+                        r[f"{role}_ner"] = tag_value(r[role], gaz)
                 got.append({"url": url, "table_idx": ti, "row_idx": ri, **r})
     key = lambda r: (r["url"], r["table_idx"], r["row_idx"])
     got.sort(key=key)
