@@ -40,6 +40,9 @@ def shard_inputs(pages_path: str, num_shards: int) -> list[list[str]]:
     (row-range sharding would go here for monolithic inputs)."""
     if os.path.isdir(pages_path):
         files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"no *.parquet files found in pages directory {pages_path!r}")
     else:
         files = [pages_path]
     num_shards = min(num_shards, len(files)) or 1
