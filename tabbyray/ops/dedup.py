@@ -119,12 +119,19 @@ def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
 
 def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.5,
-                      seed: int = 42, max_posting: int = 200) -> rd.Dataset:
+                      seed: int = 42, max_posting: int = 200,
+                      verify: str = "broadcast") -> rd.Dataset:
     """Candidate pairs via banded LSH, verified with EXACT Jaccard.
 
     signature -> (band_id, band_hash, doc_id) rows -> groupby band
     bucket -> pairs -> exact-verify >= threshold. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, deduplicated.
+
+    ``verify``: "broadcast" holds every doc's shingle set in one map —
+    right while the corpus fits a worker; "shuffle" is the web-scale
+    path: a co-partitioned hash join of candidate pairs against the
+    shingle table (``_verify_pairs_shuffle``), touching only candidate
+    docs and never materializing the corpus anywhere.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed)
@@ -163,13 +170,20 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
     cand = (band_rows.map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(bucket_pairs, batch_format="pandas"))
     cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+    if len(cand_df) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64")}))
+
+    if verify == "shuffle":
+        return _verify_pairs_shuffle(docs, cand_df, shingle_n, threshold)
 
     # exact verification against broadcast shingle sets
     pdocs = docs.select_columns(["doc_id", "text"]).to_pandas()
     sh_map = {d: _shingles(t, shingle_n)
               for d, t in zip(pdocs["doc_id"], pdocs["text"])}
     out_a, out_b, out_j = [], [], []
-    for da, db in zip(cand_df.get("doc_a", []), cand_df.get("doc_b", [])):
+    for da, db in zip(cand_df["doc_a"], cand_df["doc_b"]):
         sa, sb = sh_map.get(da, set()), sh_map.get(db, set())
         if not sa or not sb:
             continue
@@ -182,6 +196,87 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
             out_j.append(j)
     return rd.from_pandas(pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                                         "jaccard": out_j}))
+
+
+def _verify_pairs_shuffle(docs: rd.Dataset, cand_df: pd.DataFrame,
+                          shingle_n: int, threshold: float,
+                          num_partitions: int = 32) -> rd.Dataset:
+    """Exact-Jaccard verification as a co-partitioned hash join.
+
+    Plan: melt candidate pairs to (doc_id, pair_id) rows; explode
+    candidate docs' DISTINCT shingles; tag and union both sides; one
+    ``groupby(hash(doc_id) % P)`` shuffle co-locates each doc's pair
+    memberships with its shingles; an in-partition pandas merge emits
+    (pair_id, shingle) rows; counting rows per pair gives
+    size_a + size_b, counting (pair_id, shingle) rows seen twice gives
+    the intersection; jaccard = inter / (total - inter). Only candidate
+    docs' shingles are ever shuffled."""
+    from .relational import hash_aggregate
+
+    cand_df = cand_df.reset_index(drop=True)
+    cand_df["pair_id"] = cand_df.index.astype("int64")
+    cand_docs = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    melt = pd.concat([
+        cand_df[["doc_a", "pair_id"]].rename(columns={"doc_a": "doc_id"}),
+        cand_df[["doc_b", "pair_id"]].rename(columns={"doc_b": "doc_id"}),
+    ], ignore_index=True)
+    melt["shingle"] = ""
+    melt["side"] = "pair"
+    cand_docs_ref = ray.put(cand_docs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_docs_ref)
+        ids, shs = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            if doc_id in wanted:
+                for s in _shingles(text, shingle_n):
+                    ids.append(doc_id)
+                    shs.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pair_id": pa.array([-1] * len(ids), pa.int64()),
+                         "shingle": pa.array(shs, pa.string()),
+                         "side": pa.array(["shingle"] * len(ids), pa.string())})
+
+    both = docs.map_batches(explode, batch_format="pyarrow").union(
+        rd.from_pandas(melt[["doc_id", "pair_id", "shingle", "side"]]))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (pd.util.hash_pandas_object(df["doc_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[g["side"] == "pair"][["doc_id", "pair_id"]]
+        shingles = g[g["side"] == "shingle"][["doc_id", "shingle"]]
+        m = pairs.merge(shingles, on="doc_id")
+        out = m[["pair_id", "shingle"]]
+        out = out.assign(one=pd.Series(1, index=out.index, dtype="int64"))
+        return out
+
+    pair_shingles = (both.map_batches(add_part, batch_format="pandas")
+                     .groupby("part")
+                     .map_groups(join_partition, batch_format="pandas"))
+    counts = hash_aggregate(pair_shingles, ["pair_id", "shingle"], {"one": "cnt"})
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair_id", as_index=False).agg(
+            total=("cnt", "sum"),
+            inter=("cnt", lambda c: int((c == 2).sum())))
+        g["inter"] = g["inter"].astype("int64")
+        return g
+
+    stats = hash_aggregate(
+        counts.map_batches(partial_stats, batch_format="pandas"),
+        ["pair_id"], {"total": "total", "inter": "inter"}).to_pandas()
+
+    out = cand_df.merge(stats, on="pair_id", how="inner")
+    union = out["total"] - out["inter"]
+    out["jaccard"] = out["inter"] / union.where(union > 0, 1)
+    out = out[out["jaccard"] >= threshold]
+    return rd.from_pandas(
+        out[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True))
 
 
 # -------------------------------------------------------------------------

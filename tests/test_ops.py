@@ -126,3 +126,13 @@ def test_lang_id(ray_session):
                                 "el perro y la casa de un gato en madrid"]})
     out = lang_id(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert list(out["pred_lang"]) == ["en", "es"]
+
+
+def test_minhash_shuffle_verify_matches_broadcast(dup_docs):
+    import pandas as pd
+    from tabbyray.ops.dedup import minhash_lsh_pairs
+    a = (minhash_lsh_pairs(dup_docs, threshold=0.5, verify="broadcast")
+         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    b = (minhash_lsh_pairs(dup_docs, threshold=0.5, verify="shuffle")
+         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
