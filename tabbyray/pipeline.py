@@ -122,26 +122,55 @@ def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
     })
 
 
+_ROW_FIELDS = ("url", "table_idx", "row_idx", "data", "row_heading",
+               "column_heading", "data_ner", "row_heading_ner",
+               "column_heading_ner")
+
+
+def _kind_table(kind: str, cols: dict[str, list], n: int) -> pa.Table:
+    """Full-union-schema table for one result kind: present columns from
+    the lists, absent ones as typed nulls — no per-row dict work."""
+    arrays = []
+    for f in RESULT_SCHEMA:
+        if f.name == "kind":
+            arrays.append(pa.array([kind] * n, pa.string()))
+        elif f.name in cols:
+            arrays.append(pa.array(cols[f.name], f.type))
+        else:
+            arrays.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+
+
 def _annotate_partition(part: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
     """All canonical tables of one hash partition -> union-schema result
-    rows. One Python call annotates ~hundreds of tables (iterating a
-    pandas groupby), instead of one framework round-trip per table —
-    the same explicit-partition pattern as ops.relational.hash_aggregate."""
+    rows. One Python call annotates ~hundreds of tables (contiguous
+    slices of the Arrow-sorted partition) — the explicit-partition
+    pattern of ops.relational.hash_aggregate. Row dicts are built once
+    straight from Arrow columns (a pandas ``to_dict("records")`` here
+    was ~half the stage's CPU)."""
     if part.num_rows == 0:
         return RESULT_SCHEMA.empty_table()
-    df = part.to_pandas().sort_values(["table_id", "row_idx"], kind="stable")
-    cols = {f.name: [] for f in RESULT_SCHEMA}
-    append = {k: v.append for k, v in cols.items()}
+    part = part.sort_by([("table_id", "ascending"), ("row_idx", "ascending")])
+    col_vals = [part.column(name).to_pylist() for name in _ROW_FIELDS]
+    tids = part.column("table_id").to_pylist()
+    rows_all = [dict(zip(_ROW_FIELDS, vals)) for vals in zip(*col_vals)]
 
-    def emit(kind, url, tidx, **kw):
-        append["kind"](kind)
-        append["url"](url)
-        append["table_idx"](tidx)
-        for f in _EMIT_FIELDS:
-            append[f](kw.get(f))
+    ann = {k: [] for k in ("url", "table_idx", "cell_type", "surface_form",
+                           "entity", "aggregated_rank", "rel_rank", "n_candidates")}
+    rowk = {k: [] for k in ("url", "table_idx", "row_idx", "data",
+                            "row_heading", "column_heading")}
+    trik = {k: [] for k in ("url", "table_idx", "row_idx", "subj", "pred",
+                            "obj", "obj_is_literal")}
 
-    for _tid, g in df.groupby("table_id", sort=False):
-        rows = g.to_dict("records")
+    n = len(rows_all)
+    start = 0
+    while start < n:
+        end = start
+        tid = tids[start]
+        while end < n and tids[end] == tid:
+            end += 1
+        rows = rows_all[start:end]
+        start = end
         url = rows[0]["url"]
         tidx = rows[0]["table_idx"]
         res = annotate_table(rows, kb, w)
@@ -149,21 +178,35 @@ def _annotate_partition(part: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
             for surface, cell in cells_of_type.items():
                 wnr = cell.winner()
                 if wnr is not None:
-                    emit("annotation", url, tidx, cell_type=cell_type,
-                         surface_form=surface, entity=wnr.entity,
-                         aggregated_rank=wnr.agg_rank, rel_rank=wnr.rel_rank,
-                         n_candidates=len(cell.candidates))
+                    ann["url"].append(url)
+                    ann["table_idx"].append(tidx)
+                    ann["cell_type"].append(cell_type)
+                    ann["surface_form"].append(surface)
+                    ann["entity"].append(wnr.entity)
+                    ann["aggregated_rank"].append(wnr.agg_rank)
+                    ann["rel_rank"].append(wnr.rel_rank)
+                    ann["n_candidates"].append(len(cell.candidates))
         for r in res.annotated_rows:
-            emit("row", url, tidx, row_idx=r["row_idx"], data=r["data"],
-                 row_heading=r["row_heading"], column_heading=r["column_heading"])
+            rowk["url"].append(url)
+            rowk["table_idx"].append(tidx)
+            rowk["row_idx"].append(r["row_idx"])
+            rowk["data"].append(r["data"])
+            rowk["row_heading"].append(r["row_heading"])
+            rowk["column_heading"].append(r["column_heading"])
         for t in res.triples:
-            emit("triple", url, tidx, row_idx=t["row_idx"], subj=t["subj"],
-                 pred=t["pred"], obj=t["obj"], obj_is_literal=t["obj_is_literal"])
-    return pa.table(cols, schema=RESULT_SCHEMA)
+            trik["url"].append(url)
+            trik["table_idx"].append(tidx)
+            trik["row_idx"].append(t["row_idx"])
+            trik["subj"].append(t["subj"])
+            trik["pred"].append(t["pred"])
+            trik["obj"].append(t["obj"])
+            trik["obj_is_literal"].append(t["obj_is_literal"])
 
-
-_EMIT_FIELDS = [f.name for f in RESULT_SCHEMA
-                if f.name not in ("kind", "url", "table_idx")]
+    return pa.concat_tables([
+        _kind_table("annotation", ann, len(ann["url"])),
+        _kind_table("row", rowk, len(rowk["url"])),
+        _kind_table("triple", trik, len(trik["url"])),
+    ])
 
 
 # --------------------------------------------------------------------------
