@@ -1,0 +1,83 @@
+"""Property-based parity hardening (hypothesis)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tabbyray.normalize import (
+    decode_partition_name,
+    encode_partition_name,
+    normalize_entry,
+    php_levenshtein,
+)
+
+_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=40,
+)
+_short = st.text(
+    alphabet=st.sampled_from("abcXYZ019 абвГД-_.,!"), max_size=20)
+
+
+def _lev_reference(a: bytes, b: bytes) -> int:
+    """Textbook full-matrix DP, independent of the optimized version."""
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return d[m][n]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_short, _short)
+def test_levenshtein_matches_reference_dp(a, b):
+    got = php_levenshtein(a, b)
+    ba, bb = a.encode(), b.encode()
+    if len(ba) > 255 or len(bb) > 255:
+        assert got == -1
+    else:
+        assert got == _lev_reference(ba, bb)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text)
+def test_normalize_output_charset(s):
+    out = normalize_entry(s)
+    # only word chars from the allowed classes + underscores; no spaces.
+    # \r\n survive, faithfully to PHP's [^\S\r\n] collapse class —
+    # irrelevant in-pipeline because the extractor collapses ALL
+    # whitespace before normalization ever sees a cell.
+    assert " " not in out
+    assert re.fullmatch(r"[a-zA-Zа-яА-Я0-9_\r\n]*", out), out
+    # deterministic
+    assert normalize_entry(s) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_normalize_first_char_rule(s):
+    out = normalize_entry(s)
+    if out and "a" <= out[0] <= "z":
+        raise AssertionError(f"ucfirst not applied: {out!r}")
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_partition_name_roundtrip(s):
+    assert decode_partition_name(encode_partition_name(s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_short, max_size=6), st.lists(_short, max_size=6))
+def test_heading_rank_bounds(classes, labels):
+    from tabbyray.constants import DBPEDIA_ONTOLOGY_SECTION as DBO
+    from tabbyray.sti import heading_rank
+    r = heading_rank([DBO + c for c in classes], labels)
+    assert 0 <= r <= 100
