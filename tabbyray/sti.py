@@ -252,33 +252,38 @@ def semantic_similarity(all_candidates: dict[str, dict[str, tuple[str, ...]]]) -
     ``arsort`` tie-break: count desc, then first-inserted class first
     (PHP7 arsort is unstable; this is the documented deterministic choice).
     """
+    from collections import Counter
+
+    # the vote a candidate receives from one comparison depends only on
+    # the two CLASS TUPLES involved, and the merge over comparative
+    # entries is additive — so the per-entity rank collapses to a
+    # per-distinct-tuple computation against the pooled tuple counts of
+    # all OTHER entries (identical totals to the reference's
+    # per-candidate-pair loops at `:516-565`, orders of magnitude fewer
+    # _select_class calls).
+    entry_tuple_counts: dict[str, Counter] = {
+        e: Counter(cands.values()) for e, cands in all_candidates.items()
+    }
+    total_tuples: Counter = Counter()
+    for c in entry_tuple_counts.values():
+        total_tuples.update(c)
+
     out: dict[str, dict[str, float]] = {}
     for current_entry, current_cands in all_candidates.items():
-        global_ranked: dict[str, dict[str, int]] = {}
-        for comparative_entry, comp_cands in all_candidates.items():
-            if current_entry == comparative_entry:
-                continue
-            # group comparative candidates by class tuple (multiplicity)
-            comp_tuples: dict[tuple[str, ...], int] = {}
-            for comp_classes in comp_cands.values():
-                comp_tuples[comp_classes] = comp_tuples.get(comp_classes, 0) + 1
-            for cur_entity, cur_classes in current_cands.items():
-                ranked: dict[str, int] = {}
-                if cur_classes:
-                    for comp_classes, mult in comp_tuples.items():
-                        if comp_classes:
-                            sel = _select_class(cur_classes, comp_classes)
-                            ranked[sel] = ranked.get(sel, 0) + mult
-                if cur_entity in global_ranked:
-                    g = global_ranked[cur_entity]
-                    for k, v in ranked.items():
-                        g[k] = g.get(k, 0) + v
-                else:
-                    global_ranked[cur_entity] = ranked
+        others = total_tuples - entry_tuple_counts[current_entry]
+        best_by_tuple: dict[tuple[str, ...], int] = {}
+        for cur_classes in set(current_cands.values()):
+            ranked: dict[str, int] = {}
+            if cur_classes:
+                for comp_classes, mult in others.items():
+                    if comp_classes:
+                        sel = _select_class(cur_classes, comp_classes)
+                        ranked[sel] = ranked.get(sel, 0) + mult
+            best_by_tuple[cur_classes] = max(ranked.values()) if ranked else 0
         max_rank = 0
         intermediate: list[tuple[str, int]] = []
-        for entity, class_ranks in global_ranked.items():
-            current_rank = max(class_ranks.values()) if class_ranks else 0
+        for entity, cur_classes in current_cands.items():
+            current_rank = best_by_tuple[cur_classes]
             if current_rank != 0:
                 intermediate.append((entity, current_rank))
                 if max_rank < current_rank:
