@@ -65,19 +65,33 @@ def exact_dedup_summary(docs: rd.Dataset) -> rd.Dataset:
             .select_columns(["doc_id", "n_dups"]))
 
 
-def exact_dedup_keep_first(docs: rd.Dataset) -> rd.Dataset:
-    """Filter pass keeping only the first (min doc_id) row per distinct
-    text: winners are computed by the grouped aggregate above, then
-    broadcast for a shuffle-free semi-join filter."""
-    winners = set(exact_dedup_summary(docs).to_pandas()["doc_id"])
-    ref = ray.put(winners)
+def exact_dedup_keep_first(docs: rd.Dataset,
+                           num_partitions: int = 64) -> rd.Dataset:
+    """Keep only the first (min doc_id) row per distinct text.
 
-    def f(t: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
-        mask = pa.array([i in keep for i in t.column("doc_id").to_pylist()])
-        return t.filter(mask)
+    ONE hash shuffle on the md5 fingerprint: a batch-local keep-first
+    combiner prunes in-batch dups, the fp-hash partitioning co-locates
+    every surviving copy of a text, and an in-partition keep-first
+    finishes. No corpus-sized state anywhere — this is the web-scale
+    exact-dedup plan (the winners set of a 10^12-doc corpus cannot be
+    broadcast)."""
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_fp"] = [hashlib.md5(_norm_text(x).encode()).hexdigest()
+                     for x in df["text"]]
+        # batch-local combiner: drop in-batch dups before the shuffle
+        df = df.sort_values("doc_id", kind="stable").drop_duplicates("_fp")
+        df["_part"] = (pd.util.hash_pandas_object(df["_fp"], index=False)
+                       % num_partitions).astype("int64")
+        return df
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").drop_duplicates("_fp")
+        return g.drop(columns=["_fp", "_part"])
+
+    return (docs.map_batches(add_fp, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(keep_first, batch_format="pandas"))
 
 
 # -------------------------------------------------------------------------
