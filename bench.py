@@ -127,11 +127,24 @@ def run_scaling() -> dict:
     lo_n, hi_n = (int(x) for x in
                   os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
 
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=pages)
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # best-of-N wall time: the sandbox shares cores with unrelated
+        # activity, and a single contaminated leg skews the ratio; the
+        # minimum is the least-interfered observation of the same
+        # deterministic job
+        best = None
+        for _ in range(trials):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_PAGES=pages)
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            res = json.loads(out.strip().splitlines()[-1])
+            if best is None or res["value"] < best["value"]:
+                best = res
+        return best
 
     lo, hi = run(lo_n), run(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
