@@ -39,19 +39,16 @@ DEFAULT_SALT = 16
 
 
 def _partial_counts(batch: pa.Table, num_salt: int) -> pa.Table:
-    """Per-batch combiner: (norm_key, subj) -> count, salted. The
-    normalization (regex-heavy) runs once per DISTINCT subject, not per
-    row — head-entity skew makes subjects highly repetitive."""
-    subs = batch.column("subj").to_pylist()
-    counts: dict[str, int] = {}
-    for s in subs:
-        counts[s] = counts.get(s, 0) + 1
-    keys, subjs, cnts, salts = [], [], [], []
-    for s, c in counts.items():
-        keys.append(normalize_entry(strip_uri_prefix(s)))
-        subjs.append(s)
-        cnts.append(c)
-        salts.append(zlib.crc32(s.encode()) % num_salt)
+    """Per-batch combiner: (norm_key, subj) -> count, salted. Counting
+    is a vectorized Arrow ``value_counts``; the regex-heavy
+    normalization runs once per DISTINCT subject only — head-entity
+    skew makes subjects highly repetitive."""
+    import pyarrow.compute as pc
+    vc = pc.value_counts(batch.column("subj").combine_chunks())
+    subjs = vc.field("values").to_pylist()
+    cnts = vc.field("counts").to_pylist()
+    keys = [normalize_entry(strip_uri_prefix(s)) for s in subjs]
+    salts = [zlib.crc32(s.encode()) % num_salt for s in subjs]
     return pa.table({"norm_key": keys, "subj": subjs, "cnt": cnts,
                      "salt": pa.array(salts, pa.int32())})
 
@@ -100,24 +97,34 @@ def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> r
 
     def rewrite(batch: pa.Table) -> pa.Table:
         # stateless task; ray.get of the broadcast ref hits the local
-        # object store after the first batch on a worker
+        # object store after the first batch on a worker. Columns are
+        # dictionary-encoded so the python mapping runs once per
+        # DISTINCT uri; the row-level rewrite is a vectorized take.
+        import pyarrow.compute as pc
         lk = ray.get(lookup_ref)
-        memo: dict[str, str] = {}
 
         def canon(u: str) -> str:
-            v = memo.get(u)
-            if v is None:
-                v = lk.get(normalize_entry(strip_uri_prefix(u)), u)
-                memo[u] = v
-            return v
+            return lk.get(normalize_entry(strip_uri_prefix(u)), u)
 
-        subs = batch.column("subj").to_pylist()
-        objs = batch.column("obj").to_pylist()
-        lits = batch.column("obj_is_literal").to_pylist()
-        new_s = [canon(s) for s in subs]
-        new_o = [o if lit else canon(o) for o, lit in zip(objs, lits)]
+        def as_array(col) -> pa.Array:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if isinstance(col, pa.ChunkedArray):   # older pyarrow keeps chunked
+                col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+            return col
+
+        def map_column(col) -> pa.Array:
+            d = pc.dictionary_encode(as_array(col))
+            mapped = pa.array([canon(u) for u in d.dictionary.to_pylist()],
+                              pa.string())
+            return mapped.take(d.indices)
+
+        new_s = map_column(batch.column("subj"))
+        mapped_o = map_column(batch.column("obj"))
+        lit = as_array(batch.column("obj_is_literal"))
+        new_o = pc.if_else(lit, as_array(batch.column("obj")), mapped_o)
         return (batch
-                .set_column(batch.column_names.index("subj"), "subj", pa.array(new_s, pa.string()))
-                .set_column(batch.column_names.index("obj"), "obj", pa.array(new_o, pa.string())))
+                .set_column(batch.column_names.index("subj"), "subj", new_s)
+                .set_column(batch.column_names.index("obj"), "obj", new_o))
 
     return triples.map_batches(rewrite, batch_format="pyarrow")
