@@ -95,6 +95,9 @@ def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
         if check_text and text is not None:
             if extract_text(html) != text:
                 raise ValueError(f"text invariant violated for {url}")
+        elif b"<table" not in (html if isinstance(html, (bytes, bytearray))
+                               else html.encode()):
+            continue   # ~10% of crawl pages carry no table: skip the parse
         for t_idx, rows in enumerate(extract_tables(html)):
             table_id = f"{url}#{t_idx}"
             for r_idx, r in enumerate(rows):

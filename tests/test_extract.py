@@ -84,3 +84,20 @@ def test_ner_tagger_literals():
     assert tag_value("3rd") == "ORDINAL"
     assert tag_value("Berlin") == "NONE"
     assert tag_value("Berlin", {"Berlin": "LOCATION"}) == "LOCATION"
+
+
+def test_malformed_html_is_tolerated():
+    # unclosed tags, stray brackets, nested tables, entities
+    html = ("<html><body><table><tr><th>DATA<th>RowHeading<th>ColumnHeading"
+            "<tr><td>A &amp; B<td>H1<td>C1"
+            "<table><tr><td>x</td></tr>"       # nested, non-canonical
+            "<p>loose < text >")
+    tables = extract_tables(html)
+    assert tables, "canonical table should survive malformed markup"
+    assert tables[0][0]["data"] == "A & B"
+    text = extract_text(html)
+    assert "A & B" in text and "loose" in text
+
+
+def test_page_without_tables_yields_nothing():
+    assert extract_tables("<html><body><p>nothing here</p></body></html>") == []
