@@ -114,10 +114,10 @@ def run_scaling() -> dict:
     compute dominates the fixed per-job costs (driver orchestration,
     stage barriers, task launch) — at the default 20k pages those fixed
     ~5-7s would cap measurable efficiency at ~0.45 regardless of how
-    well the pipeline scales; 160k pages (~12 min CPU) is the smallest
-    input where the 8-vs-32 ratio reflects the pipeline, not the
-    harness."""
-    pages = os.environ.get("GRAFT_SCALING_PAGES", "160000")
+    well the pipeline scales; 320k pages (~20 min CPU) keeps compute
+    well above the fixed per-job and per-phase barrier costs at both
+    levels, so the ratio reflects the pipeline, not the harness."""
+    pages = os.environ.get("GRAFT_SCALING_PAGES", "320000")
     # Default levels are N=2 vs 4N=8. This host advertises 32 CPUs but a
     # pure-CPU burn test (BENCH/BASELINE.md) shows effective parallel
     # capacity ~20 cores (SMT/contention): 8->32 processes is HARDWARE-
