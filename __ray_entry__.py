@@ -196,6 +196,15 @@ def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
                                       t.column("embedding").to_pylist())}
 
 
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import sessionize
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return sessionize(ev, gap_minutes=30)
+
+
 def _q_knn_cosine(sf_dir: str):
     import ray.data as rd
 
@@ -269,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user": _q_top_event_per_user,
         "norm_part_names": _q_norm_part_names,
         "hourly_user_agg": _q_hourly_user_agg,
+        "sessionize": _q_sessionize,
         # text / dedup operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,
@@ -331,6 +341,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   sum(round(value * 100)) AS sum_value_cents
+            FROM s GROUP BY 1, 2
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -1,0 +1,53 @@
+"""Stream-shaped operators over an ordered, partitioned event log.
+
+Ray Data is a batch engine with no watermarks; the reference is pure
+batch too (SURVEY.md §2.9). These operators implement the standard
+batch renderings of streaming constructs (ray_guide 'Streaming-shaped
+workloads'): partition by key, sort by ts within the partition, window
+with vectorized pandas. The ordering assumption — all events of one
+key are co-partitioned and sorted by (ts, event_id) — is established
+inside the operator itself, so input order never matters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+
+def sessionize(events: rd.Dataset, gap_minutes: int = 30,
+               num_partitions: int = 32) -> rd.Dataset:
+    """Gap-based sessions per user.
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_minutes``. Output: (user_id, session_id [1-based
+    per user in ts order], session_start, session_end, n_events,
+    sum_value_cents). One hash shuffle on user_id; windowing is
+    vectorized pandas per partition.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_id", "ts", "value"]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev_ts = g.groupby("user_id")["ts"].shift()
+        new_session = (prev_ts.isna() | ((g["ts"] - prev_ts) > gap)).astype("int64")
+        g = g.assign(session_id=new_session.groupby(g["user_id"]).cumsum())
+        g = g.assign(value_cents=(g["value"] * 100).round())
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            sum_value_cents=("value_cents", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (events.map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(window, batch_format="pandas"))

@@ -216,10 +216,28 @@ def _annotate_partition(part: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
 # stage compositions (Dataset -> Dataset; lazy, streaming)
 # --------------------------------------------------------------------------
 
-def read_pages(path, columns: Optional[list[str]] = None) -> rd.Dataset:
+def read_pages(path, columns: Optional[list[str]] = None,
+               override_num_blocks: Optional[int] = None) -> rd.Dataset:
     """Prune at the read: extraction only needs url+html (+text when
-    verifying the byte-identical invariant)."""
-    return rd.read_parquet(path, columns=columns or ["url", "html"])
+    verifying the byte-identical invariant).
+
+    Block count defaults to ~3x cluster CPUs instead of Ray's ~200-block
+    read heuristic: every downstream stage launches one task per block,
+    and the driver's per-task scheduling cost is serial — hundreds of
+    tiny blocks turn into a data-proportional serial term that caps
+    scaling (measured: ~74s of driver time at 1,400 tasks)."""
+    if override_num_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        # ~8 blocks per CPU: enough grain to smooth per-table cost skew,
+        # few enough that driver scheduling stays negligible (measured
+        # at 160k pages / 8 cpus: 24 blocks -> 75s, 64 -> 60s, 128 ->
+        # 63s, 448 (Ray default heuristic) -> ~66s+)
+        override_num_blocks = max(16, cpus * 8)
+    return rd.read_parquet(path, columns=columns or ["url", "html"],
+                           override_num_blocks=override_num_blocks)
 
 
 def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,

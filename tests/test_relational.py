@@ -47,3 +47,22 @@ def test_normalized_key_counts(ray_session):
     assert list(got["norm_key"]) == ["Big_apple", "Pear"]
     assert list(got["rep_id"]) == [3, 9]
     assert list(got["n_members"]) == [2, 1]
+
+
+def test_sessionize(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import sessionize
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",  # u1: 2 sessions
+        "2024-01-01 00:05",                                          # u2: 1 session
+    ])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2], "event_id": [1, 2, 3, 4],
+                       "ts": ts, "value": [1.0, 2.0, 4.0, 8.0]})
+    out = (sessionize(rd.from_pandas(df), gap_minutes=30)
+           .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["session_id"]) == [1, 2, 1]
+    assert list(out["n_events"]) == [2, 1, 1]
+    assert list(out["sum_value_cents"]) == [300.0, 400.0, 800.0]
