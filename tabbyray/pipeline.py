@@ -227,15 +227,14 @@ def read_pages(path, columns: Optional[list[str]] = None,
     tiny blocks turn into a data-proportional serial term that caps
     scaling (measured: ~74s of driver time at 1,400 tasks)."""
     if override_num_blocks is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        # ~8 blocks per CPU: enough grain to smooth per-table cost skew,
-        # few enough that driver scheduling stays negligible (measured
-        # at 160k pages / 8 cpus: 24 blocks -> 75s, 64 -> 60s, 128 ->
-        # 63s, 448 (Ray default heuristic) -> ~66s+)
-        override_num_blocks = max(16, cpus * 8)
+        # 64 blocks measured best across configs on this node (160k
+        # pages / 8 cpus: 24 blocks -> 75s, 64 -> 60s, 128 -> 63s, 448
+        # (Ray default heuristic) -> 66s; 20k pages / 32 cpus: 256
+        # blocks -> 15s, ~64 -> 7.6s): enough grain to smooth
+        # per-table cost skew, few enough that driver scheduling stays
+        # negligible. On a multi-node cluster scale this with total
+        # cores (~2-8 blocks per core).
+        override_num_blocks = 64
     return rd.read_parquet(path, columns=columns or ["url", "html"],
                            override_num_blocks=override_num_blocks)
 
