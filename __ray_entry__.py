@@ -104,10 +104,13 @@ def _q_lineitem_agg(sf_dir: str):
     def cents(t):
         import pyarrow as pa
         import pyarrow.compute as pc
+        # half_towards_infinity == SQL round-half-away-from-zero; the
+        # pyarrow default (half_to_even) disagrees on exact .5 cents
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "qty": t.column("l_quantity"),
-            "price_cents": pc.round(pc.multiply(t.column("l_extendedprice"), 100)),
+            "price_cents": pc.round(pc.multiply(t.column("l_extendedprice"), 100),
+                                    round_mode="half_towards_infinity"),
         })
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
@@ -174,14 +177,16 @@ def _q_hourly_user_agg(sf_dir: str):
 
     from tabbyray.ops.relational import hourly_user_agg
 
-    def cents(df):
-        df = df.copy()
-        df["value"] = (df["value"] * 100).round()
-        return df
+    def cents(t):
+        import pyarrow.compute as pc
+        idx = t.column_names.index("value")
+        return t.set_column(idx, "value",
+                            pc.round(pc.multiply(t.column("value"), 100),
+                                     round_mode="half_towards_infinity"))
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "value"])
-    out = hourly_user_agg(ev.map_batches(cents, batch_format="pandas"))
+    out = hourly_user_agg(ev.map_batches(cents, batch_format="pyarrow"))
 
     def rename(df):
         return df.rename(columns={"sum_value": "sum_value_cents"})[

@@ -8,20 +8,26 @@ canonical representative (the most frequent URI; ties broken
 lexicographically for determinism).
 
 Head-entity skew (country/year-like subjects, BASELINE.json) is handled
-with a salted two-phase aggregate:
+with a salted two-phase aggregate, and EVERY phase is distributed — no
+single-task reducer and no driver materialization anywhere:
 
 1. **partial** — inside ``map_batches`` each batch pre-aggregates
    ``(norm_key, subj) -> count`` (combiner), then tags each partial row
    with ``salt = hash(subj) % S``;
-2. **phase 1** — ``groupby(norm_key, salt)``: merges partials so no
-   single reducer sees all rows of a hot key;
-3. **phase 2** — ``groupby(norm_key)`` over the <= S rows per key to
-   pick the representative.
+2. **phase 1** — ``groupby(norm_key, salt, subj)`` native vectorized
+   Sum: merges partials so no single reducer sees all partial rows of a
+   hot key (a hot key contributes one row per batch otherwise);
+3. **phase 2** — explicit hash partition on ``norm_key`` (P bounded
+   partitions), one vectorized pandas argmax per partition picks each
+   key's representative. Output is a distributed mapping Dataset at
+   distinct-subject scale.
 
-The winners map is small (distinct-subject scale, not triple scale) and
-is broadcast via ``ray.put`` for the final rewrite pass. The salted
-plan is output-identical to the unsalted plan (tested on the F6 skew
-fixture).
+The rewrite pass then joins the mapping back onto the triples:
+*broadcast* (``ray.put`` once, dictionary-encoded lookup per batch)
+while the mapping fits a worker, else a *co-partitioned shuffle join*
+on the normalized key (``ops.relational.hash_join``) — two passes, one
+for ``subj`` and one for entity ``obj``. ``mode="auto"`` picks by
+mapping row count. Both paths are output-identical (tested).
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ import ray.data as rd
 from .normalize import normalize_entry, strip_uri_prefix
 
 DEFAULT_SALT = 16
+# above this many distinct norm keys the winners map stops being
+# broadcast and the rewrite becomes a shuffle join (each entry is a
+# short URI pair; 5M entries ~ a few hundred MB of Python dict)
+BROADCAST_MAX_KEYS = 5_000_000
 
 
 def _partial_counts(batch: pa.Table, num_salt: int) -> pa.Table:
@@ -53,15 +63,17 @@ def _partial_counts(batch: pa.Table, num_salt: int) -> pa.Table:
                      "salt": pa.array(salts, pa.int32())})
 
 
-def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> rd.Dataset:
-    """norm_key -> canonical_subj mapping as a (small) Dataset.
+def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
+                  num_partitions: int = 32) -> rd.Dataset:
+    """norm_key -> (canonical_subj, support) mapping as a DISTRIBUTED
+    Dataset (distinct-subject scale).
 
-    Both merge phases are NATIVE grouped aggregates (vectorized
-    sort-based Sum) — no per-group Python. The salted phase-1 key
-    ``(norm_key, salt, subj)`` bounds any reducer's share of a hot key;
-    phase 2 runs over <= num_salt rows per (key, subj). The final
-    representative pick is a vectorized per-batch argmax after the
-    phase-2 shuffle has co-located each norm_key."""
+    Phase 1 is a native grouped aggregate (vectorized sort-based Sum)
+    over the salted key — no per-group Python, no reducer hotspot.
+    Phase 2 re-partitions the (small) phase-1 output by
+    ``hash(norm_key) % P`` and resolves every key of a partition with
+    ONE vectorized pandas argmax — distributed, bounded task count, no
+    ``repartition(1)`` funnel."""
     from ray.data.aggregate import Sum
 
     partial = triples.map_batches(
@@ -71,10 +83,16 @@ def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> rd.Datas
     phase1 = partial.groupby(["norm_key", "salt", "subj"]).aggregate(
         Sum("cnt", alias_name="cnt"))
 
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(df["norm_key"], index=False)
+                       % num_partitions).astype("int64")
+        return df
+
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        # phase 2 over the dimension-sized (distinct-subject-scale)
-        # phase-1 output, coalesced into one block: merge salt splits,
-        # then argmax (cnt desc, subj asc) per norm_key — vectorized.
+        # all salt splits of every norm_key of this partition are here:
+        # merge them, then argmax (cnt desc, subj asc) per key — all
+        # vectorized.
         m = df.groupby(["norm_key", "subj"], as_index=False)["cnt"].sum()
         m = m.sort_values(["cnt", "subj"], ascending=[False, True], kind="stable")
         best = m.drop_duplicates(subset=["norm_key"], keep="first")
@@ -82,19 +100,23 @@ def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> rd.Datas
         out = best[["norm_key", "subj"]].merge(tot, on="norm_key")
         return out.rename(columns={"subj": "canonical_subj", "cnt": "support"})
 
-    return phase1.repartition(1).map_batches(resolve, batch_format="pandas")
+    return (phase1.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(resolve, batch_format="pandas"))
 
 
-def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> rd.Dataset:
-    """Rewrite ``subj`` (and entity ``obj``) to canonical representatives.
+def _norm_key_column(col) -> pa.Array:
+    """Vectorized norm-key of a URI column: dictionary-encode so the
+    Python normalization runs once per DISTINCT uri, then a take."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    keys = pa.array([normalize_entry(strip_uri_prefix(u))
+                     for u in d.dictionary.to_pylist()], pa.string())
+    return keys.take(d.indices)
 
-    The mapping is materialized (it is distinct-entity-sized, orders of
-    magnitude smaller than the triples) and broadcast once.
-    """
-    mapping = canonical_map(triples, num_salt).to_pandas()
-    lookup = dict(zip(mapping["norm_key"], mapping["canonical_subj"]))
-    lookup_ref = ray.put(lookup)
 
+def _rewrite_broadcast(triples: rd.Dataset, lookup_ref) -> rd.Dataset:
     def rewrite(batch: pa.Table) -> pa.Table:
         # stateless task; ray.get of the broadcast ref hits the local
         # object store after the first batch on a worker. Columns are
@@ -128,3 +150,71 @@ def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT) -> r
                 .set_column(batch.column_names.index("obj"), "obj", new_o))
 
     return triples.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _rewrite_join(triples: rd.Dataset, mapping: rd.Dataset,
+                  num_partitions: int = 64) -> rd.Dataset:
+    """Scale path: rewrite subj then entity-obj via two co-partitioned
+    LEFT joins against the winners dataset — nothing corpus-sized ever
+    leaves the distributed plan."""
+    import pyarrow.compute as pc
+
+    from .ops.relational import hash_join
+
+    win = mapping.select_columns(["norm_key", "canonical_subj"])
+
+    def add_subj_key(t: pa.Table) -> pa.Table:
+        return t.append_column("norm_key", _norm_key_column(t.column("subj")))
+
+    def apply_subj(t: pa.Table) -> pa.Table:
+        won = t.column("canonical_subj")
+        subj = pc.if_else(pc.is_valid(won), won, t.column("subj"))
+        t = t.drop_columns(["norm_key", "canonical_subj"])
+        return t.set_column(t.column_names.index("subj"), "subj",
+                            subj.combine_chunks().cast(pa.string()))
+
+    step1 = hash_join(
+        triples.map_batches(add_subj_key, batch_format="pyarrow"),
+        win, on="norm_key", how="left", num_partitions=num_partitions,
+    ).map_batches(apply_subj, batch_format="pyarrow")
+
+    def add_obj_key(t: pa.Table) -> pa.Table:
+        # literal objects get an empty key (no winner has key "" clash
+        # risk: the join result is masked by obj_is_literal anyway)
+        key = _norm_key_column(t.column("obj"))
+        return t.append_column("norm_key", key)
+
+    def apply_obj(t: pa.Table) -> pa.Table:
+        won = t.column("canonical_subj")
+        lit = t.column("obj_is_literal")
+        use_win = pc.and_(pc.is_valid(won), pc.invert(lit))
+        obj = pc.if_else(use_win, won, t.column("obj"))
+        t = t.drop_columns(["norm_key", "canonical_subj"])
+        return t.set_column(t.column_names.index("obj"), "obj",
+                            obj.combine_chunks().cast(pa.string()))
+
+    return hash_join(
+        step1.map_batches(add_obj_key, batch_format="pyarrow"),
+        win, on="norm_key", how="left", num_partitions=num_partitions,
+    ).map_batches(apply_obj, batch_format="pyarrow")
+
+
+def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
+                         mode: str = "auto",
+                         broadcast_max_keys: int = BROADCAST_MAX_KEYS) -> rd.Dataset:
+    """Rewrite ``subj`` (and entity ``obj``) to canonical representatives.
+
+    ``mode``: "broadcast" ships the winners map once via ``ray.put``
+    (right while distinct-subject count fits a worker); "join" runs the
+    co-partitioned shuffle-join rewrite (the 100-TB path, where the
+    distinct-subject table is itself large); "auto" (default) picks by
+    the mapping's row count. Both paths are output-identical.
+    """
+    mapping = canonical_map(triples, num_salt).materialize()
+    if mode == "auto":
+        mode = "broadcast" if mapping.count() <= broadcast_max_keys else "join"
+    if mode == "join":
+        return _rewrite_join(triples, mapping)
+    mdf = mapping.to_pandas()
+    lookup_ref = ray.put(dict(zip(mdf["norm_key"], mdf["canonical_subj"])))
+    return _rewrite_broadcast(triples, lookup_ref)

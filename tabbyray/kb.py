@@ -115,8 +115,11 @@ class KBIndex:
         rows: list[str] = []
         exact = self._by_localname.get(norm_value)
         if exact is not None and not self.is_class[exact]:
-            # one result row per rdf:type binding (?subject a ?object)
-            rows.extend([self.uris[exact]] * max(1, len(self._types[exact])))
+            # one result row per rdf:type binding (?subject a ?object) —
+            # an entity with NO rdf:type produces zero exact rows, exactly
+            # like the reference's join (it may still appear via the
+            # substring arm below)
+            rows.extend([self.uris[exact]] * len(self._types[exact]))
         low = norm_value.lower()
         grams = _trigrams(low)
         if grams:

@@ -27,9 +27,6 @@ import shutil
 import time
 from typing import Optional
 
-import pyarrow.compute as pc
-import ray.data as rd
-
 from . import pipeline as P
 from .sti import Weights
 
@@ -57,8 +54,11 @@ def _manifest_path(out_dir: str, shard: int) -> str:
 
 
 def run_shard(files: list[str], shard: int, out_dir: str, kb_ref, gaz_ref,
-              weights: Optional[Weights] = None) -> dict:
+              weights: Optional[Weights] = None,
+              num_shards: Optional[int] = None) -> dict:
     """Run one shard end-to-end and commit it atomically."""
+    import pyarrow.parquet as pq
+
     t0 = time.monotonic()
     final_dir = os.path.join(out_dir, f"shard={shard}")
     tmp_dir = final_dir + ".tmp"
@@ -67,13 +67,17 @@ def run_shard(files: list[str], shard: int, out_dir: str, kb_ref, gaz_ref,
     results = P.kg_pipeline(files, kb_ref, gaz_ref, weights=weights)
     # one pass, one write: kinds split into subdirectories
     results.write_parquet(tmp_dir, partition_cols=["kind"])
+    # row counts from parquet FOOTER metadata — no second scan of the
+    # data pages just to count what was written
     counts: dict[str, int] = {}
     for kind_dir in sorted(glob.glob(os.path.join(tmp_dir, "kind=*"))):
         kind = os.path.basename(kind_dir).split("=", 1)[1]
-        n = rd.read_parquet(kind_dir).count()
-        counts[kind] = n
+        counts[kind] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(kind_dir, "*.parquet")))
     manifest = {
         "shard": shard,
+        "num_shards": num_shards,
         "input_files": files,
         "row_counts": counts,
         "wall_sec": round(time.monotonic() - t0, 3),
@@ -93,6 +97,16 @@ def run_resumable(pages_path: str, out_dir: str, kb_ref, gaz_ref, *,
     Returns the run summary (recomputed from manifests alone)."""
     os.makedirs(out_dir, exist_ok=True)
     shards = shard_inputs(pages_path, num_shards)
+    # drop stale shard dirs from a previous run with a LARGER shard
+    # count — they would double-count into summarize() and downstream
+    # kind=*/ globs otherwise
+    for stale in glob.glob(os.path.join(out_dir, "shard=*")):
+        try:
+            idx = int(os.path.basename(stale).split("=", 1)[1])
+        except ValueError:
+            continue
+        if idx >= len(shards):
+            shutil.rmtree(stale)
     skipped, ran = [], []
     for i, files in enumerate(shards):
         mp = _manifest_path(out_dir, i)
@@ -102,7 +116,8 @@ def run_resumable(pages_path: str, out_dir: str, kb_ref, gaz_ref, *,
             if m.get("complete") and m.get("input_files") == files:
                 skipped.append(i)
                 continue
-        run_shard(files, i, out_dir, kb_ref, gaz_ref, weights)
+        run_shard(files, i, out_dir, kb_ref, gaz_ref, weights,
+                  num_shards=len(shards))
         ran.append(i)
     return summarize(out_dir) | {"shards_run": ran, "shards_skipped": skipped}
 

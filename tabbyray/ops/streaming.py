@@ -11,8 +11,16 @@ inside the operator itself, so input order never matters.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
+
+
+def round_half_away(s: pd.Series) -> pd.Series:
+    """Round half AWAY from zero (SQL ``round`` semantics). pandas/numpy
+    ``.round()`` rounds half to even, so ``0.125 * 100`` disagrees with
+    the DuckDB oracle; this matches it exactly."""
+    return np.sign(s) * np.floor(np.abs(s) + 0.5)
 
 
 def sessionize(events: rd.Dataset, gap_minutes: int = 30,
@@ -38,7 +46,7 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30,
         prev_ts = g.groupby("user_id")["ts"].shift()
         new_session = (prev_ts.isna() | ((g["ts"] - prev_ts) > gap)).astype("int64")
         g = g.assign(session_id=new_session.groupby(g["user_id"]).cumsum())
-        g = g.assign(value_cents=(g["value"] * 100).round())
+        g = g.assign(value_cents=round_half_away(g["value"] * 100))
         out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),

@@ -96,8 +96,10 @@ def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
             if extract_text(html) != text:
                 raise ValueError(f"text invariant violated for {url}")
         elif b"<table" not in (html if isinstance(html, (bytes, bytearray))
-                               else html.encode()):
+                               else html.encode()).lower():
             continue   # ~10% of crawl pages carry no table: skip the parse
+            # (lowercased first: HTML tag names are case-insensitive and
+            # the parser handles <TABLE>; the fast-path must not drop them)
         for t_idx, rows in enumerate(extract_tables(html)):
             table_id = f"{url}#{t_idx}"
             for r_idx, r in enumerate(rows):

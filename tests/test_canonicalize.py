@@ -23,13 +23,13 @@ def skew_triples(ray_session, tmp_path_factory):
     return tri
 
 
-def _canon(tri_df, num_salt):
+def _canon(tri_df, num_salt, mode="auto"):
     import ray.data as rd
 
     from tabbyray.canonicalize import canonicalize_triples
 
     ds = rd.from_pandas(tri_df)
-    out = canonicalize_triples(ds, num_salt=num_salt).to_pandas()
+    out = canonicalize_triples(ds, num_salt=num_salt, mode=mode).to_pandas()
     key = ["url", "table_idx", "row_idx", "subj", "pred", "obj"]
     return out.sort_values(key).reset_index(drop=True)
 
@@ -38,6 +38,14 @@ def test_salted_equals_unsalted(skew_triples):
     a = _canon(skew_triples, num_salt=1)
     b = _canon(skew_triples, num_salt=16)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_join_mode_equals_broadcast(skew_triples):
+    # the shuffle-join rewrite (100-TB path) must be output-identical
+    # to the broadcast rewrite on the skew fixture
+    a = _canon(skew_triples, num_salt=16, mode="broadcast")
+    b = _canon(skew_triples, num_salt=16, mode="join")
+    pd.testing.assert_frame_equal(a, b[a.columns])
 
 
 def test_canonical_map_unifies_surface_variants(ray_session):

@@ -106,3 +106,23 @@ def test_candidates_contains_a2_variant(kb):
     assert kb.candidates_contains("berlin") == []      # case-sensitive
     only_cls = kb.candidates_contains("o", DBO)
     assert all(u.startswith(DBO) for u in only_cls)
+
+
+def test_typeless_entity_emits_no_exact_rows():
+    # the reference's exact arm is the join `?subject a ?object`
+    # (commands/SpreadsheetController.php:86-93): an entity with NO
+    # rdf:type contributes ZERO exact rows; it can still surface via the
+    # substring arm, but in KB order, not up front
+    rows = [
+        (DBR + "Xqwxya", "Xqwxya", False, [DBO + "City"], [], []),
+        (DBR + "Qwxy", "Qwxy", False, [], [], []),      # typeless
+    ]
+    t = pa.table({
+        "uri": [r[0] for r in rows], "label": [r[1] for r in rows],
+        "is_class": [r[2] for r in rows], "types": [r[3] for r in rows],
+        "parents": [r[4] for r in rows], "neighbors": [r[5] for r in rows],
+    })
+    got = KBIndex(t).candidates("Qwxy")
+    # no exact-arm row for the typeless entity -> substring arm in KB
+    # order puts the earlier row first
+    assert got == [DBR + "Xqwxya", DBR + "Qwxy"]

@@ -136,3 +136,37 @@ def test_minhash_shuffle_verify_matches_broadcast(dup_docs):
     b = (minhash_lsh_pairs(dup_docs, threshold=0.5, verify="shuffle")
          .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_neardup_lsh_mode(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(60, 16)
+    base[1] = base[0] + 0.001 * rng.randn(16)    # near-dup of 0
+    base[11] = base[10] + 0.001 * rng.randn(16)  # near-dup of 10
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [r.tolist() for r in base]})
+    embs = rd.from_pandas(df)
+    exact = embedding_neardup_pairs(embs, threshold=0.99, mode="exact").to_pandas()
+    lsh = embedding_neardup_pairs(embs, threshold=0.99, mode="lsh",
+                                  n_tables=8, n_planes=6).to_pandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    # LSH never invents pairs (verification is exact cosine) ...
+    assert lsh_pairs <= exact_pairs
+    # ... and with 8 tables of 6 planes it finds the planted near-dups
+    assert {(0, 1), (10, 11)} <= lsh_pairs
+
+
+def test_empty_doc_pair_matches_sql_semantics(ray_session):
+    # two empty/whitespace docs collapse to the '' shingle on BOTH the
+    # operator and the DuckDB oracle side -> a jaccard-1.0 pair
+    import ray.data as rd
+    from tabbyray.ops.dedup import ngram_jaccard_pairs
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["", "   ", "real words here now"]})
+    p = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+    assert set(zip(p["doc_a"], p["doc_b"])) == {(1, 2)}
+    assert p["jaccard"].iloc[0] == 1.0

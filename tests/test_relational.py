@@ -66,3 +66,25 @@ def test_sessionize(ray_session):
     assert list(out["session_id"]) == [1, 2, 1]
     assert list(out["n_events"]) == [2, 1, 1]
     assert list(out["sum_value_cents"]) == [300.0, 400.0, 800.0]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({"k": rng.randint(0, 40, 200),
+                         "a": rng.randn(200),
+                         "s": [f"x{i}" for i in range(200)]})
+    right = pd.DataFrame({"k": np.arange(0, 50, 2), "b": np.arange(25) * 10})
+    got = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+           .to_pandas().sort_values(["k", "s"]).reset_index(drop=True))
+    want = (left.merge(right, on="k")
+            .sort_values(["k", "s"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # left join keeps unmatched rows with null b
+    gl = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                    how="left").to_pandas())
+    assert len(gl) == len(left.merge(right, on="k", how="left"))
+    assert gl["b"].isna().sum() == left.merge(right, on="k", how="left")["b"].isna().sum()
