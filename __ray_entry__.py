@@ -147,6 +147,47 @@ def _q_exact_dedup_docs(sf_dir: str):
     return exact_dedup_summary(_docs(sf_dir))
 
 
+def _q_exact_dedup_keep_first(sf_dir: str):
+    from tabbyray.ops.dedup import exact_dedup_keep_first
+    return exact_dedup_keep_first(_docs(sf_dir))
+
+
+def _q_customer_order_stats(sf_dir: str):
+    """hash_join showcase: per-customer order rollup joined to names."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_aggregate, hash_join
+
+    def cents(t):
+        import pyarrow as pa
+        return pa.table({
+            "custkey": t.column("o_custkey"),
+            "total_cents": pc.round(pc.multiply(t.column("o_totalprice"), 100),
+                                    round_mode="half_towards_infinity"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    agg = hash_aggregate(orders.map_batches(cents, batch_format="pyarrow"),
+                         ["custkey"], {"total_cents": "sum_total_cents",
+                                       "one": "n_orders"})
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+
+    def rename(t):
+        return t.rename_columns(["custkey", "c_name"])
+
+    import pyarrow as pa
+    return hash_join(
+        cust.map_batches(rename, batch_format="pyarrow"), agg, on="custkey",
+        left_schema=pa.schema([("custkey", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("custkey", pa.int64()),
+                                ("sum_total_cents", pa.float64()),
+                                ("n_orders", pa.int64())]))
+
+
 def _q_token_counts(sf_dir: str):
     from tabbyray.ops.text import token_counts
     return token_counts(_docs(sf_dir))
@@ -286,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         # text / dedup operators
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "exact_dedup_keep_first": _q_exact_dedup_keep_first,
+        "customer_order_stats": _q_customer_order_stats,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
@@ -318,8 +361,44 @@ _NORM_SQL = (
 _STOPS = "'the','and','of','to','in','is','a','for'"
 
 
+_NGRAM_JACCARD_SQL = """
+    WITH toks AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS l
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(l) < 3
+                         THEN [array_to_string(l, ' ')]
+                         ELSE list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                         END) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+# marker lists MUST mirror tabbyray.ops.text._LANG_MARKERS exactly
+_LANG_CASES = {
+    "en": "'the','and','of','to','in','is','a','for','with','on'",
+    "es": "'el','la','de','que','y','en','un','por','con','los'",
+    "de": "'der','die','und','das','von','mit','ist','den','im','ein'",
+    "fr": "'le','la','de','et','les','des','en','un','du','est'",
+    "ru": "'и','в','не','на','что','с','по','это','как','из'",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     norm_p_name = _NORM_SQL.format(col="p_name")
+    lang_scores = ",\n".join(
+        f"len(list_filter(ws, x -> x IN ({words}))) AS n_{lang}"
+        for lang, words in _LANG_CASES.items())
     return {
         "lineitem_agg": """
             SELECT l_returnflag,
@@ -371,6 +450,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
         """,
+        "exact_dedup_keep_first": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                ORDER BY doc_id) = 1
+        """,
+        "customer_order_stats": """
+            SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+                   sum(round(o.o_totalprice * 100)) AS sum_total_cents,
+                   count(*) AS n_orders
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        """,
+        "lang_id": f"""
+            WITH w AS (SELECT doc_id,
+                              list_distinct(string_split_regex(lower(text), '\\s+')) AS ws
+                       FROM documents),
+            s AS (SELECT doc_id, {lang_scores} FROM w)
+            SELECT doc_id,
+                   CASE WHEN greatest(n_en, n_es, n_de, n_fr, n_ru) = 0 THEN 'und'
+                        WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr
+                             AND n_en >= n_ru THEN 'en'
+                        WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_ru THEN 'es'
+                        WHEN n_de >= n_fr AND n_de >= n_ru THEN 'de'
+                        WHEN n_fr >= n_ru THEN 'fr'
+                        ELSE 'ru' END AS pred_lang
+            FROM s
+        """,
+        # the LSH plan's recall is TOTAL on this corpus (verified: pair
+        # sets identical to the exact shingle self-join at sf0.01), so
+        # the exact-jaccard SQL is a sound oracle here; the operator
+        # stays approximate in general (banded LSH candidates)
+        "minhash_lsh_dedup": _NGRAM_JACCARD_SQL,
         "token_counts": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -418,26 +530,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
-        "ngram_jaccard_pairs": """
-            WITH toks AS (SELECT doc_id,
-                                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS l
-                          FROM documents),
-            sh AS (SELECT DISTINCT doc_id,
-                          unnest(CASE WHEN len(l) < 3
-                                 THEN [array_to_string(l, ' ')]
-                                 ELSE list_transform(range(1, len(l) - 1),
-                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
-                                 END) AS s
-                   FROM toks),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-        """,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     }

@@ -162,6 +162,15 @@ def _rewrite_join(triples: rd.Dataset, mapping: rd.Dataset,
     from .ops.relational import hash_join
 
     win = mapping.select_columns(["norm_key", "canonical_subj"])
+    win_schema = pa.schema([("norm_key", pa.string()),
+                            ("canonical_subj", pa.string())])
+    # triples is a read/materialized dataset at every call site, so this
+    # schema probe is metadata-cheap; the join sides derived from lazy
+    # transforms get their schemas passed explicitly below
+    from .ops.relational import _arrow_type
+    ts = triples.schema()
+    base = pa.schema([(n, _arrow_type(t)) for n, t in zip(ts.names, ts.types)])
+    keyed = base.append(pa.field("norm_key", pa.string()))
 
     def add_subj_key(t: pa.Table) -> pa.Table:
         return t.append_column("norm_key", _norm_key_column(t.column("subj")))
@@ -176,6 +185,7 @@ def _rewrite_join(triples: rd.Dataset, mapping: rd.Dataset,
     step1 = hash_join(
         triples.map_batches(add_subj_key, batch_format="pyarrow"),
         win, on="norm_key", how="left", num_partitions=num_partitions,
+        left_schema=keyed, right_schema=win_schema,
     ).map_batches(apply_subj, batch_format="pyarrow")
 
     def add_obj_key(t: pa.Table) -> pa.Table:
@@ -196,6 +206,7 @@ def _rewrite_join(triples: rd.Dataset, mapping: rd.Dataset,
     return hash_join(
         step1.map_batches(add_obj_key, batch_format="pyarrow"),
         win, on="norm_key", how="left", num_partitions=num_partitions,
+        left_schema=keyed, right_schema=win_schema,
     ).map_batches(apply_obj, batch_format="pyarrow")
 
 

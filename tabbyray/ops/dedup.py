@@ -246,86 +246,92 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
                           num_partitions: int = 32) -> rd.Dataset:
     """Exact-Jaccard verification, fully distributed (the default).
 
-    Plan: melt candidate pairs to (doc_id, doc_a, doc_b) membership
-    rows; reduce the DISTINCT candidate doc ids; semi-join the docs
-    table against them (co-partitioned ``hash_join``) so only candidate
-    docs' text survives; explode those docs' distinct shingles; join
-    memberships x shingles on doc_id; count (pair, shingle) rows —
+    TWO shuffles. (1) Melt candidate pairs to (doc_id, doc_a, doc_b)
+    membership rows, union them with the (doc_id, text) stream and
+    co-partition on ``hash(doc_id)``; inside each partition only docs
+    that appear in a membership row get their distinct shingles
+    exploded, and a vectorized merge emits (doc_a, doc_b, shingle)
+    rows. (2) A pair-partitioned count: rows per (pair, shingle) —
     total = size_a + size_b, rows seen twice = intersection; jaccard =
-    inter / (total - inter). Candidates, memberships and shingles all
-    stay Datasets; every exchange is hash-partitioned and bounded by
-    candidate volume, not corpus volume."""
-    from .relational import hash_aggregate, hash_join
-
+    inter / (total - inter). Candidates and memberships stay Datasets;
+    both exchanges are hash-partitioned; shingles of non-candidate
+    docs never leave their partition. (At web scale, pre-filtering the
+    docs stream with a broadcast Bloom filter of candidate ids before
+    shuffle (1) cuts the text volume shipped; the plan is otherwise
+    size-bounded by candidate volume.)"""
     def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         half = pa.table({"doc_id": t.column("doc_a").cast(pa.int64()),
                          "doc_a": t.column("doc_a"),
-                         "doc_b": t.column("doc_b")})
+                         "doc_b": t.column("doc_b"),
+                         "text": pa.nulls(n, pa.string()),
+                         "_side": pa.array(np.zeros(n, dtype=np.int8))})
         other = half.set_column(0, "doc_id", t.column("doc_b").cast(pa.int64()))
         return pa.concat_tables([half, other])
 
-    membership = cand.map_batches(melt, batch_format="pyarrow")
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "doc_a": pa.nulls(n, pa.int64()),
+                         "doc_b": pa.nulls(n, pa.int64()),
+                         "text": t.column("text"),
+                         "_side": pa.array(np.ones(n, dtype=np.int8))})
 
-    def ids_only(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+    both = cand.map_batches(melt, batch_format="pyarrow").union(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(doc_rows, batch_format="pyarrow"))
 
-    cand_ids = hash_aggregate(
-        membership.map_batches(ids_only, batch_format="pyarrow"),
-        ["doc_id"], {"one": "n"}).drop_columns(["n"])
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(df["doc_id"], index=False)
+                       % num_partitions).astype("int64")
+        return df
 
-    cand_docs = hash_join(docs.select_columns(["doc_id", "text"]), cand_ids,
-                          on="doc_id", num_partitions=num_partitions)
-
-    def explode(t: pa.Table) -> pa.Table:
+    def copart(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "shingle": pd.Series(dtype="object")})
+        pairs = g[g["_side"] == 0]
+        if pairs.empty:
+            return empty
+        pairs = pairs[["doc_id", "doc_a", "doc_b"]].astype(
+            {"doc_a": "int64", "doc_b": "int64"})
+        need = set(pairs["doc_id"])
+        texts = g[(g["_side"] == 1) & g["doc_id"].isin(need)]
         ids, shs = [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
+        for doc_id, text in zip(texts["doc_id"], texts["text"]):
             for s in _shingles(text, shingle_n):
                 ids.append(doc_id)
                 shs.append(s)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "shingle": pa.array(shs, pa.string())})
+        sh_df = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                              "shingle": pd.Series(shs, dtype="object")})
+        m = pairs.merge(sh_df, on="doc_id")
+        return m[["doc_a", "doc_b", "shingle"]]
 
-    shingle_rows = cand_docs.map_batches(explode, batch_format="pyarrow")
+    pair_shingles = (both.map_batches(add_part, batch_format="pandas")
+                     .groupby("_part")
+                     .map_groups(copart, batch_format="pandas"))
 
-    pair_shingles = hash_join(membership, shingle_rows, on="doc_id",
-                              num_partitions=num_partitions)
-
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_a": t.column("doc_a"),
-                         "doc_b": t.column("doc_b"),
-                         "shingle": t.column("shingle"),
-                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
-
-    counts = hash_aggregate(
-        pair_shingles.map_batches(ones, batch_format="pyarrow"),
-        ["doc_a", "doc_b", "shingle"], {"one": "cnt"})
-
-    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            total=("cnt", "sum"),
-            inter=("cnt", lambda c: int((c == 2).sum())))
-        g["inter"] = g["inter"].astype("int64")
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b", "shingle"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype("int64")
+        g["_part"] = ((g["doc_a"] * 1_000_003 + g["doc_b"])
+                      % num_partitions).astype("int64")
         return g
 
-    stats = hash_aggregate(
-        counts.map_batches(partial_stats, batch_format="pandas"),
-        ["doc_a", "doc_b"], {"total": "total", "inter": "inter"})
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["doc_a", "doc_b", "shingle"], as_index=False)["cnt"].sum()
+        out = c.assign(is2=(c["cnt"] == 2).astype("int64")).groupby(
+            ["doc_a", "doc_b"], as_index=False).agg(
+            total=("cnt", "sum"), inter=("is2", "sum"))
+        union = (out["total"] - out["inter"]).clip(lower=1)
+        out["jaccard"] = out["inter"] / union
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
 
-    def jaccard(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        total = t.column("total")
-        inter = t.column("inter")
-        union = pc.subtract(total, inter)
-        j = pc.divide(inter.cast(pa.float64()),
-                      pc.max_element_wise(union, pa.scalar(1)).cast(pa.float64()))
-        keep = pc.greater_equal(j, pa.scalar(threshold))
-        out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
-                        "jaccard": j})
-        return out.filter(keep)
-
-    return stats.map_batches(jaccard, batch_format="pyarrow")
+    return (pair_shingles.map_batches(count_partial, batch_format="pandas")
+            .groupby("_part").map_groups(stats, batch_format="pandas"))
 
 
 # -------------------------------------------------------------------------
@@ -407,40 +413,31 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
                         threshold: float = 0.5) -> rd.Dataset:
     """All pairs with DISTINCT-n-gram Jaccard >= threshold.
 
-    Plan: explode distinct shingles -> shingle-partitioned self-merge
-    emits partial pair-intersection counts -> partitioned sum per pair
-    -> per-doc sizes (their own partitioned aggregate) joined back via
-    two co-partitioned hash joins -> filter. Mirrors the DuckDB
-    oracle's shingle self-join exactly; no driver-side state.
+    TWO shuffles, no driver-side state. Explode distinct shingles with
+    each doc's shingle-set SIZE riding along on every row (sizes are
+    per-doc constants, so they need no aggregate or join of their own);
+    shuffle 1 partitions by ``hash(shingle)`` so each posting list is
+    wholly local and a vectorized self-merge emits per-partition pair
+    partials (inter, n_a, n_b); shuffle 2 partitions by pair and sums
+    intersections (sizes are constants per doc — merged with ``first``).
+    Mirrors the DuckDB oracle's shingle self-join exactly.
     """
     def explode(t: pa.Table) -> pa.Table:
-        ids, shs = [], []
+        ids, shs, ns = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
-            for s in _shingles(text, n):
+            sh = _shingles(text, n)
+            for s in sh:
                 ids.append(doc_id)
                 shs.append(s)
+                ns.append(len(sh))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "shingle": pa.array(shs, pa.string())})
+                         "shingle": pa.array(shs, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
 
     shingle_rows = docs.map_batches(explode, batch_format="pyarrow")
 
-    # per-doc distinct-shingle sizes as a DISTRIBUTED dataset (per-batch
-    # combiner + partitioned hash aggregate) — at web scale the per-doc
-    # size table cannot be a broadcast Python dict
-    from .relational import hash_aggregate, hash_join
-
-    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", as_index=False).size().rename(
-            columns={"size": "n"})
-        g["n"] = g["n"].astype("int64")
-        return g
-
-    sizes = hash_aggregate(
-        shingle_rows.map_batches(size_partial, batch_format="pandas"),
-        ["doc_id"], {"n": "n"})
-
-    # pair intersection counts: partition by hash(shingle) so each
+    # pair intersection partials: partition by hash(shingle) so each
     # shingle's posting list is wholly inside one partition, then a
     # vectorized self-merge per partition (no per-shingle Python)
     def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
@@ -452,35 +449,30 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
     def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
-        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
-                                   "size": "inter"})
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
+            inter=("shingle", "size"), n_a=("n_x", "first"),
+            n_b=("n_y", "first"))
+        out["inter"] = out["inter"].astype("int64")
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
     partials = (shingle_rows.map_batches(add_part, batch_format="pandas")
                 .groupby("part").map_groups(pair_counts, batch_format="pandas"))
-    inter = hash_aggregate(partials, ["doc_a", "doc_b"], {"inter": "inter"})
 
-    # union sizes arrive via two co-partitioned joins (doc_a side, then
-    # doc_b side) — the intersection table is pair-scale, the size table
-    # doc-scale; both stay distributed
-    sizes_a = sizes.map_batches(
-        lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow")
-    sizes_b = sizes.map_batches(
-        lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow")
-    joined = hash_join(hash_join(inter, sizes_a, on="doc_a"),
-                       sizes_b, on="doc_b")
+    def add_pair_part(df: pd.DataFrame, P: int = 32) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = ((df["doc_a"] * 1_000_003 + df["doc_b"]) % P).astype("int64")
+        return df
 
-    def jaccard(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        union = pc.subtract(pc.add(t.column("n_a"), t.column("n_b")),
-                            t.column("inter"))
-        j = pc.divide(t.column("inter").cast(pa.float64()),
-                      pc.max_element_wise(union, pa.scalar(1)).cast(pa.float64()))
-        out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
-                        "jaccard": j})
-        return out.filter(pc.greater_equal(j, pa.scalar(threshold)))
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first"))
+        union = (out["n_a"] + out["n_b"] - out["inter"]).clip(lower=1)
+        out["jaccard"] = out["inter"] / union
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
 
-    return joined.map_batches(jaccard, batch_format="pyarrow")
+    return (partials.map_batches(add_pair_part, batch_format="pandas")
+            .groupby("_part").map_groups(finalize, batch_format="pandas"))
 
 
 # -------------------------------------------------------------------------

@@ -14,6 +14,18 @@ import ray.data as rd
 from ..normalize import normalize_entry
 
 
+def _arrow_type(t) -> "pa.DataType":
+    """Normalize a Ray Schema type entry to an Arrow DataType. Ray
+    reports numpy dtypes for pandas-block datasets; object columns are
+    strings in every caller here."""
+    if isinstance(t, pa.DataType):
+        return t
+    dt = np.dtype(t)
+    if dt == np.dtype(object):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
 def grouped_argmax(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
                    out_cols: list[str]) -> rd.Dataset:
     """Top-1 row per key by (order_col desc, tie_col asc) — deterministic
@@ -104,7 +116,8 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
-              how: str = "inner", num_partitions: int = 32) -> rd.Dataset:
+              how: str = "inner", num_partitions: int = 32,
+              left_schema=None, right_schema=None) -> rd.Dataset:
     """Co-partitioned hash join of two Datasets on one key column.
 
     Plan: tag each side, pad both to the union schema (typed nulls),
@@ -114,24 +127,24 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     aggregator-actor pool (Ray's native ``Dataset.join`` hash-shuffle
     spawns one, measured slower at small/medium scale on this plan).
     Non-key column names must be disjoint. ``how``: inner | left.
+
+    Pass ``left_schema``/``right_schema`` (pyarrow.Schema) whenever the
+    input is a lazy transformed dataset: without them ``ds.schema()``
+    must EXECUTE the upstream plan to infer types (and any upstream
+    shuffle runs twice — once for the probe, once for real).
     """
     import pyarrow as pa
 
-    def _arrow_type(t):
-        # Ray Schema reports numpy dtypes for pandas-block datasets;
-        # object columns are strings in every caller here
-        if isinstance(t, pa.DataType):
-            return t
-        dt = np.dtype(t)
-        if dt == np.dtype(object):
-            return pa.string()
-        return pa.from_numpy_dtype(dt)
+    def _names_types(ds, given):
+        if given is not None:
+            return list(given.names), {n: given.field(n).type for n in given.names}
+        s = ds.schema()
+        return list(s.names), {n: _arrow_type(t) for n, t in zip(s.names, s.types)}
 
-    ls, rs = left.schema(), right.schema()
-    l_types = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
-    r_types = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
-    l_other = [n for n in ls.names if n != on]
-    r_other = [n for n in rs.names if n != on]
+    l_names, l_types = _names_types(left, left_schema)
+    r_names, r_types = _names_types(right, right_schema)
+    l_other = [n for n in l_names if n != on]
+    r_other = [n for n in r_names if n != on]
     overlap = set(l_other) & set(r_other)
     if overlap:
         raise ValueError(f"hash_join column overlap: {sorted(overlap)}")
