@@ -96,6 +96,25 @@ def _q_sti_canonical_triples(sf_dir: str):
     return canonicalize_triples(pipeline.split_kind(results, "triple"))
 
 
+def _q_sti_annotations_sharded(sf_dir: str):
+    """Sharded-KB candidate generation (kbshard.py): same annotations
+    as the broadcast path (tests assert exact equality)."""
+    import pyarrow.parquet as pq
+
+    from tabbyray import pipeline
+    from tabbyray.kb import load_kb
+    from tabbyray.kbshard import ShardedKB
+
+    fix = _fixture(200)
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    _kb_ref, gaz_ref = pipeline.put_kb(kb)
+    skb = ShardedKB(pq.read_table(os.path.join(fix, "kb.parquet")),
+                    num_shards=4)
+    results = pipeline.kg_pipeline_sharded(
+        os.path.join(fix, "pages.parquet"), skb, gaz_ref)
+    return pipeline.split_kind(results, "annotation")
+
+
 def _q_lineitem_agg(sf_dir: str):
     import ray.data as rd
 
@@ -319,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_annotated_rows": _q_sti_rows,
         "sti_triples": _q_sti_triples,
         "sti_canonical_triples": _q_sti_canonical_triples,
+        "sti_annotations_sharded": _q_sti_annotations_sharded,
         # relational operators (SQL-checked)
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                     help="also write N-Triples text of the (canonical) triples")
     ap.add_argument("--gold", default=None,
                     help="gold annotations parquet for P/R evaluation")
+    ap.add_argument("--kb-shards", type=int, default=0,
+                    help="shard the KB index N ways (fan-out candidate "
+                         "generation for KBs larger than worker RAM; "
+                         "0 = broadcast the whole index)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -49,9 +53,15 @@ def main(argv=None) -> int:
 
     kb = load_kb(args.kb)
     kb_ref, gaz_ref = pipeline.put_kb(kb)
+    skb = None
+    if args.kb_shards > 0:
+        import pyarrow.parquet as pq
+
+        from tabbyray.kbshard import ShardedKB
+        skb = ShardedKB(pq.read_table(args.kb), num_shards=args.kb_shards)
     annotated_dir = os.path.join(args.out, "annotated")
     summary = lineage.run_resumable(args.pages, annotated_dir, kb_ref, gaz_ref,
-                                    num_shards=args.shards)
+                                    num_shards=args.shards, skb=skb)
 
     if args.canonicalize or args.ntriples:
         import ray.data as rd

@@ -55,8 +55,10 @@ def _manifest_path(out_dir: str, shard: int) -> str:
 
 def run_shard(files: list[str], shard: int, out_dir: str, kb_ref, gaz_ref,
               weights: Optional[Weights] = None,
-              num_shards: Optional[int] = None) -> dict:
-    """Run one shard end-to-end and commit it atomically."""
+              num_shards: Optional[int] = None, skb=None) -> dict:
+    """Run one shard end-to-end and commit it atomically. ``skb``
+    (a ``kbshard.ShardedKB``) switches candidate generation to the
+    sharded fan-out path for KBs that exceed worker RAM."""
     import pyarrow.parquet as pq
 
     t0 = time.monotonic()
@@ -64,7 +66,10 @@ def run_shard(files: list[str], shard: int, out_dir: str, kb_ref, gaz_ref,
     tmp_dir = final_dir + ".tmp"
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
-    results = P.kg_pipeline(files, kb_ref, gaz_ref, weights=weights)
+    if skb is not None:
+        results = P.kg_pipeline_sharded(files, skb, gaz_ref, weights=weights)
+    else:
+        results = P.kg_pipeline(files, kb_ref, gaz_ref, weights=weights)
     # one pass, one write: kinds split into subdirectories
     results.write_parquet(tmp_dir, partition_cols=["kind"])
     # row counts from parquet FOOTER metadata — no second scan of the
@@ -92,7 +97,8 @@ def run_shard(files: list[str], shard: int, out_dir: str, kb_ref, gaz_ref,
 
 
 def run_resumable(pages_path: str, out_dir: str, kb_ref, gaz_ref, *,
-                  num_shards: int = 8, weights: Optional[Weights] = None) -> dict:
+                  num_shards: int = 8, weights: Optional[Weights] = None,
+                  skb=None) -> dict:
     """Process all shards, skipping the ones already committed.
     Returns the run summary (recomputed from manifests alone)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -117,7 +123,7 @@ def run_resumable(pages_path: str, out_dir: str, kb_ref, gaz_ref, *,
                 skipped.append(i)
                 continue
         run_shard(files, i, out_dir, kb_ref, gaz_ref, weights,
-                  num_shards=len(shards))
+                  num_shards=len(shards), skb=skb)
         ran.append(i)
     return summarize(out_dir) | {"shards_run": ran, "shards_skipped": skipped}
 

@@ -281,6 +281,182 @@ def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
             .map_groups(fn, batch_format="pyarrow", num_cpus=num_cpus))
 
 
+def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = None,
+                           num_cpus: float = 1,
+                           num_partitions: int = 128) -> rd.Dataset:
+    """The per-table annotate pass against a SHARDED KB (SURVEY.md §2.5
+    fallback; `tabbyray/kbshard.py`). Same output as ``annotate_stage``
+    (asserted in tests/test_kbshard.py); used when the KB exceeds
+    worker RAM, where candidate generation must become a fan-out /
+    gather exchange instead of a per-worker broadcast.
+
+    Plan: distinct norms -> sharded candidate payload (one task per KB
+    shard) -> payload co-partitioned back to the table partitions that
+    need it -> one tagged-union shuffle with the cells -> per-partition
+    ``SubsetKB`` scoring (identical scoring code path)."""
+    import pyarrow.compute as pc
+
+    from .constants import LABEL_SEP
+    from .kbshard import (PAYLOAD_SCHEMA, SubsetKB,
+                          sharded_candidate_payload)
+    from .normalize import normalize_entry
+    from .ops.relational import hash_aggregate
+
+    w = weights or Weights()
+    ancestors_ref = skb.ancestors_ref
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = t.column("table_id").to_pandas()
+        part = (pd.util.hash_pandas_object(ids, index=False) % num_partitions)
+        return t.append_column("part", pa.array(part.astype("int64")))
+
+    # the DAG fans out from the cells three ways (cells union branch,
+    # demand pairs, distinct norms); Ray Data does not share common
+    # sub-plans across branches, so materialize the extracted cells once
+    # — object-store blocks, spillable — instead of re-running the
+    # read+extract stages per branch
+    cells_p = cells.map_batches(add_part, batch_format="pyarrow").materialize()
+
+    def norm_pairs(t: pa.Table) -> pa.Table:
+        # batch-distinct (part, norm) demand pairs; exact global dedup
+        # happens at the payload-routing merge (cheap, in-memory)
+        pairs: set[tuple[int, str]] = set()
+        parts = t.column("part").to_pylist()
+        datas = t.column("data").to_pylist()
+        rhs = t.column("row_heading").to_pylist()
+        chs = t.column("column_heading").to_pylist()
+        for part, data, rh, ch in zip(parts, datas, rhs, chs):
+            n = normalize_entry(data or "")
+            if n:
+                pairs.add((part, n))
+            for role_val in (rh, ch):
+                for s in (role_val or "").split(LABEL_SEP):
+                    n = normalize_entry(s)
+                    if n:
+                        pairs.add((part, n))
+        ps = sorted(pairs)
+        return pa.table({"part": pa.array([p for p, _ in ps], pa.int64()),
+                         "norm": pa.array([n for _, n in ps], pa.string())})
+
+    pairs = cells_p.map_batches(norm_pairs, batch_format="pyarrow")
+
+    def pair_ones(t: pa.Table) -> pa.Table:
+        return pa.table({"norm": t.column("norm"),
+                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    norms = hash_aggregate(pairs.map_batches(pair_ones, batch_format="pyarrow"),
+                           ["norm"], {"one": "n"}).drop_columns(["n"])
+    payload = sharded_candidate_payload(norms, skb)
+
+    # ---- route payload rows to the table partitions that demand them
+    ROUTE_SCHEMA = pa.schema([("norm", pa.string()), ("part", pa.int64()),
+                              ("pos", pa.int32()), ("uri", pa.string()),
+                              ("types", pa.list_(pa.string())),
+                              ("parents", pa.list_(pa.string())),
+                              ("neighbors", pa.list_(pa.string())),
+                              ("side", pa.int8())])
+
+    def pad_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays([
+            t.column("norm"), t.column("part"),
+            pa.nulls(n, pa.int32()), pa.nulls(n, pa.string()),
+            pa.nulls(n, pa.list_(pa.string())), pa.nulls(n, pa.list_(pa.string())),
+            pa.nulls(n, pa.list_(pa.string())),
+            pa.nulls(n, pa.int8()).fill_null(0)], schema=ROUTE_SCHEMA)
+
+    def pad_payload(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays([
+            t.column("norm"), pa.nulls(n, pa.int64()),
+            t.column("pos"), t.column("uri"), t.column("types"),
+            t.column("parents"), t.column("neighbors"),
+            pa.nulls(n, pa.int8()).fill_null(1)], schema=ROUTE_SCHEMA)
+
+    tagged = (pairs.map_batches(pad_pairs, batch_format="pyarrow")
+              .union(payload.map_batches(pad_payload, batch_format="pyarrow")))
+
+    def add_norm_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = pd.util.hash_pandas_object(t.column("norm").to_pandas(), index=False)
+        return t.append_column("_np", pa.array((h % 64).astype("int64")))
+
+    def route(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_np"])
+        is_pair = pc.equal(g.column("side"), 0)
+        pair_rows = g.filter(is_pair)
+        pay = g.filter(pc.invert(is_pair))
+        demand: dict[str, set[int]] = {}
+        for norm, part in zip(pair_rows.column("norm").to_pylist(),
+                              pair_rows.column("part").to_pylist()):
+            demand.setdefault(norm, set()).add(part)
+        idx: list[int] = []
+        parts_out: list[int] = []
+        for i, norm in enumerate(pay.column("norm").to_pylist()):
+            for part in sorted(demand.get(norm, ())):
+                idx.append(i)
+                parts_out.append(part)
+        if not idx:
+            return ROUTE_SCHEMA.empty_table()
+        return pay.take(idx).set_column(
+            1, "part", pa.array(parts_out, pa.int64()))
+
+    routed = (tagged.map_batches(add_norm_part, batch_format="pyarrow")
+              .groupby("_np").map_groups(route, batch_format="pyarrow"))
+
+    # ---- final union shuffle: cells + their candidate payload per part
+    FINAL_CELL_FIELDS = [(c, pa.string()) if c not in ("table_idx", "row_idx")
+                         else (c, pa.int32()) for c in CELL_COLUMNS]
+    FINAL_SCHEMA = pa.schema(
+        [("part", pa.int64()), ("side", pa.int8())]
+        + FINAL_CELL_FIELDS
+        + [("norm", pa.string()), ("pos", pa.int32()), ("uri", pa.string()),
+           ("types", pa.list_(pa.string())), ("parents", pa.list_(pa.string())),
+           ("neighbors", pa.list_(pa.string()))])
+
+    def pad_cells(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t.column("part"), pa.nulls(n, pa.int8()).fill_null(0)]
+        arrays += [t.column(c).cast(ty) for c, ty in FINAL_CELL_FIELDS]
+        arrays += [pa.nulls(n, FINAL_SCHEMA.field(name).type)
+                   for name in ("norm", "pos", "uri", "types", "parents",
+                                "neighbors")]
+        return pa.Table.from_arrays(arrays, schema=FINAL_SCHEMA)
+
+    def pad_routed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t.column("part"), pa.nulls(n, pa.int8()).fill_null(1)]
+        arrays += [pa.nulls(n, ty) for _c, ty in FINAL_CELL_FIELDS]
+        arrays += [t.column("norm"), t.column("pos"), t.column("uri"),
+                   t.column("types"), t.column("parents"), t.column("neighbors")]
+        return pa.Table.from_arrays(arrays, schema=FINAL_SCHEMA)
+
+    final_union = (cells_p.map_batches(pad_cells, batch_format="pyarrow")
+                   .union(routed.map_batches(pad_routed, batch_format="pyarrow")))
+
+    def annotate(group: pa.Table) -> pa.Table:
+        is_cell = pc.equal(group.column("side"), 0)
+        cells_t = group.filter(is_cell).select(CELL_COLUMNS)
+        pay = group.filter(pc.invert(is_cell))
+        by_norm: dict[str, dict[int, str]] = {}
+        rows: dict[str, tuple] = {}
+        for norm, pos, uri, ty, par, nb in zip(
+                pay.column("norm").to_pylist(), pay.column("pos").to_pylist(),
+                pay.column("uri").to_pylist(), pay.column("types").to_pylist(),
+                pay.column("parents").to_pylist(),
+                pay.column("neighbors").to_pylist()):
+            by_norm.setdefault(norm, {})[pos] = uri
+            rows[uri] = (ty or [], par or [], nb or [])
+        cand_lists = {norm: [u for _p, u in sorted(d.items())]
+                      for norm, d in by_norm.items()}
+        kb = SubsetKB(cand_lists, rows, _cached_get(ancestors_ref))
+        return _annotate_partition(cells_t, kb, w)
+
+    return (final_union.groupby("part")
+            .map_groups(annotate, batch_format="pyarrow", num_cpus=num_cpus))
+
+
 def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
     import pyarrow.compute as pc
     keep = {
@@ -304,6 +480,18 @@ def kg_pipeline(pages_path, kb_ref, gazetteer_ref=None, *,
     cells = extract_stage(pages, gazetteer_ref,
                           check_text_invariant=check_text_invariant)
     return annotate_stage(cells, kb_ref, weights)
+
+
+def kg_pipeline_sharded(pages_path, skb, gazetteer_ref=None, *,
+                        weights: Optional[Weights] = None,
+                        check_text_invariant: bool = False) -> rd.Dataset:
+    """pages parquet -> union-schema results via the SHARDED-KB path
+    (`annotate_stage_sharded`); output-identical to ``kg_pipeline``."""
+    pages = read_pages(pages_path,
+                       columns=["url", "html", "text"] if check_text_invariant else None)
+    cells = extract_stage(pages, gazetteer_ref,
+                          check_text_invariant=check_text_invariant)
+    return annotate_stage_sharded(cells, skb, weights)
 
 
 def put_kb(kb: KBIndex):
