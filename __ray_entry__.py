@@ -96,6 +96,19 @@ def _q_sti_canonical_triples(sf_dir: str):
     return canonicalize_triples(pipeline.split_kind(results, "triple"))
 
 
+def _q_sti_cpa_triples(sf_dir: str):
+    """Triples whose predicate was selected from KB adjacency (CPA
+    property selection) rather than minted from the heading label."""
+    import pyarrow.compute as pc
+
+    from tabbyray import pipeline
+    _fix, results = _sti_results()
+    tri = pipeline.split_kind(results, "triple")
+    return tri.map_batches(
+        lambda t: t.filter(pc.equal(t["pred_source"], "cpa")),
+        batch_format="pyarrow")
+
+
 def _q_sti_annotations_sharded(sf_dir: str):
     """Sharded-KB candidate generation (kbshard.py): same annotations
     as the broadcast path (tests assert exact equality)."""
@@ -338,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_annotated_rows": _q_sti_rows,
         "sti_triples": _q_sti_triples,
         "sti_canonical_triples": _q_sti_canonical_triples,
+        "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
         # relational operators (SQL-checked)
         "lineitem_agg": _q_lineitem_agg,

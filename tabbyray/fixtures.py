@@ -181,9 +181,21 @@ def build_kb(rng: random.Random, n_entities: int = 1200) -> pa.Table:
         if rng.random() < 0.15:
             nb.append(cls_uri(rng.choice(list(_CLASS_TREE))))
         neighbors[i] = nb
+    # per-edge property URIs (CPA predicate selection): drawn from a
+    # SEPARATE deterministic stream so the main rng's draw sequence —
+    # and therefore every page/table in the fixture — is unchanged from
+    # the pre-props fixture versions
+    prop_rng = random.Random(1_000_003)
+    from .constants import DBPEDIA_PROPERTY_SECTION
+    neighbor_props = [
+        [DBPEDIA_PROPERTY_SECTION + prop_rng.choice(_HEAD_WORDS).lower()
+         if prop_rng.random() < 0.7 else "" for _ in nb]
+        for nb in neighbors
+    ]
     return pa.table({
         "uri": uris, "label": labels, "is_class": is_class,
         "types": types, "parents": parents, "neighbors": neighbors,
+        "neighbor_props": neighbor_props,
     })
 
 
@@ -282,8 +294,11 @@ def _gen_generic_table(rng: random.Random, kb_labels: list[tuple[str, str]],
     return "".join(html), expected
 
 
-def _render_page(rng: random.Random, tables: list[tuple[str | None, list[dict]]]) -> str:
-    """``tables``: list of (pre-rendered generic html | None, rows)."""
+def _render_page(rng: random.Random, tables: list[tuple[str | None, list[dict]]],
+                 inline_ner: bool = True) -> str:
+    """``tables``: list of (pre-rendered generic html | None, rows).
+    ``inline_ner=False`` renders canonical tables WITHOUT ``data-ner``
+    attributes (the raw-crawl shape: the NER model stage must tag)."""
     def esc(s: str) -> str:
         return _html.escape(s, quote=True)
 
@@ -296,11 +311,18 @@ def _render_page(rng: random.Random, tables: list[tuple[str | None, list[dict]]]
         else:
             parts.append("<table><tr><th>DATA</th><th>RowHeading</th><th>ColumnHeading</th></tr>")
             for r in rows:
-                parts.append(
-                    f'<tr><td data-ner="{esc(r["data_ner"])}">{esc(r["data"])}</td>'
-                    f'<td data-ner="{esc(r["row_heading_ner"])}">{esc(r["row_heading"])}</td>'
-                    f'<td data-ner="{esc(r["column_heading_ner"])}">{esc(r["column_heading"])}</td></tr>'
-                )
+                if inline_ner:
+                    parts.append(
+                        f'<tr><td data-ner="{esc(r["data_ner"])}">{esc(r["data"])}</td>'
+                        f'<td data-ner="{esc(r["row_heading_ner"])}">{esc(r["row_heading"])}</td>'
+                        f'<td data-ner="{esc(r["column_heading_ner"])}">{esc(r["column_heading"])}</td></tr>'
+                    )
+                else:
+                    parts.append(
+                        f'<tr><td>{esc(r["data"])}</td>'
+                        f'<td>{esc(r["row_heading"])}</td>'
+                        f'<td>{esc(r["column_heading"])}</td></tr>'
+                    )
             parts.append("</table>")
         if rng.random() < 0.5:
             parts.append("<p>" + esc(" ".join(rng.choice(_BOILER) for _ in range(rng.randint(3, 12)))) + "</p>")
@@ -309,7 +331,8 @@ def _render_page(rng: random.Random, tables: list[tuple[str | None, list[dict]]]
 
 
 def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
-                skew: bool = False) -> tuple[pa.Table, pa.Table]:
+                skew: bool = False,
+                inline_ner: bool = True) -> tuple[pa.Table, pa.Table]:
     """F1 pages + F3 gold cell rows (the expected extractor output)."""
     kb_labels = [
         (lbl, _CLASS_TREE[t[0].rsplit("/", 1)[-1]][1])
@@ -338,7 +361,7 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
                 tables.append(_gen_generic_table(rng, kb_labels, gazetteer))
             else:
                 tables.append((None, _gen_table_rows(rng, kb_labels, skew_heads)))
-        html = _render_page(rng, tables)
+        html = _render_page(rng, tables, inline_ner=inline_ner)
         urls.append(url)
         tss.append(base_ts + _dt.timedelta(seconds=i))
         htmls.append(html.encode("utf-8"))
@@ -369,10 +392,12 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
 
 def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
                    n_entities: int = 1200, skew: bool = False,
+                   inline_ner: bool = True,
                    root: str = "/tmp/tabbyray_fixtures") -> str:
     """Generate (or reuse cached) fixture directory with pages.parquet,
     kb.parquet, gold_cells.parquet. Returns the directory path."""
-    key = f"{name}-v3-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+    key = (f"{name}-v4-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+           + ("" if inline_ner else "-noner"))
     path = os.path.join(root, key)
     marker = os.path.join(path, "_COMPLETE.json")
     if os.path.exists(marker):
@@ -381,7 +406,8 @@ def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
     os.makedirs(tmp, exist_ok=True)
     rng = random.Random(seed)
     kb = build_kb(rng, n_entities)
-    pages, gold_cells = build_pages(rng, kb, n_pages, skew=skew)
+    pages, gold_cells = build_pages(rng, kb, n_pages, skew=skew,
+                                    inline_ner=inline_ner)
     pq.write_table(kb, os.path.join(tmp, "kb.parquet"))
     pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
     # sharded layout (the realistic Common-Crawl shape: many WARC-derived

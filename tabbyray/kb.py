@@ -60,6 +60,13 @@ class KBIndex:
         self._types: list[list[str]] = [x or [] for x in table.column("types").to_pylist()]
         self._parents: list[list[str]] = [x or [] for x in table.column("parents").to_pylist()]
         self._neighbors: list[list[str]] = [x or [] for x in table.column("neighbors").to_pylist()]
+        # per-edge property URIs, parallel to neighbors (optional column;
+        # KBs without it degrade to label-minted CPA predicates)
+        if "neighbor_props" in table.column_names:
+            self._neighbor_props: list[list[str]] = [
+                x or [] for x in table.column("neighbor_props").to_pylist()]
+        else:
+            self._neighbor_props = [[] for _ in self.uris]
 
         self._by_uri: dict[str, int] = {}
         self._by_localname: dict[str, int] = {}
@@ -252,6 +259,22 @@ class KBIndex:
         for n in nb:
             counts[n] = counts.get(n, 0) + 1
         return sum(counts.get(o, 0) for o in other_candidates)
+
+    def edge_properties(self, subj_uri: str, obj_uri: str) -> list[str]:
+        """Property URIs of the KB edges between ``subj_uri`` and
+        ``obj_uri``, in edge order. This is the adjacency the CPA count
+        query iterates (`commands/SpreadsheetController.php:189-202` —
+        ``<current_candidate> ?property <other_candidate>``); exposing
+        the bound ``?property`` lets triple materialization pick a REAL
+        KB predicate instead of minting one from the heading label.
+        Neighbors are stored direction-merged (A4), so the edge list
+        follows that merge."""
+        i = self._by_uri.get(subj_uri)
+        if i is None:
+            return []
+        props = self._neighbor_props[i]
+        return [props[j] for j, n in enumerate(self._neighbors[i])
+                if n == obj_uri and j < len(props) and props[j]]
 
     # -- gazetteer for the NER tagger ---------------------------------
     def gazetteer(self) -> dict[str, str]:

@@ -55,6 +55,11 @@ class KBShard:
         self._types = [x or [] for x in table.column("types").to_pylist()]
         self._parents = [x or [] for x in table.column("parents").to_pylist()]
         self._neighbors = [x or [] for x in table.column("neighbors").to_pylist()]
+        if "neighbor_props" in table.column_names:
+            self._props = [x or [] for x in
+                           table.column("neighbor_props").to_pylist()]
+        else:
+            self._props = [[] for _ in self.uris]
         self._by_localname: dict[str, int] = {}
         self._posting: dict[str, list[int]] = {}
         self._instance_ids: list[int] = []
@@ -87,7 +92,8 @@ class KBShard:
                      "is_class": self.is_class[i],
                      "n_types": len(self._types[i]),
                      "types": self._types[i], "parents": self._parents[i],
-                     "neighbors": self._neighbors[i]}
+                     "neighbors": self._neighbors[i],
+                     "props": self._props[i]}
         low = norm_value.lower()
         grams = _trigrams(low)
         if grams:
@@ -112,7 +118,8 @@ class KBShard:
                 matches.append({"row_id": self.row_ids[i], "uri": self.uris[i],
                                 "types": self._types[i],
                                 "parents": self._parents[i],
-                                "neighbors": self._neighbors[i]})
+                                "neighbors": self._neighbors[i],
+                                "props": self._props[i]})
         return exact, matches
 
 
@@ -145,6 +152,7 @@ PAYLOAD_SCHEMA = pa.schema([
     ("types", pa.list_(pa.string())),
     ("parents", pa.list_(pa.string())),
     ("neighbors", pa.list_(pa.string())),
+    ("props", pa.list_(pa.string())),    # per-edge property URIs (CPA)
 ])
 
 # fan-out row schema (shard answers, pre-merge)
@@ -158,6 +166,7 @@ _ANSWER_SCHEMA = pa.schema([
     ("types", pa.list_(pa.string())),
     ("parents", pa.list_(pa.string())),
     ("neighbors", pa.list_(pa.string())),
+    ("props", pa.list_(pa.string())),
 ])
 
 
@@ -192,6 +201,7 @@ def sharded_candidate_payload(norms: rd.Dataset, skb: ShardedKB,
             cols["types"].append(row["types"])
             cols["parents"].append(row["parents"])
             cols["neighbors"].append(row["neighbors"])
+            cols["props"].append(row["props"])
 
         for norm in g.column("norm").to_pylist():
             exact, matches = shard.lookup(norm)
@@ -251,6 +261,7 @@ def sharded_candidate_payload(norms: rd.Dataset, skb: ShardedKB,
                     out["types"].append(r["types"] or [])
                     out["parents"].append(r["parents"] or [])
                     out["neighbors"].append(r["neighbors"] or [])
+                    out["props"].append(r["props"] or [])
                     pos += 1
         return pa.Table.from_arrays(
             [pa.array(out[f.name], f.type) for f in PAYLOAD_SCHEMA],
@@ -267,10 +278,11 @@ class SubsetKB:
     candidate payload."""
 
     def __init__(self, cand_lists: dict[str, list[str]],
-                 rows: dict[str, tuple[list[str], list[str], list[str]]],
+                 rows: dict[str, tuple[list[str], list[str], list[str],
+                                       list[str]]],
                  ancestors: dict[str, frozenset]):
         self._cands = cand_lists
-        self._rows = rows
+        self._rows = rows          # uri -> (types, parents, neighbors, props)
         self._ancestors = ancestors
 
     # -- A1 ------------------------------------------------------------
@@ -289,7 +301,7 @@ class SubsetKB:
         row = self._rows.get(uri)
         if row is None:
             return []
-        types, parents, neighbors = row
+        types, parents, neighbors, _props = row
         out = [t for t in types if t.startswith(DBPEDIA_ONTOLOGY_SECTION)]
         out += [p for p in parents if p.startswith(DBPEDIA_ONTOLOGY_SECTION)]
         out += [n for n in neighbors if n.startswith(DBPEDIA_ONTOLOGY_SECTION)]
@@ -317,6 +329,15 @@ class SubsetKB:
         if depth == 0:
             return 0
         return int(1.0 / depth)
+
+    # -- CPA predicate selection (mirrors KBIndex.edge_properties) ------
+    def edge_properties(self, subj_uri: str, obj_uri: str) -> list[str]:
+        row = self._rows.get(subj_uri)
+        if row is None:
+            return []
+        _t, _p, neighbors, props = row
+        return [props[j] for j, n in enumerate(neighbors)
+                if n == obj_uri and j < len(props) and props[j]]
 
     # -- CPA (§2.8, bag semantics) --------------------------------------
     def relationship_count(self, uri: str, other_candidates: list[str]) -> int:

@@ -55,6 +55,7 @@ RESULT_SCHEMA = pa.schema([
     ("pred", pa.string()),
     ("obj", pa.string()),
     ("obj_is_literal", pa.bool_()),
+    ("pred_source", pa.string()),     # cta | cpa | minted
 ])
 
 CELL_COLUMNS = ["url", "table_idx", "row_idx", "table_id", "data", "row_heading",
@@ -80,8 +81,11 @@ def _cached_get(ref):
     return _STATE_CACHE[key]
 
 
-def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
-    """S2 replacement (SURVEY.md §2.1): page rows -> canonical cell rows."""
+def _extract_batch(batch: pa.Table, gaz, check_text: bool,
+                   fill_ner: bool = True) -> pa.Table:
+    """S2 replacement (SURVEY.md §2.1): page rows -> canonical cell rows.
+    With ``fill_ner=False`` missing NER labels stay None for a
+    downstream model-tagger actor stage (``tabbyray.ner_model``)."""
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
     texts = (batch.column("text").to_pylist()
@@ -89,7 +93,9 @@ def _extract_batch(batch: pa.Table, gaz, check_text: bool) -> pa.Table:
     out = {k: [] for k in CELL_COLUMNS}
 
     def ner_of(inline, value):
-        return inline if inline else tag_value(value, gaz)
+        if inline:
+            return inline
+        return tag_value(value, gaz) if fill_ner else None
 
     for url, html, text in zip(urls, htmls, texts):
         if check_text and text is not None:
@@ -165,7 +171,7 @@ def _annotate_partition(part: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
     rowk = {k: [] for k in ("url", "table_idx", "row_idx", "data",
                             "row_heading", "column_heading")}
     trik = {k: [] for k in ("url", "table_idx", "row_idx", "subj", "pred",
-                            "obj", "obj_is_literal")}
+                            "obj", "obj_is_literal", "pred_source")}
 
     n = len(rows_all)
     start = 0
@@ -206,6 +212,7 @@ def _annotate_partition(part: pa.Table, kb: KBIndex, w: Weights) -> pa.Table:
             trik["pred"].append(t["pred"])
             trik["obj"].append(t["obj"])
             trik["obj_is_literal"].append(t["obj_is_literal"])
+            trik["pred_source"].append(t["pred_source"])
 
     return pa.concat_tables([
         _kind_table("annotation", ann, len(ann["url"])),
@@ -243,10 +250,10 @@ def read_pages(path, columns: Optional[list[str]] = None,
 
 def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,
                   check_text_invariant: bool = False,
-                  batch_size: int = 64) -> rd.Dataset:
+                  batch_size: int = 64, fill_ner: bool = True) -> rd.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         gaz = _cached_get(gazetteer_ref)
-        return _extract_batch(batch, gaz, check_text_invariant)
+        return _extract_batch(batch, gaz, check_text_invariant, fill_ner)
 
     return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
@@ -355,6 +362,7 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
                               ("types", pa.list_(pa.string())),
                               ("parents", pa.list_(pa.string())),
                               ("neighbors", pa.list_(pa.string())),
+                              ("props", pa.list_(pa.string())),
                               ("side", pa.int8())])
 
     def pad_pairs(t: pa.Table) -> pa.Table:
@@ -363,7 +371,7 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
             t.column("norm"), t.column("part"),
             pa.nulls(n, pa.int32()), pa.nulls(n, pa.string()),
             pa.nulls(n, pa.list_(pa.string())), pa.nulls(n, pa.list_(pa.string())),
-            pa.nulls(n, pa.list_(pa.string())),
+            pa.nulls(n, pa.list_(pa.string())), pa.nulls(n, pa.list_(pa.string())),
             pa.nulls(n, pa.int8()).fill_null(0)], schema=ROUTE_SCHEMA)
 
     def pad_payload(t: pa.Table) -> pa.Table:
@@ -371,7 +379,7 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
         return pa.Table.from_arrays([
             t.column("norm"), pa.nulls(n, pa.int64()),
             t.column("pos"), t.column("uri"), t.column("types"),
-            t.column("parents"), t.column("neighbors"),
+            t.column("parents"), t.column("neighbors"), t.column("props"),
             pa.nulls(n, pa.int8()).fill_null(1)], schema=ROUTE_SCHEMA)
 
     tagged = (pairs.map_batches(pad_pairs, batch_format="pyarrow")
@@ -413,7 +421,8 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
         + FINAL_CELL_FIELDS
         + [("norm", pa.string()), ("pos", pa.int32()), ("uri", pa.string()),
            ("types", pa.list_(pa.string())), ("parents", pa.list_(pa.string())),
-           ("neighbors", pa.list_(pa.string()))])
+           ("neighbors", pa.list_(pa.string())),
+           ("props", pa.list_(pa.string()))])
 
     def pad_cells(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -421,7 +430,7 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
         arrays += [t.column(c).cast(ty) for c, ty in FINAL_CELL_FIELDS]
         arrays += [pa.nulls(n, FINAL_SCHEMA.field(name).type)
                    for name in ("norm", "pos", "uri", "types", "parents",
-                                "neighbors")]
+                                "neighbors", "props")]
         return pa.Table.from_arrays(arrays, schema=FINAL_SCHEMA)
 
     def pad_routed(t: pa.Table) -> pa.Table:
@@ -429,7 +438,8 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
         arrays = [t.column("part"), pa.nulls(n, pa.int8()).fill_null(1)]
         arrays += [pa.nulls(n, ty) for _c, ty in FINAL_CELL_FIELDS]
         arrays += [t.column("norm"), t.column("pos"), t.column("uri"),
-                   t.column("types"), t.column("parents"), t.column("neighbors")]
+                   t.column("types"), t.column("parents"),
+                   t.column("neighbors"), t.column("props")]
         return pa.Table.from_arrays(arrays, schema=FINAL_SCHEMA)
 
     final_union = (cells_p.map_batches(pad_cells, batch_format="pyarrow")
@@ -441,13 +451,14 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
         pay = group.filter(pc.invert(is_cell))
         by_norm: dict[str, dict[int, str]] = {}
         rows: dict[str, tuple] = {}
-        for norm, pos, uri, ty, par, nb in zip(
+        for norm, pos, uri, ty, par, nb, pr in zip(
                 pay.column("norm").to_pylist(), pay.column("pos").to_pylist(),
                 pay.column("uri").to_pylist(), pay.column("types").to_pylist(),
                 pay.column("parents").to_pylist(),
-                pay.column("neighbors").to_pylist()):
+                pay.column("neighbors").to_pylist(),
+                pay.column("props").to_pylist()):
             by_norm.setdefault(norm, {})[pos] = uri
-            rows[uri] = (ty or [], par or [], nb or [])
+            rows[uri] = (ty or [], par or [], nb or [], pr or [])
         cand_lists = {norm: [u for _p, u in sorted(d.items())]
                       for norm, d in by_norm.items()}
         kb = SubsetKB(cand_lists, rows, _cached_get(ancestors_ref))
@@ -463,7 +474,8 @@ def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
         "annotation": ["url", "table_idx", "cell_type", "surface_form", "entity",
                        "aggregated_rank", "rel_rank", "n_candidates"],
         "row": ["url", "table_idx", "row_idx", "data", "row_heading", "column_heading"],
-        "triple": ["url", "table_idx", "row_idx", "subj", "pred", "obj", "obj_is_literal"],
+        "triple": ["url", "table_idx", "row_idx", "subj", "pred", "obj",
+                   "obj_is_literal", "pred_source"],
     }[kind]
     return results.map_batches(
         lambda t, k=kind, cols=keep: t.filter(pc.equal(t["kind"], k)).select(cols),
@@ -473,12 +485,23 @@ def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
 
 def kg_pipeline(pages_path, kb_ref, gazetteer_ref=None, *,
                 weights: Optional[Weights] = None,
-                check_text_invariant: bool = False) -> rd.Dataset:
-    """pages parquet -> union-schema results Dataset (lazy)."""
+                check_text_invariant: bool = False,
+                ner_model_ref=None) -> rd.Dataset:
+    """pages parquet -> union-schema results Dataset (lazy).
+
+    ``ner_model_ref``: broadcast ref of a trained ``ner_model`` NB
+    model; when given, extraction leaves missing NER labels empty and
+    an autoscaling ACTOR-POOL tagger stage fills them (model loaded
+    once per actor) — the model-grade replacement for the inline
+    gazetteer fallback on pages without ``data-ner`` attributes."""
     pages = read_pages(pages_path,
                        columns=["url", "html", "text"] if check_text_invariant else None)
     cells = extract_stage(pages, gazetteer_ref,
-                          check_text_invariant=check_text_invariant)
+                          check_text_invariant=check_text_invariant,
+                          fill_ner=ner_model_ref is None)
+    if ner_model_ref is not None:
+        from .ner_model import ner_stage
+        cells = ner_stage(cells, ner_model_ref)
     return annotate_stage(cells, kb_ref, weights)
 
 

@@ -481,13 +481,24 @@ def assemble(rows: list[dict], cells: dict[int, dict[str, Cell]]) -> tuple[list[
     return out_rows, total, annotated
 
 
-def materialize_triples(rows: list[dict], cells: dict[int, dict[str, Cell]]) -> list[dict]:
+def materialize_triples(rows: list[dict], cells: dict[int, dict[str, Cell]],
+                        kb: Optional[KBIndex] = None) -> list[dict]:
     """Deterministic triple materialization (SURVEY.md §3.3): for each
     row whose DATA cell is annotated, emit one triple per
     (ColumnHeading label x RowHeading label): subj = winning DATA
-    entity, pred = winning ColumnHeading entity (else a dbp: property
-    minted from the normalized label), obj = winning RowHeading entity
-    (else the raw label as a literal)."""
+    entity; obj = winning RowHeading entity (else the raw label as a
+    literal); pred selected in priority order, recorded in
+    ``pred_source``:
+
+    * ``"cta"`` — the winning ColumnHeading entity;
+    * ``"cpa"`` — a REAL KB property bound by the CPA adjacency query
+      (`commands/SpreadsheetController.php:189-202` counts
+      ``<subj> ?property <obj>``; we select the bound ``?property``
+      whose local name has minimal byte Levenshtein to the normalized
+      heading label, first-edge tie-break) — only when subj and obj
+      are both entities and an edge exists;
+    * ``"minted"`` — ``dbp:<normalized heading label>`` fallback.
+    """
     data_cells = cells.get(CELL_DATA, {})
     rh_cells = cells.get(CELL_ROW_HEADING, {})
     ch_cells = cells.get(CELL_COLUMN_HEADING, {})
@@ -505,16 +516,14 @@ def materialize_triples(rows: list[dict], cells: dict[int, dict[str, Cell]]) -> 
         rh_value = row.get("row_heading") or ""
         for ch in ch_value.split(LABEL_SEP):
             pred_cell = ch_cells.get(ch)
-            pred = None
+            cta_pred = None
             if pred_cell is not None:
                 pw = pred_cell.winner()
                 if pw is not None:
-                    pred = pw.entity
-            if pred is None:
-                norm = normalize_entry(ch)
-                if norm == "":
-                    continue
-                pred = DBPEDIA_PROPERTY_SECTION + norm
+                    cta_pred = pw.entity
+            norm = normalize_entry(ch)
+            if cta_pred is None and norm == "":
+                continue
             for rh in rh_value.split(LABEL_SEP):
                 obj_cell = rh_cells.get(rh)
                 obj = None
@@ -528,11 +537,23 @@ def materialize_triples(rows: list[dict], cells: dict[int, dict[str, Cell]]) -> 
                     if rh == "":
                         continue
                     obj = rh
+                pred, source = cta_pred, "cta"
+                if pred is None:
+                    props = (kb.edge_properties(subj, obj)
+                             if kb is not None and not obj_is_literal else [])
+                    if props:
+                        pred = min(props, key=lambda p, n=norm: _lev_names(
+                            strip_uri_prefix(p), n))
+                        source = "cpa"
+                    else:
+                        pred = DBPEDIA_PROPERTY_SECTION + norm
+                        source = "minted"
                 triples.append({
                     "subj": subj,
                     "pred": pred,
                     "obj": obj,
                     "obj_is_literal": obj_is_literal,
+                    "pred_source": source,
                     "row_idx": row.get("row_idx"),
                 })
     return triples
@@ -549,7 +570,7 @@ def annotate_table(rows: list[dict], kb: KBIndex, w: Optional[Weights] = None) -
         CELL_COLUMN_HEADING: annotate_heading(rows, kb, "column_heading", w),
     }
     annotated_rows, total, annotated = assemble(rows, cells)
-    triples = materialize_triples(rows, cells)
+    triples = materialize_triples(rows, cells, kb)
     return TableResult(
         cells=cells,
         annotated_rows=annotated_rows,

@@ -37,19 +37,24 @@ DBP = "http://dbpedia.org/property/"
 # micro-KB (row order is candidate order — it matters)
 # ---------------------------------------------------------------------------
 _KB_ROWS = [
-    # uri, label, is_class, types, parents, neighbors
-    (DBO + "Location", "Location", True, [], [], []),
-    (DBO + "City", "City", True, [], [DBO + "Location"], []),
-    (DBO + "Person", "Person", True, [], [], []),
+    # uri, label, is_class, types, parents, neighbors, neighbor_props
+    (DBO + "Location", "Location", True, [], [], [], []),
+    (DBO + "City", "City", True, [], [DBO + "Location"], [], []),
+    (DBO + "Person", "Person", True, [], [], [], []),
     (DBR + "Paris", "Paris", False, [DBO + "City"], [DBO + "Location"],
-     [DBR + "France", DBR + "Seine"]),
-    (DBR + "Parisot", "Parisot", False, [DBO + "City"], [DBO + "Location"], []),
-    (DBR + "France", "France", False, [DBO + "Location"], [], [DBR + "Paris"]),
-    (DBR + "Seine", "Seine", False, [DBO + "Location"], [], [DBR + "Paris"]),
+     [DBR + "France", DBR + "Seine"], [DBP + "Capital_of", DBP + "Near"]),
+    (DBR + "Parisot", "Parisot", False, [DBO + "City"], [DBO + "Location"],
+     [], []),
+    (DBR + "France", "France", False, [DBO + "Location"], [], [DBR + "Paris"],
+     [DBP + "Capital"]),
+    (DBR + "Seine", "Seine", False, [DBO + "Location"], [], [DBR + "Paris"],
+     [DBP + "Flows_through"]),
     (DBR + "John_smith", "John Smith", False, [DBO + "Person"], [],
-     [DBR + "Paris"]),
-    (DBR + "Boduxx", "Boduxx", False, [DBO + "City"], [DBO + "Location"], []),
-    (DBR + "Boduyy", "Boduyy", False, [DBO + "City"], [DBO + "Location"], []),
+     [DBR + "Paris"], [DBP + "Mayor_of"]),
+    (DBR + "Boduxx", "Boduxx", False, [DBO + "City"], [DBO + "Location"],
+     [], []),
+    (DBR + "Boduyy", "Boduyy", False, [DBO + "City"], [DBO + "Location"],
+     [], []),
 ]
 
 # pages: (url, [(data, data_ner, rh, rh_ner, ch, ch_ner), ...])
@@ -166,26 +171,33 @@ _EXP_ROWS = [
     ("https://gold.test/p5", 0, 0, DBR + "Boduxx", "Thing", "Name"),
 ]
 
-# (url, table_idx, row_idx, subj, pred, obj, obj_is_literal)
+# (url, table_idx, row_idx, subj, pred, obj, obj_is_literal, pred_source)
+# CPA predicate selection: when the ColumnHeading has no winner and a
+# KB edge subj->obj exists, the bound edge property replaces the minted
+# dbp:<label> predicate (pred_source "cpa"); literal objects and
+# off-KB subjects (dbr:Number) keep the minted fallback.
 _EXP_TRIPLES = [
-    ("https://gold.test/p1", 0, 0, DBR + "Paris", DBP + "City",
-     DBR + "France", False),
+    # Paris->France edge carries dbp:Capital_of -> selected over minting
+    # dbp:City from the unresolved heading
+    ("https://gold.test/p1", 0, 0, DBR + "Paris", DBP + "Capital_of",
+     DBR + "France", False, "cpa"),
     ("https://gold.test/p1", 0, 1, DBR + "Number", DBP + "Population",
-     DBR + "France", False),
-    ("https://gold.test/p2", 0, 0, DBR + "John_smith", DBP + "Mayor",
-     DBR + "Paris", False),
-    ("https://gold.test/p2", 0, 0, DBR + "John_smith", DBP + "Leader",
-     DBR + "Paris", False),
-    ("https://gold.test/p3", 0, 0, DBR + "Seine", DBP + "Waterway",
-     DBR + "Paris", False),
+     DBR + "France", False, "minted"),
+    # one edge property serves both unresolved heading labels
+    ("https://gold.test/p2", 0, 0, DBR + "John_smith", DBP + "Mayor_of",
+     DBR + "Paris", False, "cpa"),
+    ("https://gold.test/p2", 0, 0, DBR + "John_smith", DBP + "Mayor_of",
+     DBR + "Paris", False, "cpa"),
+    ("https://gold.test/p3", 0, 0, DBR + "Seine", DBP + "Flows_through",
+     DBR + "Paris", False, "cpa"),
     ("https://gold.test/p3", 0, 1, DBR + "Number", DBP + "Length",
-     DBR + "France", False),
+     DBR + "France", False, "minted"),
     ("https://gold.test/p4", 0, 0, DBR + "Paris", DBP + "Place",
-     "Region", True),
+     "Region", True, "minted"),
     ("https://gold.test/p4", 0, 1, DBR + "France", DBP + "Place",
-     "Region", True),
+     "Region", True, "minted"),
     ("https://gold.test/p5", 0, 0, DBR + "Boduxx", DBP + "Name",
-     "Thing", True),
+     "Thing", True, "minted"),
 ]
 
 
@@ -218,6 +230,7 @@ def gold_results(ray_session, tmp_path_factory):
         "is_class": [r[2] for r in _KB_ROWS], "types": [r[3] for r in _KB_ROWS],
         "parents": [r[4] for r in _KB_ROWS],
         "neighbors": [r[5] for r in _KB_ROWS],
+        "neighbor_props": [r[6] for r in _KB_ROWS],
     })
     htmls = [_render(rows).encode() for _url, rows in _PAGES]
     pages = pa.table({
@@ -264,7 +277,7 @@ def test_gold_rows(gold_results):
 
 def test_gold_triples(gold_results):
     cols = ["url", "table_idx", "row_idx", "subj", "pred", "obj",
-            "obj_is_literal"]
+            "obj_is_literal", "pred_source"]
     got = _frame(gold_results, "triple", cols)
     want = (pd.DataFrame(_EXP_TRIPLES, columns=cols)
             .astype({"table_idx": "int32", "row_idx": "int32"})
