@@ -100,8 +100,11 @@ def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
         out = best[["norm_key", "subj"]].merge(tot, on="norm_key")
         return out.rename(columns={"subj": "canonical_subj", "cnt": "support"})
 
-    return (phase1.map_batches(add_part, batch_format="pandas")
-            .groupby("_part").map_groups(resolve, batch_format="pandas"))
+    from .ops.relational import typed_groupby_map
+    return typed_groupby_map(
+        phase1.map_batches(add_part, batch_format="pandas"), "_part", resolve,
+        pa.schema([("norm_key", pa.string()), ("canonical_subj", pa.string()),
+                   ("support", pa.int64())]))
 
 
 def _norm_key_column(col) -> pa.Array:

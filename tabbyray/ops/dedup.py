@@ -108,12 +108,19 @@ _EMPTY_PAIRS = {"doc_a": pa.int64(), "doc_b": pa.int64(),
                 "jaccard": pa.float64()}
 
 
+def _pair_schema(keep_cols: list[str]) -> pa.Schema:
+    types = {"jaccard": pa.float64(), "cosine": pa.float64()}
+    return pa.schema([(c, types.get(c, pa.int64())) for c in keep_cols])
+
+
 def _dedup_pairs(pairs: rd.Dataset, keep_cols: list[str],
                  key_cols: tuple[str, str] = ("doc_a", "doc_b"),
                  num_partitions: int = 32) -> rd.Dataset:
     """Global pair dedup as ONE hash-partitioned shuffle — replaces
     driver-side ``to_pandas().drop_duplicates()``. Cross-band
     duplicates of a pair land in the same partition by construction."""
+    from .relational import typed_groupby_map
+
     ka, kb = key_cols
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -125,8 +132,9 @@ def _dedup_pairs(pairs: rd.Dataset, keep_cols: list[str],
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=[ka, kb])[keep_cols]
 
-    return (pairs.map_batches(add_part, batch_format="pandas")
-            .groupby("_part").map_groups(dd, batch_format="pandas"))
+    return typed_groupby_map(
+        pairs.map_batches(add_part, batch_format="pandas"), "_part", dd,
+        _pair_schema(keep_cols))
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
@@ -209,9 +217,11 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
         out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
+    from .relational import typed_groupby_map
     cand = _dedup_pairs(
-        (band_rows.map_batches(add_part, batch_format="pandas")
-         .groupby("part").map_groups(bucket_pairs, batch_format="pandas")),
+        typed_groupby_map(
+            band_rows.map_batches(add_part, batch_format="pandas"), "part",
+            bucket_pairs, _pair_schema(["doc_a", "doc_b"])),
         keep_cols=["doc_a", "doc_b"])
 
     if verify == "shuffle":
@@ -308,9 +318,11 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
         m = pairs.merge(sh_df, on="doc_id")
         return m[["doc_a", "doc_b", "shingle"]]
 
-    pair_shingles = (both.map_batches(add_part, batch_format="pandas")
-                     .groupby("_part")
-                     .map_groups(copart, batch_format="pandas"))
+    from .relational import typed_groupby_map
+    pair_shingles = typed_groupby_map(
+        both.map_batches(add_part, batch_format="pandas"), "_part", copart,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("shingle", pa.string())]))
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["doc_a", "doc_b", "shingle"], as_index=False).size()
@@ -330,8 +342,9 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
         out = out[out["jaccard"] >= threshold]
         return out[["doc_a", "doc_b", "jaccard"]]
 
-    return (pair_shingles.map_batches(count_partial, batch_format="pandas")
-            .groupby("_part").map_groups(stats, batch_format="pandas"))
+    return typed_groupby_map(
+        pair_shingles.map_batches(count_partial, batch_format="pandas"),
+        "_part", stats, _pair_schema(["doc_a", "doc_b", "jaccard"]))
 
 
 # -------------------------------------------------------------------------
@@ -396,10 +409,11 @@ def simhash_neardup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         return m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})[
             ["doc_a", "doc_b", "hamming"]]
 
-    pairs = (sims.map_batches(to_bands, batch_format="pyarrow")
-             .map_batches(add_part, batch_format="pandas")
-             .groupby("part")
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    from .relational import typed_groupby_map
+    pairs = typed_groupby_map(
+        sims.map_batches(to_bands, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pandas"), "part", bucket_pairs,
+        _pair_schema(["doc_a", "doc_b", "hamming"]))
     # cross-band dedup is one more hash-partitioned shuffle, not a
     # driver-side drop_duplicates
     return _dedup_pairs(pairs, keep_cols=["doc_a", "doc_b", "hamming"])
@@ -455,8 +469,10 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
         out["inter"] = out["inter"].astype("int64")
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
-    partials = (shingle_rows.map_batches(add_part, batch_format="pandas")
-                .groupby("part").map_groups(pair_counts, batch_format="pandas"))
+    from .relational import typed_groupby_map
+    partials = typed_groupby_map(
+        shingle_rows.map_batches(add_part, batch_format="pandas"), "part",
+        pair_counts, _pair_schema(["doc_a", "doc_b", "inter", "n_a", "n_b"]))
 
     def add_pair_part(df: pd.DataFrame, P: int = 32) -> pd.DataFrame:
         df = df.copy()
@@ -471,8 +487,9 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
         out = out[out["jaccard"] >= threshold]
         return out[["doc_a", "doc_b", "jaccard"]]
 
-    return (partials.map_batches(add_pair_part, batch_format="pandas")
-            .groupby("_part").map_groups(finalize, batch_format="pandas"))
+    return typed_groupby_map(
+        partials.map_batches(add_pair_part, batch_format="pandas"), "_part",
+        finalize, _pair_schema(["doc_a", "doc_b", "jaccard"]))
 
 
 # -------------------------------------------------------------------------
@@ -594,10 +611,11 @@ def _embedding_neardup_lsh(embs: rd.Dataset, threshold: float,
                              "vec_b": pd.Series(out_b, dtype="int64"),
                              "cosine": pd.Series(out_s, dtype="float64")})
 
-    pairs = (embs.select_columns(["vec_id", "embedding"])
-             .map_batches(to_buckets, batch_format="pyarrow")
-             .map_batches(add_part, batch_format="pandas")
-             .groupby("_part")
-             .map_groups(bucket_verify, batch_format="pandas"))
+    from .relational import typed_groupby_map
+    pairs = typed_groupby_map(
+        embs.select_columns(["vec_id", "embedding"])
+        .map_batches(to_buckets, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pandas"), "_part", bucket_verify,
+        _pair_schema(["vec_a", "vec_b", "cosine"]))
     return _dedup_pairs(pairs, keep_cols=["vec_a", "vec_b", "cosine"],
                         key_cols=("vec_a", "vec_b"))

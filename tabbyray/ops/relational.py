@@ -26,6 +26,26 @@ def _arrow_type(t) -> "pa.DataType":
     return pa.from_numpy_dtype(dt)
 
 
+def typed_groupby_map(ds: rd.Dataset, key, fn, out_schema: "pa.Schema",
+                      **map_kwargs) -> rd.Dataset:
+    """``groupby(key).map_groups`` with a pandas UDF and a TYPED output.
+
+    Ray's pandas block builder finalizes an all-empty partition to a
+    column-less ``pd.DataFrame()`` — a schema-less block that trips the
+    streaming executor's schema checks downstream ("PandasBlockSchema
+    (names=[])" warnings) and is a schema-inference hazard. Running the
+    group stage in Arrow format and casting the UDF's frame to an
+    explicit schema keeps every block, including empty ones, typed.
+    """
+    def wrapper(t: pa.Table) -> pa.Table:
+        out = fn(t.to_pandas())
+        return pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
+                                    preserve_index=False)
+
+    return ds.groupby(key).map_groups(wrapper, batch_format="pyarrow",
+                                      **map_kwargs)
+
+
 def grouped_argmax(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
                    out_cols: list[str]) -> rd.Dataset:
     """Top-1 row per key by (order_col desc, tie_col asc) — deterministic
@@ -81,7 +101,8 @@ def normalized_key_counts(ds: rd.Dataset, col: str, id_col: str) -> rd.Dataset:
 
 def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
                    count_alias: str | None = None,
-                   num_partitions: int = 32) -> rd.Dataset:
+                   num_partitions: int = 32,
+                   out_schema: "pa.Schema | None" = None) -> rd.Dataset:
     """Explicit partitioned hash-aggregate for HIGH-cardinality keys.
 
     Ray's native sort-based ``groupby().aggregate`` pays per-group
@@ -110,9 +131,10 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
         out = g.groupby(keys, as_index=False)[agg_cols].sum()
         return out.rename(columns=sum_cols)
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("part")
-            .map_groups(final, batch_format="pandas"))
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if out_schema is not None:
+        return typed_groupby_map(partials, "part", final, out_schema)
+    return partials.groupby("part").map_groups(final, batch_format="pandas")
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -190,8 +212,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
             rhs = rhs.astype(r_dtypes)
         return lhs.merge(rhs, on=on, how=how)
 
-    return (both.map_batches(add_part, batch_format="pandas")
-            .groupby("_part").map_groups(merge, batch_format="pandas"))
+    out_schema = pa.schema(
+        [pa.field(on, l_types[on])]
+        + [pa.field(n, l_types[n]) for n in l_other]
+        + [pa.field(n, r_types[n]) for n in r_other])
+    return typed_groupby_map(
+        both.map_batches(add_part, batch_format="pandas"), "_part", merge,
+        out_schema)
 
 
 def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
@@ -207,4 +234,9 @@ def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
     # (user_id, hour) is near-unique per event -> high-cardinality key ->
     # partitioned hash aggregate, not the per-group native plan
     return hash_aggregate(bucketed, ["user_id", "hour"],
-                          {"value": "sum_value"}, count_alias="n_events")
+                          {"value": "sum_value"}, count_alias="n_events",
+                          out_schema=pa.schema([
+                              ("user_id", pa.int64()),
+                              ("hour", pa.timestamp("us")),
+                              ("sum_value", pa.float64()),
+                              ("n_events", pa.int64())]))
