@@ -61,7 +61,11 @@ def entry() -> Any:
 
 def _docs(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # documents.parquet is a single file -> a single read task unless the
+    # read is told to split; per-doc kernels (minhash/simhash) need the
+    # blocks to fan out across cores
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           override_num_blocks=32)
 
 
 def _q_sti_extract(sf_dir: str):

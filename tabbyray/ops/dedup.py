@@ -167,22 +167,32 @@ def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+BROADCAST_VERIFY_MAX_DOCS = 100_000
+
+
 def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.5,
                       seed: int = 42, max_posting: int = 200,
-                      verify: str = "shuffle") -> rd.Dataset:
+                      verify: str = "auto") -> rd.Dataset:
     """Candidate pairs via banded LSH, verified with EXACT Jaccard.
 
     signature -> (band_id, band_hash, doc_id) rows -> groupby band
-    bucket -> pairs -> hash-partitioned pair dedup -> exact-verify
-    >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    bucket -> pairs -> exact-verify >= threshold. Returns
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    ``verify``: "shuffle" (DEFAULT — the web-scale path) verifies via
-    co-partitioned joins with candidates kept as a Dataset end-to-end
-    (``_verify_pairs_shuffle``); "broadcast" holds every doc's shingle
-    set in one driver-built map — an opt-in shortcut for corpora that
-    fit a worker. Both paths are output-identical (tested).
+    ``verify``: "shuffle" (the web-scale path) verifies via
+    co-partitioned exchanges with candidates kept as a Dataset
+    end-to-end (``_verify_pairs_shuffle``); "broadcast" holds every
+    doc's shingle set in one driver-built map — right only while the
+    corpus fits a worker, but free of the ~3 fixed sort barriers the
+    shuffle path pays (those dominate wall time at small scale and
+    vanish at large). "auto" (default) picks broadcast up to
+    ``BROADCAST_VERIFY_MAX_DOCS`` rows, shuffle above. Both paths are
+    output-identical (tested).
     """
+    if verify == "auto":
+        verify = ("broadcast" if docs.count() <= BROADCAST_VERIFY_MAX_DOCS
+                  else "shuffle")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed)
 
@@ -218,17 +228,19 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
     from .relational import typed_groupby_map
-    cand = _dedup_pairs(
-        typed_groupby_map(
-            band_rows.map_batches(add_part, batch_format="pandas"), "part",
-            bucket_pairs, _pair_schema(["doc_a", "doc_b"])),
-        keep_cols=["doc_a", "doc_b"])
+    # per-bucket-partition distinct pairs; duplicates of a pair across
+    # BAND partitions remain — the shuffle verify dedups them inside its
+    # doc_id co-partition (identical melt rows land together), saving a
+    # whole pair-partitioned dedup shuffle
+    cand = typed_groupby_map(
+        band_rows.map_batches(add_part, batch_format="pandas"), "part",
+        bucket_pairs, _pair_schema(["doc_a", "doc_b"]))
 
     if verify == "shuffle":
         return _verify_pairs_shuffle(docs, cand, shingle_n, threshold)
 
     # broadcast verification against driver-built shingle sets (opt-in)
-    cand_df = cand.to_pandas()
+    cand_df = cand.to_pandas().drop_duplicates()
     if len(cand_df) == 0:
         return rd.from_arrow(pa.table(
             {k: pa.array([], t) for k, t in _EMPTY_PAIRS.items()}))
@@ -305,7 +317,7 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
         if pairs.empty:
             return empty
         pairs = pairs[["doc_id", "doc_a", "doc_b"]].astype(
-            {"doc_a": "int64", "doc_b": "int64"})
+            {"doc_a": "int64", "doc_b": "int64"}).drop_duplicates()
         need = set(pairs["doc_id"])
         texts = g[(g["_side"] == 1) & g["doc_id"].isin(need)]
         ids, shs = [], []
