@@ -297,6 +297,35 @@ def _q_knn_cosine(sf_dir: str):
     return knn_brute(embs, _query_vectors(sf_dir), k=10)
 
 
+def _q_sliding_window(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import sliding_window_agg
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return sliding_window_agg(ev, window_minutes=60, slide_minutes=15)
+
+
+def _q_regex_token_counts(sf_dir: str):
+    from tabbyray.ops.text import regex_token_counts
+    return regex_token_counts(_docs(sf_dir))
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    from tabbyray.ops.text import winnow_fingerprints
+    return winnow_fingerprints(_docs(sf_dir), k=5, w=4)
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import knn_ivf
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return knn_ivf(embs, _query_vectors(sf_dir), k=10)
+
+
 def _q_knn_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -363,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_part_names": _q_norm_part_names,
         "hourly_user_agg": _q_hourly_user_agg,
         "sessionize": _q_sessionize,
+        "sliding_window_agg": _q_sliding_window,
         # text / dedup operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -372,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "lang_distribution": _q_lang_distribution,
         "lang_id": _q_lang_id,
+        "regex_token_counts": _q_regex_token_counts,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
@@ -379,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_neardup": _q_embedding_neardup,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
@@ -482,6 +515,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM s GROUP BY 1, 2
+        """,
+        "sliding_window_agg": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS window_start,
+                   sum(round(value * 100)) AS sum_value_cents,
+                   count(*) AS n_events
+            FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+            GROUP BY 1, 2
+        """,
+        "regex_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "winnow_fingerprints": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(text) - 5 + 2),
+                                      i -> substr(md5(substr(text, i, 5)), 1, 8)) AS hs
+                FROM documents WHERE length(text) >= 5),
+            sel AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+                            ELSE list_distinct(list_transform(
+                                 range(1, len(hs) - 4 + 2),
+                                 j -> list_aggregate(hs[j:j+3], 'min')))
+                       END AS fps
+                FROM g)
+            SELECT doc_id, unnest(fps) AS fp FROM sel
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

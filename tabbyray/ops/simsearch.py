@@ -79,6 +79,82 @@ def lsh_buckets(embs: rd.Dataset, n_planes: int = 8, seed: int = 42) -> rd.Datas
     return embs.map_batches(f, batch_format="pyarrow")
 
 
+def kmeans_centroids(embs: rd.Dataset, n_centroids: int = 16,
+                     n_iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means for the IVF coarse quantizer.
+
+    Initial centroids are seeded draws; each iteration is ONE pass of
+    ``map_batches`` partial sums (per-batch assignment + per-centroid
+    sum/count — a combiner) with the tiny centroid matrix re-broadcast
+    per iteration. Nothing corpus-sized touches the driver; the driver
+    reduces K x d partials."""
+    first = embs.select_columns(["embedding"]).limit(n_centroids).take_all()
+    C = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                             for r in first]))
+    for _ in range(n_iters):
+        ref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            cm = ray.get(ref)
+            if t.num_rows == 0:
+                return pa.table({"centroid": pa.array([], pa.int32()),
+                                 "vec_sum": pa.array([], pa.list_(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
+            M = np.stack([np.asarray(e, dtype=np.float64)
+                          for e in t.column("embedding").to_pylist()])
+            Mn = _normalize(M)
+            assign = np.argmax(Mn @ cm.T, axis=1)
+            sums, counts = [], []
+            for c in range(len(cm)):
+                mask = assign == c
+                sums.append(M[mask].sum(axis=0).tolist())
+                counts.append(int(mask.sum()))
+            return pa.table({
+                "centroid": pa.array(range(len(cm)), pa.int32()),
+                "vec_sum": pa.array(sums, pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64())})
+
+        parts = embs.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C))
+        for row in parts:
+            sums[row["centroid"]] += np.asarray(row["vec_sum"])
+            counts[row["centroid"]] += row["n"]
+        nonzero = counts > 0
+        C[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+    return C
+
+
+def knn_ivf(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4, n_iters: int = 5,
+            seed: int = 42) -> rd.Dataset:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus; each query probes only its ``nprobe`` nearest centroid
+    cells. The probed subset is selected with a vectorized per-batch
+    mask (broadcast centroids; no shuffle), then searched exactly with
+    the local-top-k + merge plan of ``knn_brute``. Recall grows with
+    nprobe/n_centroids; deterministic in (seed, data order)."""
+    C = kmeans_centroids(embs, n_centroids, n_iters, seed)
+    q_ids = sorted(queries)
+    Q = _normalize(np.array([queries[q] for q in q_ids], dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe for c in row})
+    ref = ray.put(C)
+
+    def keep_probed(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        if t.num_rows == 0:
+            return t
+        M = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                                 for e in t.column("embedding").to_pylist()]))
+        assign = np.argmax(M @ cm.T, axis=1)
+        mask = pa.array(np.isin(assign, wanted))
+        return t.filter(mask)
+
+    sub = embs.map_batches(keep_probed, batch_format="pyarrow")
+    return knn_brute(sub, queries, k)
+
+
 def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
             n_planes: int = 8, seed: int = 42) -> rd.Dataset:
     """Approximate top-k: search only the query's LSH bucket. Falls back

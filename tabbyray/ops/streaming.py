@@ -59,3 +59,44 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30,
     return (events.map_batches(add_part, batch_format="pandas")
             .groupby("part")
             .map_groups(window, batch_format="pandas"))
+
+
+def sliding_window_agg(events: rd.Dataset, window_minutes: int = 60,
+                       slide_minutes: int = 15) -> rd.Dataset:
+    """Sliding-window aggregate per user: for every
+    ``slide``-aligned window start, count + cents-sum of the user's
+    events with ``window_start <= ts < window_start + window``.
+
+    Batch rendering of the sliding window: each event belongs to
+    exactly ``window/slide`` windows, so a vectorized map EXPLODES it
+    to those window starts (a per-event constant fan-out, no state),
+    and one partitioned hash aggregate on (user_id, window_start)
+    finishes — the combiner collapses the fan-out before the shuffle.
+    ``window`` must be a multiple of ``slide``.
+    """
+    import pyarrow as pa
+
+    from .relational import hash_aggregate
+
+    if window_minutes % slide_minutes:
+        raise ValueError("window must be a multiple of slide")
+    n_windows = window_minutes // slide_minutes
+    slide = pd.Timedelta(minutes=slide_minutes)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "ts", "value"]].copy()
+        df["bucket"] = df["ts"].dt.floor(f"{slide_minutes}min")
+        df["cents"] = round_half_away(df["value"] * 100)
+        out = pd.concat(
+            [df.assign(window_start=df["bucket"] - i * slide)
+             for i in range(n_windows)], ignore_index=True)
+        return out[["user_id", "window_start", "cents"]]
+
+    return hash_aggregate(
+        events.map_batches(explode, batch_format="pandas"),
+        ["user_id", "window_start"], {"cents": "sum_value_cents"},
+        count_alias="n_events",
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("window_start", pa.timestamp("us")),
+                              ("sum_value_cents", pa.float64()),
+                              ("n_events", pa.int64())]))

@@ -41,6 +41,54 @@ def token_counts(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+# BPE-ish pretokenizer: contraction suffixes, space-prefixed word /
+# number / punctuation runs, whitespace runs. No lookaheads so the same
+# pattern runs verbatim under DuckDB's RE2 (the oracle).
+_BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def regex_token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, n_bpe_tokens — counts of BPE-style pretokenizer matches
+    (the 'token counting: whitespace + a BPE-ish regex' operator). The
+    regex is compiled once per worker process (module constant)."""
+    def f(t: pa.Table) -> pa.Table:
+        ns = [len(_BPE_RE.findall(x or ""))
+              for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bpe_tokens": pa.array(ns, pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def winnow_fingerprints(docs: rd.Dataset, k: int = 5, w: int = 4) -> rd.Dataset:
+    """Winnowing document fingerprints (rolling k-gram hash + per-window
+    minimum; Schleimer/Wilkerson/Aiken's scheme with min-VALUE
+    selection): one output row per DISTINCT selected fingerprint per
+    doc. Fingerprints are the first 8 hex chars of md5 over each char
+    k-gram — a fixed-width lowercase hex string, so lexicographic min
+    equals numeric min and the DuckDB oracle can reproduce it exactly.
+    Docs shorter than k emit no rows."""
+    def f(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            s = text or ""
+            if len(s) < k:
+                continue
+            hs = [hashlib.md5(s[i:i + k].encode()).hexdigest()[:8]
+                  for i in range(len(s) - k + 1)]
+            if len(hs) < w:
+                sel = {min(hs)}
+            else:
+                sel = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+            for fp in sorted(sel):
+                ids.append(doc_id)
+                fps.append(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     """doc_id, fp = md5 hex of the whitespace-normalized text — the
     document fingerprint used by exact dedup at scale (hash first, then

@@ -170,3 +170,64 @@ def test_empty_doc_pair_matches_sql_semantics(ray_session):
     p = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
     assert set(zip(p["doc_a"], p["doc_b"])) == {(1, 2)}
     assert p["jaccard"].iloc[0] == 1.0
+
+
+def test_sliding_window_agg(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.streaming import sliding_window_agg
+
+    ts = pd.to_datetime(["2025-01-01 10:07", "2025-01-01 10:22",
+                         "2025-01-01 11:03"])
+    df = pd.DataFrame({"user_id": [1, 1, 1], "ts": ts,
+                       "value": [1.0, 2.0, 4.0]})
+    out = (sliding_window_agg(rd.from_pandas(df), 60, 15).to_pandas()
+           .sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    # event at 10:07 belongs to windows starting 09:15..10:00 (4 of them)
+    first = out[out["window_start"] == pd.Timestamp("2025-01-01 09:15")]
+    assert first["n_events"].iloc[0] == 1
+    # 10:00 window covers 10:07 and 10:22
+    w10 = out[out["window_start"] == pd.Timestamp("2025-01-01 10:00")]
+    assert w10["n_events"].iloc[0] == 2
+    assert w10["sum_value_cents"].iloc[0] == 300.0
+    # every event contributes exactly 4 window memberships
+    assert out["n_events"].sum() == 12
+
+
+def test_regex_token_counts_and_winnow(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.text import regex_token_counts, winnow_fingerprints
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["it's a test, 42 tokens!",
+                                "it's a test, 42 tokens!",
+                                "zz"]})
+    tc = regex_token_counts(rd.from_pandas(df)).to_pandas()
+    # it|'s| a| test|,| 42| tokens|! -> 8
+    assert tc[tc["doc_id"] == 1]["n_bpe_tokens"].iloc[0] == 8
+
+    fp = winnow_fingerprints(rd.from_pandas(df), k=5, w=4).to_pandas()
+    a = set(fp[fp["doc_id"] == 1]["fp"])
+    b = set(fp[fp["doc_id"] == 2]["fp"])
+    assert a and a == b                   # identical docs -> identical prints
+    assert len(fp[fp["doc_id"] == 3]) == 0  # shorter than k -> no rows
+    assert all(len(x) == 8 for x in a)
+
+
+def test_knn_ivf_recovers_brute_on_clusters(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.simsearch import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 4
+    rows = np.vstack([c + 0.1 * rng.randn(50, 16) for c in centers])
+    df = pd.DataFrame({"vec_id": range(len(rows)),
+                       "embedding": [r.tolist() for r in rows]})
+    embs = rd.from_pandas(df)
+    queries = {0: rows[0].tolist(), 60: rows[60].tolist()}
+    brute = knn_brute(embs, queries, k=5).to_pandas()
+    ivf = knn_ivf(embs, queries, k=5, n_centroids=8, nprobe=4).to_pandas()
+    key = ["query_id", "rank"]
+    bset = set(map(tuple, brute[key + ["neighbor_id"]].itertuples(index=False)))
+    iset = set(map(tuple, ivf[key + ["neighbor_id"]].itertuples(index=False)))
+    # tight clusters + generous nprobe -> IVF recovers the exact top-k
+    assert len(bset & iset) / len(bset) >= 0.9
