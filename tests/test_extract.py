@@ -101,3 +101,34 @@ def test_malformed_html_is_tolerated():
 
 def test_page_without_tables_yields_nothing():
     assert extract_tables("<html><body><p>nothing here</p></body></html>") == []
+
+
+def test_uppercase_table_tags_not_dropped(ray_session):
+    # ADVICE round 1: the no-table fast path lowercases before checking,
+    # so <TABLE>/<Table> pages flow into the parser (tag names are
+    # case-insensitive in HTML)
+    import pyarrow as pa
+
+    from tabbyray.pipeline import _extract_batch
+
+    html = ("<HTML><BODY><TABLE><TR><TH>DATA</TH><TH>RowHeading</TH>"
+            "<TH>ColumnHeading</TH></TR>"
+            "<TR><TD>Val</TD><TD>H</TD><TD>C</TD></TR></TABLE></BODY></HTML>")
+    batch = pa.table({"url": ["u1"], "html": [html.encode()]})
+    out = _extract_batch(batch, None, check_text=False)
+    assert out.num_rows == 1
+    assert out.column("data").to_pylist() == ["Val"]
+
+
+def test_round_half_away_matches_sql():
+    import numpy as np
+    import pandas as pd
+
+    from tabbyray.ops.streaming import round_half_away
+
+    # 0.125 * 100 = 12.5 exactly in binary; SQL round() gives 13,
+    # pandas .round() would give 12 (half to even)
+    s = pd.Series([0.125, -0.125, 0.115, 2.675]) * 100
+    got = round_half_away(s).tolist()
+    assert got[0] == 13.0 and got[1] == -13.0
+    assert (s.round() != round_half_away(s)).any()  # the quirk is real
