@@ -375,6 +375,20 @@ def _q_multimodal_features(sf_dir: str):
     return extract_features(media)
 
 
+def _q_multimodal_resize(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import resize_media, synth_media_table
+    return resize_media(rd.from_arrow(synth_media_table(64)), 32, 32)
+
+
+def _q_multimodal_frames(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import sample_frames, synth_media_table
+    return sample_frames(rd.from_arrow(synth_media_table(64)), n_frames=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
@@ -415,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 

@@ -87,7 +87,8 @@ def run_bench() -> dict:
     import __ray_entry__ as E
     qs = E.queries()
     for name in ("lineitem_agg", "top_event_per_user", "exact_dedup_docs",
-                 "minhash_lsh_dedup", "knn_cosine", "hourly_user_agg"):
+                 "minhash_lsh_dedup", "knn_cosine", "hourly_user_agg",
+                 "sliding_window_agg", "customer_order_stats"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):

@@ -71,6 +71,81 @@ def extract_features(media: rd.Dataset, decoder_cls=DeterministicFakeDecoder,
                              batch_size=batch_size, concurrency=concurrency)
 
 
+class FakeResizer:
+    """Resize stage (actor pool). The pixel work is a clearly-marked
+    deterministic FAKE (no codec libraries here): the output payload is
+    an md5-keyed stretch of the input sized to the target dimensions.
+    The Ray-side contract is real: metadata columns updated, payload
+    width scales with target area, wide-binary batch sizing applies."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.w = target_w
+        self.h = target_h
+
+    def _fake_pixels(self, payload: bytes) -> bytes:
+        n = max(1, (self.w * self.h) // 8)
+        digest = hashlib.md5(payload or b"").digest()
+        return (digest * (n // len(digest) + 1))[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [self._fake_pixels(p)
+                    for p in batch.column("payload").to_pylist()]
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": batch.column("mime"),
+            "width": pa.array([self.w] * n, pa.int32()),
+            "height": pa.array([self.h] * n, pa.int32()),
+        })
+
+
+def resize_media(media: rd.Dataset, target_w: int = 32, target_h: int = 32,
+                 batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
+    """Actor-pool resize over a media table (decode stubbed, see
+    ``FakeResizer``)."""
+    return media.map_batches(FakeResizer, batch_format="pyarrow",
+                             fn_constructor_args=(target_w, target_h),
+                             batch_size=batch_size, concurrency=concurrency)
+
+
+class FakeFrameSampler:
+    """Frame-sampling stage (actor pool): one video row -> ``n_frames``
+    frame rows. Frame 'decoding' is a deterministic FAKE (payload
+    chunking keyed on frame index); the row-expansion plumbing — the
+    part that matters for the Ray pipeline (schema, fan-out, batch
+    sizing) — is real."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, payloads = [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            payload = payload or b""
+            step = max(1, len(payload) // self.n_frames)
+            for f in range(self.n_frames):
+                ids.append(media_id)
+                frames.append(f)
+                payloads.append(hashlib.md5(
+                    payload[f * step:(f + 1) * step] + bytes([f])).digest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+
+def sample_frames(videos: rd.Dataset, n_frames: int = 4,
+                  batch_size: int = 32, concurrency=(1, 4)) -> rd.Dataset:
+    """Actor-pool frame sampling: media rows fan out to frame rows
+    (smaller batches — output is n_frames x wider than input)."""
+    return videos.map_batches(FakeFrameSampler, batch_format="pyarrow",
+                              fn_constructor_args=(n_frames,),
+                              batch_size=batch_size, concurrency=concurrency)
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.RandomState(seed)

@@ -231,3 +231,22 @@ def test_knn_ivf_recovers_brute_on_clusters(ray_session):
     iset = set(map(tuple, ivf[key + ["neighbor_id"]].itertuples(index=False)))
     # tight clusters + generous nprobe -> IVF recovers the exact top-k
     assert len(bset & iset) / len(bset) >= 0.9
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.multimodal import (resize_media, sample_frames,
+                                         synth_media_table)
+    media = rd.from_arrow(synth_media_table(16))
+    rs = resize_media(media, 32, 32).to_pandas()
+    assert len(rs) == 16
+    assert set(rs["width"]) == {32} and set(rs["height"]) == {32}
+    assert all(len(p) == (32 * 32) // 8 for p in rs["payload"])
+    # deterministic
+    rs2 = resize_media(rd.from_arrow(synth_media_table(16)), 32, 32).to_pandas()
+    assert list(rs["payload"]) == list(rs2["payload"])
+
+    fr = sample_frames(media, n_frames=4).to_pandas()
+    assert len(fr) == 64
+    assert set(fr["frame_idx"]) == {0, 1, 2, 3}
+    assert fr.groupby("media_id").size().eq(4).all()
