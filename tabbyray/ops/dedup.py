@@ -218,9 +218,14 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized within the hash partition: self-merge on the bucket
-        # key; posting lists above max_posting are dropped (skew guard —
-        # a reported cap, not silent: they reappear via other bands)
+        # key; posting lists above max_posting are dropped (skew guard)
         sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        n_dropped = int((sizes > max_posting).sum())
+        if n_dropped:
+            # no silent caps: record what the skew guard dropped
+            print(f"[minhash_lsh_pairs] skew cap: dropped {n_dropped} "
+                  f"postings in buckets > {max_posting} "
+                  "(pairs can still surface via other bands)")
         g = g[sizes <= max_posting]
         m = g.merge(g, on=["band_id", "band_hash"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
@@ -603,8 +608,14 @@ def _embedding_neardup_lsh(embs: rd.Dataset, threshold: float,
         out_b: list[int] = []
         out_s: list[float] = []
         for (_tid, _bkt), grp in g.groupby(["table_id", "bucket"]):
-            if len(grp) < 2 or len(grp) > max_bucket:
-                continue   # skew guard; oversized buckets dropped (logged cap)
+            if len(grp) < 2:
+                continue
+            if len(grp) > max_bucket:
+                # no silent caps: report the skew-guard drop
+                print(f"[embedding_neardup_lsh] skew cap: skipped bucket "
+                      f"({_tid},{_bkt}) with {len(grp)} members "
+                      f"> max_bucket={max_bucket}")
+                continue
             vids = grp["vec_id"].to_numpy()
             M = np.stack([np.asarray(e, dtype=np.float64)
                           for e in grp["embedding"]])

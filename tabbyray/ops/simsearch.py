@@ -157,8 +157,10 @@ def knn_ivf(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
 
 def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
             n_planes: int = 8, seed: int = 42) -> rd.Dataset:
-    """Approximate top-k: search only the query's LSH bucket. Falls back
-    to global brute force for queries whose bucket has < k members."""
+    """Approximate top-k: search only the query's LSH bucket. Queries
+    whose bucket holds fewer than k members fall back to a global brute
+    search (bucket occupancy is a <= 2**n_planes-row aggregate, counted
+    with a per-batch combiner)."""
     bucketed = lsh_buckets(embs, n_planes, seed)
     rng = np.random.RandomState(seed)
     dim = len(next(iter(queries.values())))
@@ -169,11 +171,39 @@ def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
         q_bucket[qid] = int((bits * (1 << np.arange(n_planes))).sum())
     wanted = sorted(set(q_bucket.values()))
 
-    def keep_wanted(t: pa.Table) -> pa.Table:
-        # vectorized mask, zero-copy Arrow — not a per-row Python filter
+    # bucket occupancy for the wanted buckets: tiny per-batch combiner +
+    # driver reduce over <= len(wanted) rows
+    def occupancy(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        mask = pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))
-        return t.filter(mask).drop_columns(["bucket"])
+        vc = pc.value_counts(pc.filter(
+            t.column("bucket").combine_chunks(),
+            pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))))
+        return pa.table({"bucket": vc.field("values"),
+                         "n": vc.field("counts")})
 
-    sub = bucketed.map_batches(keep_wanted, batch_format="pyarrow")
-    return knn_brute(sub, queries, k)
+    counts: dict[int, int] = {}
+    for row in bucketed.map_batches(occupancy, batch_format="pyarrow").take_all():
+        counts[row["bucket"]] = counts.get(row["bucket"], 0) + row["n"]
+    fallback = {q: v for q, v in queries.items()
+                if counts.get(q_bucket[q], 0) < k + 1}   # +1: self may occupy
+    bucket_qs = {q: v for q, v in queries.items() if q not in fallback}
+
+    results = []
+    if bucket_qs:
+        keep = sorted({q_bucket[q] for q in bucket_qs})
+
+        def keep_wanted(t: pa.Table) -> pa.Table:
+            # vectorized mask, zero-copy Arrow — not a per-row Python filter
+            import pyarrow.compute as pc
+            mask = pc.is_in(t.column("bucket"),
+                            value_set=pa.array(keep, pa.int64()))
+            return t.filter(mask).drop_columns(["bucket"])
+
+        sub = bucketed.map_batches(keep_wanted, batch_format="pyarrow")
+        results.append(knn_brute(sub, bucket_qs, k))
+    if fallback:
+        results.append(knn_brute(embs, fallback, k))
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out

@@ -56,9 +56,17 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30,
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return (events.map_batches(add_part, batch_format="pandas")
-            .groupby("part")
-            .map_groups(window, batch_format="pandas"))
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    return typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"), "part", window,
+        pa.schema([("user_id", pa.int64()), ("session_id", pa.int64()),
+                   ("session_start", pa.timestamp("us")),
+                   ("session_end", pa.timestamp("us")),
+                   ("n_events", pa.int64()),
+                   ("sum_value_cents", pa.float64())]))
 
 
 def sliding_window_agg(events: rd.Dataset, window_minutes: int = 60,
