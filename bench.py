@@ -75,7 +75,7 @@ def run_bench() -> dict:
     import ray.data as rd
     import glob
     triple_files = sorted(glob.glob(os.path.join(out_dir, "kind=triple", "*.parquet")))
-    tri = rd.read_parquet(triple_files)
+    tri = rd.read_parquet(triple_files, columns=pipeline.KIND_COLUMNS["triple"])
     canon = canonicalize_triples(tri)
     n_triples = canon.count()
     queries["kg_canonicalize"] = round(time.monotonic() - t0, 3)

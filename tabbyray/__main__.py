@@ -69,7 +69,10 @@ def main(argv=None) -> int:
         from tabbyray.canonicalize import canonicalize_triples
         triple_files = sorted(glob.glob(
             os.path.join(annotated_dir, "shard=*", "kind=triple", "*.parquet")))
-        tri = rd.read_parquet(triple_files)
+        # prune the union-padding columns of the kind-partitioned write:
+        # only the triple columns leave storage
+        tri = rd.read_parquet(triple_files,
+                              columns=pipeline.KIND_COLUMNS["triple"])
         canon = canonicalize_triples(tri)
         canon_dir = os.path.join(args.out, "canonical_triples")
         canon.write_parquet(canon_dir)
@@ -88,7 +91,8 @@ def main(argv=None) -> int:
         from tabbyray.metrics import evaluate
         ann_files = sorted(glob.glob(
             os.path.join(annotated_dir, "shard=*", "kind=annotation", "*.parquet")))
-        pred = rd.read_parquet(ann_files).to_pandas()
+        pred = rd.read_parquet(
+            ann_files, columns=pipeline.KIND_COLUMNS["annotation"]).to_pandas()
         gold = pd.read_parquet(args.gold)
         summary["metrics"] = evaluate(pred, gold)
 

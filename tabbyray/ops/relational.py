@@ -39,8 +39,12 @@ def typed_groupby_map(ds: rd.Dataset, key, fn, out_schema: "pa.Schema",
     """
     def wrapper(t: pa.Table) -> pa.Table:
         out = fn(t.to_pandas())
-        return pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
-                                    preserve_index=False)
+        result = pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
+                                      preserve_index=False)
+        # strip the embedded pandas metadata: it would make downstream
+        # to_pandas() resurrect nullable extension dtypes (Int64Dtype
+        # etc.) instead of the plain numpy dtypes every other path emits
+        return result.replace_schema_metadata(None)
 
     return ds.groupby(key).map_groups(wrapper, batch_format="pyarrow",
                                       **map_kwargs)
@@ -167,6 +171,17 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     r_names, r_types = _names_types(right, right_schema)
     l_other = [n for n in l_names if n != on]
     r_other = [n for n in r_names if n != on]
+
+    def _nullable_dtype(t: "pa.DataType"):
+        # NULLABLE pandas dtypes: input columns may carry genuine nulls
+        # (e.g. union-padded parquet), which numpy int/bool astype cannot
+        # represent; the typed output schema converts them back to arrow
+        # nulls at the end
+        if pa.types.is_integer(t):
+            return str(t).capitalize().replace("Uint", "UInt")   # Int64 etc.
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return t.to_pandas_dtype()
     overlap = set(l_other) & set(r_other)
     if overlap:
         raise ValueError(f"hash_join column overlap: {sorted(overlap)}")
@@ -176,9 +191,10 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
               + [pa.field("_side", pa.int8())])
     schema = pa.schema(fields)
     # dtype restore maps: arrow->pandas conversion of null-padded int
-    # columns widens to float64; cast back after the side split
-    l_dtypes = {n: l_types[n].to_pandas_dtype() for n in l_other}
-    r_dtypes = {n: r_types[n].to_pandas_dtype() for n in r_other}
+    # columns widens to float64/object; cast back (nullable) after the
+    # side split so the merge keys/values keep exact integer semantics
+    l_dtypes = {n: _nullable_dtype(l_types[n]) for n in l_other}
+    r_dtypes = {n: _nullable_dtype(r_types[n]) for n in r_other}
 
     def pad(side: int, own: list[str]):
         def f(t: pa.Table) -> pa.Table:

@@ -468,15 +468,18 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
             .map_groups(annotate, batch_format="pyarrow", num_cpus=num_cpus))
 
 
+KIND_COLUMNS = {
+    "annotation": ["url", "table_idx", "cell_type", "surface_form", "entity",
+                   "aggregated_rank", "rel_rank", "n_candidates"],
+    "row": ["url", "table_idx", "row_idx", "data", "row_heading", "column_heading"],
+    "triple": ["url", "table_idx", "row_idx", "subj", "pred", "obj",
+               "obj_is_literal", "pred_source"],
+}
+
+
 def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
     import pyarrow.compute as pc
-    keep = {
-        "annotation": ["url", "table_idx", "cell_type", "surface_form", "entity",
-                       "aggregated_rank", "rel_rank", "n_candidates"],
-        "row": ["url", "table_idx", "row_idx", "data", "row_heading", "column_heading"],
-        "triple": ["url", "table_idx", "row_idx", "subj", "pred", "obj",
-                   "obj_is_literal", "pred_source"],
-    }[kind]
+    keep = KIND_COLUMNS[kind]
     return results.map_batches(
         lambda t, k=kind, cols=keep: t.filter(pc.equal(t["kind"], k)).select(cols),
         batch_format="pyarrow",
@@ -507,13 +510,19 @@ def kg_pipeline(pages_path, kb_ref, gazetteer_ref=None, *,
 
 def kg_pipeline_sharded(pages_path, skb, gazetteer_ref=None, *,
                         weights: Optional[Weights] = None,
-                        check_text_invariant: bool = False) -> rd.Dataset:
+                        check_text_invariant: bool = False,
+                        ner_model_ref=None) -> rd.Dataset:
     """pages parquet -> union-schema results via the SHARDED-KB path
-    (`annotate_stage_sharded`); output-identical to ``kg_pipeline``."""
+    (`annotate_stage_sharded`); output-identical to ``kg_pipeline``.
+    Composes with the NER model actor stage like the broadcast path."""
     pages = read_pages(pages_path,
                        columns=["url", "html", "text"] if check_text_invariant else None)
     cells = extract_stage(pages, gazetteer_ref,
-                          check_text_invariant=check_text_invariant)
+                          check_text_invariant=check_text_invariant,
+                          fill_ner=ner_model_ref is None)
+    if ner_model_ref is not None:
+        from .ner_model import ner_stage
+        cells = ner_stage(cells, ner_model_ref)
     return annotate_stage_sharded(cells, skb, weights)
 
 
