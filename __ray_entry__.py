@@ -297,6 +297,33 @@ def _q_knn_cosine(sf_dir: str):
     return knn_brute(embs, _query_vectors(sf_dir), k=10)
 
 
+def _q_latest_order_asof(sf_dir: str):
+    """As-of join: each event paired with the user's latest order at or
+    before the event timestamp (DuckDB ASOF JOIN oracle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def rename(t):
+        return t.rename_columns(["user_id", "o_orderdate", "o_orderkey"])
+
+    right = orders.map_batches(rename, batch_format="pyarrow")
+    return asof_join(
+        ev, right, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("event_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderkey", pa.int64())]))
+
+
 def _q_sliding_window(sf_dir: str):
     import ray.data as rd
 
@@ -407,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_agg": _q_hourly_user_agg,
         "sessionize": _q_sessionize,
         "sliding_window_agg": _q_sliding_window,
+        "latest_order_asof": _q_latest_order_asof,
         # text / dedup operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -531,6 +559,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM s GROUP BY 1, 2
+        """,
+        "latest_order_asof": """
+            WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                              max(o_orderkey) AS o_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.user_id, e.ts, e.event_id, r.o_orderdate, r.o_orderkey
+            FROM events e ASOF JOIN r
+                 ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
         """,
         "sliding_window_agg": """
             SELECT user_id,

@@ -237,6 +237,87 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         out_schema)
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              left_ts: str, right_ts: str,
+              num_partitions: int = 32,
+              left_schema=None, right_schema=None) -> rd.Dataset:
+    """As-of join: for each left row, the LATEST right row of the same
+    key with ``right_ts <= left_ts`` (inner: unmatched left rows drop).
+    Matches DuckDB ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
+
+    Plan: the same tagged-union single co-partitioned shuffle as
+    ``hash_join``; inside each key partition the right side is deduped
+    per (key, ts) (keep the max of each payload column — deterministic
+    under duplicate timestamps, mirrored in the oracle) and a vectorized
+    ``pd.merge_asof(by=key)`` does the backward search. The shuffle is
+    the only exchange; the time search never leaves the partition.
+    """
+    def _names_types(ds, given):
+        if given is not None:
+            return list(given.names), {n: given.field(n).type for n in given.names}
+        s = ds.schema()
+        return list(s.names), {n: _arrow_type(t) for n, t in zip(s.names, s.types)}
+
+    l_names, l_types = _names_types(left, left_schema)
+    r_names, r_types = _names_types(right, right_schema)
+    l_other = [n for n in l_names if n != on]
+    r_other = [n for n in r_names if n != on]
+    overlap = set(l_other) & set(r_other)
+    if overlap:
+        raise ValueError(f"asof_join column overlap: {sorted(overlap)}")
+    r_payload = [n for n in r_other if n != right_ts]
+
+    fields = ([pa.field(on, l_types[on])]
+              + [pa.field(n, l_types[n]) for n in l_other]
+              + [pa.field(n, r_types[n]) for n in r_other]
+              + [pa.field("_side", pa.int8())])
+    schema = pa.schema(fields)
+
+    def pad(side: int, own: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = []
+            for fld in schema:
+                if fld.name == "_side":
+                    arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif fld.name == on or fld.name in own:
+                    arrays.append(t.column(fld.name).cast(fld.type))
+                else:
+                    arrays.append(pa.nulls(n, fld.type))
+            return pa.Table.from_arrays(arrays, schema=schema)
+        return f
+
+    both = (left.map_batches(pad(0, l_other), batch_format="pyarrow")
+            .union(right.map_batches(pad(1, r_other), batch_format="pyarrow")))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(df[on], index=False)
+                       % num_partitions).astype("int64")
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["_side"] == 0][[on, left_ts] +
+                                 [c for c in l_other if c != left_ts]]
+        rhs = g[g["_side"] == 1][[on, right_ts] + r_payload]
+        # dedupe right per (key, ts): keep max payload (deterministic)
+        rhs = rhs.groupby([on, right_ts], as_index=False).max()
+        lhs = lhs.sort_values(left_ts, kind="stable")
+        rhs = rhs.sort_values(right_ts, kind="stable")
+        m = pd.merge_asof(lhs, rhs, left_on=left_ts, right_on=right_ts,
+                          by=on, direction="backward")
+        return m[m[right_ts].notna()]   # inner semantics
+
+    out_schema = pa.schema(
+        [pa.field(on, l_types[on]), pa.field(left_ts, l_types[left_ts])]
+        + [pa.field(n, l_types[n]) for n in l_other if n != left_ts]
+        + [pa.field(right_ts, r_types[right_ts])]
+        + [pa.field(n, r_types[n]) for n in r_payload])
+    return typed_groupby_map(
+        both.map_batches(add_part, batch_format="pandas"), "_part", merge,
+        out_schema)
+
+
 def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
     """Per (user_id, hour bucket): event count + value sum — the
     batch-engine rendering of a tumbling window (ray_guide

@@ -88,3 +88,34 @@ def test_hash_join_matches_pandas(ray_session):
                     how="left").to_pandas())
     assert len(gl) == len(left.merge(right, on="k", how="left"))
     assert gl["b"].isna().sum() == left.merge(right, on="k", how="left")["b"].isna().sum()
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import asof_join
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2025-01-01")
+    left = pd.DataFrame({
+        "k": rng.randint(0, 10, 300),
+        "lts": base + pd.to_timedelta(rng.randint(0, 10_000, 300), unit="m"),
+        "lv": np.arange(300),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 10, 80),
+        "rts": base + pd.to_timedelta(rng.randint(0, 10_000, 80), unit="m"),
+        "rv": np.arange(80) * 10,
+    })
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     left_ts="lts", right_ts="rts")
+           .to_pandas().sort_values(["k", "lts", "lv"]).reset_index(drop=True))
+    rd_ = right.groupby(["k", "rts"], as_index=False).max()
+    want = pd.merge_asof(left.sort_values("lts", kind="stable"),
+                         rd_.sort_values("rts", kind="stable"),
+                         left_on="lts", right_on="rts", by="k",
+                         direction="backward")
+    want = (want[want["rts"].notna()]
+            .sort_values(["k", "lts", "lv"]).reset_index(drop=True)
+            .astype({"rv": "int64"}))   # left-join NaNs widened it pre-filter
+    pd.testing.assert_frame_equal(got[want.columns], want)
