@@ -324,6 +324,25 @@ def _q_latest_order_asof(sf_dir: str):
                                 ("o_orderkey", pa.int64())]))
 
 
+def _q_value_band_range_join(sf_dir: str):
+    """Overlapping-interval range join: events.value vs 13 bands of
+    width 56 on a 40 stride (a value can land in two bands)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.relational import range_join_broadcast
+
+    bands = pd.DataFrame({
+        "band_id": range(13),
+        "lo": [float(i * 40) for i in range(13)],
+        "hi": [float(i * 40 + 55) for i in range(13)],
+    })
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    return range_join_broadcast(ev, "value", bands,
+                                band_cols=["band_id"])
+
+
 def _q_sliding_window(sf_dir: str):
     import ray.data as rd
 
@@ -435,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "sliding_window_agg": _q_sliding_window,
         "latest_order_asof": _q_latest_order_asof,
+        "value_band_range_join": _q_value_band_range_join,
         # text / dedup operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -559,6 +579,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM s GROUP BY 1, 2
+        """,
+        "value_band_range_join": """
+            WITH bands AS (
+                SELECT k AS band_id, CAST(k * 40 AS DOUBLE) AS lo,
+                       CAST(k * 40 + 55 AS DOUBLE) AS hi
+                FROM (SELECT unnest(range(0, 13)) AS k))
+            SELECT e.event_id, e.user_id, e.value, b.lo, b.hi, b.band_id
+            FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
         """,
         "latest_order_asof": """
             WITH r AS (SELECT o_custkey AS user_id, o_orderdate,

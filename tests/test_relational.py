@@ -119,3 +119,20 @@ def test_asof_join_matches_merge_asof(ray_session):
             .sort_values(["k", "lts", "lv"]).reset_index(drop=True)
             .astype({"rv": "int64"}))   # left-join NaNs widened it pre-filter
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_range_join_broadcast(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import range_join_broadcast
+
+    bands = pd.DataFrame({"band_id": [0, 1],
+                          "lo": [0.0, 5.0], "hi": [10.0, 15.0]})
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "value": [0.0, 7.0, 10.0, 16.0]})
+    out = (range_join_broadcast(rd.from_pandas(df), "value", bands,
+                                band_cols=["band_id"])
+           .to_pandas().sort_values(["id", "band_id"]).reset_index(drop=True))
+    got = set(zip(out["id"], out["band_id"]))
+    # boundaries inclusive on both ends; overlaps produce two rows
+    assert got == {(1, 0), (2, 0), (2, 1), (3, 0), (3, 1)}
