@@ -258,6 +258,51 @@ def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,
     return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _cached_tagger(model_ref):
+    """NERTagger instance cached per worker process (same pattern as
+    ``_cached_get`` — model deserialized once, memo shared)."""
+    from .ner_model import NERTagger
+    key = "tagger-" + (model_ref.hex() if hasattr(model_ref, "hex")
+                       else str(id(model_ref)))
+    if key not in _STATE_CACHE:
+        _STATE_CACHE[key] = NERTagger(model_ref)
+    return _STATE_CACHE[key]
+
+
+def extract_annotate_stage(pages: rd.Dataset, kb_ref, gazetteer_ref=None, *,
+                           weights: Optional[Weights] = None,
+                           check_text_invariant: bool = False,
+                           ner_model_ref=None,
+                           batch_size: int = 64) -> rd.Dataset:
+    """ZERO-SHUFFLE extract+annotate: one fused ``map_batches``.
+
+    The per-table grouping the hash-partition shuffle provides is
+    already guaranteed by construction here: a canonical table never
+    spans pages, and each page's rows are extracted inside ONE batch —
+    so extraction output is table-contiguous, and running the per-table
+    STI inside the same UDF removes the pipeline's only all-to-all
+    exchange over the full cell stream (at 100 TB that exchange moves
+    every extracted cell; this path moves none). Doing both steps in
+    one UDF also makes the invariant airtight: no intermediate stream
+    exists for Ray's dynamic block splitting to cut a table in half.
+
+    Use ``annotate_stage`` (the partitioned path) when cells come from
+    a source that is NOT page-aligned (e.g. a pre-extracted cell table
+    with arbitrary row order)."""
+    w = weights or Weights()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gaz = _cached_get(gazetteer_ref)
+        cells = _extract_batch(batch, gaz, check_text_invariant,
+                               fill_ner=ner_model_ref is None)
+        if ner_model_ref is not None:
+            cells = _cached_tagger(ner_model_ref)(cells)
+        kb = _cached_get(kb_ref)
+        return _annotate_partition(cells, kb, w)
+
+    return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
                    num_cpus: float = 1, num_partitions: int = 128) -> rd.Dataset:
     """The per-table shuffle + annotate pass (first shuffle).
@@ -489,16 +534,29 @@ def split_kind(results: rd.Dataset, kind: str) -> rd.Dataset:
 def kg_pipeline(pages_path, kb_ref, gazetteer_ref=None, *,
                 weights: Optional[Weights] = None,
                 check_text_invariant: bool = False,
-                ner_model_ref=None) -> rd.Dataset:
+                ner_model_ref=None,
+                annotate_mode: str = "fused") -> rd.Dataset:
     """pages parquet -> union-schema results Dataset (lazy).
 
+    ``annotate_mode``: "fused" (default) extracts and annotates in ONE
+    ``map_batches`` — zero shuffles, valid because extraction is
+    page-aligned and tables never span pages (``extract_annotate_stage``);
+    "partitioned" runs the explicit hash-partition plan (required when
+    cells are not page-aligned, and used by the sharded-KB path).
+    Both are output-identical (tested).
+
     ``ner_model_ref``: broadcast ref of a trained ``ner_model`` NB
-    model; when given, extraction leaves missing NER labels empty and
-    an autoscaling ACTOR-POOL tagger stage fills them (model loaded
-    once per actor) — the model-grade replacement for the inline
-    gazetteer fallback on pages without ``data-ner`` attributes."""
+    model; when given, missing NER labels are filled by the model
+    tagger (per-worker cached state in fused mode; an autoscaling
+    ACTOR-POOL stage in partitioned mode) — the model-grade replacement
+    for the inline gazetteer fallback on pages without ``data-ner``."""
     pages = read_pages(pages_path,
                        columns=["url", "html", "text"] if check_text_invariant else None)
+    if annotate_mode == "fused":
+        return extract_annotate_stage(
+            pages, kb_ref, gazetteer_ref, weights=weights,
+            check_text_invariant=check_text_invariant,
+            ner_model_ref=ner_model_ref)
     cells = extract_stage(pages, gazetteer_ref,
                           check_text_invariant=check_text_invariant,
                           fill_ner=ner_model_ref is None)

@@ -68,3 +68,28 @@ def test_counters_match_oracle(run):
     res_df, g_ann, _, _, counters, _ = run
     ann = res_df[res_df["kind"] == "annotation"]
     assert len(ann) == len(g_ann)
+
+
+def test_fused_equals_partitioned(ray_session):
+    """The zero-shuffle fused extract+annotate path must be
+    output-identical to the explicit hash-partition plan (the per-table
+    grouping is guaranteed by page-aligned extraction)."""
+    import os
+
+    import pandas as pd
+
+    from tabbyray import pipeline
+    from tabbyray.fixtures import ensure_fixture
+    from tabbyray.kb import load_kb
+
+    fix = ensure_fixture("conformance", seed=7, n_pages=60, n_entities=800)
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    kb_ref, gaz_ref = pipeline.put_kb(kb)
+    a = pipeline.kg_pipeline(os.path.join(fix, "pages.parquet"), kb_ref,
+                             gaz_ref, annotate_mode="partitioned").to_pandas()
+    b = pipeline.kg_pipeline(os.path.join(fix, "pages.parquet"), kb_ref,
+                             gaz_ref, annotate_mode="fused").to_pandas()
+    key = list(a.columns)
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
