@@ -241,8 +241,10 @@ def read_pages(path, columns: Optional[list[str]] = None,
         # (Ray default heuristic) -> 66s; 20k pages / 32 cpus: 256
         # blocks -> 15s, ~64 -> 7.6s): enough grain to smooth
         # per-table cost skew, few enough that driver scheduling stays
-        # negligible. On a multi-node cluster scale this with total
-        # cores (~2-8 blocks per core).
+        # negligible. Re-validated for the FUSED path (20k/32, best-of-2
+        # extract+annotate+write): 64 -> 3.3s, 128 -> 3.4s, 256 -> 4.2s.
+        # On a multi-node cluster scale this with total cores (~2-8
+        # blocks per core).
         override_num_blocks = 64
     return rd.read_parquet(path, columns=columns or ["url", "html"],
                            override_num_blocks=override_num_blocks)
