@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -147,7 +146,13 @@ def _minhash_params(num_perm: int, seed: int = 42):
 def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
                        seed: int = 42) -> rd.Dataset:
     """doc_id, sig (fixed-size uint64 list): vectorized per-batch
-    (a*x + b) mod p permutation hashing over crc32 shingle hashes."""
+    (a*x + b) mod p permutation hashing over md5 shingle hashes.
+
+    The shingle hash is the low 8 md5 digest bytes little-endian —
+    exactly DuckDB's ``md5_number_lower`` — and the permutation
+    arithmetic wraps mod 2**64 (numpy uint64 semantics), so the whole
+    signature is reproducible in SQL (see the minhash_signatures
+    oracle in ``__ray_entry__.py``)."""
     a, b = _minhash_params(num_perm, seed)
 
     def f(t: pa.Table) -> pa.Table:
@@ -157,7 +162,9 @@ def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
             if not sh:
                 sigs.append([int(_MERSENNE)] * num_perm)
                 continue
-            x = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+            x = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                                         "little") for s in sh],
+                         dtype=np.uint64)
             # (num_perm, n_shingles) matrix of permuted hashes, min per row
             h = (np.outer(a, x) + b[:, None]) % _MERSENNE
             sigs.append(h.min(axis=1).tolist())

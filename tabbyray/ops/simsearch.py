@@ -156,11 +156,18 @@ def knn_ivf(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
 
 
 def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
-            n_planes: int = 8, seed: int = 42) -> rd.Dataset:
-    """Approximate top-k: search only the query's LSH bucket. Queries
-    whose bucket holds fewer than k members fall back to a global brute
-    search (bucket occupancy is a <= 2**n_planes-row aggregate, counted
-    with a per-batch combiner)."""
+            n_planes: int = 8, seed: int = 42,
+            probes: int = 0) -> rd.Dataset:
+    """Approximate top-k: search the query's LSH bucket plus, with
+    multi-probe (``probes`` = Hamming radius), every bucket whose code
+    differs in at most ``probes`` bits — the standard multi-probe LSH
+    recall knob (sum of C(n_planes, r) for r <= probes buckets per
+    query instead of more hash tables). Queries whose probe set holds
+    fewer than k members fall back to a global brute search (bucket
+    occupancy is a <= 2**n_planes-row aggregate, counted with a
+    per-batch combiner)."""
+    from itertools import combinations
+
     bucketed = lsh_buckets(embs, n_planes, seed)
     rng = np.random.RandomState(seed)
     dim = len(next(iter(queries.values())))
@@ -169,7 +176,19 @@ def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
     for qid, v in queries.items():
         bits = (np.asarray(v, dtype=np.float64) @ planes) > 0
         q_bucket[qid] = int((bits * (1 << np.arange(n_planes))).sum())
-    wanted = sorted(set(q_bucket.values()))
+
+    def probe_set(b: int) -> set[int]:
+        out = {b}
+        for r in range(1, probes + 1):
+            for flips in combinations(range(n_planes), r):
+                m = 0
+                for f in flips:
+                    m |= 1 << f
+                out.add(b ^ m)
+        return out
+
+    q_probes = {q: probe_set(b) for q, b in q_bucket.items()}
+    wanted = sorted(set().union(*q_probes.values()))
 
     # bucket occupancy for the wanted buckets: tiny per-batch combiner +
     # driver reduce over <= len(wanted) rows
@@ -185,12 +204,13 @@ def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
     for row in bucketed.map_batches(occupancy, batch_format="pyarrow").take_all():
         counts[row["bucket"]] = counts.get(row["bucket"], 0) + row["n"]
     fallback = {q: v for q, v in queries.items()
-                if counts.get(q_bucket[q], 0) < k + 1}   # +1: self may occupy
+                if sum(counts.get(b, 0) for b in q_probes[q])
+                < k + 1}                                 # +1: self may occupy
     bucket_qs = {q: v for q, v in queries.items() if q not in fallback}
 
     results = []
     if bucket_qs:
-        keep = sorted({q_bucket[q] for q in bucket_qs})
+        keep = sorted(set().union(*(q_probes[q] for q in bucket_qs)))
 
         def keep_wanted(t: pa.Table) -> pa.Table:
             # vectorized mask, zero-copy Arrow — not a per-row Python filter

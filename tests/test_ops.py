@@ -89,6 +89,32 @@ def test_embedding_neardup_and_knn(ray_session):
     assert len(lsh) <= 3 and list(lsh["neighbor_id"])[:1] == [1]
 
 
+def test_knn_lsh_full_probe_equals_brute(ray_session):
+    """Multi-probe invariant: probes == n_planes covers every bucket,
+    so the probed subset is the whole corpus and the result must equal
+    brute force exactly (ranks included)."""
+    import ray.data as rd
+    from tabbyray.ops.simsearch import knn_brute, knn_lsh
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 12)
+    df = pd.DataFrame({"vec_id": range(40),
+                       "embedding": [r.tolist() for r in base]})
+    embs = rd.from_pandas(df)
+    queries = {3: base[3].tolist(), 17: base[17].tolist()}
+    brute = (knn_brute(embs, queries, k=5).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    full = (knn_lsh(embs, queries, k=5, n_planes=6, probes=6).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(brute, full)
+    # intermediate radius still returns k results per query (recall is
+    # NOT monotone in the radius here: a radius-0 probe set with < k
+    # members triggers the global-brute fallback, which a larger radius
+    # legitimately avoids)
+    mid = knn_lsh(embs, queries, k=5, n_planes=6, probes=2).to_pandas()
+    assert sorted(mid.groupby("query_id").size()) == [5, 5]
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from tabbyray.ops.multimodal import (
