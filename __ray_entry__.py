@@ -440,6 +440,66 @@ def _q_simhash(sf_dir: str):
     return simhash_values(_docs(sf_dir))
 
 
+def _q_vocab_topk(sf_dir: str):
+    from tabbyray.ops.text import term_counts_topk
+    return term_counts_topk(_docs(sf_dir), k=500)
+
+
+def _q_term_doc_freq(sf_dir: str):
+    from tabbyray.ops.text import term_doc_freq
+    return term_doc_freq(_docs(sf_dir), min_df=10)
+
+
+def _q_train_test_split(sf_dir: str):
+    from tabbyray.ops.sampling import hash_split
+    return hash_split(_docs(sf_dir), "doc_id").select_columns(
+        ["doc_id", "split"])
+
+
+def _q_doc_hash_sample(sf_dir: str):
+    from tabbyray.ops.sampling import hash_sample
+    return hash_sample(_docs(sf_dir), "doc_id",
+                       frac=0.1).select_columns(["doc_id"])
+
+
+def _q_distinct_users_per_type(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import distinct_count
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id"])
+    return distinct_count(events, "event_type", "user_id")
+
+
+def _q_token_quantiles(sf_dir: str):
+    from tabbyray.ops.relational import exact_quantiles
+    from tabbyray.ops.text import token_counts
+    return exact_quantiles(token_counts(_docs(sf_dir)), "n_tokens",
+                           [0.5, 0.9, 0.99])
+
+
+def _q_blocklist_filtered_docs(sf_dir: str):
+    """Anti-join filtering: drop every doc whose fingerprint occurs
+    more than once (the blocklist side is small and broadcast once)."""
+    from ray.data.aggregate import Count
+
+    from tabbyray.ops.relational import broadcast_filter_join
+    from tabbyray.ops.text import fingerprints
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), 1))
+
+    fps = fingerprints(_docs(sf_dir))
+    dup = (fps.groupby("fp").aggregate(Count(alias_name="n"))
+           .map_batches(dups_only, batch_format="pyarrow"))
+    return broadcast_filter_join(fps, "fp", dup,
+                                 mode="anti").select_columns(["doc_id"])
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -493,6 +553,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "regex_token_counts": _q_regex_token_counts,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "vocab_topk": _q_vocab_topk,
+        "term_doc_freq": _q_term_doc_freq,
+        "train_test_split": _q_train_test_split,
+        "doc_hash_sample": _q_doc_hash_sample,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "token_quantiles": _q_token_quantiles,
+        "blocklist_filtered_docs": _q_blocklist_filtered_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
@@ -785,6 +852,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "vocab_topk": """
+            WITH tok AS (SELECT unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY term
+            ORDER BY n DESC, term ASC LIMIT 500
+        """,
+        "term_doc_freq": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            dt AS (SELECT DISTINCT doc_id, term FROM tok)
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM dt GROUP BY term HAVING count(*) >= 10
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+                  FROM documents)
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 1000
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "token_quantiles": """
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   quantile_cont(len(string_split(text, ' ')), 0.5) AS value
+            FROM documents
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   quantile_cont(len(string_split(text, ' ')), 0.9)
+            FROM documents
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE),
+                   quantile_cont(len(string_split(text, ' ')), 0.99)
+            FROM documents
+        """,
+        "blocklist_filtered_docs": """
+            WITH f AS (SELECT doc_id,
+                              md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                                  AS fp
+                       FROM documents),
+            dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+            SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM dup)
         """,
         "knn_cosine": _KNN_EXACT_SQL,
         # knn_ivf probes 12/16 IVF cells in its queries() wrapper —

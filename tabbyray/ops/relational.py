@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..normalize import normalize_entry
@@ -381,3 +382,121 @@ def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
                               ("hour", pa.timestamp("us")),
                               ("sum_value", pa.float64()),
                               ("n_events", pa.int64())]))
+
+
+def top_n(ds: rd.Dataset, sort_cols: list[str], ascending: list[bool],
+          n: int) -> rd.Dataset:
+    """Scale-safe global top-N: per-block prune to n rows first, then
+    sort+limit over the <= n * num_blocks survivors. The all-to-all
+    sort never sees the full dataset — at 100 TB the pruned stream is
+    n rows per block regardless of input size. ``sort_cols`` must give
+    a total order (include a unique tie-break column)."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="stable").head(n)
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    return pruned.sort(sort_cols,
+                       descending=[not a for a in ascending]).limit(n)
+
+
+def distinct_count(ds: rd.Dataset, key: str, value_col: str,
+                   alias: str = "n_distinct",
+                   key_type: "pa.DataType | None" = None,
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Exact COUNT(DISTINCT value) per key: batch-local (key, value)
+    dedup combiner -> ONE shuffle partitioned on hash(key, value) ->
+    in-partition dedup + per-key partial counts -> tiny final groupby
+    over (key, partition) partials. The wide exchange moves distinct
+    pairs only; the final aggregate sees P rows per key."""
+    from ray.data.aggregate import Sum
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[[key, value_col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            g[key].astype(str) + "|" + g[value_col].astype(str), index=False)
+        g = g.assign(part=(h % num_partitions).astype("int64"))
+        return g
+
+    def part_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key, value_col])
+        out = d.groupby(key, as_index=False).size()
+        return out.rename(columns={"size": alias})
+
+    # key_type is passed explicitly rather than read from ds.schema():
+    # schema() on a lazy dataset executes the upstream plan (see the
+    # hash_join note above)
+    partials = typed_groupby_map(
+        ds.map_batches(local_dedup, batch_format="pandas"), "part",
+        part_count,
+        pa.schema([(key, key_type or pa.string()), (alias, pa.int64())]))
+    return partials.groupby(key).aggregate(Sum(alias, alias_name=alias))
+
+
+def exact_quantiles(ds: rd.Dataset, col: str,
+                    qs: list[float]) -> pd.DataFrame:
+    """Exact linear-interpolated quantiles (SQL ``quantile_cont``
+    semantics) of an integer-ish column via a distributed histogram:
+    per-batch value_counts combiner -> groupby(value) sum -> the tiny
+    (distinct-value, count) histogram comes to the driver and the
+    quantile positions q*(n-1) are interpolated there. Assumes the
+    column's DISTINCT-value cardinality is bounded (lengths, counts,
+    scores), which holds even at 100 TB row counts; the full column is
+    never collected."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(t.column(col).combine_chunks())
+        return pa.table({col: vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(col).aggregate(Sum("n", alias_name="n")).to_pandas()
+            .sort_values(col).reset_index(drop=True))
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist[col].to_numpy()
+
+    def value_at(idx: int) -> float:
+        return float(vals[np.searchsorted(cum, idx + 1)])
+
+    out = []
+    for q in qs:
+        h = q * (total - 1)
+        lo, frac = int(np.floor(h)), h - np.floor(h)
+        v = value_at(lo)
+        if frac > 0:
+            v += frac * (value_at(lo + 1) - v)
+        out.append({"q": float(q), "value": v})
+    return pd.DataFrame(out)
+
+
+def broadcast_filter_join(ds: rd.Dataset, col: str, keys,
+                          mode: str = "anti") -> rd.Dataset:
+    """Semi/anti join against a SMALL key set (blocklist / allowlist):
+    the keys are ``ray.put`` once and every task applies a vectorized
+    ``pc.is_in`` mask — no shuffle, no per-batch reshipping. ``keys``
+    may be a list or a Dataset with column ``col`` (materialized to the
+    driver first — by assumption the small side fits; use hash_join
+    for a big-big anti join)."""
+    import pyarrow.compute as pc
+
+    if isinstance(keys, rd.Dataset):
+        df = keys.select_columns([col]).to_pandas()
+        # an all-empty Dataset materializes with no columns at all
+        keys = df[col].tolist() if col in df.columns else []
+    if not keys:
+        # empty blocklist/allowlist: an anti join keeps everything, a
+        # semi join keeps nothing (and pa.array([]) is null-typed,
+        # which pc.is_in rejects against a typed column)
+        return ds if mode == "anti" else ds.limit(0)
+    ref = ray.put(pa.array(sorted(set(keys))))
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(col), value_set=ray.get(ref))
+        if mode == "anti":
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,63 @@
+"""Deterministic sampling / split operators for training-data prep.
+
+Split assignment must be a pure function of the record id — never of
+row order, block boundaries, or worker count — so that (a) re-runs and
+resumed runs agree, (b) the same doc lands in the same split when the
+corpus is re-sharded, and (c) an independent system (the DuckDB
+oracle) can recompute the assignment. The bucket hash is the low 8
+md5 digest bytes of ``str(id)`` little-endian — exactly DuckDB's
+``md5_number_lower(CAST(id AS VARCHAR))``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _bucket(val, n_buckets: int) -> int:
+    h = hashlib.md5(str(val).encode()).digest()
+    return int.from_bytes(h[8:], "little") % n_buckets
+
+
+def hash_split(ds: rd.Dataset, id_col: str,
+               splits: list[tuple[str, int]] | None = None,
+               n_buckets: int = 100) -> rd.Dataset:
+    """Append a ``split`` column by hashing ``id_col`` into
+    ``n_buckets`` buckets and mapping contiguous bucket ranges to named
+    splits. Default: 80/10/10 train/val/test. Stateless map — no
+    shuffle, no sampling state, reproducible in SQL."""
+    splits = splits or [("train", 80), ("val", 10), ("test", 10)]
+    if sum(w for _, w in splits) != n_buckets:
+        raise ValueError("split weights must sum to n_buckets")
+    bounds = []
+    lo = 0
+    for name, w in splits:
+        bounds.append((name, lo, lo + w))
+        lo += w
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for v in t.column(id_col).to_pylist():
+            b = _bucket(v, n_buckets)
+            out.append(next(n for n, a, z in bounds if a <= b < z))
+        return t.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_sample(ds: rd.Dataset, id_col: str, frac: float,
+                n_buckets: int = 10_000) -> rd.Dataset:
+    """Deterministic ~frac sample: keep rows whose id-hash bucket falls
+    below frac * n_buckets. Unlike ``Dataset.random_sample`` the
+    selection is stable across runs, shard counts and engines."""
+    cut = int(frac * n_buckets)
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pa.array([_bucket(v, n_buckets) < cut
+                         for v in t.column(id_col).to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -148,3 +148,69 @@ def lang_distribution(docs: rd.Dataset) -> rd.Dataset:
     partials = docs.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
     return partials.groupby("lang").aggregate(Sum("n", alias_name="n_docs"))
+
+
+def term_counts_topk(docs: rd.Dataset, k: int = 500,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Corpus-wide term frequency top-k (the vocabulary-build step of a
+    tokenizer-training pipeline): term, n, ordered (n desc, term asc).
+
+    Plan: per-batch Counter combiner (the shuffle moves one row per
+    (term, batch), not per token) -> partitioned hash aggregate over
+    the high-cardinality term key -> per-partition top-k prune -> final
+    sort+limit over the <= P*k pruned survivors (tiny; the global sort
+    never sees the full vocabulary). Deterministic tie-break: term asc.
+    """
+    from collections import Counter
+
+    from .relational import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(_WS.sub(" ", (text or "")).strip().split(" "))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = hash_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["term"], sum_cols={"n": "n"}, num_partitions=num_partitions,
+        out_schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "term"], ascending=[False, True],
+                              kind="stable").head(k)
+
+    pruned = counts.map_batches(local_topk, batch_format="pandas")
+    return pruned.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def term_doc_freq(docs: rd.Dataset, min_df: int = 10,
+                  num_partitions: int = 32) -> rd.Dataset:
+    """Document frequency per term (the IDF input): term, df for terms
+    appearing in >= min_df distinct documents.
+
+    Per-batch kernel emits each doc's DISTINCT terms once (set, not
+    bag), so the aggregate counts documents; duplicate (doc, term)
+    pairs cannot span batches because a document lives in one row."""
+    from .relational import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms, ones = [], []
+        for text in t.column("text").to_pylist():
+            uniq = set(_WS.sub(" ", (text or "")).strip().split(" "))
+            terms.extend(uniq)
+            ones.extend([1] * len(uniq))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(ones, pa.int64())})
+
+    counts = hash_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["term"], sum_cols={"df": "df"}, num_partitions=num_partitions,
+        out_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t.column("df"), min_df))
+
+    return counts.map_batches(keep, batch_format="pyarrow")

@@ -136,3 +136,115 @@ def test_range_join_broadcast(ray_session):
     got = set(zip(out["id"], out["band_id"]))
     # boundaries inclusive on both ends; overlaps produce two rows
     assert got == {(1, 0), (2, 0), (2, 1), (3, 0), (3, 1)}
+
+
+def test_top_n_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import top_n
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"id": range(200), "score": rng.randint(0, 50, 200)})
+    got = (top_n(rd.from_pandas(df).repartition(8),
+                 ["score", "id"], [False, True], 10)
+           .to_pandas().reset_index(drop=True))
+    want = (df.sort_values(["score", "id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_distinct_count_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import distinct_count
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"k": rng.choice(list("abc"), 500),
+                       "v": rng.randint(0, 40, 500)})
+    got = (distinct_count(rd.from_pandas(df).repartition(6), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k")["v"].nunique().reset_index()
+            .rename(columns={"v": "n_distinct"}))
+    want["n_distinct"] = want["n_distinct"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_exact_quantiles_matches_numpy_linear(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import exact_quantiles
+
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 120, 1000)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+    got = exact_quantiles(ds, "x", [0.0, 0.25, 0.5, 0.9, 0.99, 1.0])
+    for _, row in got.iterrows():
+        want = float(np.percentile(vals, row["q"] * 100,
+                                   method="linear"))
+        assert abs(row["value"] - want) < 1e-9, (row["q"], row["value"], want)
+
+
+def test_broadcast_filter_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import broadcast_filter_join
+
+    df = pd.DataFrame({"k": list("abcde"), "v": range(5)})
+    ds = rd.from_pandas(df)
+    anti = broadcast_filter_join(ds, "k", ["b", "d"], mode="anti").to_pandas()
+    assert sorted(anti["k"]) == ["a", "c", "e"]
+    semi = broadcast_filter_join(ds, "k", ["b", "d"], mode="semi").to_pandas()
+    assert sorted(semi["k"]) == ["b", "d"]
+    # empty key set: anti keeps everything, semi keeps nothing
+    assert broadcast_filter_join(ds, "k", [], mode="anti").count() == 5
+    assert broadcast_filter_join(ds, "k", [], mode="semi").count() == 0
+
+
+def test_hash_split_deterministic_and_resharding_stable(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import hash_sample, hash_split
+
+    df = pd.DataFrame({"doc_id": range(1000)})
+    a = (hash_split(rd.from_pandas(df), "doc_id").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (hash_split(rd.from_pandas(df).repartition(9), "doc_id").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    # assignment is a pure function of the id: block layout is irrelevant
+    pd.testing.assert_frame_equal(a, b)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9 and frac["test"] < 0.2
+    s1 = set(hash_sample(rd.from_pandas(df), "doc_id", 0.2)
+             .to_pandas()["doc_id"])
+    s2 = set(hash_sample(rd.from_pandas(df).repartition(4), "doc_id", 0.2)
+             .to_pandas()["doc_id"])
+    assert s1 == s2 and 0.1 < len(s1) / 1000 < 0.3
+
+
+def test_term_ops_match_pandas(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.text import term_counts_topk, term_doc_freq
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 25)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": range(120), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+
+    got = term_counts_topk(ds, k=10).to_pandas().reset_index(drop=True)
+    from collections import Counter
+    c = Counter(w for t in texts for w in t.split(" "))
+    want = (pd.DataFrame(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10],
+                         columns=["term", "n"]))
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+    got_df = (term_doc_freq(ds, min_df=40).to_pandas()
+              .sort_values("term").reset_index(drop=True))
+    dfc = Counter(w for t in texts for w in set(t.split(" ")))
+    want_df = (pd.DataFrame([(w, n) for w, n in sorted(dfc.items()) if n >= 40],
+                            columns=["term", "df"]))
+    want_df["df"] = want_df["df"].astype("int64")
+    pd.testing.assert_frame_equal(got_df, want_df)
