@@ -500,6 +500,52 @@ def _q_blocklist_filtered_docs(sf_dir: str):
                                  mode="anti").select_columns(["doc_id"])
 
 
+def _q_clean_normalize(sf_dir: str):
+    """Cleaned text checked as (fingerprint, length) scalars."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from tabbyray.ops.text import clean_normalize
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t.column("clean_text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "clean_fp": pa.array(
+                [hashlib.md5(x.encode()).hexdigest() for x in texts],
+                pa.string()),
+            "n_clean_chars": pa.array([len(x) for x in texts], pa.int64())})
+
+    return clean_normalize(_docs(sf_dir)).map_batches(
+        fp, batch_format="pyarrow")
+
+
+def _q_pii_counts(sf_dir: str):
+    from tabbyray.ops.text import pii_counts
+    return pii_counts(_docs(sf_dir))
+
+
+def _q_repetition_stats(sf_dir: str):
+    from tabbyray.ops.text import repetition_stats
+    return repetition_stats(_docs(sf_dir))
+
+
+def _q_ngram_contamination(sf_dir: str):
+    """Decontamination check: benchmark set = docs with doc_id < 5."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.text import ngram_contamination
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("doc_id"), 5))
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    return ngram_contamination(docs, bench)
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -560,6 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "clean_normalize": _q_clean_normalize,
+        "pii_counts": _q_pii_counts,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
@@ -693,6 +743,11 @@ _LANG_CASES = {
 
 
 def oracle_sql() -> dict[str, str]:
+    # PII patterns come straight from the operator's compiled regexes
+    # (RE2-compatible by construction) so the SQL can never drift
+    from tabbyray.ops.text import _EMAIL, _PHONE
+    _EMAIL_RE = _EMAIL.pattern
+    _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
     lang_scores = ",\n".join(
         f"len(list_filter(ws, x -> x IN ({words}))) AS n_{lang}"
@@ -909,6 +964,60 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
             SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM dup)
+        """,
+        "clean_normalize": """
+            SELECT doc_id, md5(clean) AS clean_fp,
+                   CAST(length(clean) AS BIGINT) AS n_clean_chars
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(regexp_replace(
+                             lower(nfc_normalize(text)),
+                             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS clean
+                  FROM documents)
+        """,
+        "pii_counts": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+            FROM documents
+        """,
+        "repetition_stats": """
+            WITH t AS (SELECT doc_id,
+                              string_split(trim(regexp_replace(
+                                  text, '\\s+', ' ', 'g')), ' ') AS l
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         list_transform(range(1, len(l)),
+                                        i -> l[i] || ' ' || l[i+1]) AS bg
+                  FROM t)
+            SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+            FROM b
+        """,
+        "ngram_contamination": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split(trim(regexp_replace(
+                                     text, '\\s+', ' ', 'g')), ' ') AS l
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest(CASE WHEN len(l) < 3
+                                 THEN [array_to_string(l, ' ')]
+                                 ELSE list_transform(range(1, len(l) - 1),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                                 END) AS s
+                   FROM toks),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s IN (SELECT s FROM bench)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+                   CAST(count(*) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY doc_id
         """,
         "knn_cosine": _KNN_EXACT_SQL,
         # knn_ivf probes 12/16 IVF cells in its queries() wrapper —

@@ -214,3 +214,119 @@ def term_doc_freq(docs: rd.Dataset, min_df: int = 10,
         return t.filter(pc.greater_equal(t.column("df"), min_df))
 
     return counts.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cleaning / safety / quality-signal operators
+# ---------------------------------------------------------------------------
+
+_CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+# RE2-compatible (no lookaround) so the DuckDB oracle runs the same
+# patterns verbatim
+_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PHONE = re.compile(r"\+?[0-9][0-9()\-. ]{7,}[0-9]")
+
+
+def clean_normalize(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, clean_text: NFC unicode normalization, lowercase,
+    control-char strip, whitespace collapse — the canonical first stage
+    of a text-prep pipeline. Pure per-batch map, no state."""
+    import unicodedata
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for x in t.column("text").to_pylist():
+            s = unicodedata.normalize("NFC", x or "").lower()
+            s = _CTRL.sub("", s)
+            out.append(_WS.sub(" ", s).strip())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "clean_text": pa.array(out, pa.string())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def pii_counts(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, n_emails, n_phones, redacted_fp: counts of email/phone
+    matches plus the md5 of the text with matches replaced by
+    placeholder tokens (the redaction output, fingerprinted so the
+    check stays scalar). Patterns are module-level compiled constants
+    (once per worker process) and RE2-compatible."""
+    def f(t: pa.Table) -> pa.Table:
+        ne, np_, fps = [], [], []
+        for x in t.column("text").to_pylist():
+            s = x or ""
+            ne.append(len(_EMAIL.findall(s)))
+            red = _EMAIL.sub("<EMAIL>", s)
+            np_.append(len(_PHONE.findall(red)))
+            red = _PHONE.sub("<PHONE>", red)
+            fps.append(hashlib.md5(red.encode()).hexdigest())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_emails": pa.array(ne, pa.int64()),
+                         "n_phones": pa.array(np_, pa.int64()),
+                         "redacted_fp": pa.array(fps, pa.string())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id, n_bigrams, n_distinct_bigrams: token-bigram repetition
+    (a Gopher-style quality rule — highly repetitive documents have a
+    low distinct/total ratio). Counts are integers so the SQL oracle
+    compares exactly; compute the ratio downstream from identical
+    operands."""
+    def f(t: pa.Table) -> pa.Table:
+        tot, dis = [], []
+        for x in t.column("text").to_pylist():
+            toks = _WS.sub(" ", (x or "")).strip().split(" ")
+            bigrams = [toks[i] + " " + toks[i + 1]
+                       for i in range(len(toks) - 1)]
+            tot.append(len(bigrams))
+            dis.append(len(set(bigrams)))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bigrams": pa.array(tot, pa.int64()),
+                         "n_distinct_bigrams": pa.array(dis, pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_contamination(docs: rd.Dataset, benchmark: rd.Dataset,
+                        shingle_n: int = 3) -> rd.Dataset:
+    """doc_id, n_overlap, n_shingles: per-document overlap with the
+    union of a benchmark set's n-gram shingles — the decontamination
+    check of a training-data pipeline. The benchmark side is SMALL by
+    assumption (eval sets), built distributedly then ``ray.put`` once;
+    each batch intersects against the broadcast frozenset. For a
+    benchmark too big to broadcast, co-partition doc and benchmark
+    shingles on the shingle hash instead (the ngram_jaccard plan)."""
+    import ray
+
+    def to_shingles(t: pa.Table) -> pa.Table:
+        out = set()
+        for x in t.column("text").to_pylist():
+            toks = _WS.sub(" ", (x or "")).strip().split(" ")
+            if len(toks) < shingle_n:
+                out.add(" ".join(toks))
+            else:
+                for i in range(len(toks) - shingle_n + 1):
+                    out.add(" ".join(toks[i:i + shingle_n]))
+        return pa.table({"s": pa.array(sorted(out), pa.string())})
+
+    bench_shingles = frozenset(
+        r["s"] for r in
+        benchmark.map_batches(to_shingles, batch_format="pyarrow")
+        .take_all())
+    ref = ray.put(bench_shingles)
+
+    def f(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        n_ov, n_sh = [], []
+        for x in t.column("text").to_pylist():
+            toks = _WS.sub(" ", (x or "")).strip().split(" ")
+            if len(toks) < shingle_n:
+                sh = {" ".join(toks)}
+            else:
+                sh = {" ".join(toks[i:i + shingle_n])
+                      for i in range(len(toks) - shingle_n + 1)}
+            n_sh.append(len(sh))
+            n_ov.append(len(sh & bench))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_overlap": pa.array(n_ov, pa.int64()),
+                         "n_shingles": pa.array(n_sh, pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -276,3 +276,65 @@ def test_multimodal_resize_and_frames(ray_session):
     assert len(fr) == 64
     assert set(fr["frame_idx"]) == {0, 1, 2, 3}
     assert fr.groupby("media_id").size().eq(4).all()
+
+
+def test_clean_normalize(ray_session):
+    import hashlib
+    import ray.data as rd
+    from tabbyray.ops.text import clean_normalize
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["  Hello\tWORLD  ",
+                                "café Bar\x00\x1f!",   # NFC + ctrl chars
+                                ""]})
+    out = (clean_normalize(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean_text"]) == ["hello world", "café bar!", ""]
+
+
+def test_pii_counts_and_redaction(ray_session):
+    import hashlib
+    import ray.data as rd
+    from tabbyray.ops.text import pii_counts
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [
+        "mail a@b.com or c.d+x@e.org, call +1 (555) 123-4567 now",
+        "no pii here"]})
+    out = (pii_counts(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_emails"]) == [2, 0]
+    assert list(out["n_phones"]) == [1, 0]
+    want = hashlib.md5(
+        b"mail <EMAIL> or <EMAIL>, call <PHONE> now").hexdigest()
+    assert out["redacted_fp"][0] == want
+    assert out["redacted_fp"][1] == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.text import repetition_stats
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["a b a b a b",      # 5 bigrams, 2 distinct
+                                "x y z",             # 2 bigrams, 2 distinct
+                                "solo"]})            # 0 bigrams
+    out = (repetition_stats(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_bigrams"]) == [5, 2, 0]
+    assert list(out["n_distinct_bigrams"]) == [2, 2, 0]
+
+
+def test_ngram_contamination(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.text import ngram_contamination
+
+    bench = pd.DataFrame({"doc_id": [100],
+                          "text": ["the quick brown fox jumps"]})
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [
+        "we saw the quick brown fox yesterday",   # shares 2 trigrams
+        "completely unrelated words here"]})
+    out = (ngram_contamination(rd.from_pandas(docs), rd.from_pandas(bench))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0: trigrams 'the quick brown' and 'quick brown fox' overlap
+    assert list(out["n_overlap"]) == [2, 0]
+    assert list(out["n_shingles"]) == [5, 2]
