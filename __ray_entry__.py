@@ -500,6 +500,26 @@ def _q_blocklist_filtered_docs(sf_dir: str):
                                  mode="anti").select_columns(["doc_id"])
 
 
+def _q_neardup_clusters(sf_dir: str):
+    """Near-dup pairs -> dedup clusters: connected components over the
+    embedding-cosine near-dup graph (component id = min vec_id), the
+    transitive-closure step before keep-one-per-cluster."""
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import embedding_neardup_pairs
+    from tabbyray.ops.graph import connected_components
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(embs, threshold=0.45)
+    # 8 partitions: the label state is one row per vec_id; at sf scale
+    # the per-round shuffle is all fixed cost, so fewer partitions =
+    # less dispatch (raise with corpus size)
+    return connected_components(pairs, embs.select_columns(["vec_id"]),
+                                pair_cols=("vec_a", "vec_b"),
+                                node_col="vec_id", num_partitions=8)
+
+
 def _q_clean_normalize(sf_dir: str):
     """Cleaned text checked as (fingerprint, length) scalars."""
     import hashlib
@@ -606,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "neardup_clusters": _q_neardup_clusters,
         "clean_normalize": _q_clean_normalize,
         "pii_counts": _q_pii_counts,
         "repetition_stats": _q_repetition_stats,
@@ -964,6 +985,27 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
             SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM dup)
+        """,
+        # transitive closure via recursive CTE; component = min reachable
+        # node id (mirrors hash-min label propagation's fixpoint)
+        "neardup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.45),
+            edges AS (SELECT va AS a, vb AS b FROM p
+                      UNION SELECT vb, va FROM p),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            mins AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+            SELECT e.vec_id,
+                   CAST(CASE WHEN m.mn IS NULL OR e.vec_id < m.mn
+                        THEN e.vec_id ELSE m.mn END AS BIGINT) AS component
+            FROM embeddings e LEFT JOIN mins m ON m.a = e.vec_id
         """,
         "clean_normalize": """
             SELECT doc_id, md5(clean) AS clean_fp,

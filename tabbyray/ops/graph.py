@@ -1,0 +1,119 @@
+"""Graph operators over pair Datasets — the transitive-closure step a
+dedup pipeline needs to turn near-dup PAIRS into CLUSTERS (one keeper
+per connected component), and degree summaries for KG quality checks.
+
+Connected components is iterative hash-min label propagation — the
+standard distributed CC algorithm: every node starts labeled with its
+own id; each round every node takes the min label over itself and its
+neighbors; converged when no label changes (O(component diameter)
+rounds). Each round is ONE co-partitioned hash join (edges x labels)
+plus ONE min-aggregate — no driver-side graph, no adjacency
+materialization. Label sums decrease strictly monotonically until the
+fixpoint, so convergence is a cheap scalar aggregate, not a diff join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_LBL_SCHEMA = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+
+
+def _flat(arr) -> pa.Array:
+    """Chunked or plain column -> one contiguous Array."""
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
+                         pair_cols: tuple[str, str] = ("a", "b"),
+                         node_col: str = "node",
+                         max_iters: int = 50,
+                         num_partitions: int = 32) -> rd.Dataset:
+    """(node, component) for every node; component = min node id in the
+    node's connected component (isolated nodes are their own
+    singleton). ``pairs`` rows are undirected edges.
+
+    Per-round label state is one row per node, re-materialized each
+    round (bounded by node count; Ray spills to the object store — at
+    extreme node counts checkpoint to parquet instead). The loop count
+    is the graph diameter, which for near-dup clusters is tiny."""
+    from ray.data.aggregate import Min, Sum
+
+    from .relational import hash_join
+
+    ca, cb = pair_cols
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = _flat(t.column(ca).cast(pa.int64()))
+        b = _flat(t.column(cb).cast(pa.int64()))
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def init(t: pa.Table) -> pa.Table:
+        n = t.column(node_col).cast(pa.int64())
+        return pa.table({"node": n, "lbl": n})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def as_src(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["src", "lbl"])
+
+    def msg_to_node(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("dst"), "lbl": t.column("lbl")})
+
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["lbl"].min()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = hash_join(
+            edges,
+            labels.map_batches(as_src, batch_format="pyarrow"),
+            on="src", num_partitions=num_partitions,
+            left_schema=edge_schema,
+            right_schema=pa.schema([("src", pa.int64()),
+                                    ("lbl", pa.int64())]),
+        ).map_batches(msg_to_node, batch_format="pyarrow")
+        new_labels = (labels.union(msgs)
+                      .map_batches(partial_min, batch_format="pandas")
+                      .groupby("node")
+                      .aggregate(Min("lbl", alias_name="lbl"))
+                      .materialize())
+        total = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        labels = new_labels
+        if prev_sum is not None and total == prev_sum:
+            break
+        prev_sum = total
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t.column("node"),
+                         "component": t.column("lbl")})
+
+    return labels.map_batches(out, batch_format="pyarrow")
+
+
+def degree_counts(pairs: rd.Dataset,
+                  pair_cols: tuple[str, str] = ("a", "b")) -> rd.Dataset:
+    """(node, degree) over an undirected pair Dataset — per-batch
+    partial counts (combiner) before the small aggregate."""
+    from ray.data.aggregate import Sum
+
+    ca, cb = pair_cols
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        a = _flat(t.column(ca).cast(pa.int64()))
+        b = _flat(t.column(cb).cast(pa.int64()))
+        vc = pc.value_counts(pa.concat_arrays([a, b]))
+        return pa.table({"node": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    return (pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("n", alias_name="degree")))

@@ -248,3 +248,34 @@ def test_term_ops_match_pandas(ray_session):
                             columns=["term", "df"]))
     want_df["df"] = want_df["df"].astype("int64")
     pd.testing.assert_frame_equal(got_df, want_df)
+
+
+def test_connected_components_and_degrees(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.graph import connected_components, degree_counts
+
+    pairs = pd.DataFrame({"a": [1, 2, 5], "b": [2, 3, 6]})
+    nodes = pd.DataFrame({"node": list(range(1, 9))})
+    got = (connected_components(rd.from_pandas(pairs), rd.from_pandas(nodes))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # chain 1-2-3 collapses transitively; 5-6 pairs; 4,7,8 singletons
+    assert dict(zip(got["node"], got["component"])) == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8}
+
+    deg = degree_counts(rd.from_pandas(pairs)).to_pandas()
+    assert dict(zip(deg["node"], deg["degree"])) == {1: 1, 2: 2, 3: 1,
+                                                     5: 1, 6: 1}
+
+
+def test_connected_components_no_edges(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.graph import connected_components
+
+    pairs = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+    nodes = pd.DataFrame({"node": [3, 9, 11]})
+    got = (connected_components(rd.from_pandas(pairs), rd.from_pandas(nodes))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got["component"]) == [3, 9, 11]
