@@ -500,6 +500,11 @@ def _q_blocklist_filtered_docs(sf_dir: str):
                                  mode="anti").select_columns(["doc_id"])
 
 
+def _q_curation_pipeline(sf_dir: str):
+    from tabbyray.curation import curate
+    return curate(_docs(sf_dir))
+
+
 def _q_neardup_clusters(sf_dir: str):
     """Near-dup pairs -> dedup clusters: connected components over the
     embedding-cosine near-dup graph (component id = min vec_id), the
@@ -626,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "curation_pipeline": _q_curation_pipeline,
         "neardup_clusters": _q_neardup_clusters,
         "clean_normalize": _q_clean_normalize,
         "pii_counts": _q_pii_counts,
@@ -985,6 +991,38 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
             SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM dup)
+        """,
+        "curation_pipeline": """
+            WITH cleaned AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(nfc_normalize(text)),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS clean
+                FROM documents),
+            toks AS (SELECT doc_id, clean,
+                            string_split(clean, ' ') AS l
+                     FROM cleaned),
+            gated AS (
+                SELECT doc_id, md5(clean) AS fp,
+                       CAST(len(l) AS BIGINT) AS n_tokens
+                FROM toks
+                WHERE len(l) >= 5
+                  AND len(list_distinct(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i+1]))) * 2 >= len(l) - 1),
+            deduped AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id ASC) AS rn
+                FROM gated)
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   n_tokens
+            FROM (SELECT doc_id, n_tokens,
+                         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+                  FROM deduped WHERE rn = 1)
         """,
         # transitive closure via recursive CTE; component = min reachable
         # node id (mirrors hash-min label propagation's fixpoint)

@@ -338,3 +338,22 @@ def test_ngram_contamination(ray_session):
     # doc 0: trigrams 'the quick brown' and 'quick brown fox' overlap
     assert list(out["n_overlap"]) == [2, 0]
     assert list(out["n_shingles"]) == [5, 2]
+
+
+def test_curation_pipeline(ray_session):
+    import ray.data as rd
+    from tabbyray.curation import curate
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4], "text": [
+        "The quick brown fox jumps over the lazy dog",
+        "too short",                                  # < 5 tokens
+        "spam spam spam spam spam spam spam spam",    # repetitive bigrams
+        "  the QUICK brown\tfox jumps over the lazy dog ",  # dup of 0 cleaned
+        "a perfectly fine document with many distinct tokens here",
+    ]})
+    out = (curate(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # 1 dropped (short), 2 dropped (repetition), 3 deduped against 0
+    assert list(out["doc_id"]) == [0, 4]
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert list(out["n_tokens"]) == [9, 9]
