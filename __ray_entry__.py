@@ -500,6 +500,45 @@ def _q_blocklist_filtered_docs(sf_dir: str):
                                  mode="anti").select_columns(["doc_id"])
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Context-window chunking; chunk text checked as fingerprints."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from tabbyray.ops.text import chunk_documents
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t.column("chunk_text").to_pylist()
+        return (t.drop_columns(["chunk_text"])
+                .append_column("chunk_fp", pa.array(
+                    [hashlib.md5(x.encode()).hexdigest() for x in texts],
+                    pa.string())))
+
+    return chunk_documents(_docs(sf_dir), chunk_tokens=32,
+                           overlap=8).map_batches(fp, batch_format="pyarrow")
+
+
+def _q_above_median_docs(sf_dir: str):
+    """Derived-threshold filter: aggregate a scalar (median token
+    count) distributedly, then broadcast it into a vectorized filter —
+    the two-phase pattern for percentile-based quality cuts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.relational import exact_quantiles
+    from tabbyray.ops.text import token_counts
+
+    tc = token_counts(_docs(sf_dir))
+    thr = float(exact_quantiles(tc, "n_tokens", [0.5])["value"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            pc.cast(t.column("n_tokens"), pa.float64()), thr))
+
+    return tc.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_curation_pipeline(sf_dir: str):
     from tabbyray.curation import curate
     return curate(_docs(sf_dir))
@@ -631,6 +670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "doc_chunks": _q_doc_chunks,
+        "above_median_docs": _q_above_median_docs,
         "curation_pipeline": _q_curation_pipeline,
         "neardup_clusters": _q_neardup_clusters,
         "clean_normalize": _q_clean_normalize,
@@ -991,6 +1032,33 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
             SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM dup)
+        """,
+        # chunking: stride 24 = chunk 32 - overlap 8; l[s+1:e] mirrors
+        # python toks[s:e] (DuckDB list slice is 1-based inclusive)
+        "doc_chunks": """
+            WITH t AS (SELECT doc_id,
+                              string_split(trim(regexp_replace(
+                                  text, '\\s+', ' ', 'g')), ' ') AS l
+                       FROM documents),
+            c AS (SELECT doc_id, l, len(l) AS n,
+                         CASE WHEN len(l) <= 32 THEN 1
+                              ELSE (len(l) - 32 + 23) // 24 + 1 END AS nc
+                  FROM t),
+            e AS (SELECT doc_id, l, n, unnest(range(nc)) AS i FROM c)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   CAST(i * 24 AS BIGINT) AS tok_start,
+                   CAST(least(i * 24 + 32, n) AS BIGINT) AS tok_end,
+                   md5(array_to_string(
+                       l[i * 24 + 1 : least(i * 24 + 32, n)], ' ')) AS chunk_fp
+            FROM e
+        """,
+        "above_median_docs": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE len(string_split(text, ' ')) >=
+                  (SELECT quantile_cont(len(string_split(text, ' ')), 0.5)
+                   FROM documents)
         """,
         "curation_pipeline": """
             WITH cleaned AS (

@@ -41,7 +41,7 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
     round (bounded by node count; Ray spills to the object store — at
     extreme node counts checkpoint to parquet instead). The loop count
     is the graph diameter, which for near-dup clusters is tiny."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     from .relational import hash_join
 
@@ -53,7 +53,17 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
         return pa.table({"src": pa.concat_arrays([a, b]),
                          "dst": pa.concat_arrays([b, a])})
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    # self-loops carry each node's own label through the SAME join as
+    # its neighbors' labels, so a round is one join + one min-aggregate
+    # with no union operator (a labels/msgs union feeding the aggregate
+    # sort wedged Ray's streaming executor on repeated rounds)
+    def self_loops(t: pa.Table) -> pa.Table:
+        n = _flat(t.column(node_col).cast(pa.int64()))
+        return pa.table({"src": n, "dst": n})
+
+    edges = (pairs.map_batches(sym, batch_format="pyarrow")
+             .union(nodes.map_batches(self_loops, batch_format="pyarrow"))
+             .materialize())
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
     def init(t: pa.Table) -> pa.Table:
@@ -68,8 +78,20 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
     def msg_to_node(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("dst"), "lbl": t.column("lbl")})
 
+    # the min-aggregate runs as a node-hash-partitioned plan (NOT the
+    # native sort groupby) so the label state always lands in at most
+    # ``num_partitions`` blocks: the union doubles block counts every
+    # round otherwise (labels + msgs), and after k rounds the 2^k tiny
+    # blocks drown the scheduler in per-task overhead
     def partial_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["lbl"].min()
+        g = df.groupby("node", as_index=False)["lbl"].min()
+        g["_part"] = (g["node"] % num_partitions).astype("int64")
+        return g
+
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["lbl"].min()
+
+    from .relational import typed_groupby_map
 
     prev_sum = None
     for _ in range(max_iters):
@@ -81,11 +103,9 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
             right_schema=pa.schema([("src", pa.int64()),
                                     ("lbl", pa.int64())]),
         ).map_batches(msg_to_node, batch_format="pyarrow")
-        new_labels = (labels.union(msgs)
-                      .map_batches(partial_min, batch_format="pandas")
-                      .groupby("node")
-                      .aggregate(Min("lbl", alias_name="lbl"))
-                      .materialize())
+        new_labels = typed_groupby_map(
+            msgs.map_batches(partial_min, batch_format="pandas"),
+            "_part", final_min, _LBL_SCHEMA).materialize()
         total = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
         labels = new_labels
         if prev_sum is not None and total == prev_sum:

@@ -330,3 +330,38 @@ def ngram_contamination(docs: rd.Dataset, benchmark: rd.Dataset,
                          "n_overlap": pa.array(n_ov, pa.int64()),
                          "n_shingles": pa.array(n_sh, pa.int64())})
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_documents(docs: rd.Dataset, chunk_tokens: int = 128,
+                    overlap: int = 16) -> rd.Dataset:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking step of an embedding/RAG ingestion
+    pipeline. Emits (doc_id, chunk_id, tok_start, tok_end, chunk_text);
+    stride = chunk_tokens - overlap; the last chunk is truncated at the
+    document end. Pure per-batch flat map, deterministic in the row."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, cids, starts, ends, texts = [], [], [], [], []
+        for doc_id, x in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = _WS.sub(" ", (x or "")).strip().split(" ")
+            n = len(toks)
+            n_chunks = (1 if n <= chunk_tokens
+                        else (n - chunk_tokens + stride - 1) // stride + 1)
+            for i in range(n_chunks):
+                s = i * stride
+                e = min(s + chunk_tokens, n)
+                ids.append(doc_id)
+                cids.append(i)
+                starts.append(s)
+                ends.append(e)
+                texts.append(" ".join(toks[s:e]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cids, pa.int64()),
+                         "tok_start": pa.array(starts, pa.int64()),
+                         "tok_end": pa.array(ends, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string())})
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -357,3 +357,25 @@ def test_curation_pipeline(ray_session):
     assert list(out["doc_id"]) == [0, 4]
     assert set(out["split"]) <= {"train", "val", "test"}
     assert list(out["n_tokens"]) == [9, 9]
+
+
+def test_chunk_documents(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [" ".join(toks), "short doc"]})
+    out = (chunk_documents(rd.from_pandas(df), chunk_tokens=10, overlap=2)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d0 = out[out.doc_id == 0]
+    # 25 tokens, chunk 10, stride 8 -> starts 0,8,16 (16+10>25 truncated)
+    assert list(d0["tok_start"]) == [0, 8, 16]
+    assert list(d0["tok_end"]) == [10, 18, 25]
+    assert d0["chunk_text"].iloc[0] == " ".join(toks[0:10])
+    assert d0["chunk_text"].iloc[2] == " ".join(toks[16:25])
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert d0["chunk_text"].iloc[0].split(" ")[-2:] == \
+        d0["chunk_text"].iloc[1].split(" ")[:2]
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1["chunk_text"].iloc[0] == "short doc"

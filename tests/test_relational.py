@@ -279,3 +279,39 @@ def test_connected_components_no_edges(ray_session):
     got = (connected_components(rd.from_pandas(pairs), rd.from_pandas(nodes))
            .to_pandas().sort_values("node").reset_index(drop=True))
     assert list(got["component"]) == [3, 9, 11]
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    """Property check on random graphs: hash-min label propagation must
+    agree with a straight-line union-find."""
+    import ray.data as rd
+
+    from tabbyray.ops.graph import connected_components
+
+    rng = np.random.RandomState(21)
+    n = 60
+    edges = pd.DataFrame({"a": rng.randint(0, n, 45),
+                          "b": rng.randint(0, n, 45)})
+    edges = edges[edges.a != edges.b].reset_index(drop=True)
+    nodes = pd.DataFrame({"node": range(n)})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.a, edges.b):
+        parent[find(int(a))] = find(int(b))
+    # component id = min member, matching the operator's fixpoint
+    members: dict[int, list[int]] = {}
+    for v in range(n):
+        members.setdefault(find(v), []).append(v)
+    want = {v: min(ms) for ms in members.values() for v in ms}
+
+    got = (connected_components(rd.from_pandas(edges),
+                                rd.from_pandas(nodes), num_partitions=4)
+           .to_pandas())
+    assert dict(zip(got["node"], got["component"])) == want
