@@ -500,6 +500,45 @@ def _q_blocklist_filtered_docs(sf_dir: str):
                                  mode="anti").select_columns(["doc_id"])
 
 
+def _q_user_running_total(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import windowed_cumsum
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts", "value"])
+    return windowed_cumsum(events)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_event_type_pivot(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import pivot_counts
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+    return pivot_counts(events, "user_id", "event_type", _EVENT_TYPES)
+
+
+def _q_lang_token_quantiles(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.relational import grouped_quantiles
+
+    def with_lang(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        return pa.table({"lang": t.column("lang"),
+                         "n_tokens": pc.list_value_length(toks)
+                         .cast(pa.int64())})
+
+    docs = _docs(sf_dir).map_batches(with_lang, batch_format="pyarrow")
+    return grouped_quantiles(docs, "lang", "n_tokens", [0.5, 0.9])
+
+
 def _q_doc_chunks(sf_dir: str):
     """Context-window chunking; chunk text checked as fingerprints."""
     import hashlib
@@ -670,6 +709,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
+        "user_running_total": _q_user_running_total,
+        "event_type_pivot": _q_event_type_pivot,
+        "lang_token_quantiles": _q_lang_token_quantiles,
         "doc_chunks": _q_doc_chunks,
         "above_median_docs": _q_above_median_docs,
         "curation_pipeline": _q_curation_pipeline,
@@ -1032,6 +1074,36 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
             SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM dup)
+        """,
+        "user_running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS cum_value_cents
+            FROM events
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "lang_token_quantiles": """
+            SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_cont(len(string_split(text, ' ')), 0.5) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.9 AS DOUBLE),
+                   quantile_cont(len(string_split(text, ' ')), 0.9)
+            FROM documents GROUP BY lang
         """,
         # chunking: stride 24 = chunk 32 - overlap 8; l[s+1:e] mirrors
         # python toks[s:e] (DuckDB list slice is 1-based inclusive)

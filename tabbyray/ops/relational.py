@@ -500,3 +500,61 @@ def broadcast_filter_join(ds: rd.Dataset, col: str, keys,
         return t.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pivot_counts(ds: rd.Dataset, key: str, pivot_col: str,
+                 categories: list[str]) -> rd.Dataset:
+    """Wide per-key counts: one output column per category of
+    ``pivot_col`` (the long->wide pivot of a feature table). The
+    category set is fixed and small by assumption; each batch emits a
+    per-key partial count vector (combiner), then one small groupby
+    sums them — the shuffle moves one row per (key, batch)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, as_index=False).size()[[key]]
+        for c in categories:
+            n = (df[df[pivot_col] == c].groupby(key).size()
+                 .reindex(out[key]).fillna(0).astype("int64"))
+            out[f"n_{c}"] = n.to_numpy()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories]
+    return partials.groupby(key).aggregate(*aggs)
+
+
+def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
+                      qs: list[float]) -> pd.DataFrame:
+    """Exact per-group quantile_cont quantiles via one distributed
+    (group, value)-histogram; interpolation happens on the driver over
+    the tiny histogram (distinct-value cardinality bounded, group
+    cardinality small). Returns (group, q, value) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group, col], as_index=False).size()
+        g["n"] = g["size"].astype("int64")
+        return g[[group, col, "n"]]
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby([group, col]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    out = []
+    for gval, h in hist.groupby(group):
+        h = h.sort_values(col)
+        cum = h["n"].cumsum().to_numpy()
+        vals = h[col].to_numpy()
+        total = int(cum[-1])
+
+        def value_at(idx: int) -> float:
+            return float(vals[np.searchsorted(cum, idx + 1)])
+
+        for q in qs:
+            pos = q * (total - 1)
+            lo, frac = int(np.floor(pos)), pos - np.floor(pos)
+            v = value_at(lo)
+            if frac > 0:
+                v += frac * (value_at(lo + 1) - v)
+            out.append({group: gval, "q": float(q), "value": v})
+    return pd.DataFrame(out).sort_values([group, "q"]).reset_index(drop=True)

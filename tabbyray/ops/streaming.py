@@ -108,3 +108,37 @@ def sliding_window_agg(events: rd.Dataset, window_minutes: int = 60,
                               ("window_start", pa.timestamp("us")),
                               ("sum_value_cents", pa.float64()),
                               ("n_events", pa.int64())]))
+
+
+def windowed_cumsum(events: rd.Dataset,
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Running per-user total — the window-function construct
+    ``sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+
+    One hash shuffle on user_id; ordering and the cumulative sum are
+    vectorized pandas inside each partition. Values are summed as
+    integer cents (half-away rounding), so the running total is exact
+    and order-stable for the SQL oracle. Output: (event_id, user_id,
+    cum_value_cents)."""
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_id", "ts", "value"]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = round_half_away(g["value"] * 100).astype("int64")
+        out = g[["event_id", "user_id"]].copy()
+        out["cum_value_cents"] = cents.groupby(g["user_id"]).cumsum()
+        return out
+
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("cum_value_cents", pa.int64())])
+    return typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"), "part", window,
+        schema)

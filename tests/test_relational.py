@@ -315,3 +315,83 @@ def test_connected_components_random_vs_union_find(ray_session):
                                 rd.from_pandas(nodes), num_partitions=4)
            .to_pandas())
     assert dict(zip(got["node"], got["component"])) == want
+
+
+def test_windowed_cumsum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import round_half_away, windowed_cumsum
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "event_id": range(200),
+        "user_id": rng.randint(0, 9, 200),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 100000, 200), unit="s"),
+        "value": rng.rand(200) * 50,
+    })
+    got = (windowed_cumsum(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    w = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    w["cents"] = round_half_away(w["value"] * 100).astype("int64")
+    w["cum_value_cents"] = w.groupby("user_id")["cents"].cumsum()
+    want = (w[["event_id", "user_id", "cum_value_cents"]]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import pivot_counts
+
+    rng = np.random.RandomState(2)
+    cats = ["a", "b", "c"]
+    df = pd.DataFrame({"k": rng.randint(0, 6, 300),
+                       "c": rng.choice(cats, 300)})
+    got = (pivot_counts(rd.from_pandas(df).repartition(4), "k", "c", cats)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ct = pd.crosstab(df["k"], df["c"]).reindex(columns=cats, fill_value=0)
+    for c in cats:
+        assert list(got[f"n_{c}"]) == list(ct[c].astype("int64"))
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_quantiles
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"g": rng.choice(["x", "y"], 400),
+                       "v": rng.randint(0, 80, 400)})
+    got = grouped_quantiles(rd.from_pandas(df).repartition(3), "g", "v",
+                            [0.25, 0.5, 0.75])
+    for _, row in got.iterrows():
+        vals = df[df["g"] == row["g"]]["v"].to_numpy()
+        want = float(np.percentile(vals, row["q"] * 100, method="linear"))
+        assert abs(row["value"] - want) < 1e-9
+
+
+def test_text_ops_null_robust(ray_session):
+    """None text must flow through every text kernel as the empty doc."""
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import minhash_signatures, simhash_values
+    from tabbyray.ops.text import (
+        chunk_documents,
+        clean_normalize,
+        pii_counts,
+        repetition_stats,
+    )
+
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": pd.array([None, "a real doc here ok"],
+                                        dtype="object")})
+    ds = rd.from_pandas(df)
+    assert list(clean_normalize(ds).to_pandas()["clean_text"])[0] == ""
+    assert list(pii_counts(ds).to_pandas()["n_emails"]) == [0, 0]
+    assert list(repetition_stats(ds).to_pandas()["n_bigrams"])[0] == 0
+    ch = chunk_documents(ds).to_pandas()
+    assert len(ch) == 2 and ch[ch.doc_id == 0]["chunk_text"].iloc[0] == ""
+    assert len(minhash_signatures(ds).to_pandas()) == 2
+    assert len(simhash_values(ds).to_pandas()) == 2
