@@ -8,6 +8,10 @@ Runs the resumable sharded pipeline (tabbyray.lineage): a re-submission
 of the same command after a kill resumes from the last completed shard
 manifest. Owns its Ray session (guarded init) — library code never
 calls ray.init.
+
+A second surface runs the training-data curation pipeline:
+
+    python -m tabbyray curate --docs /data/documents.parquet --out /data/curated
 """
 
 from __future__ import annotations
@@ -19,7 +23,52 @@ import os
 import sys
 
 
+def _init_ray(num_cpus=None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def curate_main(argv) -> int:
+    ap = argparse.ArgumentParser(prog="tabbyray curate")
+    ap.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from tabbyray.curation import curate
+
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    out = curate(docs, min_tokens=args.min_tokens)
+    # partitioned by split so a consumer reads one split without a scan
+    out.write_parquet(args.out, partition_cols=["split"])
+    counts = {}
+    for d in sorted(glob.glob(os.path.join(args.out, "split=*"))):
+        import pyarrow.parquet as pq
+        n = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(d, "*.parquet")))
+        counts[os.path.basename(d).split("=", 1)[1]] = n
+    print(json.dumps({"out": args.out, "rows_per_split": counts}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tabbyray")
     ap.add_argument("--pages", required=True, help="pages parquet file or directory")
     ap.add_argument("--kb", required=True, help="KB index parquet (FIXTURES.md F2)")
@@ -39,14 +88,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
-                  "logging_level": "ERROR"}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    _init_ray(args.num_cpus)
 
     from tabbyray import lineage, pipeline
     from tabbyray.kb import load_kb

@@ -46,3 +46,25 @@ def test_cli_end_to_end(smoke_fixture, tmp_path):
     assert glob.glob(os.path.join(out, "canonical_triples", "*.parquet"))
     nt_files = glob.glob(os.path.join(out, "ntriples", "*"))
     assert nt_files
+
+
+def test_cli_curate(tmp_path):
+    import pandas as pd
+    docs = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"document number {i} with several distinct tokens inside"
+                 for i in range(40)],
+    }).to_parquet(docs)
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "-m", "tabbyray", "curate",
+         "--docs", str(docs), "--out", out, "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout[r.stdout.index("{"):])
+    assert sum(summary["rows_per_split"].values()) == 40
+    assert glob.glob(os.path.join(out, "split=*", "*.parquet"))
