@@ -52,15 +52,34 @@ def typed_groupby_map(ds: rd.Dataset, key, fn, out_schema: "pa.Schema",
 
 
 def grouped_argmax(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
-                   out_cols: list[str]) -> rd.Dataset:
+                   out_cols: list[str],
+                   num_partitions: int = 32) -> rd.Dataset:
     """Top-1 row per key by (order_col desc, tie_col asc) — deterministic
     tie-break, like C8's insertion-order rule but made order-insensitive
-    for distributed execution (SURVEY.md §7.4 item 3)."""
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tie_col], ascending=[False, True],
-                          kind="stable")
-        return g.head(1)[out_cols]
-    return ds.groupby(key).map_groups(top1, batch_format="pandas")
+    for distributed execution (SURVEY.md §7.4 item 3).
+
+    Partitioned plan: each batch keeps its local top-1 per key
+    (combiner — the shuffle moves one row per (key, batch)), the
+    exchange partitions on ``hash(key) % P``, and one vectorized sort +
+    drop_duplicates finishes each partition. Ray's native per-group
+    ``map_groups`` pays per-group overhead that dominates at high key
+    cardinality (measured ~10s vs ~1s at 1.5k keys / 100k rows)."""
+    carry = list(dict.fromkeys([key, order_col, tie_col] + out_cols))
+
+    def local_top1(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[carry].sort_values([order_col, tie_col],
+                                   ascending=[False, True], kind="stable")
+             .drop_duplicates(key))
+        h = pd.util.hash_pandas_object(g[key], index=False)
+        return g.assign(_part=(h % num_partitions).astype("int64"))
+
+    def final_top1(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values([order_col, tie_col],
+                              ascending=[False, True], kind="stable")
+                .drop_duplicates(key))[out_cols]
+
+    return (ds.map_batches(local_top1, batch_format="pandas")
+            .groupby("_part").map_groups(final_top1, batch_format="pandas"))
 
 
 def partial_agg_sum(ds: rd.Dataset, key: str, sum_cols: dict[str, str],
