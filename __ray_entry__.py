@@ -450,6 +450,11 @@ def _q_term_doc_freq(sf_dir: str):
     return term_doc_freq(_docs(sf_dir), min_df=10)
 
 
+def _q_tfidf_scores(sf_dir: str):
+    from tabbyray.ops.text import tfidf_scores
+    return tfidf_scores(_docs(sf_dir), min_df=10)
+
+
 def _q_train_test_split(sf_dir: str):
     from tabbyray.ops.sampling import hash_split
     return hash_split(_docs(sf_dir), "doc_id").select_columns(
@@ -704,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "vocab_topk": _q_vocab_topk,
         "term_doc_freq": _q_term_doc_freq,
+        "tfidf_scores": _q_tfidf_scores,
         "train_test_split": _q_train_test_split,
         "doc_hash_sample": _q_doc_hash_sample,
         "distinct_users_per_type": _q_distinct_users_per_type,
@@ -1035,6 +1041,21 @@ def oracle_sql() -> dict[str, str]:
             dt AS (SELECT DISTINCT doc_id, term FROM tok)
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM dt GROUP BY term HAVING count(*) >= 10
+        """,
+        "tfidf_scores": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY term
+                   HAVING count(DISTINCT doc_id) >= 10),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
         """,
         "train_test_split": """
             SELECT doc_id,

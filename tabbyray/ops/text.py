@@ -216,6 +216,51 @@ def term_doc_freq(docs: rd.Dataset, min_df: int = 10,
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
+def tfidf_scores(docs: rd.Dataset, min_df: int = 10,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """Per-(doc, term) TF-IDF over the vocabulary of terms appearing in
+    >= min_df distinct documents: ``tfidf = tf * ln(N / df)``.
+
+    Plan: ``term_doc_freq`` produces the (min_df-bounded) vocabulary,
+    which is broadcast ONCE via ``ray.put``; per-doc term counting is a
+    stateless per-batch map sharing the exact tokenization of the df
+    aggregate, so the whole operator costs one df shuffle + one corpus
+    pass. For a vocabulary too large to broadcast, join the per-doc tf
+    stream against the df table on a term-hash co-partition instead
+    (the ``relational.hash_join`` plan)."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    n_docs = docs.count()
+    idf = {r["term"]: math.log(n_docs / r["df"])
+           for r in term_doc_freq(docs, min_df=min_df,
+                                  num_partitions=num_partitions).take_all()}
+    ref = ray.put(idf)
+
+    def f(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids, terms, tfs, scores = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            counts = Counter(_WS.sub(" ", (text or "")).strip().split(" "))
+            for term, tf in counts.items():
+                w = m.get(term)
+                if w is None:
+                    continue
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+                scores.append(tf * w)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "tfidf": pa.array(scores, pa.float64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # cleaning / safety / quality-signal operators
 # ---------------------------------------------------------------------------

@@ -379,3 +379,27 @@ def test_chunk_documents(ray_session):
         d0["chunk_text"].iloc[1].split(" ")[:2]
     d1 = out[out.doc_id == 1]
     assert len(d1) == 1 and d1["chunk_text"].iloc[0] == "short doc"
+
+
+def test_tfidf_scores(ray_session):
+    import math
+
+    import ray.data as rd
+    from tabbyray.ops.text import tfidf_scores
+
+    # 4 docs: "common" in all 4 (idf=0), "pair" in 2, "rare" in 1
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["common pair rare rare",
+                                "common pair",
+                                "common",
+                                "common  common"]})
+    out = (tfidf_scores(rd.from_pandas(df), min_df=2).to_pandas()
+           .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    # "rare" (df=1) is out of vocabulary; ws runs collapse before split
+    assert set(out["term"]) == {"common", "pair"}
+    common = out[out["term"] == "common"].set_index("doc_id")
+    assert list(common["tf"]) == [1, 1, 1, 2]
+    assert all(v == 0.0 for v in common["tfidf"])        # ln(4/4) = 0
+    pair = out[out["term"] == "pair"].set_index("doc_id")
+    assert sorted(pair.index) == [0, 1]
+    assert all(abs(v - math.log(4 / 2)) < 1e-12 for v in pair["tfidf"])
