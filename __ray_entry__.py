@@ -608,6 +608,30 @@ def _q_neardup_clusters(sf_dir: str):
                                 node_col="vec_id", num_partitions=8)
 
 
+def _q_cluster_representatives(sf_dir: str):
+    """Keep-one-per-cluster dedup: one row per near-dup cluster —
+    representative id, member count, representative's label."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import embedding_neardup_pairs
+    from tabbyray.ops.graph import cluster_representatives, connected_components
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(embs, threshold=0.45)
+    comp = connected_components(pairs, embs.select_columns(["vec_id"]),
+                                pair_cols=("vec_a", "vec_b"),
+                                node_col="vec_id", num_partitions=8)
+    meta = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "label"])
+    return cluster_representatives(
+        comp, meta, node_col="vec_id", comp_col="component",
+        num_partitions=8,
+        meta_schema=pa.schema([("vec_id", pa.int64()),
+                               ("label", pa.int32())]))
+
+
 def _q_clean_normalize(sf_dir: str):
     """Cleaned text checked as (fingerprint, length) scalars."""
     import hashlib
@@ -722,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_median_docs": _q_above_median_docs,
         "curation_pipeline": _q_curation_pipeline,
         "neardup_clusters": _q_neardup_clusters,
+        "cluster_representatives": _q_cluster_representatives,
         "clean_normalize": _q_clean_normalize,
         "pii_counts": _q_pii_counts,
         "repetition_stats": _q_repetition_stats,
@@ -1205,6 +1230,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN m.mn IS NULL OR e.vec_id < m.mn
                         THEN e.vec_id ELSE m.mn END AS BIGINT) AS component
             FROM embeddings e LEFT JOIN mins m ON m.a = e.vec_id
+        """,
+        "cluster_representatives": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.45),
+            edges AS (SELECT va AS a, vb AS b FROM p
+                      UNION SELECT vb, va FROM p),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            mins AS (SELECT a, min(b) AS mn FROM reach GROUP BY a),
+            comp AS (SELECT e.vec_id,
+                         CAST(CASE WHEN m.mn IS NULL OR e.vec_id < m.mn
+                              THEN e.vec_id ELSE m.mn END AS BIGINT)
+                             AS component
+                     FROM embeddings e LEFT JOIN mins m ON m.a = e.vec_id),
+            sizes AS (SELECT component,
+                             CAST(count(*) AS BIGINT) AS n_members
+                      FROM comp GROUP BY component)
+            SELECT s.component AS vec_id, s.n_members, e.label
+            FROM sizes s JOIN embeddings e ON e.vec_id = s.component
         """,
         "clean_normalize": """
             SELECT doc_id, md5(clean) AS clean_fp,

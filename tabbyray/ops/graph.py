@@ -137,3 +137,36 @@ def degree_counts(pairs: rd.Dataset,
 
     return (pairs.map_batches(partial, batch_format="pyarrow")
             .groupby("node").aggregate(Sum("n", alias_name="degree")))
+
+
+def cluster_representatives(components: rd.Dataset, meta: rd.Dataset,
+                            node_col: str = "node",
+                            comp_col: str = "component",
+                            num_partitions: int = 8,
+                            meta_schema=None) -> rd.Dataset:
+    """Keep-one-per-cluster with size annotation — the dedup step after
+    ``connected_components``. The representative of each cluster is its
+    component id (= min member id by the CC convention); output is ONE
+    row per cluster: (node_col = representative id, n_members, the
+    representative's ``meta`` columns).
+
+    Plan: one partitioned hash-aggregate counts members per component,
+    then one co-partitioned ``hash_join`` attaches the representative's
+    metadata — nothing corpus-sized touches the driver. Pass
+    ``meta_schema`` when ``meta`` is a lazy transformed dataset (see
+    ``hash_join``)."""
+    from .relational import hash_aggregate, hash_join
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t.column(comp_col).cast(pa.int64()),
+                         "n_members": pa.array([1] * t.num_rows, pa.int64())})
+
+    sizes_schema = pa.schema([(node_col, pa.int64()),
+                              ("n_members", pa.int64())])
+    sizes = hash_aggregate(
+        components.map_batches(ones, batch_format="pyarrow"),
+        keys=[node_col], sum_cols={"n_members": "n_members"},
+        num_partitions=num_partitions, out_schema=sizes_schema)
+    return hash_join(sizes, meta, on=node_col,
+                     num_partitions=num_partitions,
+                     left_schema=sizes_schema, right_schema=meta_schema)

@@ -395,3 +395,22 @@ def test_text_ops_null_robust(ray_session):
     assert len(ch) == 2 and ch[ch.doc_id == 0]["chunk_text"].iloc[0] == ""
     assert len(minhash_signatures(ds).to_pandas()) == 2
     assert len(simhash_values(ds).to_pandas()) == 2
+
+
+def test_cluster_representatives(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.graph import cluster_representatives, connected_components
+
+    # components: {1,2,3} (rep 1), {5} (rep 5), {7,8} (rep 7)
+    pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 8]})
+    nodes = pd.DataFrame({"node": [1, 2, 3, 5, 7, 8]})
+    meta = pd.DataFrame({"node": [1, 2, 3, 5, 7, 8],
+                         "tag": ["a", "b", "c", "d", "e", "f"]})
+    comp = connected_components(rd.from_pandas(pairs), rd.from_pandas(nodes),
+                                num_partitions=2)
+    got = (cluster_representatives(comp, rd.from_pandas(meta),
+                                   num_partitions=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got["node"]) == [1, 5, 7]
+    assert list(got["n_members"]) == [3, 1, 2]
+    assert list(got["tag"]) == ["a", "d", "e"]
