@@ -700,6 +700,176 @@ def _q_multimodal_frames(sf_dir: str):
     return sample_frames(rd.from_arrow(synth_media_table(64)), n_frames=4)
 
 
+def _q_customers_no_events(sf_dir: str):
+    """Big-big ANTI join: customers with no click events. The events
+    side is narrowed to keys + batch-deduped inside hash_join; one
+    co-partitioned shuffle, no driver materialization. (The orders
+    table is fully covered — every customer has orders — so the events
+    table is the side that makes the anti join non-vacuous.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    ev = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"])
+          .map_batches(lambda t: t.rename_columns(["c_custkey"]),
+                       batch_format="pyarrow"))
+    return hash_join(
+        cust, ev, on="c_custkey", how="anti",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+
+def _q_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped multi-join rollup: lineitem -> orders ->
+    customer -> nation/region, revenue per region. Plan: pre-aggregate
+    revenue per orderkey (partitioned hash-agg combiner), big-big
+    hash_join to orders, re-aggregate per custkey, hash_join to
+    customer, then the nation->region dimension (tiny) is broadcast
+    once via ray.put and the final per-region rollup is a combiner +
+    5-group aggregate. Revenue is integer cents (round-half-away per
+    row) so distributed double sums are exact."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from tabbyray.ops.relational import (hash_aggregate, hash_join,
+                                         partial_agg_sum)
+
+    def cents(t: pa.Table) -> pa.Table:
+        rc = pc.round(
+            pc.multiply(pc.multiply(t.column("l_extendedprice"),
+                                    pc.subtract(pa.scalar(1.0),
+                                                t.column("l_discount"))),
+                        100),
+            round_mode="half_towards_infinity")
+        return pa.table({"orderkey": t.column("l_orderkey"),
+                         "rev_cents": rc})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    per_order = hash_aggregate(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["orderkey"], {"rev_cents": "rev_cents"},
+        out_schema=pa.schema([("orderkey", pa.int64()),
+                              ("rev_cents", pa.float64())]))
+    orders = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_custkey"])
+              .map_batches(lambda t: t.rename_columns(["orderkey", "custkey"]),
+                           batch_format="pyarrow"))
+    j1 = hash_join(
+        per_order, orders, on="orderkey",
+        left_schema=pa.schema([("orderkey", pa.int64()),
+                               ("rev_cents", pa.float64())]),
+        right_schema=pa.schema([("orderkey", pa.int64()),
+                                ("custkey", pa.int64())]))
+    per_cust = hash_aggregate(
+        j1, ["custkey"], {"rev_cents": "rev_cents"},
+        out_schema=pa.schema([("custkey", pa.int64()),
+                              ("rev_cents", pa.float64())]))
+    cust = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(lambda t: t.rename_columns(["custkey", "nationkey"]),
+                         batch_format="pyarrow"))
+    j2 = hash_join(
+        per_cust, cust, on="custkey",
+        left_schema=pa.schema([("custkey", pa.int64()),
+                               ("rev_cents", pa.float64())]),
+        right_schema=pa.schema([("custkey", pa.int64()),
+                                ("nationkey", pa.int32())]))
+    # nation/region are dimension-sized: build the nationkey -> r_name
+    # map once on the driver and broadcast it (ray.put), never shuffle
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    def add_region(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame({"r_name": df["nationkey"].map(m),
+                             "rev_cents": df["rev_cents"]})
+
+    return partial_agg_sum(
+        j2.map_batches(add_region, batch_format="pandas"),
+        "r_name", {"rev_cents": "revenue_cents"})
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest level is
+    a distributed combiner aggregate; the coarser levels fold the TINY
+    finest-level result on the driver (group count is bounded by the
+    flag/status domains regardless of input size — no second scan)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import partial_agg_sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    fin = partial_agg_sum(li, ["l_returnflag", "l_linestatus"],
+                          {"l_quantity": "sum_qty"},
+                          count_alias="n_rows").to_pandas()
+    lvl1 = fin.groupby("l_returnflag", as_index=False)[
+        ["sum_qty", "n_rows"]].sum()
+    lvl1["l_linestatus"] = None
+    grand = pd.DataFrame([{"l_returnflag": None, "l_linestatus": None,
+                           "sum_qty": fin["sum_qty"].sum(),
+                           "n_rows": fin["n_rows"].sum()}])
+    out = pd.concat([fin, lvl1, grand], ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]],
+        schema=pa.schema([("l_returnflag", pa.string()),
+                          ("l_linestatus", pa.string()),
+                          ("sum_qty", pa.float64()),
+                          ("n_rows", pa.int64())]),
+        preserve_index=False)
+
+
+_STRAT_RATES = {"en": 0.1, "es": 0.25, "de": 0.5, "fr": 0.75, "ru": 1.0}
+
+
+def _q_stratified_sample(sf_dir: str):
+    from tabbyray.ops.sampling import stratified_sample
+    return stratified_sample(_docs(sf_dir), "doc_id", "lang",
+                             _STRAT_RATES).select_columns(["doc_id", "lang"])
+
+
+def _q_kmv_distinct_tokens(sf_dir: str):
+    """Approximate distinct tokens per language via the bottom-k (KMV)
+    sketch — the estimator is bit-for-bit SQL-reproducible."""
+    import pyarrow as pa
+
+    from tabbyray.ops.sketch import kmv_distinct
+    from tabbyray.ops.text import _WS
+
+    def explode(t: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        for lang, text in zip(t.column("lang").to_pylist(),
+                              t.column("text").to_pylist()):
+            # same tokenization as the shingle/oracle convention:
+            # whitespace-collapse, trim, split(' ') — an empty doc
+            # yields the '' token on both sides
+            for tok in set(_WS.sub(" ", text or "").strip().split(" ")):
+                langs.append(lang)
+                toks.append(tok)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "tok": pa.array(toks, pa.string())})
+
+    tok_ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    return kmv_distinct(tok_ds, "lang", "tok", k=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
@@ -720,6 +890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": _q_sliding_window,
         "latest_order_asof": _q_latest_order_asof,
         "value_band_range_join": _q_value_band_range_join,
+        "customers_no_events": _q_customers_no_events,
+        "region_revenue": _q_region_revenue,
+        "lineitem_rollup": _q_lineitem_rollup,
         # text / dedup operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -736,6 +909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": _q_tfidf_scores,
         "train_test_split": _q_train_test_split,
         "doc_hash_sample": _q_doc_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "kmv_distinct_tokens": _q_kmv_distinct_tokens,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
@@ -890,6 +1065,9 @@ def oracle_sql() -> dict[str, str]:
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
+    strat_cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * 10_000)}"
+        for s, r in _STRAT_RATES.items())
     lang_scores = ",\n".join(
         f"len(list_filter(ws, x -> x IN ({words}))) AS n_{lang}"
         for lang, words in _LANG_CASES.items())
@@ -1324,4 +1502,59 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "customers_no_events": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        # cents are rounded half-away-from-zero per ROW (duckdb round()
+        # on positive doubles) so the distributed double sums are exact
+        # integers regardless of addition order
+        "region_revenue": """
+            SELECT r_name,
+                   sum(round(l_extendedprice * (1.0 - l_discount) * 100))
+                       AS revenue_cents
+            FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        # l_quantity is integer-valued in this corpus, so the coarser
+        # rollup levels (sums of finest-level sums) are order-exact
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+                  CASE lang {strat_cases} ELSE 0 END
+        """,
+        # KMV bottom-k estimator, bit-for-bit: same md5-prefix hash,
+        # same (k-1) * 2^64 / h_k double arithmetic as ops/sketch.py
+        "kmv_distinct_tokens": """
+            WITH tok AS (SELECT DISTINCT lang,
+                                unnest(string_split(trim(regexp_replace(
+                                    text, '\\s+', ' ', 'g')), ' ')) AS tok
+                         FROM documents),
+            h AS (SELECT DISTINCT lang,
+                         ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                  FROM tok),
+            r AS (SELECT lang, h,
+                         row_number() OVER (PARTITION BY lang ORDER BY h)
+                             AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM h)
+            SELECT lang,
+                   CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                        ELSE (64 - 1) * 18446744073709551616.0
+                             / CAST(h AS DOUBLE) END AS est_distinct
+            FROM r WHERE rn = least(n, 64)
+        """,
     }

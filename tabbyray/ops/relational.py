@@ -82,22 +82,25 @@ def grouped_argmax(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
             .groupby("_part").map_groups(final_top1, batch_format="pandas"))
 
 
-def partial_agg_sum(ds: rd.Dataset, key: str, sum_cols: dict[str, str],
+def partial_agg_sum(ds: rd.Dataset, key: "str | list[str]",
+                    sum_cols: dict[str, str],
                     count_alias: str | None = None) -> rd.Dataset:
     """groupby(key) with per-batch pre-aggregation: each batch combines
     locally first, so the shuffle moves one row per (key, batch) instead
     of every input row (SURVEY.md §2.6 / ray_guide 'Aggregation at
-    scale'). ``sum_cols``: {input_col: output_alias}."""
+    scale'). ``sum_cols``: {input_col: output_alias}; ``key`` may be a
+    single column or a composite key list."""
     from ray.data.aggregate import Sum
 
+    keys = [key] if isinstance(key, str) else list(key)
     in_cols = list(sum_cols)
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([key] + in_cols).to_pandas()
+        df = t.select(keys + in_cols).to_pandas()
         agg = {c: "sum" for c in in_cols}
-        g = df.groupby(key, as_index=False).agg(agg)
+        g = df.groupby(keys, as_index=False).agg(agg)
         if count_alias:
-            g[count_alias] = df.groupby(key, as_index=False).size()["size"].astype("int64")
+            g[count_alias] = df.groupby(keys, as_index=False).size()["size"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -172,7 +175,10 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     distributed-join shape — no driver materialization, no fixed
     aggregator-actor pool (Ray's native ``Dataset.join`` hash-shuffle
     spawns one, measured slower at small/medium scale on this plan).
-    Non-key column names must be disjoint. ``how``: inner | left.
+    Non-key column names must be disjoint. ``how``: inner | left |
+    semi | anti (semi/anti emit LEFT columns only — the big-big
+    existence filter; for a SMALL right side use
+    ``broadcast_filter_join`` and skip the shuffle entirely).
 
     Pass ``left_schema``/``right_schema`` (pyarrow.Schema) whenever the
     input is a lazy transformed dataset: without them ``ds.schema()``
@@ -191,6 +197,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     r_names, r_types = _names_types(right, right_schema)
     l_other = [n for n in l_names if n != on]
     r_other = [n for n in r_names if n != on]
+    if how in ("semi", "anti"):
+        # existence checks need only the right KEYS; don't ship payload
+        # columns through the shuffle, and dedupe keys batch-locally
+        # (combiner) so the exchange moves distinct keys per batch
+        right = right.select_columns([on]).map_batches(
+            lambda t: t.group_by(on).aggregate([]), batch_format="pyarrow")
+        r_other = []
 
     def _nullable_dtype(t: "pa.DataType"):
         # NULLABLE pandas dtypes: input columns may carry genuine nulls
@@ -244,14 +257,22 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         rhs = g[g["_side"] == 1][[on] + r_other]
         if l_dtypes:
             lhs = lhs.astype(l_dtypes)
+        if how in ("semi", "anti"):
+            keep = lhs[on].isin(rhs[on].unique())
+            return lhs[keep if how == "semi" else ~keep]
         if r_dtypes and how == "inner":
             rhs = rhs.astype(r_dtypes)
         return lhs.merge(rhs, on=on, how=how)
 
-    out_schema = pa.schema(
-        [pa.field(on, l_types[on])]
-        + [pa.field(n, l_types[n]) for n in l_other]
-        + [pa.field(n, r_types[n]) for n in r_other])
+    if how in ("semi", "anti"):
+        out_schema = pa.schema(
+            [pa.field(on, l_types[on])]
+            + [pa.field(n, l_types[n]) for n in l_other])
+    else:
+        out_schema = pa.schema(
+            [pa.field(on, l_types[on])]
+            + [pa.field(n, l_types[n]) for n in l_other]
+            + [pa.field(n, r_types[n]) for n in r_other])
     return typed_groupby_map(
         both.map_batches(add_part, batch_format="pandas"), "_part", merge,
         out_schema)

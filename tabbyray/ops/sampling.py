@@ -48,6 +48,28 @@ def hash_split(ds: rd.Dataset, id_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def stratified_sample(ds: rd.Dataset, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default: float = 0.0,
+                      n_buckets: int = 10_000) -> rd.Dataset:
+    """Per-stratum deterministic sampling rates (class rebalancing /
+    language up-down-sampling for training mixes). Keep a row iff its
+    id-hash bucket falls below ``rates[stratum] * n_buckets``; strata
+    absent from ``rates`` use ``default``. Stateless map — no shuffle,
+    no global pass over the stratum histogram; the assignment is a pure
+    function of the id so re-runs, re-shards and the SQL oracle agree."""
+    cuts = {s: int(r * n_buckets) for s, r in rates.items()}
+    default_cut = int(default * n_buckets)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        strata = t.column(stratum_col).to_pylist()
+        mask = pa.array([_bucket(v, n_buckets) < cuts.get(s, default_cut)
+                         for v, s in zip(ids, strata)])
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def hash_sample(ds: rd.Dataset, id_col: str, frac: float,
                 n_buckets: int = 10_000) -> rd.Dataset:
     """Deterministic ~frac sample: keep rows whose id-hash bucket falls

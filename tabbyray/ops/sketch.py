@@ -1,0 +1,76 @@
+"""Distinct-count sketching: KMV (bottom-k minimum values).
+
+At 100 TB an exact per-key COUNT(DISTINCT) over a high-cardinality
+value domain (e.g. distinct tokens per language) shuffles every
+distinct pair; a bottom-k sketch caps the exchange at k rows per
+(key, batch) and merges exactly (the bottom-k set is a semilattice:
+merge = union + re-truncate), so the distributed result is identical
+to a single-node pass regardless of partitioning.
+
+The estimator is the standard KMV one (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"): with h_k the k-th
+smallest 64-bit hash, est = (k-1) * 2^64 / h_k; when fewer than k
+distinct hashes exist the sketch IS the exact distinct set and the
+exact count is returned. The hash is the first 16 hex chars of md5
+(DuckDB ``('0x' || substr(md5(v), 1, 16))::UBIGINT``) so an
+independent SQL engine recomputes the estimate bit-for-bit — every
+arithmetic step below mirrors the oracle's left-to-right double
+expression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .relational import typed_groupby_map
+
+_SCALE = 18446744073709551616.0   # 2**64, exact in double
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
+def kmv_distinct(ds: rd.Dataset, key: str, value_col: str, k: int = 64,
+                 key_type: "pa.DataType | None" = None) -> rd.Dataset:
+    """Per-key approximate COUNT(DISTINCT value) via a bottom-k sketch.
+
+    Plan: each batch dedupes (key, value), hashes the values and keeps
+    the <= k smallest hashes per key (combiner) — the ONE groupby
+    shuffle then moves at most k rows per (key, batch), never the
+    value domain. The finish merges the per-batch sketches (unique +
+    truncate) and evaluates the estimator. Output: (key,
+    est_distinct: double).
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].drop_duplicates()
+        d = d.assign(h=np.fromiter((_h64(v) for v in d[value_col]),
+                                   dtype=np.uint64, count=len(d)))
+        d = d[[key, "h"]].drop_duplicates()
+        return (d.sort_values("h", kind="stable")
+                .groupby(key, as_index=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, grp in g.groupby(key, sort=True):
+            hs = np.unique(grp["h"].to_numpy())   # sorted unique merge
+            if len(hs) < k:
+                est = float(len(hs))
+            else:
+                # (k-1) * 2^64 is exact in double; one IEEE division —
+                # identical to the oracle's
+                # (k-1) * 18446744073709551616.0 / CAST(h_k AS DOUBLE)
+                est = (k - 1) * _SCALE / float(hs[k - 1])
+            out.append({key: kv, "est_distinct": est})
+        return pd.DataFrame(out, columns=[key, "est_distinct"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return typed_groupby_map(
+        partials, key, final,
+        pa.schema([(key, key_type or pa.string()),
+                   ("est_distinct", pa.float64())]))

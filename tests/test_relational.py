@@ -414,3 +414,75 @@ def test_cluster_representatives(ray_session):
     assert list(got["node"]) == [1, 5, 7]
     assert list(got["n_members"]) == [3, 1, 2]
     assert list(got["tag"]) == ["a", "d", "e"]
+
+
+def test_hash_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({"k": rng.randint(0, 40, 200),
+                         "a": rng.randn(200),
+                         "s": [f"x{i}" for i in range(200)]})
+    # right has duplicate keys + a payload column that must NOT appear
+    right = pd.DataFrame({"k": np.repeat(np.arange(0, 50, 2), 3),
+                          "junk": np.arange(75)})
+    keys = set(right["k"])
+    semi = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                      how="semi").to_pandas())
+    anti = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                      how="anti").to_pandas())
+    assert sorted(semi.columns) == ["a", "k", "s"]      # left columns only
+    assert sorted(anti.columns) == ["a", "k", "s"]
+    assert set(semi["s"]) == set(left[left["k"].isin(keys)]["s"])
+    assert set(anti["s"]) == set(left[~left["k"].isin(keys)]["s"])
+    assert len(semi) + len(anti) == len(left)           # exact partition
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import _bucket, stratified_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(3000),
+                       "stratum": np.tile(["a", "b", "c"], 1000)})
+    rates = {"a": 0.1, "b": 1.0}          # c absent -> default 0.0
+    got = (stratified_sample(rd.from_pandas(df), "doc_id", "stratum", rates)
+           .to_pandas())
+    # exactly the rows whose id-bucket clears the per-stratum cut
+    want = df[[_bucket(v, 10_000) < {"a": 1000, "b": 10_000}.get(s, 0)
+               for v, s in zip(df["doc_id"], df["stratum"])]]
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    assert set(got[got["stratum"] == "b"]["doc_id"]) == \
+        set(df[df["stratum"] == "b"]["doc_id"])          # rate 1.0 keeps all
+    assert (got["stratum"] == "c").sum() == 0            # default 0 drops all
+    # stable under resharding
+    got2 = (stratified_sample(rd.from_pandas(df).repartition(7), "doc_id",
+                              "stratum", rates).to_pandas())
+    assert set(got2["doc_id"]) == set(got["doc_id"])
+
+
+def test_kmv_distinct_exact_below_k_and_estimate_above(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import _SCALE, _h64, kmv_distinct
+
+    # below k: the sketch IS the distinct set -> exact count
+    small = pd.DataFrame({"g": ["x"] * 40, "v": [f"t{i % 20}" for i in range(40)]})
+    out = kmv_distinct(rd.from_pandas(small), "g", "v", k=64).to_pandas()
+    assert list(out["g"]) == ["x"] and out["est_distinct"].iloc[0] == 20.0
+
+    # above k: estimator reproduces the single-pass formula exactly,
+    # independent of partitioning
+    big = pd.DataFrame({"g": ["y"] * 2000,
+                        "v": [f"tok{i % 700}" for i in range(2000)]})
+    hs = sorted({_h64(v) for v in big["v"]})
+    want = 63 * _SCALE / float(hs[63])
+    for nparts in (1, 5):
+        ds = rd.from_pandas(big).repartition(nparts)
+        got = kmv_distinct(ds, "g", "v", k=64).to_pandas()
+        assert got["est_distinct"].iloc[0] == want
+    # sanity: right order of magnitude (k=64 rel-std is ~1/sqrt(63)≈13%,
+    # and this single fixed draw happens to sit ~2.5 sigma high)
+    assert abs(want - 700) / 700 < 0.5
