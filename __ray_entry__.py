@@ -870,6 +870,107 @@ def _q_kmv_distinct_tokens(sf_dir: str):
     return kmv_distinct(tok_ds, "lang", "tok", k=64)
 
 
+def _q_frequent_tokens(sf_dir: str):
+    """Exact theta-frequent tokens via the two-pass bounded-state
+    heavy-hitters plan (per-batch candidates -> broadcast -> exact
+    recount)."""
+    import pyarrow as pa
+
+    from tabbyray.ops.sketch import frequent_values
+    from tabbyray.ops.text import _WS
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = []
+        for text in t.column("text").to_pylist():
+            toks.extend(_WS.sub(" ", text or "").strip().split(" "))
+        return pa.table({"tok": pa.array(toks, pa.string())})
+
+    tok_ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    return frequent_values(tok_ds, "tok", theta=0.002)
+
+
+def _q_per_user_event_sample(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import per_group_sample
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"])
+    return per_group_sample(
+        ev, "user_id", "event_id", k=3,
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("ts", pa.timestamp("us")),
+                          ("value", pa.float64())]))
+
+
+def _q_token_entropy(sf_dir: str):
+    from tabbyray.ops.text import token_entropy
+    return token_entropy(_docs(sf_dir))
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    from tabbyray.ops.text import length_histogram
+    return length_histogram(_docs(sf_dir), col="n_chars", width=200)
+
+
+def _q_event_interarrival(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import event_interarrival
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    return event_interarrival(ev)
+
+
+def _q_user_event_sequence(sf_dir: str):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import group_concat
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+    return group_concat(ev, "user_id", "event_type", ["ts", "event_id"],
+                        alias="seq")
+
+
+def _q_customer_event_outer(sf_dir: str):
+    """FULL OUTER join of two pre-aggregated big sides (per-user event
+    counts vs per-customer order counts) — both sides shrink through a
+    combiner aggregate BEFORE the one co-partitioned join shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join, partial_agg_sum
+
+    def ones(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "custkey": t.column(0),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return f
+
+    ev = partial_agg_sum(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id"])
+        .map_batches(ones("user_id"), batch_format="pyarrow"),
+        "custkey", {"one": "n_events"})
+    oc = partial_agg_sum(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey"])
+        .map_batches(ones("o_custkey"), batch_format="pyarrow"),
+        "custkey", {"one": "n_orders"})
+    return hash_join(
+        ev, oc, on="custkey", how="outer",
+        left_schema=pa.schema([("custkey", pa.int64()),
+                               ("n_events", pa.int64())]),
+        right_schema=pa.schema([("custkey", pa.int64()),
+                                ("n_orders", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
@@ -911,6 +1012,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": _q_doc_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "kmv_distinct_tokens": _q_kmv_distinct_tokens,
+        "frequent_tokens": _q_frequent_tokens,
+        "per_user_event_sample": _q_per_user_event_sample,
+        "token_entropy": _q_token_entropy,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "event_interarrival": _q_event_interarrival,
+        "user_event_sequence": _q_user_event_sequence,
+        "customer_event_outer": _q_customer_event_outer,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
@@ -1556,5 +1664,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (64 - 1) * 18446744073709551616.0
                              / CAST(h AS DOUBLE) END AS est_distinct
             FROM r WHERE rn = least(n, 64)
+        """,
+        "frequent_tokens": """
+            WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(
+                                text, '\\s+', ' ', 'g')), ' ')) AS v
+                         FROM documents),
+            t AS (SELECT count(*) AS total FROM tok)
+            SELECT v AS value, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY v
+            HAVING count(*) >= (SELECT 0.002 * total FROM t)
+        """,
+        "per_user_event_sample": """
+            SELECT event_id, user_id, event_type, ts, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                         event_id) <= 3
+        """,
+        # 0.0 - sum(...) (not -sum) canonicalizes IEEE -0.0 for
+        # single-token docs; matches the operator's `+ 0.0`
+        "token_entropy": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(trim(regexp_replace(
+                                    text, '\\s+', ' ', 'g')), ' ')) AS v
+                         FROM documents),
+            c AS (SELECT doc_id, v, count(*) AS c
+                  FROM tok GROUP BY doc_id, v),
+            n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+            SELECT c.doc_id,
+                   0.0 - sum((c.c / n.n) * ln(c.c / n.n)) AS token_entropy
+            FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+        """,
+        "doc_length_histogram": """
+            SELECT (n_chars // 200) * 200 AS bin_lo,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "event_interarrival": """
+            SELECT event_id, user_id,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+            QUALIFY lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NOT NULL
+        """,
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "customer_event_outer": """
+            WITH e AS (SELECT user_id AS custkey,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1),
+            o AS (SELECT o_custkey AS custkey,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM orders GROUP BY 1)
+            SELECT COALESCE(e.custkey, o.custkey) AS custkey,
+                   e.n_events, o.n_orders
+            FROM e FULL JOIN o ON e.custkey = o.custkey
         """,
     }

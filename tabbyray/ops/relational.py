@@ -176,8 +176,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     aggregator-actor pool (Ray's native ``Dataset.join`` hash-shuffle
     spawns one, measured slower at small/medium scale on this plan).
     Non-key column names must be disjoint. ``how``: inner | left |
-    semi | anti (semi/anti emit LEFT columns only — the big-big
-    existence filter; for a SMALL right side use
+    outer (full) | semi | anti (semi/anti emit LEFT columns only — the
+    big-big existence filter; for a SMALL right side use
     ``broadcast_filter_join`` and skip the shuffle entirely).
 
     Pass ``left_schema``/``right_schema`` (pyarrow.Schema) whenever the
@@ -260,7 +260,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         if how in ("semi", "anti"):
             keep = lhs[on].isin(rhs[on].unique())
             return lhs[keep if how == "semi" else ~keep]
-        if r_dtypes and how == "inner":
+        if r_dtypes and how in ("inner", "outer"):
             rhs = rhs.astype(r_dtypes)
         return lhs.merge(rhs, on=on, how=how)
 

@@ -83,3 +83,44 @@ def hash_sample(ds: rd.Dataset, id_col: str, frac: float,
         return t.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _hash64(val) -> int:
+    """Full 64-bit id hash (low 8 md5 digest bytes, little-endian) —
+    the un-bucketed value of DuckDB ``md5_number_lower(CAST(id AS
+    VARCHAR))``, used where the ORDER over hashes matters."""
+    return int.from_bytes(hashlib.md5(str(val).encode()).digest()[8:],
+                          "little")
+
+
+def per_group_sample(ds: rd.Dataset, group_col: str, id_col: str, k: int,
+                     schema: "pa.Schema") -> rd.Dataset:
+    """Deterministic uniform k-per-group sample: rank rows inside each
+    group by (id-hash, id) and keep the k smallest — the distributed
+    equivalent of per-key reservoir sampling, but a pure function of
+    the ids (reshard/rerun-stable, SQL-reproducible as
+    ``row_number() OVER (PARTITION BY g ORDER BY md5_number_lower(id),
+    id) <= k``).
+
+    Plan: per-batch local top-k per group (combiner) so the ONE
+    groupby shuffle moves at most k rows per (group, batch); the
+    finish re-ranks the k*batches survivors per group. ``schema`` =
+    the input schema (pass it explicitly — probing a lazy upstream
+    would execute it twice)."""
+    import numpy as np
+
+    from .relational import typed_groupby_map
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = np.fromiter((_hash64(v) for v in df[id_col]),
+                        dtype=np.uint64, count=len(df))
+        return (df.assign(_h=h)
+                .sort_values(["_h", id_col], kind="stable")
+                .groupby(group_col, as_index=False, sort=False).head(k))
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.sort_values(["_h", id_col], kind="stable").head(k)
+                .drop(columns=["_h"]))
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return typed_groupby_map(partials, group_col, final, schema)

@@ -1,4 +1,5 @@
-"""Distinct-count sketching: KMV (bottom-k minimum values).
+"""Sketch / bounded-state summaries: KMV distinct count, exact
+two-pass frequent items.
 
 At 100 TB an exact per-key COUNT(DISTINCT) over a high-cardinality
 value domain (e.g. distinct tokens per language) shuffles every
@@ -74,3 +75,60 @@ def kmv_distinct(ds: rd.Dataset, key: str, value_col: str, k: int = 64,
         partials, key, final,
         pa.schema([(key, key_type or pa.string()),
                    ("est_distinct", pa.float64())]))
+
+
+_TOTAL = "\x00__total__"   # sentinel key for the corpus-total row
+
+
+def frequent_values(ds: rd.Dataset, value_col: str,
+                    theta: float) -> rd.Dataset:
+    """EXACT theta-frequent values (count >= theta * total) with
+    bounded per-worker state — the classic two-round heavy-hitters
+    plan (e.g. Misra-Gries / SpaceSaving family; here per-batch exact
+    counts give the same superset guarantee with vectorized kernels).
+
+    Pass 1 (candidates): each batch keeps values whose BATCH frequency
+    is >= theta — at most 1/theta survivors per batch, so per-worker
+    state is bounded regardless of the value domain. The union over
+    batches is a superset of every globally theta-frequent value
+    (weighted-average argument: global ratio >= theta implies batch
+    ratio >= theta in at least one batch). ``Dataset.unique`` dedupes
+    the survivors with a small shuffle before the candidate set —
+    realistically tiny, worst-case batches/theta — is broadcast once
+    via ``ray.put``.
+
+    Pass 2 (exact recount): per batch, count ONLY candidate values
+    plus the batch total (sentinel row); a combiner + small groupby
+    sums them, and the final theta * total filter runs over the
+    candidate-sized result on the driver. Output (value, n) with n
+    the EXACT global count — never an approximation.
+    """
+    import ray
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[value_col].value_counts()
+        keep = vc[vc >= theta * len(df)]
+        return pd.DataFrame({"value": keep.index.astype(str)})
+
+    cands = ds.map_batches(cand, batch_format="pandas")
+    ref = ray.put(frozenset(cands.unique("value")))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(ref)
+        s = df[value_col]
+        vc = s[s.isin(cs)].value_counts()
+        return pd.DataFrame({
+            "value": list(vc.index.astype(str)) + [_TOTAL],
+            "n": list(vc.values) + [len(df)]})
+
+    from .relational import partial_agg_sum
+    sums = partial_agg_sum(
+        ds.map_batches(recount, batch_format="pandas"),
+        "value", {"n": "n"}).to_pandas()
+    tot_rows = sums.loc[sums["value"] == _TOTAL, "n"]
+    total = int(tot_rows.iloc[0]) if len(tot_rows) else 0
+    out = sums[(sums["value"] != _TOTAL) & (sums["n"] >= theta * total)]
+    return rd.from_arrow(pa.Table.from_pandas(
+        out.reset_index(drop=True),
+        schema=pa.schema([("value", pa.string()), ("n", pa.int64())]),
+        preserve_index=False))

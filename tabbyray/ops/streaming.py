@@ -142,3 +142,60 @@ def windowed_cumsum(events: rd.Dataset,
     return typed_groupby_map(
         events.map_batches(add_part, batch_format="pandas"), "part", window,
         schema)
+
+
+def event_interarrival(events: rd.Dataset,
+                       num_partitions: int = 32) -> rd.Dataset:
+    """Per-user inter-arrival gaps — the window construct
+    ``date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id), ts)``, first event per user dropped (its
+    lag is NULL). Gaps are exact integer MICROseconds (the column's
+    native resolution — float seconds would round). One hash shuffle
+    on user_id; the lag/diff is vectorized pandas inside each
+    partition. Output: (event_id, user_id, gap_us)."""
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_id", "ts"]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g.groupby("user_id")["ts"].shift(1)
+        out = g[["event_id", "user_id"]].copy()
+        out["gap_us"] = (g["ts"] - prev) // pd.Timedelta(1, "us")
+        return out[prev.notna()].assign(
+            gap_us=lambda d: d["gap_us"].astype("int64"))
+
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("gap_us", pa.int64())])
+    return typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"), "part", window,
+        schema)
+
+
+def group_concat(events: rd.Dataset, key: str, value_col: str,
+                 order_cols: list[str], sep: str = ",",
+                 alias: str = "seq") -> rd.Dataset:
+    """Ordered per-key concatenation — SQL ``string_agg(value, sep
+    ORDER BY ...)`` — e.g. a user's event-type sequence for behavioral
+    training data. One groupby shuffle on the key; the sort + join is
+    vectorized pandas per group. (At 100 TB a single hot key's row set
+    must fit a worker — same contract as any ordered string_agg.)"""
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            alias: [sep.join(g[value_col].astype(str))]})
+
+    return typed_groupby_map(
+        events.select_columns([key, value_col] + order_cols), key, concat,
+        pa.schema([(key, pa.int64()), (alias, pa.string())]))

@@ -410,3 +410,45 @@ def chunk_documents(docs: rd.Dataset, chunk_tokens: int = 128,
                          "tok_end": pa.array(ends, pa.int64()),
                          "chunk_text": pa.array(texts, pa.string())})
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def token_entropy(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc unigram token entropy in nats (a repetition/diversity
+    quality signal: boilerplate and keyword-stuffed pages score low).
+    Stateless map, no shuffle. The '+ 0.0' canonicalizes IEEE -0.0
+    (single-token docs) so the value matches the SQL oracle's
+    ``0.0 + -sum(p * ln(p))`` byte-for-byte in CSV form."""
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        ents = []
+        for x in t.column("text").to_pylist():
+            toks = _WS.sub(" ", (x or "")).strip().split(" ")
+            _, counts = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+            p = counts / counts.sum()
+            ents.append(float(-(p * np.log(p)).sum()) + 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token_entropy": pa.array(ents, pa.float64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def length_histogram(docs: rd.Dataset, col: str = "n_chars",
+                     width: int = 200) -> rd.Dataset:
+    """Fixed-width histogram of a numeric column (corpus length
+    profile). Per-batch bin counts (combiner) + a small groupby over
+    the bin domain — the shuffle moves one row per (bin, batch), never
+    the rows. Output (bin_lo, n_docs)."""
+    import pyarrow.compute as pc
+
+    from .relational import partial_agg_sum
+
+    def binify(t: pa.Table) -> pa.Table:
+        lo = pc.multiply(
+            pc.floor(pc.divide(pc.cast(t.column(col), pa.float64()), width)),
+            float(width))
+        return pa.table({"bin_lo": pc.cast(lo, pa.int64()),
+                         "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    out = partial_agg_sum(docs.map_batches(binify, batch_format="pyarrow"),
+                          "bin_lo", {"one": "n_docs"})
+    return out.select_columns(["bin_lo", "n_docs"])

@@ -486,3 +486,113 @@ def test_kmv_distinct_exact_below_k_and_estimate_above(ray_session):
     # sanity: right order of magnitude (k=64 rel-std is ~1/sqrt(63)≈13%,
     # and this single fixed draw happens to sit ~2.5 sigma high)
     assert abs(want - 700) / 700 < 0.5
+
+
+def test_frequent_values_exact_and_superset_guarantee(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import frequent_values
+
+    rng = np.random.RandomState(3)
+    # zipf-ish: a few heavy values + a long tail, spread over partitions
+    vals = (["hot"] * 500 + ["warm"] * 120
+            + [f"tail{i}" for i in rng.randint(0, 2000, 2000)])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    theta = 0.02
+    got = (frequent_values(rd.from_pandas(df).repartition(6), "v", theta)
+           .to_pandas().sort_values("value").reset_index(drop=True))
+    vc = df["v"].value_counts()
+    want = vc[vc >= theta * len(df)].sort_index()
+    assert list(got["value"]) == list(want.index)
+    assert list(got["n"]) == list(want.values)       # EXACT counts
+
+
+def test_per_group_sample_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import _hash64, per_group_sample
+
+    df = pd.DataFrame({"g": np.repeat(np.arange(20), 30),
+                       "id": np.arange(600),
+                       "x": np.random.RandomState(0).randn(600)})
+    schema = pa.schema([("g", pa.int64()), ("id", pa.int64()),
+                        ("x", pa.float64())])
+    got = (per_group_sample(rd.from_pandas(df), "g", "id", 4, schema)
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    want = (df.assign(_h=[_hash64(v) for v in df["id"]])
+            .sort_values(["_h", "id"]).groupby("g").head(4)
+            .drop(columns="_h").sort_values(["g", "id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # stable under resharding
+    got2 = (per_group_sample(rd.from_pandas(df).repartition(7), "g", "id",
+                             4, schema)
+            .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want)
+
+
+def test_hash_join_outer(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "b": [200, 300, 400]})
+    got = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="outer").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(got["k"]) == [1, 2, 3, 4]
+    assert got["a"].isna().tolist() == [False, False, False, True]
+    assert got["b"].isna().tolist() == [True, False, False, False]
+    assert got.loc[1, "a"] == 20 and got.loc[1, "b"] == 200
+
+
+def test_group_concat_and_interarrival(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import event_interarrival, group_concat
+
+    base = pd.Timestamp("2025-01-01")
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_id": [3, 1, 2, 5, 4],
+        "event_type": ["c", "a", "b", "e", "d"],
+        "ts": [base + pd.Timedelta(seconds=s)
+               for s in [10.5, 0.25, 0.25, 100, 7]],
+    })
+    seq = (group_concat(rd.from_pandas(ev), "user_id", "event_type",
+                        ["ts", "event_id"]).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1: ties on ts broken by event_id (1 then 2), then event 3
+    assert list(seq["seq"]) == ["a,b,c", "d,e"]
+
+    gaps = (event_interarrival(rd.from_pandas(ev)).to_pandas()
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    # first event per user dropped; exact integer microseconds
+    assert list(gaps["event_id"]) == [2, 3, 5]
+    assert list(gaps["gap_us"]) == [0, 10_250_000, 93_000_000]
+
+
+def test_token_entropy_and_length_histogram(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.text import length_histogram, token_entropy
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a a", "a b c d", "x"],
+        "n_chars": [7, 7, 450],
+    })
+    ent = (token_entropy(rd.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert ent["token_entropy"].iloc[0] == 0.0          # uniform repeat
+    assert abs(ent["token_entropy"].iloc[1] - np.log(4)) < 1e-12
+    assert ent["token_entropy"].iloc[2] == 0.0          # single token
+    assert not np.signbit(ent["token_entropy"].iloc[2])  # +0.0, not -0.0
+
+    hist = (length_histogram(rd.from_pandas(docs), col="n_chars", width=200)
+            .to_pandas().sort_values("bin_lo").reset_index(drop=True))
+    assert list(hist["bin_lo"]) == [0, 400]
+    assert list(hist["n_docs"]) == [2, 1]
