@@ -971,6 +971,22 @@ def _q_customer_event_outer(sf_dir: str):
                                 ("n_orders", pa.int64())]))
 
 
+def _q_span_dedup(sf_dir: str):
+    from tabbyray.ops.dedup import span_dedup
+    return span_dedup(_docs(sf_dir), width=8)
+
+
+def _q_lang_temperature_sample(sf_dir: str):
+    from tabbyray.ops.sampling import temperature_sample
+    return temperature_sample(_docs(sf_dir), "lang", "doc_id",
+                              alpha=0.5).select_columns(["doc_id", "lang"])
+
+
+def _q_sequence_pack(sf_dir: str):
+    from tabbyray.ops.text import sequence_pack
+    return sequence_pack(_docs(sf_dir), seq_len=2048)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
@@ -1019,6 +1035,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": _q_event_interarrival,
         "user_event_sequence": _q_user_event_sequence,
         "customer_event_outer": _q_customer_event_outer,
+        "span_dedup_docs": _q_span_dedup,
+        "lang_temperature_sample": _q_lang_temperature_sample,
+        "sequence_pack": _q_sequence_pack,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
@@ -1725,5 +1744,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(e.custkey, o.custkey) AS custkey,
                    e.n_events, o.n_orders
             FROM e FULL JOIN o ON e.custkey = o.custkey
+        """,
+        # list slice l[a:b] is 1-based INCLUSIVE; chunk i covers python
+        # toks[i*8:(i+1)*8]
+        "span_dedup_docs": """
+            WITH t AS (SELECT doc_id,
+                              string_split(trim(regexp_replace(
+                                  text, '\\s+', ' ', 'g')), ' ') AS l
+                       FROM documents),
+            e AS (SELECT doc_id, l, unnest(range((len(l) + 7) // 8)) AS i
+                  FROM t),
+            ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                          array_to_string(
+                              l[i * 8 + 1 : least((i + 1) * 8, len(l))],
+                              ' ') AS chunk
+                   FROM e),
+            keep AS (SELECT doc_id, chunk_id, chunk FROM ch
+                     QUALIFY row_number() OVER (
+                         PARTITION BY chunk
+                         ORDER BY doc_id, chunk_id) = 1)
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_id) AS dedup_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM keep GROUP BY doc_id
+        """,
+        # alpha = 0.5 -> rate = sqrt(n_min/n_lang); IEEE sqrt is
+        # correctly rounded, so the hash-cut boundary is bit-exact
+        "lang_temperature_sample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+            m AS (SELECT min(n) AS mn FROM c),
+            r AS (SELECT lang, sqrt(CAST(m.mn AS DOUBLE) / n) AS rate
+                  FROM c, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
+                  < r.rate * 10000
+        """,
+        "sequence_pack": """
+            WITH t AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                             - n_tokens AS o
+                  FROM t)
+            SELECT doc_id, n_tokens, CAST(o AS BIGINT) AS tok_offset,
+                   CAST(o // 2048 AS BIGINT) AS seq_id
+            FROM c
         """,
     }

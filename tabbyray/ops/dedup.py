@@ -649,3 +649,57 @@ def _embedding_neardup_lsh(embs: rd.Dataset, threshold: float,
         _pair_schema(["vec_a", "vec_b", "cosine"]))
     return _dedup_pairs(pairs, keep_cols=["vec_a", "vec_b", "cosine"],
                         key_cols=("vec_a", "vec_b"))
+
+
+def span_dedup(docs: rd.Dataset, width: int = 8) -> rd.Dataset:
+    """Corpus-wide exact SPAN dedup — the chunk-granular approximation
+    of exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): cut every doc into
+    non-overlapping ``width``-token chunks, keep the globally FIRST
+    occurrence of each distinct chunk (min (doc_id, chunk_id)), and
+    reassemble each doc from its surviving chunks. Docs whose every
+    chunk was seen earlier vanish entirely (C4-style boilerplate
+    removal).
+
+    Plan: stateless explode -> ONE groupby(chunk) shuffle picking the
+    keep-first winner inside each group -> ONE groupby(doc_id) shuffle
+    reassembling in chunk order. No driver materialization, no
+    broadcast; both shuffles move each chunk exactly once. Output
+    (doc_id, dedup_text, n_kept).
+    """
+    from .relational import typed_groupby_map
+    from .text import _WS
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cids, chunks = [], [], []
+        for doc_id, x in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = _WS.sub(" ", (x or "")).strip().split(" ")
+            for i in range((len(toks) + width - 1) // width):
+                ids.append(doc_id)
+                cids.append(i)
+                chunks.append(" ".join(toks[i * width:(i + 1) * width]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cids, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string())})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["doc_id", "chunk_id"], kind="stable").head(1)
+
+    chunk_schema = pa.schema([("doc_id", pa.int64()),
+                              ("chunk_id", pa.int64()),
+                              ("chunk", pa.string())])
+    kept = typed_groupby_map(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        "chunk", keep_first, chunk_schema)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_id", kind="stable")
+        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]],
+                             "dedup_text": [" ".join(g["chunk"])],
+                             "n_kept": [len(g)]})
+
+    return typed_groupby_map(
+        kept, "doc_id", reassemble,
+        pa.schema([("doc_id", pa.int64()), ("dedup_text", pa.string()),
+                   ("n_kept", pa.int64())]))

@@ -124,3 +124,49 @@ def per_group_sample(ds: rd.Dataset, group_col: str, id_col: str, k: int,
 
     partials = ds.map_batches(local, batch_format="pandas")
     return typed_groupby_map(partials, group_col, final, schema)
+
+
+def temperature_sample(ds: rd.Dataset, stratum_col: str, id_col: str,
+                       alpha: float = 0.5,
+                       n_buckets: int = 10_000) -> rd.Dataset:
+    """Temperature-based mixture resampling (the multilingual /
+    multi-source training-mix flattener, e.g. mBERT/XLM-R exponent
+    smoothing): downsample each stratum so the kept mix follows
+    p_s^alpha. Keep rate per stratum = (n_min / n_s)^(1-alpha) — 1.0
+    for the rarest stratum, < 1 for dominant ones.
+
+    Pass 1 aggregates stratum counts (combiner + tiny groupby -> one
+    row per stratum on the driver). Pass 2 is a stateless id-hash
+    filter: keep iff bucket(id) < rate * n_buckets, compared in FLOAT
+    (no integer truncation) so an SQL engine reproduces the boundary.
+    For the default alpha = 0.5 the rate is sqrt(n_min/n_s): IEEE sqrt
+    is correctly rounded, making the cut bit-for-bit SQL-reproducible;
+    other alphas go through pow (last-ulp parity not guaranteed)."""
+    import math
+
+    from .relational import partial_agg_sum
+
+    def ones(t: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({stratum_col: t.column(stratum_col),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    counts = partial_agg_sum(
+        ds.select_columns([stratum_col]).map_batches(
+            ones, batch_format="pyarrow"),
+        stratum_col, {"one": "n"}).to_pandas()
+    n_min = int(counts["n"].min())
+    rates = {}
+    for s, n in zip(counts[stratum_col], counts["n"]):
+        q = n_min / float(n)
+        rates[s] = math.sqrt(q) if alpha == 0.5 else q ** (1.0 - alpha)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        strata = t.column(stratum_col).to_pylist()
+        mask = pa.array([_bucket(v, n_buckets) < rates[s] * n_buckets
+                         for v, s in zip(ids, strata)])
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")

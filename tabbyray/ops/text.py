@@ -452,3 +452,58 @@ def length_histogram(docs: rd.Dataset, col: str = "n_chars",
     out = partial_agg_sum(docs.map_batches(binify, batch_format="pyarrow"),
                           "bin_lo", {"one": "n_docs"})
     return out.select_columns(["bin_lo", "n_docs"])
+
+
+def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
+                  bucket_size: int = 4096) -> rd.Dataset:
+    """Concat-and-chunk sequence packing: lay every doc's tokens out
+    end-to-end in doc_id order and assign each doc its global token
+    offset and training-sequence id (offset // seq_len) — the
+    GPT-style pretraining packing layout, as a distributed PREFIX SUM.
+
+    Plan: (1) stateless per-doc token counts; (2) coarse buckets
+    bucket = doc_id // bucket_size, per-bucket token sums via a
+    combiner aggregate — one tiny row per bucket to the driver (pick
+    ``bucket_size`` so corpus_size / bucket_size driver rows stay
+    small; hierarchical buckets extend this another 1000x if needed);
+    (3) broadcast the bucket->prefix offsets once (ray.put) and finish
+    with a per-bucket groupby: sort by doc_id, local cumsum + bucket
+    offset. No full-data shuffle at any step — the only exchange is
+    the bucket-count aggregate. Output (doc_id, n_tokens, tok_offset,
+    seq_id)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import partial_agg_sum, typed_groupby_map
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")), pa.int64())
+        doc = t.column("doc_id")
+        return pa.table({
+            "doc_id": doc, "n_tokens": n,
+            "bucket": pc.cast(pc.floor(pc.divide(
+                pc.cast(doc, pa.float64()), bucket_size)), pa.int64())})
+
+    per_doc = docs.map_batches(counts, batch_format="pyarrow")
+    bucket_sums = partial_agg_sum(per_doc, "bucket",
+                                  {"n_tokens": "n"}).to_pandas()
+    bucket_sums = bucket_sums.sort_values("bucket")
+    prefix = dict(zip(bucket_sums["bucket"],
+                      bucket_sums["n"].cumsum() - bucket_sums["n"]))
+    ref = ray.put(prefix)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref)
+        g = g.sort_values("doc_id", kind="stable")
+        off = int(offs[g["bucket"].iloc[0]]) \
+            + g["n_tokens"].cumsum() - g["n_tokens"]
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "n_tokens": g["n_tokens"],
+                             "tok_offset": off.astype("int64"),
+                             "seq_id": (off // seq_len).astype("int64")})
+
+    return typed_groupby_map(
+        per_doc, "bucket", finish,
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("tok_offset", pa.int64()), ("seq_id", pa.int64())]))

@@ -596,3 +596,67 @@ def test_token_entropy_and_length_histogram(ray_session):
             .to_pandas().sort_values("bin_lo").reset_index(drop=True))
     assert list(hist["bin_lo"]) == [0, 400]
     assert list(hist["n_docs"]) == [2, 1]
+
+
+def test_span_dedup_keep_first_and_vanishing_doc(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import span_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d e f",          # chunks: "a b c", "d e f"
+                 "d e f g h i",          # "d e f" dup -> keeps "g h i"
+                 "a b c d e f"],         # all chunks dup -> vanishes
+    })
+    out = (span_dedup(rd.from_pandas(docs).repartition(3), width=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["dedup_text"]) == ["a b c d e f", "g h i"]
+    assert list(out["n_kept"]) == [2, 1]
+
+
+def test_temperature_sample_rates(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import _bucket, temperature_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4000),
+        "lang": ["en"] * 3600 + ["fr"] * 400,   # 9:1 skew
+    })
+    got = (temperature_sample(rd.from_pandas(df).repartition(5), "lang",
+                              "doc_id", alpha=0.5).to_pandas())
+    rate_en = math.sqrt(400 / 3600.0)
+    want = df[[_bucket(v, 10_000) < ({"en": rate_en, "fr": 1.0}[s]) * 10_000
+               for v, s in zip(df["doc_id"], df["lang"])]]
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    # rarest stratum keeps everything; dominant one shrinks toward 1/3
+    assert (got["lang"] == "fr").sum() == 400
+    n_en = (got["lang"] == "en").sum()
+    assert abs(n_en - 3600 * rate_en) < 3600 * 0.05
+
+
+def test_sequence_pack_prefix_sum(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.text import sequence_pack
+
+    rng = np.random.RandomState(2)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(500),
+        "text": [" ".join(["w"] * n)
+                 for n in rng.randint(1, 40, 500)]})
+    want_n = docs["text"].str.split(" ").str.len()
+    want_off = want_n.cumsum() - want_n
+    # small bucket_size forces many buckets + the broadcast prefix path;
+    # result must be partition-independent
+    for nparts in (1, 6):
+        got = (sequence_pack(rd.from_pandas(docs).repartition(nparts),
+                             seq_len=64, bucket_size=32)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(got["tok_offset"]) == list(want_off)
+        assert list(got["seq_id"]) == list(want_off // 64)
+        assert list(got["n_tokens"]) == list(want_n)
