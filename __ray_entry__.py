@@ -987,6 +987,16 @@ def _q_sequence_pack(sf_dir: str):
     return sequence_pack(_docs(sf_dir), seq_len=2048)
 
 
+def _q_global_shuffle_rank(sf_dir: str):
+    from tabbyray.ops.sampling import global_hash_shuffle
+    return global_hash_shuffle(_docs(sf_dir), "doc_id", n_buckets=256)
+
+
+def _q_packed_sequences(sf_dir: str):
+    from tabbyray.ops.text import packed_sequences
+    return packed_sequences(_docs(sf_dir), seq_len=2048)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
@@ -1038,6 +1048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_docs": _q_span_dedup,
         "lang_temperature_sample": _q_lang_temperature_sample,
         "sequence_pack": _q_sequence_pack,
+        "global_shuffle_rank": _q_global_shuffle_rank,
+        "packed_sequences": _q_packed_sequences,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
@@ -1780,6 +1792,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # order-preserving bucket rank == a global ORDER BY the full
+        # 64-bit id hash (ties broken by id; hash collisions only)
+        "global_shuffle_rank": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
+        # parallel unnest zips token with its index; global position =
+        # doc prefix-sum offset + index
+        "packed_sequences": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n
+                       FROM documents),
+            c AS (SELECT doc_id, toks, n,
+                         sum(n) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n AS o
+                  FROM t),
+            u AS (SELECT o + CAST(unnest(range(n)) AS BIGINT) AS pos,
+                         unnest(toks) AS tok
+                  FROM c)
+            SELECT CAST(pos // 2048 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS seq_text
+            FROM u GROUP BY 1
         """,
         "sequence_pack": """
             WITH t AS (SELECT doc_id,

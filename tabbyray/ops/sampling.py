@@ -170,3 +170,58 @@ def temperature_sample(ds: rd.Dataset, stratum_col: str, id_col: str,
         return t.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def global_hash_shuffle(ds: rd.Dataset, id_col: str,
+                        n_buckets: int = 8192) -> rd.Dataset:
+    """Deterministic global training-order shuffle: assign every row
+    its rank in (id-hash, id) order — the reproducible corpus
+    shuffle a training run needs (same order on re-run, re-shard, or
+    resume; SQL ``row_number() OVER (ORDER BY md5_number_lower(id),
+    id) - 1``).
+
+    Distributed rank without a global sort-limit: the top bits of the
+    hash give an ORDER-PRESERVING bucket (h sorted <=> (bucket, h)
+    sorted), and hashes are uniform so buckets are balanced with no
+    sampling/range-boundary step. Per-bucket counts (combiner) -> tiny
+    prefix-sum on the driver -> broadcast -> per-bucket local sort +
+    offset. The only exchange is the bucket groupby. Output (id,
+    shuffle_rank)."""
+    import numpy as np
+    import ray
+
+    from .relational import partial_agg_sum, typed_groupby_map
+
+    shift = 64 - (n_buckets - 1).bit_length()
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.fromiter((_hash64(v) for v in ids), dtype=np.uint64,
+                        count=len(ids))
+        return pa.table({id_col: t.column(id_col),
+                         "_h": pa.array(h, pa.uint64()),
+                         "_bucket": pa.array(
+                             (h >> shift).astype(np.int64), pa.int64()),
+                         "_one": pa.array(np.ones(len(ids), np.int64))})
+
+    hds = ds.select_columns([id_col]).map_batches(
+        hashed, batch_format="pyarrow")
+    counts = partial_agg_sum(hds, "_bucket", {"_one": "n"}).to_pandas()
+    counts = counts.sort_values("_bucket")
+    prefix = dict(zip(counts["_bucket"],
+                      counts["n"].cumsum() - counts["n"]))
+    ref = ray.put(prefix)
+
+    def rank(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        offs = ray.get(ref)
+        g = g.sort_values(["_h", id_col], kind="stable")
+        start = int(offs[g["_bucket"].iloc[0]])
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "shuffle_rank": np.arange(start, start + len(g),
+                                      dtype=np.int64)})
+
+    return typed_groupby_map(
+        hds, "_bucket", rank,
+        pa.schema([(id_col, pa.int64()), ("shuffle_rank", pa.int64())]))

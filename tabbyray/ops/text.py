@@ -507,3 +507,76 @@ def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
         per_doc, "bucket", finish,
         pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
                    ("tok_offset", pa.int64()), ("seq_id", pa.int64())]))
+
+
+def packed_sequences(docs: rd.Dataset, seq_len: int = 2048,
+                     bucket_size: int = 4096) -> rd.Dataset:
+    """MATERIALIZED sequence packing: the global token stream (docs
+    concatenated in doc_id order) cut into fixed ``seq_len``-token
+    training sequences — documents crossing a boundary are SPLIT
+    across the two sequences, exactly like GPT-style pretraining
+    batch construction.
+
+    Plan: the same coarse-bucket distributed prefix sum as
+    ``sequence_pack`` gives each doc its global token offset; then
+    each doc emits one PIECE per sequence it overlaps (a stateless
+    flat map — a doc of n tokens overlaps at most n/seq_len + 1
+    sequences, so the fan-out is proportional to data size), and ONE
+    groupby(seq_id) reassembles pieces in position order. Output
+    (seq_id, n_tokens, seq_text); the final (ragged) sequence is kept.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import partial_agg_sum, typed_groupby_map
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")), pa.int64())
+        doc = t.column("doc_id")
+        return pa.table({
+            "doc_id": doc, "n_tokens": n, "text": t.column("text"),
+            "bucket": pc.cast(pc.floor(pc.divide(
+                pc.cast(doc, pa.float64()), bucket_size)), pa.int64())})
+
+    per_doc = docs.select_columns(["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow")
+    bucket_sums = partial_agg_sum(
+        per_doc.select_columns(["bucket", "n_tokens"]), "bucket",
+        {"n_tokens": "n"}).to_pandas().sort_values("bucket")
+    prefix = dict(zip(bucket_sums["bucket"],
+                      bucket_sums["n"].cumsum() - bucket_sums["n"]))
+    ref = ray.put(prefix)
+
+    def pieces(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref)
+        g = g.sort_values("doc_id", kind="stable")
+        start = int(offs[g["bucket"].iloc[0]])
+        cum = g["n_tokens"].cumsum() - g["n_tokens"]
+        seqs, poss, texts = [], [], []
+        for text, n, local in zip(g["text"], g["n_tokens"], cum):
+            off = start + int(local)
+            toks = text.split(" ")
+            for s in range(off // seq_len, (off + n - 1) // seq_len + 1):
+                a = max(0, s * seq_len - off)
+                b = min(n, (s + 1) * seq_len - off)
+                seqs.append(s)
+                poss.append(off + a)
+                texts.append(" ".join(toks[a:b]))
+        return pd.DataFrame({"seq_id": seqs, "pos": poss, "piece": texts})
+
+    piece_schema = pa.schema([("seq_id", pa.int64()), ("pos", pa.int64()),
+                              ("piece", pa.string())])
+    piece_ds = typed_groupby_map(per_doc, "bucket", pieces, piece_schema)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos", kind="stable")
+        n = int(sum(len(p.split(" ")) for p in g["piece"]))
+        return pd.DataFrame({"seq_id": [g["seq_id"].iloc[0]],
+                             "n_tokens": [n],
+                             "seq_text": [" ".join(g["piece"])]})
+
+    return typed_groupby_map(
+        piece_ds, "seq_id", assemble,
+        pa.schema([("seq_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("seq_text", pa.string())]))

@@ -660,3 +660,46 @@ def test_sequence_pack_prefix_sum(ray_session):
         assert list(got["tok_offset"]) == list(want_off)
         assert list(got["seq_id"]) == list(want_off // 64)
         assert list(got["n_tokens"]) == list(want_n)
+
+
+def test_global_hash_shuffle_rank(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import _hash64, global_hash_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(1000)})
+    want = sorted(df["doc_id"], key=lambda v: (_hash64(v), v))
+    # partition-independent and bucket-count-independent
+    for nparts, nbuckets in ((1, 64), (7, 64), (7, 16)):
+        got = (global_hash_shuffle(rd.from_pandas(df).repartition(nparts),
+                                   "doc_id", n_buckets=nbuckets)
+               .to_pandas())
+        assert len(got) == 1000
+        rank = dict(zip(got["doc_id"], got["shuffle_rank"]))
+        assert [rank[v] for v in want] == list(range(1000))
+
+
+def test_packed_sequences(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.text import packed_sequences
+
+    rng = np.random.RandomState(3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "text": [" ".join(f"w{i}x{j}" for j in range(n))
+                 for i, n in enumerate(rng.randint(1, 50, 200))]})
+    toks = [t for s in docs["text"] for t in s.split(" ")]
+    want = {s: " ".join(toks[s * 64:(s + 1) * 64])
+            for s in range((len(toks) + 63) // 64)}
+    # small bucket_size exercises the broadcast prefix-sum path; result
+    # must be partition-independent and split docs across boundaries
+    for nparts in (1, 6):
+        got = (packed_sequences(rd.from_pandas(docs).repartition(nparts),
+                                seq_len=64, bucket_size=16)
+               .to_pandas().sort_values("seq_id"))
+        assert dict(zip(got["seq_id"], got["seq_text"])) == want
+        assert (got["n_tokens"]
+                == got["seq_text"].str.split(" ").str.len()).all()
+    # at least one doc must actually straddle a sequence boundary
+    assert len(toks) > 64
