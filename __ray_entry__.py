@@ -987,6 +987,32 @@ def _q_sequence_pack(sf_dir: str):
     return sequence_pack(_docs(sf_dir), seq_len=2048)
 
 
+def _q_lang_char_moments(sf_dir: str):
+    from tabbyray.ops.relational import grouped_moments
+    return grouped_moments(_docs(sf_dir), "lang", "n_chars")
+
+
+def _q_doc_length_zscore(sf_dir: str):
+    from tabbyray.ops.relational import zscore_normalize
+    return zscore_normalize(_docs(sf_dir), "lang", "n_chars",
+                            out_cols=["doc_id", "lang", "n_chars"])
+
+
+def _q_user_top3_events(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.relational import grouped_topk
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return grouped_topk(ev, "user_id", "value", "event_id",
+                        out_cols=["user_id", "event_id", "ts", "value"],
+                        k=3)
+
+
+def _q_doc_unigram_nll(sf_dir: str):
+    from tabbyray.ops.text import unigram_logprob_scores
+    return unigram_logprob_scores(_docs(sf_dir))
+
+
 def _q_global_shuffle_rank(sf_dir: str):
     from tabbyray.ops.sampling import global_hash_shuffle
     return global_hash_shuffle(_docs(sf_dir), "doc_id", n_buckets=256)
@@ -1050,6 +1076,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "lang_char_moments": _q_lang_char_moments,
+        "doc_length_zscore": _q_doc_length_zscore,
+        "user_top3_events": _q_user_top3_events,
+        "doc_unigram_nll": _q_doc_unigram_nll,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
@@ -1792,6 +1822,54 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # mean/var evaluated from EXACT integer sums with the identical
+        # double expression on both sides -> bit-identical
+        "lang_char_moments": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_v,
+                   CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*)
+                     - (CAST(sum(n_chars) AS DOUBLE) / count(*))
+                       * (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS var_v
+            FROM documents GROUP BY lang
+        """,
+        # sqrt and the arithmetic are correctly-rounded IEEE ops on both
+        # sides; z = 0 where the stratum is constant
+        "doc_length_zscore": """
+            WITH m AS (SELECT lang,
+                              CAST(sum(n_chars) AS DOUBLE) / count(*)
+                                  AS mean_v,
+                              sqrt(CAST(sum(n_chars * n_chars) AS DOUBLE)
+                                       / count(*)
+                                   - (CAST(sum(n_chars) AS DOUBLE)
+                                          / count(*))
+                                     * (CAST(sum(n_chars) AS DOUBLE)
+                                            / count(*))) AS std_v
+                       FROM documents GROUP BY lang)
+            SELECT doc_id, d.lang AS lang, n_chars,
+                   CASE WHEN std_v = 0 THEN 0.0
+                        ELSE (n_chars - mean_v) / std_v END AS z
+            FROM documents d JOIN m USING (lang)
+        """,
+        "user_top3_events": """
+            SELECT user_id, event_id, ts, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC) <= 3
+        """,
+        "doc_unigram_nll": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY term),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   avg(-ln(CAST(n AS DOUBLE) / total)) AS nll
+            FROM tok JOIN tc USING (term), tot
+            GROUP BY doc_id
         """,
         # order-preserving bucket rank == a global ORDER BY the full
         # 64-bit id hash (ties broken by id; hash collisions only)

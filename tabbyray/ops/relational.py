@@ -604,3 +604,116 @@ def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
                 v += frac * (value_at(lo + 1) - v)
             out.append({group: gval, "q": float(q), "value": v})
     return pd.DataFrame(out).sort_values([group, "q"]).reset_index(drop=True)
+
+
+def grouped_moments(ds: rd.Dataset, key: str, value_col: str,
+                    key_type: "pa.DataType | None" = None,
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Per-key count / sum / mean / population variance in one combiner
+    pass — the distributed one-pass variance: only sufficient
+    statistics (n, Σv, Σv²) travel through the shuffle, never rows.
+
+    The value column must be integral: the sums accumulate EXACTLY in
+    int64 (the combiner merge is associative with zero float error;
+    caller guarantees Σv² < 2⁶³), and mean/var are then evaluated from
+    the exact sums with the same closed-form double expression the SQL
+    oracle uses (s/n, s2/n − (s/n)²) — bit-identical results under any
+    partitioning. Output: (key, n, sum_v, mean_v, var_v)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.int64())
+        return pa.table({key: t.column(key), "_v": v,
+                         "_v2": pc.multiply(v, v)})
+
+    kt = key_type or pa.string()
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), keys=[key],
+        sum_cols={"_v": "sum_v", "_v2": "sum_v2"}, count_alias="n",
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(key, kt), ("sum_v", pa.int64()),
+                              ("sum_v2", pa.int64()), ("n", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        s = t.column("sum_v").to_numpy().astype(np.float64)
+        s2 = t.column("sum_v2").to_numpy().astype(np.float64)
+        mean = s / n
+        var = s2 / n - mean * mean
+        return pa.table({key: t.column(key), "n": t.column("n"),
+                         "sum_v": t.column("sum_v"),
+                         "mean_v": pa.array(mean, pa.float64()),
+                         "var_v": pa.array(var, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore_normalize(ds: rd.Dataset, key: str, value_col: str,
+                     out_cols: list[str],
+                     key_type: "pa.DataType | None" = None,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Per-key z-score normalization — the aggregate → broadcast-scalars
+    → vectorized-map pattern (two corpus passes, no per-row shuffle).
+
+    Moments come from ``grouped_moments``' exact integer sums, so
+    ``z = (v − mean) / sqrt(var)`` evaluates the identical IEEE
+    expression as the SQL oracle (sqrt and the arithmetic ops are
+    correctly rounded on both sides); z = 0 where var == 0. The
+    broadcast assumes #groups fits on the driver (lang/domain/source
+    strata); beyond that, hash_join the moments table back on a key
+    co-partition instead."""
+    import numpy as np
+    import ray
+
+    m = grouped_moments(ds, key, value_col, key_type,
+                        num_partitions).to_pandas()
+    std = np.sqrt(m["var_v"].to_numpy())
+    lookup = {k: (mu, sd)
+              for k, mu, sd in zip(m[key], m["mean_v"], std)}
+    ref = ray.put(lookup)
+
+    def f(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = t.column(key).to_pylist()
+        n = len(keys)
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        mu = np.fromiter((lk[k][0] for k in keys), np.float64, n)
+        sd = np.fromiter((lk[k][1] for k in keys), np.float64, n)
+        zero = sd == 0.0
+        z = (v - mu) / np.where(zero, 1.0, sd)
+        z[zero] = 0.0
+        cols = {c: t.column(c) for c in out_cols}
+        cols["z"] = pa.array(z, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_topk(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
+                 out_cols: list[str], k: int,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """Top-k rows per key by (order_col desc, tie_col asc) — the k > 1
+    generalization of ``grouped_argmax``, same combiner plan: each
+    batch keeps at most k rows per key locally, the exchange moves
+    ≤ k·(keys per batch) rows on a ``hash(key) % P`` partition, and one
+    vectorized sort + head(k) finishes each partition. Equivalent to
+    SQL ``row_number() OVER (PARTITION BY key ORDER BY order DESC,
+    tie ASC) <= k``."""
+    carry = list(dict.fromkeys([key, order_col, tie_col] + out_cols))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[carry].sort_values([order_col, tie_col],
+                                   ascending=[False, True], kind="stable")
+             .groupby(key, as_index=False, sort=False).head(k))
+        h = pd.util.hash_pandas_object(g[key], index=False)
+        return g.assign(_part=(h % num_partitions).astype("int64"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values([order_col, tie_col],
+                              ascending=[False, True], kind="stable")
+                .groupby(key, as_index=False, sort=False)
+                .head(k))[out_cols]
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(final, batch_format="pandas"))

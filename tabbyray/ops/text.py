@@ -580,3 +580,57 @@ def packed_sequences(docs: rd.Dataset, seq_len: int = 2048,
         piece_ds, "seq_id", assemble,
         pa.schema([("seq_id", pa.int64()), ("n_tokens", pa.int64()),
                    ("seq_text", pa.string())]))
+
+
+def unigram_logprob_scores(docs: rd.Dataset,
+                           num_partitions: int = 32) -> rd.Dataset:
+    """Unigram language-model quality score per document: the mean
+    negative log-likelihood of the doc's tokens under the corpus's OWN
+    unigram distribution — the fluency/outlier signal quality filters
+    use (low = typical text, high = rare-token-heavy).
+
+    Plan: one Counter-combiner hash aggregate builds the corpus term
+    counts (shuffle moves one row per (term, batch), not per token);
+    the (term → −ln p) map is broadcast ONCE via ``ray.put``; scoring
+    is then a stateless single pass. For vocabularies beyond driver
+    memory, join the exploded tf stream against the counts table on a
+    term-hash co-partition instead (the tfidf_scores fallback).
+    Output: (doc_id, n_tokens, nll)."""
+    from collections import Counter
+
+    import ray
+
+    from .relational import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(_WS.sub(" ", (text or "")).strip().split(" "))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = hash_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"), keys=["term"],
+        sum_cols={"n": "n"}, num_partitions=num_partitions,
+        out_schema=pa.schema([("term", pa.string()),
+                              ("n", pa.int64())])).to_pandas()
+    total = float(counts["n"].sum())
+    neglogp = dict(zip(
+        counts["term"],
+        -np.log(counts["n"].to_numpy().astype(np.float64) / total)))
+    ref = ray.put(neglogp)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids, nt, nll = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            ids.append(doc_id)
+            nt.append(len(toks))
+            nll.append(sum(m[tok] for tok in toks) / len(toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "nll": pa.array(nll, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -703,3 +703,84 @@ def test_packed_sequences(ray_session):
                 == got["seq_text"].str.split(" ").str.len()).all()
     # at least one doc must actually straddle a sequence boundary
     assert len(toks) > 64
+
+
+def test_grouped_moments_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_moments
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"k": rng.choice(list("abcd"), 3000),
+                       "v": rng.randint(0, 1000, 3000)})
+    for nparts in (1, 6):
+        got = (grouped_moments(rd.from_pandas(df).repartition(nparts),
+                               "k", "v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        want = df.groupby("k")["v"]
+        assert list(got["n"]) == list(want.count())
+        assert list(got["sum_v"]) == list(want.sum())
+        assert np.allclose(got["mean_v"], want.mean(), rtol=1e-12)
+        assert np.allclose(got["var_v"], want.var(ddof=0), rtol=1e-9)
+
+
+def test_zscore_normalize(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import zscore_normalize
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({"doc_id": np.arange(2000),
+                       "k": rng.choice(["x", "y", "z"], 2000),
+                       "v": rng.randint(0, 500, 2000)})
+    # constant stratum -> z must be 0, not nan/inf
+    df.loc[df["k"] == "z", "v"] = 7
+    got = (zscore_normalize(rd.from_pandas(df).repartition(4), "k", "v",
+                            out_cols=["doc_id", "k", "v"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    g = df.groupby("k")["v"]
+    mean, std = g.transform("mean"), g.transform("std", ddof=0)
+    want = ((df["v"] - mean) / std.replace(0.0, np.nan)).fillna(0.0)
+    assert np.allclose(got["z"], want, rtol=1e-9, atol=1e-12)
+    assert (got.loc[got["k"] == "z", "z"] == 0.0).all()
+
+
+def test_grouped_topk(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_topk
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 50, 2000),
+                       "id": np.arange(2000),
+                       # coarse values force ties -> tie_col decides
+                       "v": rng.randint(0, 5, 2000).astype("float64")})
+    want = (df.sort_values(["v", "id"], ascending=[False, True],
+                           kind="stable")
+            .groupby("k", sort=False).head(3))
+    for nparts in (1, 8):
+        got = (grouped_topk(rd.from_pandas(df).repartition(nparts), "k",
+                            "v", "id", out_cols=["k", "id", "v"], k=3)
+               .to_pandas())
+        assert (set(map(tuple, got[["k", "id"]].values))
+                == set(map(tuple, want[["k", "id"]].values)))
+
+
+def test_unigram_logprob_scores(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tabbyray.ops.text import unigram_logprob_scores
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["a a b", "b c", "a"]})
+    got = (unigram_logprob_scores(rd.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # corpus counts: a=3, b=2, c=1, total=6
+    p = {"a": 3 / 6, "b": 2 / 6, "c": 1 / 6}
+    want = [-(math.log(p["a"]) * 2 + math.log(p["b"])) / 3,
+            -(math.log(p["b"]) + math.log(p["c"])) / 2,
+            -math.log(p["a"])]
+    assert list(got["n_tokens"]) == [3, 2, 1]
+    assert np.allclose(got["nll"], want, rtol=1e-12)
