@@ -1013,6 +1013,20 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_event_funnel(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.streaming import funnel_counts
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def _q_cms_frequent_terms(sf_dir: str):
+    from tabbyray.ops.sketch import cms_frequent_estimates
+    return cms_frequent_estimates(_docs(sf_dir), width=1024, depth=4,
+                                  min_count=100)
+
+
 def _q_global_shuffle_rank(sf_dir: str):
     from tabbyray.ops.sampling import global_hash_shuffle
     return global_hash_shuffle(_docs(sf_dir), "doc_id", n_buckets=256)
@@ -1076,6 +1090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "event_funnel": _q_event_funnel,
+        "cms_frequent_terms": _q_cms_frequent_terms,
         "lang_char_moments": _q_lang_char_moments,
         "doc_length_zscore": _q_doc_length_zscore,
         "user_top3_events": _q_user_top3_events,
@@ -1822,6 +1838,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # greedy-earliest matching == existence of an increasing chain,
+        # so the nested min-ts CTEs are exactly the operator's semantics
+        "event_funnel": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s0.t
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                       CAST(count(*) AS BIGINT) AS n_users FROM s0
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), 'click',
+                       CAST(count(*) AS BIGINT) FROM s1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'purchase',
+                       CAST(count(*) AS BIGINT) FROM s2)
+        """,
+        # the oracle rebuilds the whole sketch: same md5 row-bucketing,
+        # same integer counter sums, min over depth rows
+        "cms_frequent_terms": """
+            WITH tok AS (SELECT unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY term),
+            seeds AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS d),
+            cells AS (SELECT d,
+                             CAST(md5_number_lower(
+                                 CAST(d AS VARCHAR) || ':' || term) % 1024
+                                 AS BIGINT) AS b,
+                             CAST(sum(n) AS BIGINT) AS c
+                      FROM tc, seeds GROUP BY 1, 2),
+            q AS (SELECT term FROM tc WHERE n >= 100)
+            SELECT q.term AS term, CAST(min(c) AS BIGINT) AS cms_count
+            FROM q CROSS JOIN seeds s
+            JOIN cells ON cells.d = s.d
+               AND cells.b = CAST(md5_number_lower(
+                   CAST(s.d AS VARCHAR) || ':' || q.term) % 1024 AS BIGINT)
+            GROUP BY q.term
         """,
         # mean/var evaluated from EXACT integer sums with the identical
         # double expression on both sides -> bit-identical

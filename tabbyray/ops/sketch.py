@@ -132,3 +132,80 @@ def frequent_values(ds: rd.Dataset, value_col: str,
         out.reset_index(drop=True),
         schema=pa.schema([("value", pa.string()), ("n", pa.int64())]),
         preserve_index=False))
+
+
+def _cms_bucket(d: int, term: str, width: int) -> int:
+    """Row-d CMS bucket: low 8 md5 bytes of "d:term" (little-endian,
+    == DuckDB ``md5_number_lower(CAST(d AS VARCHAR) || ':' || term)``)
+    mod width."""
+    h = int.from_bytes(
+        hashlib.md5(f"{d}:{term}".encode()).digest()[8:], "little")
+    return h % width
+
+
+def cms_sketch(docs: rd.Dataset, width: int = 1024,
+               depth: int = 4) -> rd.Dataset:
+    """Count-min sketch of corpus term frequencies (Cormode &
+    Muthukrishnan 2005) as a distributed aggregate. Counters are SUMS,
+    so per-batch partial sketches merge exactly by addition — the one
+    groupby exchange moves <= depth*width rows per batch regardless of
+    vocabulary size, the bounded-state answer to "count a 10^9-term
+    vocabulary without shuffling it". Output: (d, b, c) counter cells
+    (cells never touched stay absent == zero)."""
+    from collections import Counter
+
+    from .relational import partial_agg_sum
+    from .text import _WS
+
+    def partial(t: pa.Table) -> pa.Table:
+        tc: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            tc.update(_WS.sub(" ", (text or "")).strip().split(" "))
+        cells: Counter = Counter()
+        for term, n in tc.items():
+            for d in range(depth):
+                cells[(d, _cms_bucket(d, term, width))] += n
+        ks = list(cells.keys())
+        return pa.table({
+            "d": pa.array([k[0] for k in ks], pa.int64()),
+            "b": pa.array([k[1] for k in ks], pa.int64()),
+            "c": pa.array([cells[k] for k in ks], pa.int64())})
+
+    return partial_agg_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["d", "b"], {"c": "c"})
+
+
+def cms_frequent_estimates(docs: rd.Dataset, width: int = 1024,
+                           depth: int = 4, min_count: int = 100,
+                           num_partitions: int = 32) -> rd.Dataset:
+    """CMS point queries over the corpus's own frequent terms: build
+    the sketch distributed, broadcast its depth*width cells ONCE, and
+    evaluate est(term) = min_d cells[d][h_d(term)] for every term whose
+    exact count >= min_count (the deterministic query set). est >= true
+    count always (one-sided error); integer sums and md5 bucketing are
+    reproduced verbatim by the SQL oracle. Output: (term, cms_count)."""
+    import ray
+
+    from .text import corpus_term_counts
+
+    cells = cms_sketch(docs, width, depth).to_pandas()
+    lut = {(int(d), int(b)): int(c)
+           for d, b, c in zip(cells["d"], cells["b"], cells["c"])}
+    ref = ray.put(lut)
+
+    def est(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        out_t, out_e = [], []
+        for term, n in zip(t.column("term").to_pylist(),
+                           t.column("n").to_pylist()):
+            if n < min_count:
+                continue
+            out_t.append(term)
+            out_e.append(min(m.get((d, _cms_bucket(d, term, width)), 0)
+                             for d in range(depth)))
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "cms_count": pa.array(out_e, pa.int64())})
+
+    return (corpus_term_counts(docs, num_partitions)
+            .map_batches(est, batch_format="pyarrow"))

@@ -199,3 +199,61 @@ def group_concat(events: rd.Dataset, key: str, value_col: str,
     return typed_groupby_map(
         events.select_columns([key, value_col] + order_cols), key, concat,
         pa.schema([(key, pa.int64()), (alias, pa.string())]))
+
+
+def funnel_counts(events: rd.Dataset, steps: list[str],
+                  num_partitions: int = 32) -> rd.Dataset:
+    """Ordered funnel analysis: for each step i, how many users reached
+    it — i.e. have a strictly increasing ts chain event_type=steps[0]
+    < ... < steps[i] (each step matched at its EARLIEST feasible ts,
+    the standard unbounded-window funnel; greedy-earliest is optimal
+    here, so it equals the existence semantics of the SQL oracle's
+    nested min-ts CTEs).
+
+    One hash shuffle on user_id; per-partition matching is vectorized
+    pandas merges (one per step), then only (step_idx, partial count)
+    rows — bounded by len(steps) × partitions — feed the final tiny
+    aggregate. Output: (step_idx, step, n_users)."""
+    import pyarrow as pa
+
+    from .relational import partial_agg_sum
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_type", "ts"]]
+        df = df[df["event_type"].isin(steps)].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def count_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        reached = []
+        cur = (g[g["event_type"] == steps[0]]
+               .groupby("user_id", as_index=False)["ts"].min()
+               .rename(columns={"ts": "t"}))
+        reached.append(len(cur))
+        for step in steps[1:]:
+            nxt = g[g["event_type"] == step].merge(cur, on="user_id")
+            nxt = nxt[nxt["ts"] > nxt["t"]]
+            cur = (nxt.groupby("user_id", as_index=False)["ts"].min()
+                   .rename(columns={"ts": "t"}))
+            reached.append(len(cur))
+        return pd.DataFrame({
+            "step_idx": np.arange(len(steps), dtype="int64"),
+            "n_users": np.asarray(reached, dtype="int64")})
+
+    from .relational import typed_groupby_map
+
+    partials = typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"),
+        "part", count_funnel,
+        pa.schema([("step_idx", pa.int64()), ("n_users", pa.int64())]))
+    totals = partial_agg_sum(partials, "step_idx", {"n_users": "n_users"})
+
+    def label(t: "pa.Table") -> "pa.Table":
+        idx = t.column("step_idx").to_pylist()
+        return pa.table({"step_idx": t.column("step_idx"),
+                         "step": pa.array([steps[i] for i in idx],
+                                          pa.string()),
+                         "n_users": t.column("n_users")})
+
+    return totals.map_batches(label, batch_format="pyarrow")

@@ -582,6 +582,30 @@ def packed_sequences(docs: rd.Dataset, seq_len: int = 2048,
                    ("seq_text", pa.string())]))
 
 
+def corpus_term_counts(docs: rd.Dataset,
+                       num_partitions: int = 32) -> rd.Dataset:
+    """Exact corpus-wide term frequencies: Counter combiner per batch
+    (the shuffle moves one row per (term, batch), never per token) ->
+    partitioned hash aggregate over the high-cardinality term key.
+    Output: (term, n). The building block behind vocabulary top-k,
+    unigram LM scoring and the CMS query set."""
+    from collections import Counter
+
+    from .relational import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(_WS.sub(" ", (text or "")).strip().split(" "))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return hash_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"), keys=["term"],
+        sum_cols={"n": "n"}, num_partitions=num_partitions,
+        out_schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
+
+
 def unigram_logprob_scores(docs: rd.Dataset,
                            num_partitions: int = 32) -> rd.Dataset:
     """Unigram language-model quality score per document: the mean
@@ -596,24 +620,9 @@ def unigram_logprob_scores(docs: rd.Dataset,
     memory, join the exploded tf stream against the counts table on a
     term-hash co-partition instead (the tfidf_scores fallback).
     Output: (doc_id, n_tokens, nll)."""
-    from collections import Counter
-
     import ray
 
-    from .relational import hash_aggregate
-
-    def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in t.column("text").to_pylist():
-            c.update(_WS.sub(" ", (text or "")).strip().split(" "))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
-
-    counts = hash_aggregate(
-        docs.map_batches(partial, batch_format="pyarrow"), keys=["term"],
-        sum_cols={"n": "n"}, num_partitions=num_partitions,
-        out_schema=pa.schema([("term", pa.string()),
-                              ("n", pa.int64())])).to_pandas()
+    counts = corpus_term_counts(docs, num_partitions).to_pandas()
     total = float(counts["n"].sum())
     neglogp = dict(zip(
         counts["term"],

@@ -784,3 +784,58 @@ def test_unigram_logprob_scores(ray_session):
             -math.log(p["a"])]
     assert list(got["n_tokens"]) == [3, 2, 1]
     assert np.allclose(got["nll"], want, rtol=1e-12)
+
+
+def test_cms_sketch_estimates(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import cms_frequent_estimates
+
+    rng = np.random.RandomState(8)
+    vocab = [f"t{i}" for i in range(200)]
+    # zipf-ish frequencies so several terms clear min_count
+    texts = [" ".join(rng.choice(vocab, size=50,
+                                 p=np.arange(200, 0, -1) / np.arange(
+                                     200, 0, -1).sum()))
+             for _ in range(400)]
+    docs = pd.DataFrame({"doc_id": np.arange(400), "text": texts})
+    from collections import Counter
+    exact = Counter(t for s in texts for t in s.split(" "))
+    want_q = {t for t, n in exact.items() if n >= 100}
+    for nparts, width in ((1, 1 << 20), (6, 1 << 20), (6, 256)):
+        got = (cms_frequent_estimates(
+            rd.from_pandas(docs).repartition(nparts), width=width,
+            depth=4, min_count=100).to_pandas())
+        assert set(got["term"]) == want_q
+        est = dict(zip(got["term"], got["cms_count"]))
+        # one-sided error: estimate never undercounts
+        assert all(est[t] >= exact[t] for t in want_q)
+        if width == 1 << 20:   # huge width -> no collisions -> exact
+            assert all(est[t] == exact[t] for t in want_q)
+
+
+def test_funnel_counts(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import funnel_counts
+
+    # user 1: full chain; user 2: B before A (stops at A);
+    # user 3: A only; user 4: no A but has B/C (reaches nothing);
+    # user 5: A, C, B, C -> full chain via the LATER C
+    rows = [
+        (1, "A", 1), (1, "B", 2), (1, "C", 3),
+        (2, "B", 1), (2, "A", 2),
+        (3, "A", 5),
+        (4, "B", 1), (4, "C", 2),
+        (5, "A", 1), (5, "C", 2), (5, "B", 3), (5, "C", 4),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "tsec"])
+    df["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(df["tsec"],
+                                                            unit="s")
+    for nparts in (1, 4):
+        got = (funnel_counts(rd.from_pandas(
+                   df[["user_id", "event_type", "ts"]]).repartition(nparts),
+                   ["A", "B", "C"])
+               .to_pandas().sort_values("step_idx"))
+        assert list(got["step"]) == ["A", "B", "C"]
+        assert list(got["n_users"]) == [4, 2, 2]
