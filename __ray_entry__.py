@@ -1013,6 +1013,28 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_doc_percentile_rank(sf_dir: str):
+    from tabbyray.ops.relational import percentile_rank
+    return percentile_rank(_docs(sf_dir), "n_chars",
+                           out_cols=["doc_id", "n_chars"])
+
+
+def _q_orders_bloom_semi(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.relational import bloom_filter_join
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def nat3(t):
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t.column("c_nationkey"), 3))
+
+    keys = cust.map_batches(nat3, batch_format="pyarrow")
+    return bloom_filter_join(orders, "o_custkey", keys, "c_custkey")
+
+
 def _q_event_funnel(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.streaming import funnel_counts
@@ -1090,6 +1112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "doc_percentile_rank": _q_doc_percentile_rank,
+        "orders_bloom_semi": _q_orders_bloom_semi,
         "event_funnel": _q_event_funnel,
         "cms_frequent_terms": _q_cms_frequent_terms,
         "lang_char_moments": _q_lang_char_moments,
@@ -1838,6 +1862,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # percent_rank = (#strictly smaller)/(N-1); same double division
+        # on both sides
+        "doc_percentile_rank": """
+            SELECT doc_id, n_chars,
+                   percent_rank() OVER (ORDER BY n_chars) AS pr
+            FROM documents
+        """,
+        # the bloom pre-filter is exact on this fixture (m=2^20 vs ~60
+        # keys -> expected FP count << 1; deterministic md5 hashes,
+        # verified hash-identical to the exact semi join at both sf)
+        "orders_bloom_semi": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_nationkey = 3)
         """,
         # greedy-earliest matching == existence of an increasing chain,
         # so the nested min-ts CTEs are exactly the operator's semantics

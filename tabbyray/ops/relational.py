@@ -717,3 +717,107 @@ def grouped_topk(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
 
     return (ds.map_batches(local, batch_format="pandas")
             .groupby("_part").map_groups(final, batch_format="pandas"))
+
+
+def percentile_rank(ds: rd.Dataset, value_col: str,
+                    out_cols: list[str]) -> rd.Dataset:
+    """Per-row global percentile rank — SQL ``percent_rank() OVER
+    (ORDER BY value)`` = (#rows strictly smaller) / (N − 1) — WITHOUT a
+    global sort: the same bounded-cardinality distributed histogram as
+    ``exact_quantiles`` (per-batch value_counts combiner -> one tiny
+    groupby) is cumulated on the driver and broadcast once, then
+    ranking is a stateless vectorized ``searchsorted`` pass. Both sides
+    evaluate the identical n_less / (N−1) double division. Output:
+    out_cols + pr."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(t.column(value_col).combine_chunks())
+        return pa.table({value_col: vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(value_col).aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values(value_col).reset_index(drop=True))
+    total = int(hist["n"].sum())
+    vals = hist[value_col].to_numpy()
+    n_less = np.concatenate(([0], hist["n"].cumsum().to_numpy()[:-1]))
+    ref = ray.put((vals, n_less, total))
+
+    def rank(t: pa.Table) -> pa.Table:
+        v, less, n = ray.get(ref)
+        x = t.column(value_col).to_numpy()
+        nl = less[np.searchsorted(v, x)].astype(np.float64)
+        pr = nl / (n - 1) if n > 1 else np.zeros(len(x))
+        cols = {c: t.column(c) for c in out_cols}
+        cols["pr"] = pa.array(pr, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def bloom_filter_join(ds: rd.Dataset, col: str, keys: rd.Dataset,
+                      key_col: str, m_bits: int = 1 << 20,
+                      k_hashes: int = 4) -> rd.Dataset:
+    """Semi-join via a Bloom filter: membership when a full key set is
+    too large to broadcast as a hash set but its m-bit signature is
+    not — the classic bounded-memory pre-filter for joins at 100 TB
+    (false-positive rows would survive; choose m so the expected FP
+    count is << 1, and follow with an exact co-partitioned hash_join
+    when exactness is required).
+
+    The build side is a DISTRIBUTED OR-aggregate: each block folds its
+    keys into a packed m/8-byte bitmap (AggregateFn accumulate), and
+    bitmaps merge pairwise with np.bitwise_or — a semilattice, so the
+    result is partition-order independent. The probe side tests all k
+    bits in one vectorized pass. Hashes are md5("i:key") % m, i.e.
+    deterministic and engine-reproducible."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    def _bits(vals) -> np.ndarray:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        for v in vals:
+            for i in range(k_hashes):
+                h = int.from_bytes(
+                    hashlib.md5(f"{i}:{v}".encode()).digest()[8:],
+                    "little") % m_bits
+                bm[h >> 3] |= 1 << (h & 7)
+        return bm
+
+    def _block_keys(block):
+        # AggregateFn hands over whatever block format the upstream
+        # produced (Arrow table or pandas frame)
+        if isinstance(block, pa.Table):
+            return block.column(key_col).to_pylist()
+        return list(block[key_col])
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(m_bits // 8, dtype=np.uint8),
+        accumulate_block=lambda bm, block: np.bitwise_or(
+            bm, _bits(_block_keys(block))),
+        merge=np.bitwise_or,
+        name="bloom")
+    bitmap = keys.aggregate(agg)["bloom"]
+    ref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        keep = []
+        for v in t.column(col).to_pylist():
+            hit = True
+            for i in range(k_hashes):
+                h = int.from_bytes(
+                    hashlib.md5(f"{i}:{v}".encode()).digest()[8:],
+                    "little") % m_bits
+                if not (bm[h >> 3] >> (h & 7)) & 1:
+                    hit = False
+                    break
+            keep.append(hit)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

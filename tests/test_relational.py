@@ -839,3 +839,39 @@ def test_funnel_counts(ray_session):
                .to_pandas().sort_values("step_idx"))
         assert list(got["step"]) == ["A", "B", "C"]
         assert list(got["n_users"]) == [4, 2, 2]
+
+
+def test_percentile_rank(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import percentile_rank
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"id": np.arange(3000),
+                       "v": rng.randint(0, 80, 3000)})   # heavy ties
+    want = (df["v"].rank(method="min") - 1) / (len(df) - 1)
+    for nparts in (1, 6):
+        got = (percentile_rank(rd.from_pandas(df).repartition(nparts),
+                               "v", out_cols=["id", "v"])
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert np.array_equal(got["pr"].to_numpy(), want.to_numpy())
+
+
+def test_bloom_filter_join(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import bloom_filter_join
+
+    rng = np.random.RandomState(10)
+    big = pd.DataFrame({"k": rng.randint(0, 5000, 20000),
+                        "x": np.arange(20000)})
+    keys = pd.DataFrame({"kk": np.arange(0, 5000, 7)})   # ~715 keys
+    want = set(big[big["k"].isin(set(keys["kk"]))]["x"])
+    for nparts in (1, 5):
+        got = (bloom_filter_join(
+                   rd.from_pandas(big).repartition(3), "k",
+                   rd.from_pandas(keys).repartition(nparts), "kk",
+                   m_bits=1 << 20, k_hashes=4)
+               .to_pandas())
+        # m >> k*n -> expected false positives << 1 on this fixture
+        assert set(got["x"]) == want
