@@ -1013,6 +1013,29 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_supplier_pagerank(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.graph import pagerank
+    from tabbyray.ops.relational import hash_join
+    import pyarrow as pa
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+            lambda t: t.rename_columns(["ok", "src"]),
+            batch_format="pyarrow")
+    items = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"]).map_batches(
+            lambda t: t.rename_columns(["ok", "dst"]),
+            batch_format="pyarrow")
+    edges = hash_join(
+        orders, items, on="ok",
+        left_schema=pa.schema([("ok", pa.int64()), ("src", pa.int64())]),
+        right_schema=pa.schema([("ok", pa.int64()),
+                                ("dst", pa.int64())]))
+    return pagerank(edges.select_columns(["src", "dst"]), n_iter=3)
+
+
 def _q_doc_percentile_rank(sf_dir: str):
     from tabbyray.ops.relational import percentile_rank
     return percentile_rank(_docs(sf_dir), "n_chars",
@@ -1112,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "supplier_pagerank": _q_supplier_pagerank,
         "doc_percentile_rank": _q_doc_percentile_rank,
         "orders_bloom_semi": _q_orders_bloom_semi,
         "event_funnel": _q_event_funnel,
@@ -1862,6 +1886,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # three unrolled iterations of the identical float expression:
+        # r_{k+1} = (1-0.85)/N + 0.85 * COALESCE(sum(r_k/outdeg), 0)
+        "supplier_pagerank": """
+            WITH edges AS (SELECT DISTINCT o_custkey AS src,
+                                  l_suppkey AS dst
+                           FROM orders
+                           JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                    FROM edges GROUP BY src),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS s
+                   FROM edges e JOIN r0 ON r0.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r1 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(c1.s, 0) AS r
+                   FROM nodes x LEFT JOIN c1 ON c1.node = x.node),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / deg.outdeg) AS s
+                   FROM edges e JOIN r1 ON r1.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(c2.s, 0) AS r
+                   FROM nodes x LEFT JOIN c2 ON c2.node = x.node),
+            c3 AS (SELECT e.dst AS node, sum(r2.r / deg.outdeg) AS s
+                   FROM edges e JOIN r2 ON r2.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r3 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(c3.s, 0) AS r
+                   FROM nodes x LEFT JOIN c3 ON c3.node = x.node)
+            SELECT node, r FROM r3
         """,
         # percent_rank = (#strictly smaller)/(N-1); same double division
         # on both sides

@@ -170,3 +170,164 @@ def cluster_representatives(components: rd.Dataset, meta: rd.Dataset,
     return hash_join(sizes, meta, on=node_col,
                      num_partitions=num_partitions,
                      left_schema=sizes_schema, right_schema=meta_schema)
+
+
+def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             num_partitions: int = 32, mode: str = "auto",
+             broadcast_max_nodes: int = 2_000_000) -> rd.Dataset:
+    """Damped PageRank over a directed edge Dataset — the textbook
+    no-dangling-redistribution variant: r0 = 1/N, then
+    r_{k+1}(v) = (1−d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
+
+    Two execution plans (same auto-switch pattern as minhash verify /
+    canonicalize rewrite):
+
+    - ``mode="join"`` — the 100-TB path. Each iteration costs a
+      CONSTANT number of exchanges regardless of graph size: one
+      edges×ranks co-partitioned hash join (rank flows along edges),
+      one dst-keyed combiner aggregate, one nodes left join (nodes
+      with no inbound edges keep the (1−d)/N base mass). Rank state
+      is one row per node, re-materialized per round so the lazy DAG
+      never replays earlier rounds; edges/outdeg materialize once.
+    - ``mode="broadcast"`` — when the NODE set (not the edge set) fits
+      on the driver: the rank/outdeg vectors are broadcast via
+      ``ray.put`` each round, contributions are per-batch combiner
+      sums collected to the driver, so an iteration is ONE stateless
+      edge scan with zero sort barriers (the 3 per-round barriers of
+      the join path dominate wall time at toy scale and only amortize
+      at real scale).
+
+    ``mode="auto"`` picks broadcast when n_nodes <=
+    broadcast_max_nodes. Both paths evaluate the identical float
+    expression per edge (sum ORDER differs, so results agree to float
+    roundoff, which the 9-dp oracle hashing absorbs; the SQL oracle
+    unrolls the same expression). Output: (node, r)."""
+    import numpy as np
+
+    from .relational import hash_aggregate, hash_join, partial_agg_sum
+
+    def as_edge_ones(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"src": _flat(t.column(src_col)),
+                         "dst": _flat(t.column(dst_col)),
+                         "one": pa.array([1] * n, pa.int64())})
+
+    ded = hash_aggregate(
+        edges.map_batches(as_edge_ones, batch_format="pyarrow"),
+        keys=["src", "dst"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                              ("n", pa.int64())])
+    ).select_columns(["src", "dst"]).materialize()
+
+    def ones(col, out):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: _flat(t.column(col)),
+                             "one": pa.array([1] * len(t), pa.int64())})
+        return f
+
+    outdeg = partial_agg_sum(
+        ded.map_batches(ones("src", "src"), batch_format="pyarrow"),
+        "src", {"one": "outdeg"})
+    nodes = hash_aggregate(
+        ded.map_batches(ones("src", "node"), batch_format="pyarrow")
+        .union(ded.map_batches(ones("dst", "node"),
+                               batch_format="pyarrow")),
+        keys=["node"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node", pa.int64()), ("n", pa.int64())])
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes.count()
+
+    if mode == "broadcast" or (mode == "auto"
+                               and n_nodes <= broadcast_max_nodes):
+        import ray
+
+        # node count is known (distributed count above), so these
+        # collects are bounded by broadcast_max_nodes rows
+        outdeg_pd = outdeg.to_pandas().set_index("src")["outdeg"]
+        nodes_np = np.sort(nodes.to_pandas()["node"].to_numpy())
+        base = (1 - damping) / n_nodes
+        r = pd.Series(1.0 / n_nodes, index=nodes_np)
+        for _ in range(n_iter):
+            factor = (r.loc[outdeg_pd.index] / outdeg_pd).to_dict()
+            ref = ray.put(factor)
+
+            def contrib_bc(t: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                df = t.to_pandas()
+                df["c"] = df["src"].map(m)
+                g = df.groupby("dst", as_index=False)["c"].sum()
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            sums = (ded.map_batches(contrib_bc, batch_format="pyarrow")
+                    .to_pandas().groupby("dst")["c"].sum())
+            r = base + damping * sums.reindex(nodes_np, fill_value=0.0)
+        return rd.from_pandas(
+            pd.DataFrame({"node": nodes_np, "r": r.to_numpy()}))
+
+    edges_deg = hash_join(
+        ded, outdeg, on="src",
+        left_schema=pa.schema([("src", pa.int64()),
+                               ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()),
+                                ("outdeg", pa.int64())])).materialize()
+
+    base = (1 - damping) / n_nodes
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": _flat(t.column("node")),
+                         "r": pa.array([1.0 / n_nodes] * len(t),
+                                       pa.float64())})
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    rank_schema = pa.schema([("src", pa.int64()), ("r", pa.float64())])
+
+    def rename(old: str, new: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names])
+        return f
+
+    for _ in range(n_iter):
+        per_edge = hash_join(
+            edges_deg,
+            ranks.map_batches(rename("node", "src"),
+                              batch_format="pyarrow"),
+            on="src",
+            left_schema=pa.schema([("src", pa.int64()),
+                                   ("dst", pa.int64()),
+                                   ("outdeg", pa.int64())]),
+            right_schema=rank_schema)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = _flat(t.column("r")).to_numpy(zero_copy_only=False)
+            od = (_flat(t.column("outdeg"))
+                  .to_numpy(zero_copy_only=False).astype(np.float64))
+            return pa.table({"dst": _flat(t.column("dst")),
+                             "c": pa.array(r / od, pa.float64())})
+
+        sums = partial_agg_sum(
+            per_edge.map_batches(contrib, batch_format="pyarrow"),
+            "dst", {"c": "s"})
+        joined = hash_join(
+            nodes,
+            sums.map_batches(rename("dst", "node"),
+                             batch_format="pyarrow"),
+            on="node", how="left",
+            left_schema=pa.schema([("node", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("s", pa.float64())]))
+
+        def apply(t: pa.Table) -> pa.Table:
+            s = _flat(t.column("s")).to_numpy(zero_copy_only=False)
+            s = np.nan_to_num(s, nan=0.0)
+            return pa.table({"node": _flat(t.column("node")),
+                             "r": pa.array(base + damping * s,
+                                           pa.float64())})
+
+        ranks = joined.map_batches(apply,
+                                   batch_format="pyarrow").materialize()
+
+    return ranks

@@ -875,3 +875,32 @@ def test_bloom_filter_join(ray_session):
                .to_pandas())
         # m >> k*n -> expected false positives << 1 on this fixture
         assert set(got["x"]) == want
+
+
+def test_pagerank_matches_dense_iteration(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 40, 300),
+        "dst": rng.randint(40, 70, 300)}).drop_duplicates()
+    # reference: dense numpy power iteration with identical semantics
+    nodes = np.array(sorted(set(edges["src"]) | set(edges["dst"])))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = edges.groupby("src").size()
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(3):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in edges.itertuples(index=False):
+            nxt[idx[t]] += d * r[idx[s]] / outdeg[s]
+        r = nxt
+    for nparts, mode in ((1, "auto"), (5, "auto"), (5, "join")):
+        got = (pagerank(rd.from_pandas(edges).repartition(nparts),
+                        n_iter=3, mode=mode)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert list(got["node"]) == list(nodes)
+        assert np.allclose(got["r"], r, rtol=1e-12, atol=1e-15)
