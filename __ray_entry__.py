@@ -1013,6 +1013,24 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_inverted_index(sf_dir: str):
+    from tabbyray.ops.text import inverted_index
+    return inverted_index(_docs(sf_dir), min_df=10)
+
+
+def _q_bigram_topk(sf_dir: str):
+    from tabbyray.ops.text import bigram_counts_topk
+    return bigram_counts_topk(_docs(sf_dir), k=100)
+
+
+def _q_weekly_retention(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.streaming import weekly_retention
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return weekly_retention(ev)
+
+
 def _q_supplier_pagerank(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.graph import pagerank
@@ -1135,6 +1153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "inverted_index": _q_inverted_index,
+        "bigram_topk": _q_bigram_topk,
+        "weekly_retention": _q_weekly_retention,
         "supplier_pagerank": _q_supplier_pagerank,
         "doc_percentile_rank": _q_doc_percentile_rank,
         "orders_bloom_semi": _q_orders_bloom_semi,
@@ -1886,6 +1907,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        "inverted_index": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            dt AS (SELECT DISTINCT doc_id, term FROM tok)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS doc_ids
+            FROM dt GROUP BY term HAVING count(*) >= 10
+        """,
+        # parallel unnest gives (token, position); bigram = self-join
+        # on position + 1 within the doc
+        "bigram_topk": """
+            WITH t AS (SELECT doc_id, string_split(
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                           ' ') AS l
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(l) AS w,
+                         CAST(unnest(range(len(l))) AS BIGINT) AS i
+                  FROM t),
+            b AS (SELECT a.w || ' ' || c.w AS bigram
+                  FROM u a JOIN u c ON a.doc_id = c.doc_id
+                       AND c.i = a.i + 1)
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100
+        """,
+        # Monday-start weeks on both sides (date_trunc('week') ==
+        # pandas to_period('W-SUN').start_time)
+        "weekly_retention": """
+            WITH up AS (SELECT DISTINCT user_id,
+                               date_trunc('week', ts) AS week
+                        FROM events),
+            act AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active
+                    FROM up GROUP BY week),
+            ret AS (SELECT a.week, CAST(count(*) AS BIGINT) AS n_retained
+                    FROM up a JOIN up b ON a.user_id = b.user_id
+                         AND b.week = a.week + INTERVAL 7 DAY
+                    GROUP BY a.week)
+            SELECT act.week AS week, act.n_active,
+                   CAST(COALESCE(ret.n_retained, 0) AS BIGINT)
+                       AS n_retained
+            FROM act LEFT JOIN ret ON act.week = ret.week
         """,
         # three unrolled iterations of the identical float expression:
         # r_{k+1} = (1-0.85)/N + 0.85 * COALESCE(sum(r_k/outdeg), 0)

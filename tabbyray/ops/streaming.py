@@ -257,3 +257,50 @@ def funnel_counts(events: rd.Dataset, steps: list[str],
                          "n_users": t.column("n_users")})
 
     return totals.map_batches(label, batch_format="pyarrow")
+
+
+def weekly_retention(events: rd.Dataset,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Cohort retention: per calendar week (Monday-start, matching SQL
+    ``date_trunc('week', ts)``), how many users were active, and how
+    many of those were also active the NEXT week.
+
+    Plan: per-batch distinct (user, week) combiner -> one user-hash
+    shuffle -> per-user week sets answer membership of week+7d locally
+    (a user's whole history is co-partitioned) -> bounded (week,
+    counts) partials feed a tiny final aggregate. Output: (week,
+    n_active, n_retained)."""
+    import pyarrow as pa
+
+    from .relational import partial_agg_sum, typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "ts"]].copy()
+        df["week"] = df["ts"].dt.to_period("W-SUN").dt.start_time
+        df = df[["user_id", "week"]].drop_duplicates()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"],
+                                                 index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "week"]].drop_duplicates()
+        nxt = g.copy()
+        nxt["week"] = nxt["week"] - pd.Timedelta(days=7)
+        nxt["ret"] = 1
+        m = g.merge(nxt, on=["user_id", "week"], how="left")
+        out = m.groupby("week", as_index=False).agg(
+            n_active=("user_id", "size"), n_retained=("ret", "sum"))
+        out["n_active"] = out["n_active"].astype("int64")
+        out["n_retained"] = out["n_retained"].fillna(0).astype("int64")
+        return out
+
+    partials = typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"),
+        "part", per_user,
+        pa.schema([("week", pa.timestamp("us")),
+                   ("n_active", pa.int64()),
+                   ("n_retained", pa.int64())]))
+    return partial_agg_sum(partials, "week",
+                           {"n_active": "n_active",
+                            "n_retained": "n_retained"})

@@ -643,3 +643,74 @@ def unigram_logprob_scores(docs: rd.Dataset,
                          "nll": pa.array(nll, pa.float64())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def inverted_index(docs: rd.Dataset, min_df: int = 10,
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Posting-list inverted index: for each term appearing in >=
+    min_df distinct documents, the ordered comma-joined doc_id list —
+    the IR-shard build step. Per-batch kernel emits each doc's
+    DISTINCT terms once; ONE term-hash partitioned exchange; posting
+    lists assemble per partition (a term's postings are co-partitioned
+    by construction, so lists never cross partitions). Output:
+    (term, df, doc_ids)."""
+    from .relational import typed_groupby_map
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        terms, ids = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            for term in set(_WS.sub(" ", (text or "")).strip().split(" ")):
+                terms.append(term)
+                ids.append(doc_id)
+        df = pd.DataFrame({"term": terms, "doc_id": ids})
+        h = pd.util.hash_pandas_object(df["term"], index=False)
+        return df.assign(_part=(h % num_partitions).astype("int64"))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        out = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"),
+            doc_ids=("doc_id", lambda s: ",".join(map(str, s))))
+        out["df"] = out["df"].astype("int64")
+        return out[out["df"] >= min_df]
+
+    return typed_groupby_map(
+        docs.map_batches(pairs, batch_format="pyarrow"),
+        "_part", assemble,
+        pa.schema([("term", pa.string()), ("df", pa.int64()),
+                   ("doc_ids", pa.string())]))
+
+
+def bigram_counts_topk(docs: rd.Dataset, k: int = 100,
+                       num_partitions: int = 32) -> rd.Dataset:
+    """Corpus-wide token-bigram top-k (the pair-merge statistic a
+    BPE-style tokenizer trainer ranks each round): same
+    combiner/partitioned-aggregate/prune plan as ``term_counts_topk``,
+    over adjacent-token pairs. Output: (bigram, n), (n desc, bigram
+    asc)."""
+    from collections import Counter
+
+    from .relational import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.table({"bigram": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = hash_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["bigram"], sum_cols={"n": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("bigram", pa.string()),
+                              ("n", pa.int64())]))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="stable").head(k)
+
+    return (counts.map_batches(local_topk, batch_format="pandas")
+            .sort(["n", "bigram"], descending=[True, False]).limit(k))

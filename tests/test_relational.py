@@ -904,3 +904,65 @@ def test_pagerank_matches_dense_iteration(ray_session):
                .to_pandas().sort_values("node").reset_index(drop=True))
         assert list(got["node"]) == list(nodes)
         assert np.allclose(got["r"], r, rtol=1e-12, atol=1e-15)
+
+
+def test_inverted_index(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.text import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["x y", "y z", "z y x"]})
+    for nparts in (1, 3):
+        got = (inverted_index(rd.from_pandas(docs).repartition(nparts),
+                              min_df=2)
+               .to_pandas().sort_values("term").reset_index(drop=True))
+        assert list(got["term"]) == ["x", "y", "z"]
+        assert list(got["df"]) == [2, 3, 2]
+        assert list(got["doc_ids"]) == ["2,3", "1,2,3", "1,2"]
+
+
+def test_bigram_counts_topk(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from tabbyray.ops.text import bigram_counts_topk
+
+    rng = np.random.RandomState(12)
+    vocab = list("abcde")
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(300)]
+    docs = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    exact = Counter(f"{a} {b}" for s in texts
+                    for a, b in zip(s.split(" "), s.split(" ")[1:]))
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = (bigram_counts_topk(rd.from_pandas(docs).repartition(4), k=10)
+           .to_pandas())
+    assert list(map(tuple, got[["bigram", "n"]].values)) == want
+
+
+def test_weekly_retention(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import weekly_retention
+
+    mon = pd.Timestamp("2026-01-05")   # a Monday
+    rows = [
+        # user 1 active wk0 and wk1; user 2 only wk0 (twice);
+        # user 3 wk1 and wk3 (gap -> not retained into wk2)
+        (1, mon + pd.Timedelta(days=2)),
+        (1, mon + pd.Timedelta(days=8)),
+        (2, mon + pd.Timedelta(hours=1)),
+        (2, mon + pd.Timedelta(days=3)),
+        (3, mon + pd.Timedelta(days=9)),
+        (3, mon + pd.Timedelta(days=22)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    for nparts in (1, 3):
+        got = (weekly_retention(rd.from_pandas(df).repartition(nparts))
+               .to_pandas().sort_values("week").reset_index(drop=True))
+        assert list(got["week"]) == [mon, mon + pd.Timedelta(days=7),
+                                     mon + pd.Timedelta(days=21)]
+        assert list(got["n_active"]) == [2, 2, 1]
+        assert list(got["n_retained"]) == [1, 0, 0]
