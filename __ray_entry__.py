@@ -1013,6 +1013,22 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_label_centroids(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.simsearch import label_centroids
+    return label_centroids(rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"]))
+
+
+def _q_embedding_norms(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.simsearch import embedding_norms
+    return embedding_norms(rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))
+
+
 def _q_inverted_index(sf_dir: str):
     from tabbyray.ops.text import inverted_index
     return inverted_index(_docs(sf_dir), min_df=10)
@@ -1153,6 +1169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "label_centroids": _q_label_centroids,
+        "embedding_norms": _q_embedding_norms,
         "inverted_index": _q_inverted_index,
         "bigram_topk": _q_bigram_topk,
         "weekly_retention": _q_weekly_retention,
@@ -1907,6 +1925,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # list-column aggregate: parallel unnest explodes (value, dim)
+        "label_centroids": """
+            WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+                              CAST(unnest(embedding) AS DOUBLE) AS v,
+                              CAST(unnest(range(len(embedding)))
+                                   AS BIGINT) AS dim
+                       FROM embeddings)
+            SELECT label, dim, avg(v) AS mean_v
+            FROM u GROUP BY label, dim
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       AS norm
+            FROM embeddings
         """,
         "inverted_index": """
             WITH tok AS (SELECT doc_id, unnest(string_split(

@@ -227,3 +227,65 @@ def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
     for r in results[1:]:
         out = out.union(r)
     return out
+
+
+def label_centroids(embs: rd.Dataset, label_col: str = "label",
+                    vec_col: str = "embedding") -> rd.Dataset:
+    """Per-label mean embedding — the class-centroid build behind IVF
+    coarse quantizer training, nearest-class-mean classification and
+    cluster-quality audits — emitted EXPLODED as (label, dim, mean_v)
+    so the list-column aggregate is SQL-reproducible.
+
+    Combiner: each batch collapses to <= n_labels×d partial-sum rows
+    (never the corpus); ONE groupby exchange; the finish divides the
+    double sums by counts. Same sufficient-statistics shape as
+    grouped_moments, applied per dimension."""
+    from .relational import partial_agg_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column(label_col).to_pylist())
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in t.column(vec_col).to_pylist()])
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = M[labels == lab]
+            s = sel.sum(axis=0)
+            d = len(s)
+            out_l.extend([int(lab)] * d)
+            out_d.extend(range(d))
+            out_s.extend(s.tolist())
+            out_n.extend([sel.shape[0]] * d)
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    agg = partial_agg_sum(
+        embs.select_columns([label_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], {"s": "s", "n": "n"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = (t.column("n").to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        return pa.table({"label": t.column("label"),
+                         "dim": t.column("dim"),
+                         "mean_v": pa.array(s / n, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_norms(embs: rd.Dataset, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> rd.Dataset:
+    """Per-vector L2 norm — the normalize-before-cosine prep pass and
+    a zero/degenerate-vector audit. Stateless vectorized map; output
+    (vec_id, norm)."""
+    def f(t: pa.Table) -> pa.Table:
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in t.column(vec_col).to_pylist()])
+        return pa.table({id_col: t.column(id_col),
+                         "norm": pa.array(np.sqrt((M * M).sum(axis=1)),
+                                          pa.float64())})
+    return embs.select_columns([id_col, vec_col]).map_batches(
+        f, batch_format="pyarrow")

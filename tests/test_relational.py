@@ -966,3 +966,30 @@ def test_weekly_retention(ray_session):
                                      mon + pd.Timedelta(days=21)]
         assert list(got["n_active"]) == [2, 2, 1]
         assert list(got["n_retained"]) == [1, 0, 0]
+
+
+def test_label_centroids_and_norms(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import embedding_norms, label_centroids
+
+    rng = np.random.RandomState(13)
+    d = 6
+    emb = pd.DataFrame({
+        "vec_id": np.arange(400),
+        "label": rng.randint(0, 3, 400).astype("int32"),
+        "embedding": [rng.randn(d).astype("float32") for _ in range(400)]})
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    for nparts in (1, 5):
+        ds = rd.from_pandas(emb).repartition(nparts)
+        got = (label_centroids(ds).to_pandas()
+               .sort_values(["label", "dim"]).reset_index(drop=True))
+        for lab in (0, 1, 2):
+            want = M[emb["label"].to_numpy() == lab].mean(axis=0)
+            sub = got[got["label"] == lab]
+            assert list(sub["dim"]) == list(range(d))
+            assert np.allclose(sub["mean_v"], want, rtol=1e-12)
+        gn = (embedding_norms(ds).to_pandas()
+              .sort_values("vec_id").reset_index(drop=True))
+        assert np.allclose(gn["norm"], np.sqrt((M * M).sum(axis=1)),
+                           rtol=1e-12)
