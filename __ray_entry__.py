@@ -1013,6 +1013,22 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_quality_melt(sf_dir: str):
+    from tabbyray.ops.relational import melt
+    from tabbyray.ops.text import quality_scores
+    return melt(quality_scores(_docs(sf_dir)), ["doc_id"],
+                ["n_tokens", "n_chars_obs", "avg_token_len",
+                 "stop_ratio"])
+
+
+def _q_hourly_dense_counts(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.streaming import gap_filled_hourly_counts
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return gap_filled_hourly_counts(ev)
+
+
 def _q_label_centroids(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.simsearch import label_centroids
@@ -1169,6 +1185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "quality_melt": _q_quality_melt,
+        "hourly_dense_counts": _q_hourly_dense_counts,
         "label_centroids": _q_label_centroids,
         "embedding_norms": _q_embedding_norms,
         "inverted_index": _q_inverted_index,
@@ -1925,6 +1943,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # the quality CTE is the quality_scores oracle with every
+        # metric cast to double, then UNPIVOT into (metric, value)
+        "quality_melt": f"""
+            WITH q AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS n_tokens,
+                   CAST(length(text) AS DOUBLE) AS n_chars_obs,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_token_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ({{_stops}}))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+                   FROM documents)
+            UNPIVOT q ON n_tokens, n_chars_obs, avg_token_len, stop_ratio
+            INTO NAME metric VALUE value
+        """.replace("{_stops}", _STOPS),
+        "hourly_dense_counts": """
+            WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT min(date_trunc('hour', ts)) AS h0,
+                         max(date_trunc('hour', ts)) AS h1 FROM events),
+            hours AS (SELECT unnest(generate_series(h0, h1,
+                                                    INTERVAL 1 HOUR))
+                          AS hour FROM b),
+            types AS (SELECT DISTINCT event_type FROM events)
+            SELECT h.hour, t.event_type,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM hours h CROSS JOIN types t
+            LEFT JOIN c ON c.hour = h.hour
+                 AND c.event_type = t.event_type
         """,
         # list-column aggregate: parallel unnest explodes (value, dim)
         "label_centroids": """

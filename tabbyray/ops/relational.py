@@ -821,3 +821,20 @@ def bloom_filter_join(ds: rd.Dataset, col: str, keys: rd.Dataset,
         return t.filter(pa.array(keep))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
+         var_name: str = "metric",
+         value_name: str = "value") -> rd.Dataset:
+    """Wide → long unpivot (the inverse of ``pivot_counts``) as a
+    stateless per-batch flat map — no exchange; row count multiplies
+    by len(value_cols). Values are cast to double so heterogeneous
+    metric columns share one value column (SQL ``UNPIVOT``
+    semantics)."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_name, value_name=value_name)
+        out[value_name] = out[value_name].astype("float64")
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -304,3 +304,39 @@ def weekly_retention(events: rd.Dataset,
     return partial_agg_sum(partials, "week",
                            {"n_active": "n_active",
                             "n_retained": "n_retained"})
+
+
+def gap_filled_hourly_counts(events: rd.Dataset,
+                             num_partitions: int = 32) -> rd.Dataset:
+    """Dense time series: events counted per (hour, event_type)
+    INCLUDING empty grid cells (the densification a downstream
+    forecaster/alerting join needs — absent hours must be explicit
+    zeros, not missing rows).
+
+    The count aggregate is the usual per-batch combiner + small
+    groupby; the aggregate RESULT is bounded by hours × types (tiny
+    even at petabyte row counts — ~10⁵ cells for a decade of hours),
+    so the dense grid reindex runs on the driver over that bounded
+    frame. Output: (hour, event_type, n)."""
+    import pyarrow as pa
+
+    from .relational import partial_agg_sum
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "hour": df["ts"].dt.floor("h"),
+            "event_type": df["event_type"]})
+        out["one"] = np.int64(1)
+        return out
+
+    counts = partial_agg_sum(
+        events.map_batches(add_hour, batch_format="pandas"),
+        ["hour", "event_type"], {"one": "n"}).to_pandas()
+    hours = pd.date_range(counts["hour"].min(), counts["hour"].max(),
+                          freq="h")
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [hours, types], names=["hour", "event_type"]).to_frame(index=False)
+    dense = grid.merge(counts, on=["hour", "event_type"], how="left")
+    dense["n"] = dense["n"].fillna(0).astype("int64")
+    return rd.from_pandas(dense)

@@ -993,3 +993,39 @@ def test_label_centroids_and_norms(ray_session):
               .sort_values("vec_id").reset_index(drop=True))
         assert np.allclose(gn["norm"], np.sqrt((M * M).sum(axis=1)),
                            rtol=1e-12)
+
+
+def test_melt(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import melt
+
+    df = pd.DataFrame({"id": [1, 2], "a": [10, 20], "b": [0.5, 1.5]})
+    got = (melt(rd.from_pandas(df).repartition(2), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["id", "metric"])
+           .reset_index(drop=True))
+    assert list(got["metric"]) == ["a", "b", "a", "b"]
+    assert list(got["value"]) == [10.0, 0.5, 20.0, 1.5]
+    assert got["value"].dtype == "float64"
+
+
+def test_gap_filled_hourly_counts(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import gap_filled_hourly_counts
+
+    t0 = pd.Timestamp("2026-03-01 00:10")
+    df = pd.DataFrame({
+        # hour 0 has x twice, hour 2 has y once; hour 1 is EMPTY
+        "ts": [t0, t0 + pd.Timedelta(minutes=5),
+               t0 + pd.Timedelta(hours=2)],
+        "event_type": ["x", "x", "y"]})
+    got = (gap_filled_hourly_counts(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values(["hour", "event_type"])
+           .reset_index(drop=True))
+    assert len(got) == 6   # 3 hours x 2 types, empty hour densified
+    m = {(h, e): n for h, e, n in got.values}
+    h0 = t0.floor("h")
+    assert m[(h0, "x")] == 2 and m[(h0, "y")] == 0
+    assert m[(h0 + pd.Timedelta(hours=1), "x")] == 0
+    assert m[(h0 + pd.Timedelta(hours=2), "y")] == 1
