@@ -1013,6 +1013,14 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_user_rolling_avg(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.streaming import rolling_user_avg
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return rolling_user_avg(ev, window=3)
+
+
 def _q_quality_melt(sf_dir: str):
     from tabbyray.ops.relational import melt
     from tabbyray.ops.text import quality_scores
@@ -1185,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "user_rolling_avg": _q_user_rolling_avg,
         "quality_melt": _q_quality_melt,
         "hourly_dense_counts": _q_hourly_dense_counts,
         "label_centroids": _q_label_centroids,
@@ -1943,6 +1952,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # exact integer cents enter the frame, so windowed sums are
+        # exact in float64 and the avg division is bit-identical
+        "user_rolling_avg": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   avg(CAST(cents AS DOUBLE)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS avg_cents
+            FROM e
         """,
         # the quality CTE is the quality_scores oracle with every
         # metric cast to double, then UNPIVOT into (metric, value)

@@ -340,3 +340,43 @@ def gap_filled_hourly_counts(events: rd.Dataset,
     dense = grid.merge(counts, on=["hour", "event_type"], how="left")
     dense["n"] = dense["n"].fillna(0).astype("int64")
     return rd.from_pandas(dense)
+
+
+def rolling_user_avg(events: rd.Dataset, window: int = 3,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Per-user trailing moving average — the ROWS-frame window
+    construct ``avg(cents) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    One hash shuffle on user_id; the frame is vectorized pandas
+    ``rolling`` inside each partition. Values enter as exact integer
+    cents (half-away rounding), so the windowed sums are exact in
+    float64 and the avg division matches the oracle bit-for-bit.
+    Output: (event_id, user_id, avg_cents)."""
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_id", "ts", "value"]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"],
+                                                 index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = round_half_away(g["value"] * 100).astype("int64")
+        avg = (cents.groupby(g["user_id"])
+               .rolling(window, min_periods=1).mean()
+               .reset_index(level=0, drop=True))
+        out = g[["event_id", "user_id"]].copy()
+        out["avg_cents"] = avg.astype("float64")
+        return out
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("avg_cents", pa.float64())])
+    return typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"), "part",
+        roll, schema)

@@ -1029,3 +1029,24 @@ def test_gap_filled_hourly_counts(ray_session):
     assert m[(h0, "x")] == 2 and m[(h0, "y")] == 0
     assert m[(h0 + pd.Timedelta(hours=1), "x")] == 0
     assert m[(h0 + pd.Timedelta(hours=2), "y")] == 1
+
+
+def test_rolling_user_avg(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import rolling_user_avg
+
+    base = pd.Timestamp("2026-02-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13, 20],
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(5)],
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0]})
+    for nparts in (1, 3):
+        got = (rolling_user_avg(rd.from_pandas(df).repartition(nparts),
+                                window=3)
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        # trailing window of 3 over cents: 100; (100+200)/2; ...
+        assert list(got["avg_cents"]) == [100.0, 150.0, 200.0, 300.0,
+                                          1000.0]
