@@ -1013,6 +1013,23 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_lang_length_linreg(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from tabbyray.ops.relational import grouped_linreg
+
+    def xy(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")), pa.int64())
+        return pa.table({"lang": t.column("lang"),
+                         "x": pc.cast(t.column("n_chars"), pa.int64()),
+                         "y": n_tok})
+
+    return grouped_linreg(
+        _docs(sf_dir).map_batches(xy, batch_format="pyarrow"),
+        "lang", "x", "y")
+
+
 def _q_user_rolling_avg(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.streaming import rolling_user_avg
@@ -1193,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "lang_length_linreg": _q_lang_length_linreg,
         "user_rolling_avg": _q_user_rolling_avg,
         "quality_melt": _q_quality_melt,
         "hourly_dense_counts": _q_hourly_dense_counts,
@@ -1952,6 +1970,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # slope/intercept/r evaluated from EXACT integer sums with the
+        # identical double expression -> bit-identical
+        "lang_length_linreg": """
+            WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                              CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS y
+                       FROM documents),
+            s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(x) AS DOUBLE) AS sx,
+                         CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(x * y) AS DOUBLE) AS sxy,
+                         CAST(sum(x * x) AS DOUBLE) AS sxx,
+                         CAST(sum(y * y) AS DOUBLE) AS syy
+                  FROM t GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n AS intercept,
+                   (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)) AS r
+            FROM s
         """,
         # exact integer cents enter the frame, so windowed sums are
         # exact in float64 and the avg division is bit-identical

@@ -838,3 +838,56 @@ def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def grouped_linreg(ds: rd.Dataset, key: str, x_col: str, y_col: str,
+                   key_type: "pa.DataType | None" = None,
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Per-key simple linear regression (and Pearson r) via distributed
+    sufficient statistics — the same exact-integer-sums trick as
+    ``grouped_moments`` extended to covariance: only (n, Σx, Σy, Σxy,
+    Σx², Σy²) cross the shuffle, accumulated EXACTLY in int64, and the
+    closed-form slope/intercept/r are evaluated from the exact sums
+    with the identical double expression the SQL oracle uses —
+    bit-identical under any partitioning. Integral x/y required.
+    Output: (key, n, slope, intercept, r)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(x_col), pa.int64())
+        y = pc.cast(t.column(y_col), pa.int64())
+        return pa.table({key: t.column(key), "_x": x, "_y": y,
+                         "_xy": pc.multiply(x, y),
+                         "_xx": pc.multiply(x, x),
+                         "_yy": pc.multiply(y, y)})
+
+    kt = key_type or pa.string()
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), keys=[key],
+        sum_cols={"_x": "sx", "_y": "sy", "_xy": "sxy",
+                  "_xx": "sxx", "_yy": "syy"},
+        count_alias="n", num_partitions=num_partitions,
+        out_schema=pa.schema([(key, kt), ("sx", pa.int64()),
+                              ("sy", pa.int64()), ("sxy", pa.int64()),
+                              ("sxx", pa.int64()), ("syy", pa.int64()),
+                              ("n", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = np.float64
+        n = t.column("n").to_numpy().astype(f)
+        sx = t.column("sx").to_numpy().astype(f)
+        sy = t.column("sy").to_numpy().astype(f)
+        sxy = t.column("sxy").to_numpy().astype(f)
+        sxx = t.column("sxx").to_numpy().astype(f)
+        syy = t.column("syy").to_numpy().astype(f)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                   * np.sqrt(n * syy - sy * sy))
+        return pa.table({key: t.column(key), "n": t.column("n"),
+                         "slope": pa.array(slope, pa.float64()),
+                         "intercept": pa.array(intercept, pa.float64()),
+                         "r": pa.array(r, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

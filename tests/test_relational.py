@@ -1050,3 +1050,26 @@ def test_rolling_user_avg(ray_session):
         # trailing window of 3 over cents: 100; (100+200)/2; ...
         assert list(got["avg_cents"]) == [100.0, 150.0, 200.0, 300.0,
                                           1000.0]
+
+
+def test_grouped_linreg(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_linreg
+
+    rng = np.random.RandomState(14)
+    x = rng.randint(1, 200, 2000)
+    noise = rng.randint(-10, 11, 2000)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 2000),
+                       "x": x, "y": 3 * x + 7 + noise})
+    for nparts in (1, 6):
+        got = (grouped_linreg(rd.from_pandas(df).repartition(nparts),
+                              "k", "x", "y")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        for _, row in got.iterrows():
+            sub = df[df["k"] == row["k"]]
+            want = np.polyfit(sub["x"], sub["y"], 1)
+            assert abs(row["slope"] - want[0]) < 1e-9
+            assert abs(row["intercept"] - want[1]) < 1e-6
+            assert abs(row["r"]
+                       - np.corrcoef(sub["x"], sub["y"])[0, 1]) < 1e-12
