@@ -1091,8 +1091,7 @@ def _q_weekly_retention(sf_dir: str):
 def _q_supplier_pagerank(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.graph import pagerank
-    from tabbyray.ops.relational import hash_join
-    import pyarrow as pa
+    from tabbyray.ops.relational import broadcast_hash_join
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"]).map_batches(
@@ -1103,11 +1102,8 @@ def _q_supplier_pagerank(sf_dir: str):
         columns=["l_orderkey", "l_suppkey"]).map_batches(
             lambda t: t.rename_columns(["ok", "dst"]),
             batch_format="pyarrow")
-    edges = hash_join(
-        orders, items, on="ok",
-        left_schema=pa.schema([("ok", pa.int64()), ("src", pa.int64())]),
-        right_schema=pa.schema([("ok", pa.int64()),
-                                ("dst", pa.int64())]))
+    # orders is the dimension side here: map-side join, no exchange
+    edges = broadcast_hash_join(items, orders, on="ok")
     return pagerank(edges.select_columns(["src", "dst"]), n_iter=3)
 
 

@@ -199,10 +199,13 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
       at real scale).
 
     ``mode="auto"`` picks broadcast when n_nodes <=
-    broadcast_max_nodes. Both paths evaluate the identical float
-    expression per edge (sum ORDER differs, so results agree to float
-    roundoff, which the 9-dp oracle hashing absorbs; the SQL oracle
-    unrolls the same expression). Output: (node, r)."""
+    broadcast_max_nodes (decided from the materialized edge count
+    first — if the DISTINCT edge set itself is small enough to bound
+    the per-batch degree partials, the node/outdeg derivation also
+    skips its two aggregate barriers). Both paths evaluate the
+    identical float expression per edge (sum ORDER differs, so results
+    agree to float roundoff, which the 9-dp oracle hashing absorbs;
+    the SQL oracle unrolls the same expression). Output: (node, r)."""
     import numpy as np
 
     from .relational import hash_aggregate, hash_join, partial_agg_sum
@@ -220,6 +223,50 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         out_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
                               ("n", pa.int64())])
     ).select_columns(["src", "dst"]).materialize()
+    n_edges = ded.count()
+
+    def _iterate_broadcast(outdeg_pd: pd.Series,
+                           nodes_np: np.ndarray) -> rd.Dataset:
+        import ray
+
+        n_nodes = len(nodes_np)
+        base = (1 - damping) / n_nodes
+        r = pd.Series(1.0 / n_nodes, index=nodes_np)
+        for _ in range(n_iter):
+            factor = (r.loc[outdeg_pd.index] / outdeg_pd).to_dict()
+            ref = ray.put(factor)
+
+            def contrib_bc(t: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                df = t.to_pandas()
+                df["c"] = df["src"].map(m)
+                g = df.groupby("dst", as_index=False)["c"].sum()
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            sums = (ded.map_batches(contrib_bc, batch_format="pyarrow")
+                    .to_pandas().groupby("dst")["c"].sum())
+            r = base + damping * sums.reindex(nodes_np, fill_value=0.0)
+        return rd.from_pandas(
+            pd.DataFrame({"node": nodes_np, "r": r.to_numpy()}))
+
+    if mode != "join" and n_edges <= 2 * broadcast_max_nodes:
+        # the distinct edge set is itself driver-bounded (known from
+        # the materialized count), so node set and out-degrees come
+        # from per-batch partials — zero further exchanges; ded rows
+        # are distinct, so summing per-batch src counts is exact
+        deg_parts = ded.map_batches(
+            lambda t: pa.Table.from_pandas(
+                t.to_pandas().groupby("src", as_index=False)
+                .agg(outdeg=("dst", "size")), preserve_index=False),
+            batch_format="pyarrow").to_pandas()
+        outdeg_pd = deg_parts.groupby("src")["outdeg"].sum()
+        node_parts = ded.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [_flat(t.column("src")).cast(pa.int64()),
+                 _flat(t.column("dst")).cast(pa.int64())]).unique()}),
+            batch_format="pyarrow").to_pandas()
+        nodes_np = np.sort(node_parts["node"].unique())
+        return _iterate_broadcast(outdeg_pd, nodes_np)
 
     def ones(col, out):
         def f(t: pa.Table) -> pa.Table:
@@ -242,30 +289,11 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
 
     if mode == "broadcast" or (mode == "auto"
                                and n_nodes <= broadcast_max_nodes):
-        import ray
-
-        # node count is known (distributed count above), so these
-        # collects are bounded by broadcast_max_nodes rows
+        # edge-heavy but node-light: node count is known (distributed
+        # count above), so these collects are bounded
         outdeg_pd = outdeg.to_pandas().set_index("src")["outdeg"]
         nodes_np = np.sort(nodes.to_pandas()["node"].to_numpy())
-        base = (1 - damping) / n_nodes
-        r = pd.Series(1.0 / n_nodes, index=nodes_np)
-        for _ in range(n_iter):
-            factor = (r.loc[outdeg_pd.index] / outdeg_pd).to_dict()
-            ref = ray.put(factor)
-
-            def contrib_bc(t: pa.Table) -> pa.Table:
-                m = ray.get(ref)
-                df = t.to_pandas()
-                df["c"] = df["src"].map(m)
-                g = df.groupby("dst", as_index=False)["c"].sum()
-                return pa.Table.from_pandas(g, preserve_index=False)
-
-            sums = (ded.map_batches(contrib_bc, batch_format="pyarrow")
-                    .to_pandas().groupby("dst")["c"].sum())
-            r = base + damping * sums.reindex(nodes_np, fill_value=0.0)
-        return rd.from_pandas(
-            pd.DataFrame({"node": nodes_np, "r": r.to_numpy()}))
+        return _iterate_broadcast(outdeg_pd, nodes_np)
 
     edges_deg = hash_join(
         ded, outdeg, on="src",

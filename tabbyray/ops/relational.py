@@ -891,3 +891,33 @@ def grouped_linreg(ds: rd.Dataset, key: str, x_col: str, y_col: str,
                          "r": pa.array(r, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def broadcast_hash_join(large: rd.Dataset, small: rd.Dataset, on: str,
+                        small_cols: "list[str] | None" = None,
+                        how: str = "inner",
+                        max_small_rows: int = 5_000_000) -> rd.Dataset:
+    """Map-side (broadcast) hash join — the standard plan when one side
+    is dimension-sized: the small side is collected and ``ray.put``
+    ONCE, then every large-side batch merges against it in a stateless
+    vectorized pass. ZERO exchanges (vs ``hash_join``'s co-partitioned
+    shuffle), so the large side streams straight through. Raises if
+    the small side exceeds ``max_small_rows`` — switch to
+    ``hash_join`` then. Duplicate small-side keys fan out with normal
+    join multiplicity. ``how``: inner | left (left = keep unmatched
+    large rows with nulls)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    sm = small.to_pandas()
+    if len(sm) > max_small_rows:
+        raise ValueError(
+            f"small side has {len(sm)} rows > max_small_rows="
+            f"{max_small_rows}; use hash_join for a shuffle join")
+    if small_cols is not None:
+        sm = sm[small_cols]
+    ref = ray.put(sm)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on=on, how=how)
+
+    return large.map_batches(f, batch_format="pandas")

@@ -1073,3 +1073,26 @@ def test_grouped_linreg(ray_session):
             assert abs(row["intercept"] - want[1]) < 1e-6
             assert abs(row["r"]
                        - np.corrcoef(sub["x"], sub["y"])[0, 1]) < 1e-12
+
+
+def test_broadcast_hash_join(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import broadcast_hash_join
+
+    rng = np.random.RandomState(15)
+    large = pd.DataFrame({"k": rng.randint(0, 30, 500),
+                          "v": np.arange(500)})
+    small = pd.DataFrame({"k": np.arange(0, 30, 2),
+                          "name": [f"n{i}" for i in range(15)]})
+    got = (broadcast_hash_join(rd.from_pandas(large).repartition(4),
+                               rd.from_pandas(small), on="k")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = (large.merge(small, on="k")
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # left join keeps unmatched rows
+    gl = broadcast_hash_join(rd.from_pandas(large), rd.from_pandas(small),
+                             on="k", how="left").to_pandas()
+    assert len(gl) == len(large)
+    assert gl["name"].isna().sum() == (large["k"] % 2 == 1).sum()
