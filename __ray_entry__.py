@@ -1013,6 +1013,33 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_supplier_counts_by_nation(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.relational import (broadcast_hash_join,
+                                         partial_agg_sum)
+    import pyarrow as pa
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).map_batches(
+            lambda t: t.rename_columns(["suppkey", "nationkey"]),
+            batch_format="pyarrow")
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).map_batches(
+            lambda t: t.rename_columns(["nationkey", "n_name"]),
+            batch_format="pyarrow")
+    # nation is a true dimension (25 rows at ANY scale): map-side join
+    joined = broadcast_hash_join(sup, nation, on="nationkey")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t.column("n_name"),
+                         "one": pa.array([1] * len(t), pa.int64())})
+
+    return partial_agg_sum(
+        joined.map_batches(ones, batch_format="pyarrow"),
+        "n_name", {"one": "n_suppliers"})
+
+
 def _q_lang_length_linreg(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1206,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "supplier_counts_by_nation": _q_supplier_counts_by_nation,
         "lang_length_linreg": _q_lang_length_linreg,
         "user_rolling_avg": _q_user_rolling_avg,
         "quality_melt": _q_quality_melt,
@@ -1966,6 +1994,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        "supplier_counts_by_nation": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         # slope/intercept/r evaluated from EXACT integer sums with the
         # identical double expression -> bit-identical
