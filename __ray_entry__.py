@@ -1013,6 +1013,11 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_incremental_dedup_fps(sf_dir: str):
+    from tabbyray.ops.stateful import incremental_dedup_fps
+    return incremental_dedup_fps(_docs(sf_dir))
+
+
 def _q_supplier_counts_by_nation(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.relational import (broadcast_hash_join,
@@ -1233,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "incremental_dedup_fps": _q_incremental_dedup_fps,
         "supplier_counts_by_nation": _q_supplier_counts_by_nation,
         "lang_length_linreg": _q_lang_length_linreg,
         "user_rolling_avg": _q_user_rolling_avg,
@@ -1994,6 +2000,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        # which DOC survives is arrival-order dependent, but the kept
+        # fingerprint SET is exactly the distinct set -> deterministic
+        "incremental_dedup_fps": """
+            SELECT DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ',
+                                                    'g'))) AS fp
+            FROM documents
         """,
         "supplier_counts_by_nation": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers

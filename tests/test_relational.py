@@ -1096,3 +1096,23 @@ def test_broadcast_hash_join(ray_session):
                              on="k", how="left").to_pandas()
     assert len(gl) == len(large)
     assert gl["name"].isna().sum() == (large["k"] % 2 == 1).sum()
+
+
+def test_incremental_dedup_fps(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.stateful import incremental_dedup_fps
+
+    rng = np.random.RandomState(16)
+    # heavy duplication: 50 distinct texts over 800 docs
+    texts = [f"doc body {i}" for i in rng.randint(0, 50, 800)]
+    docs = pd.DataFrame({"doc_id": np.arange(800), "text": texts})
+    import hashlib
+    want = {hashlib.md5(t.encode()).hexdigest() for t in set(texts)}
+    for nparts in (1, 7):
+        got = (incremental_dedup_fps(
+                   rd.from_pandas(docs).repartition(nparts), n_shards=4)
+               .to_pandas())
+        # exactly one survivor per distinct fingerprint, set-exact
+        assert len(got) == len(want)
+        assert set(got["fp"]) == want
