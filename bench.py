@@ -88,7 +88,9 @@ def run_bench() -> dict:
     qs = E.queries()
     for name in ("lineitem_agg", "top_event_per_user", "exact_dedup_docs",
                  "minhash_lsh_dedup", "knn_cosine", "hourly_user_agg",
-                 "sliding_window_agg", "customer_order_stats"):
+                 "sliding_window_agg", "customer_order_stats",
+                 "supplier_pagerank", "cms_frequent_terms",
+                 "incremental_dedup_fps", "packed_sequences"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):
