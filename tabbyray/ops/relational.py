@@ -337,10 +337,24 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
                        % num_partitions).astype("int64")
         return df
 
+    def _pd_dtype(t: "pa.DataType"):
+        try:
+            return np.dtype(t.to_pandas_dtype())
+        except Exception:
+            return np.dtype(object)
+
+    l_cols = [on, left_ts] + [c for c in l_other if c != left_ts]
+    r_cols = [on, right_ts] + r_payload
+    l_dtypes = {c: _pd_dtype(l_types[c]) for c in l_cols}
+    r_dtypes = {c: _pd_dtype(r_types[c]) for c in r_cols}
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["_side"] == 0][[on, left_ts] +
-                                 [c for c in l_other if c != left_ts]]
-        rhs = g[g["_side"] == 1][[on, right_ts] + r_payload]
+        # a partition holding only ONE side arrives with the other
+        # side's all-null columns degraded to object dtype (pandas
+        # block path); each side's OWN columns are non-null by
+        # construction, so casting back to the declared types is safe
+        lhs = g[g["_side"] == 0][l_cols].astype(l_dtypes)
+        rhs = g[g["_side"] == 1][r_cols].astype(r_dtypes)
         # dedupe right per (key, ts): keep max payload (deterministic)
         rhs = rhs.groupby([on, right_ts], as_index=False).max()
         lhs = lhs.sort_values(left_ts, kind="stable")

@@ -1116,3 +1116,30 @@ def test_incremental_dedup_fps(ray_session):
         # exactly one survivor per distinct fingerprint, set-exact
         assert len(got) == len(want)
         assert set(got["fp"]) == want
+
+
+def test_asof_join_one_sided_partitions(ray_session):
+    """Regression: a hash partition holding ONLY right-side rows used
+    to degrade the absent left columns to object dtype and crash
+    merge_asof (surfaced at sf0.001 where many of the 32 partitions
+    have orders but no events)."""
+    import ray.data as rd
+
+    from tabbyray.ops.relational import asof_join
+
+    base = pd.Timestamp("2026-01-01")
+    # left covers ONE key; right covers many keys -> most partitions
+    # are right-only
+    left = pd.DataFrame({"k": [5, 5],
+                         "lts": [base + pd.Timedelta(minutes=10),
+                                 base + pd.Timedelta(minutes=20)],
+                         "lv": [1, 2]})
+    right = pd.DataFrame({
+        "k": np.arange(100),
+        "rts": [base] * 100,
+        "rv": np.arange(100) * 10})
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", left_ts="lts", right_ts="rts")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    assert list(got["lv"]) == [1, 2]
+    assert list(got["rv"]) == [50, 50]
