@@ -237,6 +237,9 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
             ref = ray.put(factor)
 
             def contrib_bc(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({"dst": pa.array([], pa.int64()),
+                                     "c": pa.array([], pa.float64())})
                 m = ray.get(ref)
                 df = t.to_pandas()
                 df["c"] = df["src"].map(m)

@@ -820,6 +820,8 @@ def bloom_filter_join(ds: rd.Dataset, col: str, keys: rd.Dataset,
     ref = ray.put(bitmap)
 
     def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
         bm = ray.get(ref)
         keep = []
         for v in t.column(col).to_pylist():
@@ -922,11 +924,15 @@ def broadcast_hash_join(large: rd.Dataset, small: rd.Dataset, on: str,
     large rows with nulls)."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
-    sm = small.to_pandas()
-    if len(sm) > max_small_rows:
+    # count BEFORE collecting: the guard must fire without ever
+    # materializing an over-sized side on the driver
+    mat = small.materialize()
+    n_small = mat.count()
+    if n_small > max_small_rows:
         raise ValueError(
-            f"small side has {len(sm)} rows > max_small_rows="
+            f"small side has {n_small} rows > max_small_rows="
             f"{max_small_rows}; use hash_join for a shuffle join")
+    sm = mat.to_pandas()
     if small_cols is not None:
         sm = sm[small_cols]
     ref = ray.put(sm)

@@ -173,7 +173,9 @@ def temperature_sample(ds: rd.Dataset, stratum_col: str, id_col: str,
 
 
 def global_hash_shuffle(ds: rd.Dataset, id_col: str,
-                        n_buckets: int = 8192) -> rd.Dataset:
+                        n_buckets: int = 8192,
+                        id_type: "pa.DataType | None" = None
+                        ) -> rd.Dataset:
     """Deterministic global training-order shuffle: assign every row
     its rank in (id-hash, id) order — the reproducible corpus
     shuffle a training run needs (same order on re-run, re-shard, or
@@ -186,7 +188,8 @@ def global_hash_shuffle(ds: rd.Dataset, id_col: str,
     sampling/range-boundary step. Per-bucket counts (combiner) -> tiny
     prefix-sum on the driver -> broadcast -> per-bucket local sort +
     offset. The only exchange is the bucket groupby. Output (id,
-    shuffle_rank)."""
+    shuffle_rank); ``id_type`` declares the id column's Arrow type
+    (default int64)."""
     import numpy as np
     import ray
 
@@ -224,4 +227,5 @@ def global_hash_shuffle(ds: rd.Dataset, id_col: str,
 
     return typed_groupby_map(
         hds, "_bucket", rank,
-        pa.schema([(id_col, pa.int64()), ("shuffle_rank", pa.int64())]))
+        pa.schema([(id_col, id_type or pa.int64()),
+                   ("shuffle_rank", pa.int64())]))

@@ -243,6 +243,11 @@ def label_centroids(embs: rd.Dataset, label_col: str = "label",
     from .relational import partial_agg_sum
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
         labels = np.asarray(t.column(label_col).to_pylist())
         M = np.stack([np.asarray(e, dtype=np.float64)
                       for e in t.column(vec_col).to_pylist()])
@@ -282,6 +287,9 @@ def embedding_norms(embs: rd.Dataset, id_col: str = "vec_id",
     a zero/degenerate-vector audit. Stateless vectorized map; output
     (vec_id, norm)."""
     def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t.column(id_col),
+                             "norm": pa.array([], pa.float64())})
         M = np.stack([np.asarray(e, dtype=np.float64)
                       for e in t.column(vec_col).to_pylist()])
         return pa.table({id_col: t.column(id_col),

@@ -68,9 +68,11 @@ def incremental_dedup_fps(docs: rd.Dataset,
             routed.setdefault(int(fp[:8], 16) % n_shards, []).append(i)
         futures = {s: shards[s].check_add.remote([fps[i] for i in idx])
                    for s, idx in routed.items()}
+        # one gather for all shards (parallel rpcs, single wait)
+        answers = dict(zip(futures, ray.get(list(futures.values()))))
         keep = [False] * len(fps)
         for s, idx in routed.items():
-            for i, novel in zip(idx, ray.get(futures[s])):
+            for i, novel in zip(idx, answers[s]):
                 keep[i] = novel
         return pa.table({"fp": pa.array(
             [fp for fp, k in zip(fps, keep) if k], pa.string())})
