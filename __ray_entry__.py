@@ -1013,6 +1013,39 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_top_tokens_per_lang(sf_dir: str):
+    """Composition showcase: per-(lang, term) Counter combiner ->
+    partitioned hash aggregate -> grouped_topk (no new operator
+    code)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    from tabbyray.ops.relational import grouped_topk, hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        import re
+        ws = re.compile(r"\s+")
+        c: Counter = Counter()
+        for lang, text in zip(t.column("lang").to_pylist(),
+                              t.column("text").to_pylist()):
+            for term in ws.sub(" ", (text or "")).strip().split(" "):
+                c[(lang, term)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    counts = hash_aggregate(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["lang", "term"], sum_cols={"n": "n"},
+        out_schema=pa.schema([("lang", pa.string()),
+                              ("term", pa.string()),
+                              ("n", pa.int64())]))
+    return grouped_topk(counts, "lang", "n", "term",
+                        out_cols=["lang", "term", "n"], k=3)
+
+
 def _q_incremental_dedup_fps(sf_dir: str):
     from tabbyray.ops.stateful import incremental_dedup_fps
     return incremental_dedup_fps(_docs(sf_dir))
@@ -1238,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         "incremental_dedup_fps": _q_incremental_dedup_fps,
         "supplier_counts_by_nation": _q_supplier_counts_by_nation,
         "lang_length_linreg": _q_lang_length_linreg,
@@ -2000,6 +2034,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        "top_tokens_per_lang": """
+            WITH tok AS (SELECT lang, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY lang, term)
+            SELECT lang, term, n FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, term ASC) <= 3
         """,
         # which DOC survives is arrival-order dependent, but the kept
         # fingerprint SET is exactly the distinct set -> deterministic
