@@ -1013,6 +1013,14 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_props_key_counts(sf_dir: str):
+    import ray.data as rd
+    from tabbyray.ops.relational import json_int_key_counts
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["props"])
+    return json_int_key_counts(ev, "props", "k")
+
+
 def _q_top_tokens_per_lang(sf_dir: str):
     """Composition showcase: per-(lang, term) Counter combiner ->
     partitioned hash aggregate -> grouped_topk (no new operator
@@ -1271,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "global_shuffle_rank": _q_global_shuffle_rank,
         "packed_sequences": _q_packed_sequences,
+        "props_key_counts": _q_props_key_counts,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "incremental_dedup_fps": _q_incremental_dedup_fps,
         "supplier_counts_by_nation": _q_supplier_counts_by_nation,
@@ -2034,6 +2043,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
                   < r.rate * 10000
+        """,
+        "props_key_counts": """
+            SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE props->>'$.k' IS NOT NULL
+            GROUP BY 1
         """,
         "top_tokens_per_lang": """
             WITH tok AS (SELECT lang, unnest(string_split(

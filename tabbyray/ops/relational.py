@@ -941,3 +941,33 @@ def broadcast_hash_join(large: rd.Dataset, small: rd.Dataset, on: str,
         return df.merge(ray.get(ref), on=on, how=how)
 
     return large.map_batches(f, batch_format="pandas")
+
+
+def json_int_key_counts(ds: rd.Dataset, col: str,
+                        key: str) -> rd.Dataset:
+    """Semi-structured ETL: parse a JSON string column, extract one
+    integer field, and count rows per value — parse + Counter combiner
+    per batch (JSON decode is inherently per-record; the combiner
+    keeps the exchange at one row per (value, batch)), then the small
+    groupby. Rows whose JSON lacks the key (or is malformed) are
+    skipped. Output: (key value as ``k``, n)."""
+    import json
+
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column(col).to_pylist():
+            try:
+                v = json.loads(s).get(key)
+            except (TypeError, ValueError):
+                continue
+            if v is not None:
+                c[int(v)] += 1
+        ks = list(c.keys())
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "one": pa.array([c[x] for x in ks], pa.int64())})
+
+    return partial_agg_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "k", {"one": "n"})

@@ -1143,3 +1143,18 @@ def test_asof_join_one_sided_partitions(ray_session):
            .to_pandas().sort_values("lv").reset_index(drop=True))
     assert list(got["lv"]) == [1, 2]
     assert list(got["rv"]) == [50, 50]
+
+
+def test_json_int_key_counts(ray_session):
+    import ray.data as rd
+
+    from tabbyray.ops.relational import json_int_key_counts
+
+    df = pd.DataFrame({"props": ['{"k": 1}', '{"k": 1}', '{"k": 2}',
+                                 '{"x": 9}', 'not json', None]})
+    for nparts in (1, 3):
+        got = (json_int_key_counts(
+                   rd.from_pandas(df).repartition(nparts), "props", "k")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert list(got["k"]) == [1, 2]
+        assert list(got["n"]) == [2, 1]
