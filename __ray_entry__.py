@@ -1013,6 +1013,21 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_tfidf_scores_join(sf_dir: str):
+    """The web-scale plan, forced: vocabulary stays a distributed
+    Dataset and the tf stream co-partition-joins it on hash(term) —
+    no driver/worker vocabulary state. Same oracle as tfidf_scores."""
+    from tabbyray.ops.text import tfidf_scores
+    return tfidf_scores(_docs(sf_dir), min_df=10, mode="join")
+
+
+def _q_doc_unigram_nll_join(sf_dir: str):
+    """The web-scale plan, forced: (doc,term,tf) x counts term-hash
+    join + per-doc hash aggregate. Same oracle as doc_unigram_nll."""
+    from tabbyray.ops.text import unigram_logprob_scores
+    return unigram_logprob_scores(_docs(sf_dir), mode="join")
+
+
 def _q_props_key_counts(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.relational import json_int_key_counts
@@ -1227,6 +1242,10 @@ def _q_packed_sequences(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERED BY SIGNAL: a driver run that truncates after the first ~50
+    # entries must still cover every flagship family (STI pipeline,
+    # dedup, similarity search, joins, graph, sketches, the web-scale
+    # join-path text scorers). Long-tail derived/composed queries follow.
     return {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
         # non-SQL-expressible -> rows-only checks)
@@ -1237,22 +1256,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_canonical_triples": _q_sti_canonical_triples,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
-        # relational operators (SQL-checked)
+        # deduplication family
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "exact_dedup_keep_first": _q_exact_dedup_keep_first,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "simhash_values": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "span_dedup_docs": _q_span_dedup,
+        "neardup_clusters": _q_neardup_clusters,
+        "cluster_representatives": _q_cluster_representatives,
+        "incremental_dedup_fps": _q_incremental_dedup_fps,
+        # similarity search
+        "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,
+        "knn_lsh": _q_knn_lsh,
+        # graph / sketches
+        "supplier_pagerank": _q_supplier_pagerank,
+        "cms_frequent_terms": _q_cms_frequent_terms,
+        "kmv_distinct_tokens": _q_kmv_distinct_tokens,
+        "frequent_tokens": _q_frequent_tokens,
+        "orders_bloom_semi": _q_orders_bloom_semi,
+        # joins (shuffle / asof / outer / anti / broadcast)
+        "customer_order_stats": _q_customer_order_stats,
+        "latest_order_asof": _q_latest_order_asof,
+        "customers_no_events": _q_customers_no_events,
+        "customer_event_outer": _q_customer_event_outer,
+        "region_revenue": _q_region_revenue,
+        "value_band_range_join": _q_value_band_range_join,
+        "supplier_counts_by_nation": _q_supplier_counts_by_nation,
+        # web-scale text scorers (forced join path first — the plan that
+        # must hold at 100 TB — then the auto/broadcast originals)
+        "tfidf_scores_join": _q_tfidf_scores_join,
+        "doc_unigram_nll_join": _q_doc_unigram_nll_join,
+        "tfidf_scores": _q_tfidf_scores,
+        "doc_unigram_nll": _q_doc_unigram_nll,
+        "term_doc_freq": _q_term_doc_freq,
+        "vocab_topk": _q_vocab_topk,
+        # core relational / streaming-shaped
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,
-        "norm_part_names": _q_norm_part_names,
         "hourly_user_agg": _q_hourly_user_agg,
         "sessionize": _q_sessionize,
         "sliding_window_agg": _q_sliding_window,
-        "latest_order_asof": _q_latest_order_asof,
-        "value_band_range_join": _q_value_band_range_join,
-        "customers_no_events": _q_customers_no_events,
-        "region_revenue": _q_region_revenue,
         "lineitem_rollup": _q_lineitem_rollup,
-        # text / dedup operators
-        "exact_dedup_docs": _q_exact_dedup_docs,
-        "exact_dedup_keep_first": _q_exact_dedup_keep_first,
-        "customer_order_stats": _q_customer_order_stats,
+        "event_funnel": _q_event_funnel,
+        "weekly_retention": _q_weekly_retention,
+        "token_quantiles": _q_token_quantiles,
+        "doc_percentile_rank": _q_doc_percentile_rank,
+        "curation_pipeline": _q_curation_pipeline,
+        "sequence_pack": _q_sequence_pack,
+        "packed_sequences": _q_packed_sequences,
+        "global_shuffle_rank": _q_global_shuffle_rank,
+        # ---- long tail (derived / composed / stateless maps) ----
+        "norm_part_names": _q_norm_part_names,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
@@ -1260,29 +1318,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "regex_token_counts": _q_regex_token_counts,
         "winnow_fingerprints": _q_winnow_fingerprints,
-        "vocab_topk": _q_vocab_topk,
-        "term_doc_freq": _q_term_doc_freq,
-        "tfidf_scores": _q_tfidf_scores,
         "train_test_split": _q_train_test_split,
         "doc_hash_sample": _q_doc_hash_sample,
         "stratified_sample": _q_stratified_sample,
-        "kmv_distinct_tokens": _q_kmv_distinct_tokens,
-        "frequent_tokens": _q_frequent_tokens,
         "per_user_event_sample": _q_per_user_event_sample,
         "token_entropy": _q_token_entropy,
         "doc_length_histogram": _q_doc_length_histogram,
         "event_interarrival": _q_event_interarrival,
         "user_event_sequence": _q_user_event_sequence,
-        "customer_event_outer": _q_customer_event_outer,
-        "span_dedup_docs": _q_span_dedup,
         "lang_temperature_sample": _q_lang_temperature_sample,
-        "sequence_pack": _q_sequence_pack,
-        "global_shuffle_rank": _q_global_shuffle_rank,
-        "packed_sequences": _q_packed_sequences,
         "props_key_counts": _q_props_key_counts,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
-        "incremental_dedup_fps": _q_incremental_dedup_fps,
-        "supplier_counts_by_nation": _q_supplier_counts_by_nation,
         "lang_length_linreg": _q_lang_length_linreg,
         "user_rolling_avg": _q_user_rolling_avg,
         "quality_melt": _q_quality_melt,
@@ -1291,40 +1337,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "inverted_index": _q_inverted_index,
         "bigram_topk": _q_bigram_topk,
-        "weekly_retention": _q_weekly_retention,
-        "supplier_pagerank": _q_supplier_pagerank,
-        "doc_percentile_rank": _q_doc_percentile_rank,
-        "orders_bloom_semi": _q_orders_bloom_semi,
-        "event_funnel": _q_event_funnel,
-        "cms_frequent_terms": _q_cms_frequent_terms,
         "lang_char_moments": _q_lang_char_moments,
         "doc_length_zscore": _q_doc_length_zscore,
         "user_top3_events": _q_user_top3_events,
-        "doc_unigram_nll": _q_doc_unigram_nll,
         "distinct_users_per_type": _q_distinct_users_per_type,
-        "token_quantiles": _q_token_quantiles,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
         "user_running_total": _q_user_running_total,
         "event_type_pivot": _q_event_type_pivot,
         "lang_token_quantiles": _q_lang_token_quantiles,
         "doc_chunks": _q_doc_chunks,
         "above_median_docs": _q_above_median_docs,
-        "curation_pipeline": _q_curation_pipeline,
-        "neardup_clusters": _q_neardup_clusters,
-        "cluster_representatives": _q_cluster_representatives,
         "clean_normalize": _q_clean_normalize,
         "pii_counts": _q_pii_counts,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_signatures": _q_minhash_signatures,
-        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "simhash_values": _q_simhash,
-        # similarity search
-        "knn_cosine": _q_knn_cosine,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "embedding_neardup": _q_embedding_neardup,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
@@ -1461,7 +1487,7 @@ def oracle_sql() -> dict[str, str]:
     lang_scores = ",\n".join(
         f"len(list_filter(ws, x -> x IN ({words}))) AS n_{lang}"
         for lang, words in _LANG_CASES.items())
-    return {
+    out = {
         "lineitem_agg": """
             SELECT l_returnflag,
                    sum(l_quantity) AS sum_qty,
@@ -2389,3 +2415,8 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
     }
+    # the forced-join-path variants compute the same relation as their
+    # broadcast originals — identical oracles
+    out["tfidf_scores_join"] = out["tfidf_scores"]
+    out["doc_unigram_nll_join"] = out["doc_unigram_nll"]
+    return out

@@ -77,7 +77,13 @@ def main(argv=None) -> int:
     ap.add_argument("--canonicalize", action="store_true",
                     help="also write canonicalized triples")
     ap.add_argument("--ntriples", action="store_true",
-                    help="also write N-Triples text of the (canonical) triples")
+                    help="also write a text export of the (canonical) triples")
+    ap.add_argument("--format", choices=("ntriples", "rdfxml"),
+                    default="ntriples",
+                    help="triple export serialization (default ntriples; "
+                         "rdfxml emits the reference's RDF/XML document "
+                         "shape with its malformations fixed, and implies "
+                         "the export even without --ntriples)")
     ap.add_argument("--gold", default=None,
                     help="gold annotations parquet for P/R evaluation")
     ap.add_argument("--kb-shards", type=int, default=0,
@@ -105,7 +111,8 @@ def main(argv=None) -> int:
     summary = lineage.run_resumable(args.pages, annotated_dir, kb_ref, gaz_ref,
                                     num_shards=args.shards, skb=skb)
 
-    if args.canonicalize or args.ntriples:
+    export = args.ntriples or args.format == "rdfxml"
+    if args.canonicalize or export:
         import ray.data as rd
 
         from tabbyray.canonicalize import canonicalize_triples
@@ -119,12 +126,19 @@ def main(argv=None) -> int:
         canon_dir = os.path.join(args.out, "canonical_triples")
         canon.write_parquet(canon_dir)
         summary["canonical_triples_dir"] = canon_dir
-        if args.ntriples:
-            from tabbyray.io import write_ntriples
-            nt_dir = os.path.join(args.out, "ntriples")
-            write_ntriples(rd.read_parquet(sorted(glob.glob(
-                os.path.join(canon_dir, "*.parquet")))), nt_dir)
-            summary["ntriples_dir"] = nt_dir
+        if export:
+            canon_ds = rd.read_parquet(sorted(glob.glob(
+                os.path.join(canon_dir, "*.parquet"))))
+            if args.format == "rdfxml":
+                from tabbyray.io import write_rdfxml
+                x_dir = os.path.join(args.out, "rdfxml")
+                write_rdfxml(canon_ds, x_dir)
+                summary["rdfxml_dir"] = x_dir
+            else:
+                from tabbyray.io import write_ntriples
+                nt_dir = os.path.join(args.out, "ntriples")
+                write_ntriples(canon_ds, nt_dir)
+                summary["ntriples_dir"] = nt_dir
 
     if args.gold:
         import pandas as pd

@@ -1,10 +1,23 @@
-"""Sinks: N-Triples serialization of the triples dataset.
+"""Sinks: N-Triples (default) and RDF/XML serialization of the triples
+dataset.
 
-Replaces the reference's RDF/XML writer
+The default replaces the reference's RDF/XML writer
 (`components/RDFCodeGenerator.php:116-154`) — whose emitted XML is
 malformed (unclosed tags; see SURVEY.md §3.3) — with standards-valid
 N-Triples lines, written as sharded text files. Literal objects are
 escaped per the N-Triples grammar; entity objects are IRIs.
+
+``write_rdfxml`` is the surface-parity export (CLI ``--format
+rdfxml``): it keeps the reference's document shape — the
+``<?xml version="1.0"?>`` prolog, the ``<rdf:RDF>`` envelope with the
+same namespace block (`RDFCodeGenerator.php:133-141`), one
+``<owl:Thing rdf:about=...>`` element per subject occurrence
+(`:55,74,95`) — but fixes its malformations: the mismatched
+quote characters and duplicated ``xmlns:owl`` in the header, the
+never-closed element tags, and the missing property children (the
+reference opens a tag per annotation and writes neither predicate nor
+object). Output is well-formed XML, one standalone document per shard
+(mirroring the sharded ``.nt`` layout).
 """
 
 from __future__ import annotations
@@ -60,3 +73,96 @@ def write_ntriples(triples: rd.Dataset, path: str) -> None:
 
     # consume: one shard file per block
     lines.map_batches(dump, batch_size=None, batch_format="pyarrow").count()
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML (reference surface parity, malformations fixed)
+# ---------------------------------------------------------------------------
+
+_XML_TEXT_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+_XML_ATTR_ESC = {**_XML_TEXT_ESC, '"': "&quot;"}
+
+
+def _xml_escape(s: str, attr: bool = False) -> str:
+    table = _XML_ATTR_ESC if attr else _XML_TEXT_ESC
+    return "".join(table.get(ch, ch) for ch in s)
+
+
+def _split_qname(uri: str) -> tuple[str, str]:
+    """Split a predicate URI into (namespace, local name) at the last
+    '#' or '/'. The local part must be a valid XML NCName start; our
+    predicates (dbp:...) always are."""
+    for sep in ("#", "/"):
+        pos = uri.rfind(sep)
+        if pos > 0 and pos < len(uri) - 1:
+            return uri[: pos + 1], uri[pos + 1:]
+    return "", uri
+
+
+# \r\n line ends, tab indents and attribute layout follow the
+# reference's content strings (RDFCodeGenerator.php:133-141) with the
+# quote mismatch and the duplicated xmlns:owl removed.
+_RDFXML_HEADER = (
+    '<?xml version="1.0"?>\r\n'
+    "<rdf:RDF\r\n"
+    '\txmlns      = "{base}#"\r\n'
+    '\txml:base   = "{base}#"\r\n'
+    '\txmlns:owl  = "http://www.w3.org/2002/07/owl#"\r\n'
+    '\txmlns:rdf  = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"\r\n'
+    '\txmlns:rdfs = "http://www.w3.org/2000/01/rdf-schema#"\r\n'
+    '\txmlns:xsd  = "http://www.w3.org/2001/XMLSchema#"\r\n'
+    '\txmlns:ns1  = "{pred_ns}">\r\n'
+    "\r\n"
+)
+
+
+def rdfxml_document(triples_tbl: pa.Table,
+                    base: str = "http://example.org/tabbyray") -> str:
+    """One complete RDF/XML document for a (subj, pred, obj,
+    obj_is_literal) Arrow table. Deterministic in row order. All
+    predicates must share one namespace (true for the engine's dbp:
+    output); it is declared as ``ns1`` in the envelope."""
+    subs = triples_tbl.column("subj").to_pylist()
+    preds = triples_tbl.column("pred").to_pylist()
+    objs = triples_tbl.column("obj").to_pylist()
+    lits = triples_tbl.column("obj_is_literal").to_pylist()
+    pred_ns = _split_qname(preds[0])[0] if preds else \
+        "http://dbpedia.org/property/"
+    parts = [_RDFXML_HEADER.format(base=base, pred_ns=pred_ns)]
+    for s, p, o, lit in zip(subs, preds, objs, lits):
+        ns, local = _split_qname(p)
+        if ns != pred_ns:
+            raise ValueError(
+                f"predicate {p!r} outside declared namespace {pred_ns!r}")
+        parts.append(f'\t<owl:Thing rdf:about="{_xml_escape(s, attr=True)}">\r\n')
+        if lit:
+            parts.append(
+                f"\t\t<ns1:{local}>{_xml_escape(o)}</ns1:{local}>\r\n")
+        else:
+            parts.append(
+                f'\t\t<ns1:{local} rdf:resource="{_xml_escape(o, attr=True)}"/>\r\n')
+        parts.append("\t</owl:Thing>\r\n")
+    parts.append("</rdf:RDF>")
+    return "".join(parts)
+
+
+def write_rdfxml(triples: rd.Dataset, path: str,
+                 base: str = "http://example.org/tabbyray") -> None:
+    """Write sharded ``part-*.rdf`` files — each shard a standalone
+    well-formed RDF/XML document over its block's triples (same
+    task-parallel layout as ``write_ntriples``)."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            name = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.rdf")
+            tmp = name + ".tmp"
+            with open(tmp, "w", encoding="utf-8", newline="") as f:
+                f.write(rdfxml_document(t, base=base))
+            os.rename(tmp, name)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    triples.map_batches(dump, batch_size=None, batch_format="pyarrow").count()

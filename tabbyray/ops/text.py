@@ -216,36 +216,74 @@ def term_doc_freq(docs: rd.Dataset, min_df: int = 10,
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
+def _tf_explode(t: pa.Table) -> pa.Table:
+    """Per-doc term frequencies (doc_id, term, tf) — the exploded tf
+    stream shared by the tfidf / unigram-NLL join paths. Stateless;
+    exactly the tokenization of ``term_doc_freq``."""
+    from collections import Counter
+
+    ids, terms, tfs = [], [], []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        counts = Counter(_WS.sub(" ", (text or "")).strip().split(" "))
+        for term, tf in counts.items():
+            ids.append(doc_id)
+            terms.append(term)
+            tfs.append(tf)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "term": pa.array(terms, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+_TF_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                        ("tf", pa.int64())])
+
+
 def tfidf_scores(docs: rd.Dataset, min_df: int = 10,
-                 num_partitions: int = 32) -> rd.Dataset:
+                 num_partitions: int = 32, mode: str = "auto",
+                 broadcast_max_terms: int = 2_000_000) -> rd.Dataset:
     """Per-(doc, term) TF-IDF over the vocabulary of terms appearing in
     >= min_df distinct documents: ``tfidf = tf * ln(N / df)``.
 
-    Plan: ``term_doc_freq`` produces the (min_df-bounded) vocabulary,
-    which is broadcast ONCE via ``ray.put``; per-doc term counting is a
-    stateless per-batch map sharing the exact tokenization of the df
-    aggregate, so the whole operator costs one df shuffle + one corpus
-    pass. For a vocabulary too large to broadcast, join the per-doc tf
-    stream against the df table on a term-hash co-partition instead
-    (the ``relational.hash_join`` plan)."""
+    Two plans, picked by a DISTRIBUTED vocabulary count (``mode="auto"``,
+    same pattern as ``dedup.minhash verify="auto"``):
+
+    - ``broadcast`` (vocab <= broadcast_max_terms): the df table is
+      ``ray.put`` ONCE and every batch scores against the shared dict —
+      one df shuffle + one stateless corpus pass.
+    - ``join`` (web-scale vocabularies that exceed driver/worker RAM):
+      the per-doc tf stream explodes to (doc_id, term, tf) rows and
+      co-partitions against the df table on ``hash(term)`` via
+      ``relational.hash_join`` — no corpus-sized state anywhere; the
+      vocabulary only ever exists as a distributed Dataset.
+
+    Both paths evaluate the identical IEEE expression
+    ``tf * ln(N / df)`` per surviving (doc, term), so results match
+    bit-for-bit under either plan."""
     import math
-    from collections import Counter
 
     import ray
 
-    n_docs = docs.count()
-    idf = {r["term"]: math.log(n_docs / r["df"])
-           for r in term_doc_freq(docs, min_df=min_df,
-                                  num_partitions=num_partitions).take_all()}
-    ref = ray.put(idf)
+    from .relational import hash_join
 
-    def f(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids, terms, tfs, scores = [], [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            counts = Counter(_WS.sub(" ", (text or "")).strip().split(" "))
-            for term, tf in counts.items():
+    n_docs = docs.count()
+    df_tbl = term_doc_freq(docs, min_df=min_df,
+                           num_partitions=num_partitions).materialize()
+    if mode == "auto":
+        # distributed count over the materialized vocab (metadata-only)
+        mode = "broadcast" if df_tbl.count() <= broadcast_max_terms else "join"
+
+    if mode == "broadcast":
+        idf = {r["term"]: math.log(n_docs / r["df"]) for r in df_tbl.take_all()}
+        ref = ray.put(idf)
+
+        def f(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            e = _tf_explode(t)
+            ids, terms, tfs, scores = [], [], [], []
+            for doc_id, term, tf in zip(e.column("doc_id").to_pylist(),
+                                        e.column("term").to_pylist(),
+                                        e.column("tf").to_pylist()):
                 w = m.get(term)
                 if w is None:
                     continue
@@ -253,12 +291,32 @@ def tfidf_scores(docs: rd.Dataset, min_df: int = 10,
                 terms.append(term)
                 tfs.append(tf)
                 scores.append(tf * w)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64()),
-                         "tfidf": pa.array(scores, pa.float64())})
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "term": pa.array(terms, pa.string()),
+                             "tf": pa.array(tfs, pa.int64()),
+                             "tfidf": pa.array(scores, pa.float64())})
 
-    return docs.map_batches(f, batch_format="pyarrow")
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    tf_stream = docs.map_batches(_tf_explode, batch_format="pyarrow")
+    joined = hash_join(
+        tf_stream, df_tbl, on="term", num_partitions=num_partitions,
+        left_schema=_TF_SCHEMA,
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        df_ = t.column("df").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "tf": t.column("tf"),
+                         "tfidf": pa.array(tf * np.log(float(n_docs) / df_),
+                                           pa.float64())})
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -607,42 +665,95 @@ def corpus_term_counts(docs: rd.Dataset,
 
 
 def unigram_logprob_scores(docs: rd.Dataset,
-                           num_partitions: int = 32) -> rd.Dataset:
+                           num_partitions: int = 32, mode: str = "auto",
+                           broadcast_max_terms: int = 2_000_000) -> rd.Dataset:
     """Unigram language-model quality score per document: the mean
     negative log-likelihood of the doc's tokens under the corpus's OWN
     unigram distribution — the fluency/outlier signal quality filters
     use (low = typical text, high = rare-token-heavy).
 
-    Plan: one Counter-combiner hash aggregate builds the corpus term
-    counts (shuffle moves one row per (term, batch), not per token);
-    the (term → −ln p) map is broadcast ONCE via ``ray.put``; scoring
-    is then a stateless single pass. For vocabularies beyond driver
-    memory, join the exploded tf stream against the counts table on a
-    term-hash co-partition instead (the tfidf_scores fallback).
+    Two plans behind a DISTRIBUTED vocabulary-count auto-switch (the
+    ``minhash verify="auto"`` pattern):
+
+    - ``broadcast``: the Counter-combiner hash aggregate builds the
+      corpus term counts (shuffle moves one row per (term, batch), not
+      per token); the (term → −ln p) map is ``ray.put`` ONCE and
+      scoring is a stateless single pass.
+    - ``join`` (vocabulary beyond driver/worker RAM): explode the
+      per-doc tf stream to (doc_id, term, tf), co-partition against
+      the distributed counts table on ``hash(term)``
+      (``relational.hash_join``), score per row, and hash-aggregate
+      ``Σ tf·(−ln p)`` and ``Σ tf`` (= n_tokens, since every corpus
+      token is in its own vocabulary) back to one row per doc. The
+      vocabulary never leaves the object store.
+
+    The corpus total is a distributed ``Dataset.sum`` either way.
     Output: (doc_id, n_tokens, nll)."""
     import ray
 
-    counts = corpus_term_counts(docs, num_partitions).to_pandas()
-    total = float(counts["n"].sum())
-    neglogp = dict(zip(
-        counts["term"],
-        -np.log(counts["n"].to_numpy().astype(np.float64) / total)))
-    ref = ray.put(neglogp)
+    from .relational import hash_aggregate, hash_join
 
-    def score(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids, nt, nll = [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            toks = _WS.sub(" ", (text or "")).strip().split(" ")
-            ids.append(doc_id)
-            nt.append(len(toks))
-            nll.append(sum(m[tok] for tok in toks) / len(toks))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_tokens": pa.array(nt, pa.int64()),
-                         "nll": pa.array(nll, pa.float64())})
+    counts = corpus_term_counts(docs, num_partitions).materialize()
+    total = float(counts.sum("n"))
+    if mode == "auto":
+        mode = ("broadcast" if counts.count() <= broadcast_max_terms
+                else "join")
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    if mode == "broadcast":
+        cdf = counts.to_pandas()
+        neglogp = dict(zip(
+            cdf["term"],
+            -np.log(cdf["n"].to_numpy().astype(np.float64) / total)))
+        ref = ray.put(neglogp)
+
+        def score(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ids, nt, nll = [], [], []
+            for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist()):
+                toks = _WS.sub(" ", (text or "")).strip().split(" ")
+                ids.append(doc_id)
+                nt.append(len(toks))
+                nll.append(sum(m[tok] for tok in toks) / len(toks))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_tokens": pa.array(nt, pa.int64()),
+                             "nll": pa.array(nll, pa.float64())})
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    tf_stream = docs.map_batches(_tf_explode, batch_format="pyarrow")
+    joined = hash_join(
+        tf_stream, counts, on="term", num_partitions=num_partitions,
+        left_schema=_TF_SCHEMA,
+        right_schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        n = t.column("n").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tf": t.column("tf"),
+                         "_c": pa.array(tf * -np.log(n / total),
+                                        pa.float64())})
+
+    agg = hash_aggregate(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        keys=["doc_id"], sum_cols={"_c": "sum_nll", "tf": "n_tokens"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("sum_nll", pa.float64()),
+                              ("n_tokens", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum_nll").to_numpy()
+        n = t.column("n_tokens").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": t.column("n_tokens"),
+                         "nll": pa.array(s / n, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def inverted_index(docs: rd.Dataset, min_df: int = 10,

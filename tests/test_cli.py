@@ -68,3 +68,76 @@ def test_cli_curate(tmp_path):
     summary = json.loads(r.stdout[r.stdout.index("{"):])
     assert sum(summary["rows_per_split"].values()) == 40
     assert glob.glob(os.path.join(out, "split=*", "*.parquet"))
+
+
+_RDFXML_GOLDEN = (
+    '<?xml version="1.0"?>\r\n'
+    "<rdf:RDF\r\n"
+    '\txmlns      = "http://example.org/tabbyray#"\r\n'
+    '\txml:base   = "http://example.org/tabbyray#"\r\n'
+    '\txmlns:owl  = "http://www.w3.org/2002/07/owl#"\r\n'
+    '\txmlns:rdf  = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"\r\n'
+    '\txmlns:rdfs = "http://www.w3.org/2000/01/rdf-schema#"\r\n'
+    '\txmlns:xsd  = "http://www.w3.org/2001/XMLSchema#"\r\n'
+    '\txmlns:ns1  = "http://dbpedia.org/property/">\r\n'
+    "\r\n"
+    '\t<owl:Thing rdf:about="http://dbpedia.org/resource/Berlin">\r\n'
+    '\t\t<ns1:Capital rdf:resource="http://dbpedia.org/resource/Germany"/>\r\n'
+    "\t</owl:Thing>\r\n"
+    '\t<owl:Thing rdf:about="http://dbpedia.org/resource/Berlin">\r\n'
+    "\t\t<ns1:Motto>say &lt;hi&gt; &amp; bye</ns1:Motto>\r\n"
+    "\t</owl:Thing>\r\n"
+    "</rdf:RDF>"
+)
+
+
+def test_rdfxml_golden_and_wellformed(ray_session):
+    """Golden-file check of the reference-shaped RDF/XML document
+    (RDFCodeGenerator.php:133-141 header, :55 owl:Thing rows) with the
+    reference's malformations fixed — so the output must ALSO parse."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from tabbyray.io import rdfxml_document
+    tri = pa.Table.from_pandas(pd.DataFrame({
+        "subj": ["http://dbpedia.org/resource/Berlin"] * 2,
+        "pred": ["http://dbpedia.org/property/Capital",
+                 "http://dbpedia.org/property/Motto"],
+        "obj": ["http://dbpedia.org/resource/Germany", "say <hi> & bye"],
+        "obj_is_literal": [False, True],
+    }), preserve_index=False)
+    doc = rdfxml_document(tri)
+    assert doc == _RDFXML_GOLDEN
+    root = ET.fromstring(doc)     # well-formed (the reference's is not)
+    assert root.tag == "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}RDF"
+    things = list(root)
+    assert len(things) == 2
+    lit = things[1][0]
+    assert lit.text == "say <hi> & bye"
+
+
+def test_write_rdfxml_sharded(ray_session, tmp_path):
+    import glob as g
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.io import write_rdfxml
+    tri = pd.DataFrame({
+        "subj": [f"http://dbpedia.org/resource/E{i}" for i in range(10)],
+        "pred": ["http://dbpedia.org/property/P"] * 10,
+        "obj": [f"v{i}" for i in range(10)],
+        "obj_is_literal": [True] * 10,
+    })
+    out = str(tmp_path / "rdfxml")
+    write_rdfxml(rd.from_pandas(tri), out)
+    files = g.glob(os.path.join(out, "part-*.rdf"))
+    assert files
+    n = 0
+    for f in files:
+        root = ET.parse(f).getroot()   # every shard standalone-parses
+        n += len(list(root))
+    assert n == 10

@@ -403,3 +403,53 @@ def test_tfidf_scores(ray_session):
     pair = out[out["term"] == "pair"].set_index("doc_id")
     assert sorted(pair.index) == [0, 1]
     assert all(abs(v - math.log(4 / 2)) < 1e-12 for v in pair["tfidf"])
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.text import tfidf_scores
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["common pair rare rare",
+                                "common pair",
+                                "common",
+                                "common  common"]})
+    docs = rd.from_pandas(df)
+
+    def run(**kw):
+        return (tfidf_scores(docs, min_df=2, **kw).to_pandas()
+                .sort_values(["doc_id", "term"]).reset_index(drop=True))
+
+    bc = run(mode="broadcast")
+    jn = run(mode="join")
+    pd.testing.assert_frame_equal(bc, jn[bc.columns])   # bit-identical
+    # auto threshold exercised BOTH ways: vocab here has 2 terms
+    auto_small = run(mode="auto", broadcast_max_terms=100)   # -> broadcast
+    auto_big = run(mode="auto", broadcast_max_terms=1)       # -> join
+    pd.testing.assert_frame_equal(bc, auto_small)
+    pd.testing.assert_frame_equal(bc, auto_big[bc.columns])
+
+
+def test_unigram_nll_join_path_matches_broadcast(ray_session):
+    import ray.data as rd
+    from tabbyray.ops.text import unigram_logprob_scores
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["a a b common words",
+                                "common words",
+                                "zz a"]})
+    docs = rd.from_pandas(df)
+
+    def run(**kw):
+        return (unigram_logprob_scores(docs, **kw).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    bc = run(mode="broadcast")
+    jn = run(mode="join")
+    assert list(bc["n_tokens"]) == list(jn["n_tokens"])
+    # summation order differs between the two plans; agree to float noise
+    assert np.allclose(bc["nll"], jn["nll"], rtol=0, atol=1e-12)
+    auto_small = run(mode="auto", broadcast_max_terms=100)
+    auto_big = run(mode="auto", broadcast_max_terms=1)
+    pd.testing.assert_frame_equal(bc, auto_small)
+    assert np.allclose(bc["nll"], auto_big["nll"], rtol=0, atol=1e-12)
