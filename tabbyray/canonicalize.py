@@ -39,6 +39,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .ops.relational import _resolve_partitions
+
 from .normalize import normalize_entry, strip_uri_prefix
 
 DEFAULT_SALT = 16
@@ -64,7 +66,7 @@ def _partial_counts(batch: pa.Table, num_salt: int) -> pa.Table:
 
 
 def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
-                  num_partitions: int = 32) -> rd.Dataset:
+                  num_partitions: "int | None" = None) -> rd.Dataset:
     """norm_key -> (canonical_subj, support) mapping as a DISTRIBUTED
     Dataset (distinct-subject scale).
 
@@ -74,6 +76,7 @@ def canonical_map(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
     ``hash(norm_key) % P`` and resolves every key of a partition with
     ONE vectorized pandas argmax — distributed, bounded task count, no
     ``repartition(1)`` funnel."""
+    num_partitions = _resolve_partitions(num_partitions)
     from ray.data.aggregate import Sum
 
     partial = triples.map_batches(
@@ -156,7 +159,7 @@ def _rewrite_broadcast(triples: rd.Dataset, lookup_ref) -> rd.Dataset:
 
 
 def _rewrite_join(triples: rd.Dataset, mapping: rd.Dataset,
-                  num_partitions: int = 64) -> rd.Dataset:
+                  num_partitions: "int | None" = None) -> rd.Dataset:
     """Scale path: rewrite subj then entity-obj via two co-partitioned
     LEFT joins against the winners dataset — nothing corpus-sized ever
     leaves the distributed plan."""

@@ -28,13 +28,16 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .ops.relational import _resolve_partitions
+
 _WS = re.compile(r"\s+")
 _CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 
 
 def curate(docs: rd.Dataset, min_tokens: int = 5,
-           num_partitions: int = 64) -> rd.Dataset:
+           num_partitions: "int | None" = None) -> rd.Dataset:
     """(doc_id, split, n_tokens) for every surviving document."""
+    num_partitions = _resolve_partitions(num_partitions)
     from .ops.sampling import hash_split
 
     def clean_and_gate(t: pa.Table) -> pa.Table:

@@ -40,6 +40,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .ops.relational import _resolve_partitions
+
 from .constants import DBPEDIA_ONTOLOGY_SECTION, NER_CLASS_MAP
 from .kb import CANDIDATE_LIMIT, PARENT_LIMIT, KBIndex, _trigrams
 
@@ -171,10 +173,11 @@ _ANSWER_SCHEMA = pa.schema([
 
 
 def sharded_candidate_payload(norms: rd.Dataset, skb: ShardedKB,
-                              num_partitions: int = 32) -> rd.Dataset:
+                              num_partitions: "int | None" = None) -> rd.Dataset:
     """Distinct norms Dataset (column ``norm``) -> PAYLOAD_SCHEMA rows:
     the merged, LIMIT-100, order-preserving-deduped candidate list per
     norm with KB payload attached."""
+    num_partitions = _resolve_partitions(num_partitions)
     S = skb.num_shards
     shard_refs = skb.shard_refs
 

@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .relational import _resolve_partitions
+
 _WS = re.compile(r"\s+")
 
 
@@ -69,7 +71,7 @@ def exact_dedup_summary(docs: rd.Dataset) -> rd.Dataset:
 
 
 def exact_dedup_keep_first(docs: rd.Dataset,
-                           num_partitions: int = 64) -> rd.Dataset:
+                           num_partitions: "int | None" = None) -> rd.Dataset:
     """Keep only the first (min doc_id) row per distinct text.
 
     ONE hash shuffle on the md5 fingerprint: a batch-local keep-first
@@ -78,6 +80,7 @@ def exact_dedup_keep_first(docs: rd.Dataset,
     finishes. No corpus-sized state anywhere — this is the web-scale
     exact-dedup plan (the winners set of a 10^12-doc corpus cannot be
     broadcast)."""
+    num_partitions = _resolve_partitions(num_partitions)
     def add_fp(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_fp"] = [hashlib.md5(_norm_text(x).encode()).hexdigest()
@@ -114,10 +117,11 @@ def _pair_schema(keep_cols: list[str]) -> pa.Schema:
 
 def _dedup_pairs(pairs: rd.Dataset, keep_cols: list[str],
                  key_cols: tuple[str, str] = ("doc_a", "doc_b"),
-                 num_partitions: int = 32) -> rd.Dataset:
+                 num_partitions: "int | None" = None) -> rd.Dataset:
     """Global pair dedup as ONE hash-partitioned shuffle — replaces
     driver-side ``to_pandas().drop_duplicates()``. Cross-band
     duplicates of a pair land in the same partition by construction."""
+    num_partitions = _resolve_partitions(num_partitions)
     from .relational import typed_groupby_map
 
     ka, kb = key_cols
@@ -277,7 +281,7 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
 
 def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
                           shingle_n: int, threshold: float,
-                          num_partitions: int = 32) -> rd.Dataset:
+                          num_partitions: "int | None" = None) -> rd.Dataset:
     """Exact-Jaccard verification, fully distributed (the default).
 
     TWO shuffles. (1) Melt candidate pairs to (doc_id, doc_a, doc_b)
@@ -293,6 +297,7 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
     docs stream with a broadcast Bloom filter of candidate ids before
     shuffle (1) cuts the text volume shipped; the plan is otherwise
     size-bounded by candidate volume.)"""
+    num_partitions = _resolve_partitions(num_partitions)
     def melt(t: pa.Table) -> pa.Table:
         n = t.num_rows
         half = pa.table({"doc_id": t.column("doc_a").cast(pa.int64()),
@@ -376,21 +381,47 @@ def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
 # -------------------------------------------------------------------------
 
 def simhash_values(docs: rd.Dataset, bits: int = 64) -> rd.Dataset:
-    """doc_id, simhash (uint64): token-frequency-weighted SimHash."""
+    """doc_id, simhash (uint64): token-frequency-weighted SimHash.
+
+    Vectorized kernel: each batch hashes its DISTINCT tokens once
+    (md5's first 8 bytes == the ``int(hexdigest[:16], 16)`` value the
+    SQL oracle reproduces), expands them to a ±1 bit matrix in one
+    ``np.unpackbits`` (byte-reversal maps little-endian bit order onto
+    integer bit i), and each doc's accumulator is one token-count ×
+    bit-matrix product — no per-token per-bit Python loop. Semantics
+    identical to the scalar definition: bit i set iff
+    Σ_tokens (±1 for bit i of md5(token)) > 0."""
+    if bits > 64:
+        raise ValueError("bits must be <= 64")
+
     def f(t: pa.Table) -> pa.Table:
-        out = []
-        for text in t.column("text").to_pylist():
-            toks = _norm_text(text).split(" ")
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
-                for i in range(bits):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    v |= (1 << i)
-            out.append(v)
+        token_lists = [_norm_text(text).split(" ")
+                       for text in t.column("text").to_pylist()]
+        vocab: dict[str, int] = {}
+        for toks in token_lists:
+            for tk in toks:
+                if tk not in vocab:
+                    vocab[tk] = len(vocab)
+        buf = bytearray(8 * len(vocab))
+        for tk, idx in vocab.items():
+            # first 8 digest bytes, byte-reversed: unpackbits(little)
+            # column i is then bit i of the big-endian 64-bit integer
+            buf[idx * 8:(idx + 1) * 8] = hashlib.md5(tk.encode()).digest()[7::-1]
+        if vocab:
+            bitmat = np.unpackbits(
+                np.frombuffer(bytes(buf), np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little")[:, :bits]
+            pm = bitmat.astype(np.int64) * 2 - 1          # (V, bits) ±1
+        else:
+            pm = np.zeros((0, bits), dtype=np.int64)
+        w = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+        out = np.empty(len(token_lists), dtype=np.uint64)
+        for j, toks in enumerate(token_lists):
+            idx = np.fromiter((vocab[tk] for tk in toks), np.int64,
+                              len(toks))
+            uidx, cnt = np.unique(idx, return_counts=True)
+            acc = cnt @ pm[uidx]                          # (bits,)
+            out[j] = w[acc > 0].sum()
         return pa.table({"doc_id": t.column("doc_id"),
                          "simhash": pa.array(out, pa.uint64())})
     return docs.map_batches(f, batch_format="pyarrow")
@@ -577,11 +608,12 @@ def embedding_neardup_pairs(embs: rd.Dataset, threshold: float = 0.9,
 def _embedding_neardup_lsh(embs: rd.Dataset, threshold: float,
                            n_tables: int, n_planes: int, seed: int,
                            max_bucket: int,
-                           num_partitions: int = 64) -> rd.Dataset:
+                           num_partitions: "int | None" = None) -> rd.Dataset:
     """LSH-bucketed near-dup: vectors travel to their (table, bucket)
     partitions; verification is a per-bucket pairwise matmul. The only
     replication is x n_tables on the embedding column; nothing is ever
     collected to the driver."""
+    num_partitions = _resolve_partitions(num_partitions)
     def to_buckets(t: pa.Table) -> pa.Table:
         M = np.stack([np.asarray(e, dtype=np.float64)
                       for e in t.column("embedding").to_pylist()])

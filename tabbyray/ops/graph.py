@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .relational import _resolve_partitions
+
 _LBL_SCHEMA = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
 
 
@@ -32,7 +34,7 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
                          pair_cols: tuple[str, str] = ("a", "b"),
                          node_col: str = "node",
                          max_iters: int = 50,
-                         num_partitions: int = 32) -> rd.Dataset:
+                         num_partitions: "int | None" = None) -> rd.Dataset:
     """(node, component) for every node; component = min node id in the
     node's connected component (isolated nodes are their own
     singleton). ``pairs`` rows are undirected edges.
@@ -41,6 +43,7 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
     round (bounded by node count; Ray spills to the object store — at
     extreme node counts checkpoint to parquet instead). The loop count
     is the graph diameter, which for near-dup clusters is tiny."""
+    num_partitions = _resolve_partitions(num_partitions)
     from ray.data.aggregate import Sum
 
     from .relational import hash_join
@@ -142,7 +145,7 @@ def degree_counts(pairs: rd.Dataset,
 def cluster_representatives(components: rd.Dataset, meta: rd.Dataset,
                             node_col: str = "node",
                             comp_col: str = "component",
-                            num_partitions: int = 8,
+                            num_partitions: "int | None" = None,
                             meta_schema=None) -> rd.Dataset:
     """Keep-one-per-cluster with size annotation — the dedup step after
     ``connected_components``. The representative of each cluster is its
@@ -174,7 +177,7 @@ def cluster_representatives(components: rd.Dataset, meta: rd.Dataset,
 
 def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             num_partitions: int = 32, mode: str = "auto",
+             num_partitions: "int | None" = None, mode: str = "auto",
              broadcast_max_nodes: int = 2_000_000) -> rd.Dataset:
     """Damped PageRank over a directed edge Dataset — the textbook
     no-dangling-redistribution variant: r0 = 1/N, then

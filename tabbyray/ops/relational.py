@@ -15,6 +15,32 @@ import ray.data as rd
 from ..normalize import normalize_entry
 
 
+def auto_partitions(min_p: int = 16, per_cpu: int = 2,
+                    cap: int = 4096) -> int:
+    """Default partition count for the explicit hash exchanges
+    (hash_join / hash_aggregate / grouped_* / annotate_stage):
+    ``per_cpu`` tasks per CLUSTER CPU (pipelining headroom over
+    stragglers), floored at ``min_p`` and capped at ``cap``. Derived
+    from ``ray.cluster_resources()`` at call time — on a 256-node
+    cluster the same pipeline code auto-widens its exchanges instead
+    of funneling through a constant sized for one box. Callers can
+    always pass an explicit ``num_partitions`` to override."""
+    cpus = 0
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if cpus <= 0:
+        import os
+        cpus = os.cpu_count() or 8
+    return max(min_p, min(cap, per_cpu * cpus))
+
+
+def _resolve_partitions(num_partitions: "int | None") -> int:
+    return num_partitions if num_partitions else auto_partitions()
+
+
 def _arrow_type(t) -> "pa.DataType":
     """Normalize a Ray Schema type entry to an Arrow DataType. Ray
     reports numpy dtypes for pandas-block datasets; object columns are
@@ -53,7 +79,7 @@ def typed_groupby_map(ds: rd.Dataset, key, fn, out_schema: "pa.Schema",
 
 def grouped_argmax(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
                    out_cols: list[str],
-                   num_partitions: int = 32) -> rd.Dataset:
+                   num_partitions: "int | None" = None) -> rd.Dataset:
     """Top-1 row per key by (order_col desc, tie_col asc) — deterministic
     tie-break, like C8's insertion-order rule but made order-insensitive
     for distributed execution (SURVEY.md §7.4 item 3).
@@ -65,6 +91,7 @@ def grouped_argmax(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
     ``map_groups`` pays per-group overhead that dominates at high key
     cardinality (measured ~10s vs ~1s at 1.5k keys / 100k rows)."""
     carry = list(dict.fromkeys([key, order_col, tie_col] + out_cols))
+    num_partitions = _resolve_partitions(num_partitions)
 
     def local_top1(df: pd.DataFrame) -> pd.DataFrame:
         g = (df[carry].sort_values([order_col, tie_col],
@@ -128,7 +155,7 @@ def normalized_key_counts(ds: rd.Dataset, col: str, id_col: str) -> rd.Dataset:
 
 def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
                    count_alias: str | None = None,
-                   num_partitions: int = 32,
+                   num_partitions: "int | None" = None,
                    out_schema: "pa.Schema | None" = None) -> rd.Dataset:
     """Explicit partitioned hash-aggregate for HIGH-cardinality keys.
 
@@ -143,6 +170,7 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
     shape applied to aggregation.
     """
     in_cols = list(sum_cols)
+    num_partitions = _resolve_partitions(num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, as_index=False)[in_cols].sum()
@@ -165,7 +193,7 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
-              how: str = "inner", num_partitions: int = 32,
+              how: str = "inner", num_partitions: "int | None" = None,
               left_schema=None, right_schema=None) -> rd.Dataset:
     """Co-partitioned hash join of two Datasets on one key column.
 
@@ -186,6 +214,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     shuffle runs twice — once for the probe, once for real).
     """
     import pyarrow as pa
+
+    num_partitions = _resolve_partitions(num_partitions)
 
     def _names_types(ds, given):
         if given is not None:
@@ -280,7 +310,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
               left_ts: str, right_ts: str,
-              num_partitions: int = 32,
+              num_partitions: "int | None" = None,
               left_schema=None, right_schema=None) -> rd.Dataset:
     """As-of join: for each left row, the LATEST right row of the same
     key with ``right_ts <= left_ts`` (inner: unmatched left rows drop).
@@ -293,6 +323,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
     ``pd.merge_asof(by=key)`` does the backward search. The shuffle is
     the only exchange; the time search never leaves the partition.
     """
+    num_partitions = _resolve_partitions(num_partitions)
+
     def _names_types(ds, given):
         if given is not None:
             return list(given.names), {n: given.field(n).type for n in given.names}
@@ -457,13 +489,15 @@ def top_n(ds: rd.Dataset, sort_cols: list[str], ascending: list[bool],
 def distinct_count(ds: rd.Dataset, key: str, value_col: str,
                    alias: str = "n_distinct",
                    key_type: "pa.DataType | None" = None,
-                   num_partitions: int = 32) -> rd.Dataset:
+                   num_partitions: "int | None" = None) -> rd.Dataset:
     """Exact COUNT(DISTINCT value) per key: batch-local (key, value)
     dedup combiner -> ONE shuffle partitioned on hash(key, value) ->
     in-partition dedup + per-key partial counts -> tiny final groupby
     over (key, partition) partials. The wide exchange moves distinct
     pairs only; the final aggregate sees P rows per key."""
     from ray.data.aggregate import Sum
+
+    num_partitions = _resolve_partitions(num_partitions)
 
     def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
         g = df[[key, value_col]].drop_duplicates()
@@ -558,7 +592,7 @@ def broadcast_filter_join(ds: rd.Dataset, col: str, keys,
 
 def pivot_counts(ds: rd.Dataset, key: str, pivot_col: str,
                  categories: list[str], key_type: "pa.DataType | None" = None,
-                 num_partitions: int = 32) -> rd.Dataset:
+                 num_partitions: "int | None" = None) -> rd.Dataset:
     """Wide per-key counts: one output column per category of
     ``pivot_col`` (the long->wide pivot of a feature table). The
     category set is fixed and small by assumption; each batch emits a
@@ -622,7 +656,7 @@ def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
 
 def grouped_moments(ds: rd.Dataset, key: str, value_col: str,
                     key_type: "pa.DataType | None" = None,
-                    num_partitions: int = 32) -> rd.Dataset:
+                    num_partitions: "int | None" = None) -> rd.Dataset:
     """Per-key count / sum / mean / population variance in one combiner
     pass — the distributed one-pass variance: only sufficient
     statistics (n, Σv, Σv²) travel through the shuffle, never rows.
@@ -666,7 +700,7 @@ def grouped_moments(ds: rd.Dataset, key: str, value_col: str,
 def zscore_normalize(ds: rd.Dataset, key: str, value_col: str,
                      out_cols: list[str],
                      key_type: "pa.DataType | None" = None,
-                     num_partitions: int = 32) -> rd.Dataset:
+                     num_partitions: "int | None" = None) -> rd.Dataset:
     """Per-key z-score normalization — the aggregate → broadcast-scalars
     → vectorized-map pattern (two corpus passes, no per-row shuffle).
 
@@ -706,7 +740,7 @@ def zscore_normalize(ds: rd.Dataset, key: str, value_col: str,
 
 def grouped_topk(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
                  out_cols: list[str], k: int,
-                 num_partitions: int = 32) -> rd.Dataset:
+                 num_partitions: "int | None" = None) -> rd.Dataset:
     """Top-k rows per key by (order_col desc, tie_col asc) — the k > 1
     generalization of ``grouped_argmax``, same combiner plan: each
     batch keeps at most k rows per key locally, the exchange moves
@@ -715,6 +749,7 @@ def grouped_topk(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
     SQL ``row_number() OVER (PARTITION BY key ORDER BY order DESC,
     tie ASC) <= k``."""
     carry = list(dict.fromkeys([key, order_col, tie_col] + out_cols))
+    num_partitions = _resolve_partitions(num_partitions)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         g = (df[carry].sort_values([order_col, tie_col],
@@ -858,7 +893,7 @@ def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
 
 def grouped_linreg(ds: rd.Dataset, key: str, x_col: str, y_col: str,
                    key_type: "pa.DataType | None" = None,
-                   num_partitions: int = 32) -> rd.Dataset:
+                   num_partitions: "int | None" = None) -> rd.Dataset:
     """Per-key simple linear regression (and Pearson r) via distributed
     sufficient statistics — the same exact-integer-sums trick as
     ``grouped_moments`` extended to covariance: only (n, Σx, Σy, Σxy,

@@ -178,7 +178,7 @@ def cms_sketch(docs: rd.Dataset, width: int = 1024,
 
 def cms_frequent_estimates(docs: rd.Dataset, width: int = 1024,
                            depth: int = 4, min_count: int = 100,
-                           num_partitions: int = 32) -> rd.Dataset:
+                           num_partitions: "int | None" = None) -> rd.Dataset:
     """CMS point queries over the corpus's own frequent terms: build
     the sketch distributed, broadcast its depth*width cells ONCE, and
     evaluate est(term) = min_d cells[d][h_d(term)] for every term whose

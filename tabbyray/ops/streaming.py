@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from .relational import _resolve_partitions
+
 
 def round_half_away(s: pd.Series) -> pd.Series:
     """Round half AWAY from zero (SQL ``round`` semantics). pandas/numpy
@@ -24,7 +26,7 @@ def round_half_away(s: pd.Series) -> pd.Series:
 
 
 def sessionize(events: rd.Dataset, gap_minutes: int = 30,
-               num_partitions: int = 32) -> rd.Dataset:
+               num_partitions: "int | None" = None) -> rd.Dataset:
     """Gap-based sessions per user.
 
     A new session starts when the gap to the previous event of the same
@@ -33,6 +35,7 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30,
     sum_value_cents). One hash shuffle on user_id; windowing is
     vectorized pandas per partition.
     """
+    num_partitions = _resolve_partitions(num_partitions)
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -111,7 +114,7 @@ def sliding_window_agg(events: rd.Dataset, window_minutes: int = 60,
 
 
 def windowed_cumsum(events: rd.Dataset,
-                    num_partitions: int = 32) -> rd.Dataset:
+                    num_partitions: "int | None" = None) -> rd.Dataset:
     """Running per-user total — the window-function construct
     ``sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
 
@@ -120,6 +123,7 @@ def windowed_cumsum(events: rd.Dataset,
     integer cents (half-away rounding), so the running total is exact
     and order-stable for the SQL oracle. Output: (event_id, user_id,
     cum_value_cents)."""
+    num_partitions = _resolve_partitions(num_partitions)
     import pyarrow as pa
 
     from .relational import typed_groupby_map
@@ -145,7 +149,7 @@ def windowed_cumsum(events: rd.Dataset,
 
 
 def event_interarrival(events: rd.Dataset,
-                       num_partitions: int = 32) -> rd.Dataset:
+                       num_partitions: "int | None" = None) -> rd.Dataset:
     """Per-user inter-arrival gaps — the window construct
     ``date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id
     ORDER BY ts, event_id), ts)``, first event per user dropped (its
@@ -153,6 +157,7 @@ def event_interarrival(events: rd.Dataset,
     native resolution — float seconds would round). One hash shuffle
     on user_id; the lag/diff is vectorized pandas inside each
     partition. Output: (event_id, user_id, gap_us)."""
+    num_partitions = _resolve_partitions(num_partitions)
     import pyarrow as pa
 
     from .relational import typed_groupby_map
@@ -202,7 +207,7 @@ def group_concat(events: rd.Dataset, key: str, value_col: str,
 
 
 def funnel_counts(events: rd.Dataset, steps: list[str],
-                  num_partitions: int = 32) -> rd.Dataset:
+                  num_partitions: "int | None" = None) -> rd.Dataset:
     """Ordered funnel analysis: for each step i, how many users reached
     it — i.e. have a strictly increasing ts chain event_type=steps[0]
     < ... < steps[i] (each step matched at its EARLIEST feasible ts,
@@ -214,6 +219,7 @@ def funnel_counts(events: rd.Dataset, steps: list[str],
     pandas merges (one per step), then only (step_idx, partial count)
     rows — bounded by len(steps) × partitions — feed the final tiny
     aggregate. Output: (step_idx, step, n_users)."""
+    num_partitions = _resolve_partitions(num_partitions)
     import pyarrow as pa
 
     from .relational import partial_agg_sum
@@ -260,7 +266,7 @@ def funnel_counts(events: rd.Dataset, steps: list[str],
 
 
 def weekly_retention(events: rd.Dataset,
-                     num_partitions: int = 32) -> rd.Dataset:
+                     num_partitions: "int | None" = None) -> rd.Dataset:
     """Cohort retention: per calendar week (Monday-start, matching SQL
     ``date_trunc('week', ts)``), how many users were active, and how
     many of those were also active the NEXT week.
@@ -270,6 +276,7 @@ def weekly_retention(events: rd.Dataset,
     (a user's whole history is co-partitioned) -> bounded (week,
     counts) partials feed a tiny final aggregate. Output: (week,
     n_active, n_retained)."""
+    num_partitions = _resolve_partitions(num_partitions)
     import pyarrow as pa
 
     from .relational import partial_agg_sum, typed_groupby_map
@@ -307,7 +314,7 @@ def weekly_retention(events: rd.Dataset,
 
 
 def gap_filled_hourly_counts(events: rd.Dataset,
-                             num_partitions: int = 32) -> rd.Dataset:
+                             num_partitions: "int | None" = None) -> rd.Dataset:
     """Dense time series: events counted per (hour, event_type)
     INCLUDING empty grid cells (the densification a downstream
     forecaster/alerting join needs — absent hours must be explicit
@@ -343,7 +350,7 @@ def gap_filled_hourly_counts(events: rd.Dataset,
 
 
 def rolling_user_avg(events: rd.Dataset, window: int = 3,
-                     num_partitions: int = 32) -> rd.Dataset:
+                     num_partitions: "int | None" = None) -> rd.Dataset:
     """Per-user trailing moving average — the ROWS-frame window
     construct ``avg(cents) OVER (PARTITION BY user_id ORDER BY ts,
     event_id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
@@ -353,6 +360,7 @@ def rolling_user_avg(events: rd.Dataset, window: int = 3,
     cents (half-away rounding), so the windowed sums are exact in
     float64 and the avg division matches the oracle bit-for-bit.
     Output: (event_id, user_id, avg_cents)."""
+    num_partitions = _resolve_partitions(num_partitions)
     import pyarrow as pa
 
     from .relational import typed_groupby_map

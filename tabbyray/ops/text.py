@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .relational import _resolve_partitions
+
 _WS = re.compile(r"\s+")
 
 # small deterministic stopword sets per language for the n-gram-free
@@ -151,7 +153,7 @@ def lang_distribution(docs: rd.Dataset) -> rd.Dataset:
 
 
 def term_counts_topk(docs: rd.Dataset, k: int = 500,
-                     num_partitions: int = 32) -> rd.Dataset:
+                     num_partitions: "int | None" = None) -> rd.Dataset:
     """Corpus-wide term frequency top-k (the vocabulary-build step of a
     tokenizer-training pipeline): term, n, ordered (n desc, term asc).
 
@@ -186,7 +188,7 @@ def term_counts_topk(docs: rd.Dataset, k: int = 500,
 
 
 def term_doc_freq(docs: rd.Dataset, min_df: int = 10,
-                  num_partitions: int = 32) -> rd.Dataset:
+                  num_partitions: "int | None" = None) -> rd.Dataset:
     """Document frequency per term (the IDF input): term, df for terms
     appearing in >= min_df distinct documents.
 
@@ -240,7 +242,7 @@ _TF_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
 
 
 def tfidf_scores(docs: rd.Dataset, min_df: int = 10,
-                 num_partitions: int = 32, mode: str = "auto",
+                 num_partitions: "int | None" = None, mode: str = "auto",
                  broadcast_max_terms: int = 2_000_000) -> rd.Dataset:
     """Per-(doc, term) TF-IDF over the vocabulary of terms appearing in
     >= min_df distinct documents: ``tfidf = tf * ln(N / df)``.
@@ -641,7 +643,7 @@ def packed_sequences(docs: rd.Dataset, seq_len: int = 2048,
 
 
 def corpus_term_counts(docs: rd.Dataset,
-                       num_partitions: int = 32) -> rd.Dataset:
+                       num_partitions: "int | None" = None) -> rd.Dataset:
     """Exact corpus-wide term frequencies: Counter combiner per batch
     (the shuffle moves one row per (term, batch), never per token) ->
     partitioned hash aggregate over the high-cardinality term key.
@@ -665,7 +667,7 @@ def corpus_term_counts(docs: rd.Dataset,
 
 
 def unigram_logprob_scores(docs: rd.Dataset,
-                           num_partitions: int = 32, mode: str = "auto",
+                           num_partitions: "int | None" = None, mode: str = "auto",
                            broadcast_max_terms: int = 2_000_000) -> rd.Dataset:
     """Unigram language-model quality score per document: the mean
     negative log-likelihood of the doc's tokens under the corpus's OWN
@@ -757,7 +759,7 @@ def unigram_logprob_scores(docs: rd.Dataset,
 
 
 def inverted_index(docs: rd.Dataset, min_df: int = 10,
-                   num_partitions: int = 32) -> rd.Dataset:
+                   num_partitions: "int | None" = None) -> rd.Dataset:
     """Posting-list inverted index: for each term appearing in >=
     min_df distinct documents, the ordered comma-joined doc_id list —
     the IR-shard build step. Per-batch kernel emits each doc's
@@ -765,6 +767,7 @@ def inverted_index(docs: rd.Dataset, min_df: int = 10,
     lists assemble per partition (a term's postings are co-partitioned
     by construction, so lists never cross partitions). Output:
     (term, df, doc_ids)."""
+    num_partitions = _resolve_partitions(num_partitions)
     from .relational import typed_groupby_map
 
     def pairs(t: pa.Table) -> pd.DataFrame:
@@ -794,7 +797,7 @@ def inverted_index(docs: rd.Dataset, min_df: int = 10,
 
 
 def bigram_counts_topk(docs: rd.Dataset, k: int = 100,
-                       num_partitions: int = 32) -> rd.Dataset:
+                       num_partitions: "int | None" = None) -> rd.Dataset:
     """Corpus-wide token-bigram top-k (the pair-merge statistic a
     BPE-style tokenizer trainer ranks each round): same
     combiner/partitioned-aggregate/prune plan as ``term_counts_topk``,

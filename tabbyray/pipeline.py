@@ -31,6 +31,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .ops.relational import _resolve_partitions
+
 from .extract import extract_tables, extract_text
 from .kb import KBIndex
 from .ner import tag_value
@@ -306,7 +308,7 @@ def extract_annotate_stage(pages: rd.Dataset, kb_ref, gazetteer_ref=None, *,
 
 
 def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
-                   num_cpus: float = 1, num_partitions: int = 128) -> rd.Dataset:
+                   num_cpus: float = 1, num_partitions: "int | None" = None) -> rd.Dataset:
     """The per-table shuffle + annotate pass (first shuffle).
 
     Explicit partitioned plan: a vectorized map adds
@@ -316,6 +318,7 @@ def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
     high-cardinality and balanced, so partitions even out; P bounds
     task count independently of table count (at web scale P scales with
     cluster size, not data size)."""
+    num_partitions = _resolve_partitions(num_partitions)
     w = weights or Weights()
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -337,7 +340,7 @@ def annotate_stage(cells: rd.Dataset, kb_ref, weights: Optional[Weights] = None,
 
 def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = None,
                            num_cpus: float = 1,
-                           num_partitions: int = 128) -> rd.Dataset:
+                           num_partitions: "int | None" = None) -> rd.Dataset:
     """The per-table annotate pass against a SHARDED KB (SURVEY.md §2.5
     fallback; `tabbyray/kbshard.py`). Same output as ``annotate_stage``
     (asserted in tests/test_kbshard.py); used when the KB exceeds
@@ -348,6 +351,7 @@ def annotate_stage_sharded(cells: rd.Dataset, skb, weights: Optional[Weights] = 
     shard) -> payload co-partitioned back to the table partitions that
     need it -> one tagged-union shuffle with the cells -> per-partition
     ``SubsetKB`` scoring (identical scoring code path)."""
+    num_partitions = _resolve_partitions(num_partitions)
     import pyarrow.compute as pc
 
     from .constants import LABEL_SEP

@@ -62,3 +62,52 @@ def test_pipeline_without_inline_ner_reaches_pr(ray_session):
     recall = tp / len(ref_pairs)
     assert precision >= 0.95, (precision, recall)
     assert recall >= 0.95, (precision, recall)
+
+
+def _mutate_k(rng, label, k):
+    """k random character edits (substitute/insert/delete) — the
+    fixture's distractor generator at a fixed edit count."""
+    chars = list(label)
+    for _ in range(k):
+        op = rng.randrange(3)
+        pos = rng.randrange(len(chars))
+        c = rng.choice("abcdefghijklmnopqrstuvwxyz")
+        if op == 0:
+            chars[pos] = c
+        elif op == 1:
+            chars.insert(pos, c)
+        elif len(chars) > 2:
+            del chars[pos]
+    return "".join(chars)
+
+
+def test_classifier_holdout_mutated_labels(ray_session):
+    """Harder held-out set (VERDICT r2 item 9): EVERY training label
+    mutated, so the exact-surface memory cannot answer; the word-shape
+    features + symspell-1 fuzzy token gazetteer must. Bars: >= 0.95 on
+    single-edit mutations (the realistic typo model the fuzzy index
+    targets), >= 0.80 on the fixture's own 1-3-edit distractor model
+    (round-2 trigram-only model measured 0.74 there)."""
+    import random
+
+    from tabbyray.fixtures import ensure_fixture
+    from tabbyray.kb import load_kb
+    from tabbyray.ner_model import classify, kb_training_pairs, train_model
+
+    fix = ensure_fixture("conformance", seed=7, n_pages=60, n_entities=800)
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    pairs = kb_training_pairs(kb)
+    model = train_model(pairs)
+
+    rng = random.Random(99)
+    hits1 = sum(classify(model, _mutate_k(rng, label, 1)) == fam
+                for label, fam in pairs)
+    acc1 = hits1 / len(pairs)
+    assert acc1 >= 0.95, acc1
+
+    rng = random.Random(99)
+    hits_mixed = sum(
+        classify(model, _mutate_k(rng, label, rng.randint(1, 3))) == fam
+        for label, fam in pairs)
+    acc_mixed = hits_mixed / len(pairs)
+    assert acc_mixed >= 0.80, acc_mixed

@@ -1158,3 +1158,15 @@ def test_json_int_key_counts(ray_session):
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert list(got["k"]) == [1, 2]
         assert list(got["n"]) == [2, 1]
+
+
+def test_auto_partitions_sizing(ray_session):
+    from tabbyray.ops.relational import auto_partitions, _resolve_partitions
+
+    p = auto_partitions()
+    # session has 4 cpus -> floor dominates; never below floor/above cap
+    assert p >= 16
+    assert auto_partitions(min_p=2, per_cpu=2, cap=4096) == 8   # 2*4 cpus
+    assert auto_partitions(min_p=2, per_cpu=2, cap=5) == 5      # cap wins
+    assert _resolve_partitions(None) == p
+    assert _resolve_partitions(7) == 7                          # explicit wins
