@@ -700,6 +700,45 @@ def _q_multimodal_frames(sf_dir: str):
     return sample_frames(rd.from_arrow(synth_media_table(64)), n_frames=4)
 
 
+def _q_multimodal_decode_stats(sf_dir: str):
+    """REAL image decode, hash-checked: each documents row becomes a
+    true 24-bit BMP binary payload (deterministic doc_id-derived
+    dimensions and pixel ramp), the actor-pool ``BMPStatsDecoder``
+    PARSES the bytes (headers, padding, bottom-up rows), and the SQL
+    oracle recomputes the expected dimensions / pixel sums
+    arithmetically from doc_id — any codec bug breaks the hash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import decode_stats, encode_bmp
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def make_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w = d % 13 + 4
+            h = d % 7 + 3
+            i = np.arange(w * h, dtype=np.int64)
+            px = ((d * 31 + i) % 256).astype(np.uint8).reshape(h, w)
+            payloads.append(encode_bmp(px))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * n, pa.string()),
+            "width": pa.array([d % 13 + 4 for d in ids], pa.int32()),
+            "height": pa.array([d % 7 + 3 for d in ids], pa.int32()),
+        })
+
+    media = docs.map_batches(make_media, batch_format="pyarrow",
+                             batch_size=64)
+    return decode_stats(media)
+
+
 def _q_customers_no_events(sf_dir: str):
     """Big-big ANTI join: customers with no click events. The events
     side is narrowed to keys + batch-deduped inside hash_join; one
@@ -1013,6 +1052,30 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Quantiles over a MONEY column: the exact distributed-histogram
+    path on integer cents (bounded domain, hash-checkable). The
+    float-dollar auto route goes to the bounded binned sketch instead —
+    approximate by construction, so its error bound is asserted in
+    tests (test_relational.py) rather than SQL-hashed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.relational import exact_quantiles
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+
+    def cents(t):
+        return pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100),
+                     round_mode="half_towards_infinity"), pa.int64())})
+
+    return exact_quantiles(li.map_batches(cents, batch_format="pyarrow"),
+                           "cents", [0.25, 0.5, 0.75, 0.95])
+
+
 def _q_tfidf_scores_join(sf_dir: str):
     """The web-scale plan, forced: vocabulary stays a distributed
     Dataset and the tf stream co-partition-joins it on hash(term) —
@@ -1278,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_tokens": _q_kmv_distinct_tokens,
         "frequent_tokens": _q_frequent_tokens,
         "orders_bloom_semi": _q_orders_bloom_semi,
+        "multimodal_decode_stats": _q_multimodal_decode_stats,
         # joins (shuffle / asof / outer / anti / broadcast)
         "customer_order_stats": _q_customer_order_stats,
         "latest_order_asof": _q_latest_order_asof,
@@ -1304,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "weekly_retention": _q_weekly_retention,
         "token_quantiles": _q_token_quantiles,
+        "price_quantiles": _q_price_quantiles,
         "doc_percentile_rank": _q_doc_percentile_rank,
         "curation_pipeline": _q_curation_pipeline,
         "sequence_pack": _q_sequence_pack,
@@ -1706,6 +1771,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.99 AS DOUBLE),
                    quantile_cont(len(string_split(text, ' ')), 0.99)
             FROM documents
+        """,
+        "multimodal_decode_stats": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                              CAST(doc_id % 7 + 3 AS BIGINT) AS h
+                       FROM documents),
+            u AS (SELECT doc_id, w, h,
+                         CAST(unnest(range(w * h)) AS BIGINT) AS i
+                  FROM d)
+            SELECT doc_id AS media_id, w AS width, h AS height,
+                   w * h AS n_pixels,
+                   CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS sum_pixel
+            FROM u GROUP BY doc_id, w, h
+        """,
+        "price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_cont(round(l_extendedprice * 100), 0.25) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   quantile_cont(round(l_extendedprice * 100), 0.5)
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.75 AS DOUBLE),
+                   quantile_cont(round(l_extendedprice * 100), 0.75)
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.95 AS DOUBLE),
+                   quantile_cont(round(l_extendedprice * 100), 0.95)
+            FROM lineitem
         """,
         "blocklist_filtered_docs": """
             WITH f AS (SELECT doc_id,

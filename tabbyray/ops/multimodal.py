@@ -1,12 +1,19 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``binary`` columns with a metadata struct;
-decode / feature-extraction are actor-pool ``map_batches`` stages. The
-decoding libraries are NOT available in this environment, so the codec
-boundary is a clearly-marked stub (``DeterministicFakeDecoder`` for
-tests, ``LibraryDecoder`` raising ``NotImplementedError``) — the
-Ray-side plumbing (schema, batch sizing for wide binary rows, actor
-signature, output layout) is real and tested.
+decode / feature-extraction are actor-pool ``map_batches`` stages.
+
+One REAL codec ships here: a dependency-free 24-bit uncompressed BMP
+encoder/decoder (``encode_bmp`` / ``decode_bmp`` — stdlib struct +
+numpy, incl. the 4-byte row padding and bottom-up row order of the
+format), with ``BMPStatsDecoder`` as the actor-pool decode stage; its
+output is hash-checked against a SQL oracle (the
+``multimodal_decode_stats`` query). Heavier codecs (PNG/JPEG/ffmpeg)
+are NOT available in this environment, so that boundary stays a
+clearly-marked stub (``DeterministicFakeDecoder`` for plumbing tests,
+``LibraryDecoder`` raising ``NotImplementedError``) — the Ray-side
+plumbing (schema, batch sizing for wide binary rows, actor signature,
+output layout) is real and tested either way.
 
 Scale note: binary rows are wide — callers should lower ``batch_size``
 (e.g. 32-256) and rely on block splitting so a batch x concurrency fits
@@ -16,6 +23,7 @@ worker heaps (ray_guide 'Pitfalls').
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -28,6 +36,90 @@ MEDIA_SCHEMA = pa.schema([
     ("width", pa.int32()),
     ("height", pa.int32()),
 ])
+
+
+# ---------------------------------------------------------------------------
+# real codec: 24-bit uncompressed BMP (pure python/numpy)
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER_OFF = 14 + 40           # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(gray: "np.ndarray") -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a standard 24-bit
+    uncompressed BMP (r=g=b): real file headers, rows padded to 4-byte
+    boundaries, bottom-up row order. Any BMP viewer opens the output."""
+    h, w = gray.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", _BMP_HEADER_OFF + img_size,
+                         0, 0, _BMP_HEADER_OFF)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    zero = b"\x00" * pad
+    rows = []
+    for y in range(h - 1, -1, -1):
+        rows.append(np.repeat(gray[y], 3).astype(np.uint8).tobytes() + zero)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode a 24-bit uncompressed BMP back to the (h, w) uint8
+    grayscale array (blue channel; the encoder writes r=g=b). Validates
+    magic / bpp / compression — this is a real parser, not a stub."""
+    magic, _file_size, _r1, _r2, off = struct.unpack_from("<2sIHHI",
+                                                          payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp, _img_size = struct.unpack_from(
+        "<IiiHHII", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    out = np.empty((h, w), np.uint8)
+    for idx, y in enumerate(range(h - 1, -1, -1)):
+        row = np.frombuffer(payload, np.uint8, row_raw, off + idx * stride)
+        out[y] = row[0::3]
+    return out
+
+
+class BMPStatsDecoder:
+    """Actor-pool decode stage over REAL BMP payloads: parses each
+    binary payload with ``decode_bmp`` and emits per-image stats
+    (width, height, n_pixels, sum_pixel) — the decode→feature shape of
+    an image-curation pipeline, with output a SQL oracle can verify.
+    Stateless decode, but kept a callable CLASS so heavier codecs slot
+    into the same actor contract (setup in __init__, work per batch)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, np_, sums = [], [], [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            img = decode_bmp(payload)
+            h, w = img.shape
+            ids.append(media_id)
+            ws.append(w)
+            hs.append(h)
+            np_.append(h * w)
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "n_pixels": pa.array(np_, pa.int64()),
+            "sum_pixel": pa.array(sums, pa.int64()),
+        })
+
+
+def decode_stats(media: rd.Dataset, batch_size: int = 64,
+                 concurrency=(1, 4)) -> rd.Dataset:
+    """Actor-pool BMP decode + per-image stats (wide-binary batch
+    sizing as in ``extract_features``)."""
+    return media.map_batches(BMPStatsDecoder, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency)
 
 
 class DeterministicFakeDecoder:

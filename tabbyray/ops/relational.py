@@ -521,8 +521,64 @@ def distinct_count(ds: rd.Dataset, key: str, value_col: str,
     return partials.groupby(key).aggregate(Sum(alias, alias_name=alias))
 
 
-def exact_quantiles(ds: rd.Dataset, col: str,
-                    qs: list[float]) -> pd.DataFrame:
+def _is_float_dtype(ds: rd.Dataset, col: str) -> bool:
+    s = ds.schema()
+    t = dict(zip(s.names, s.types))[col]
+    return pa.types.is_floating(_arrow_type(t))
+
+
+def binned_quantiles(ds: rd.Dataset, col: str, qs: list[float],
+                     n_bins: int = 8192) -> pd.DataFrame:
+    """Approximate quantiles for CONTINUOUS value domains with BOUNDED
+    state — the scale path where the exact distinct-value histogram
+    would be ~N rows. Two streaming passes: (1) a global min/max
+    aggregate; (2) a fixed-width ``n_bins`` histogram (per-batch
+    bincount combiner, one tiny groupby — driver state is n_bins rows,
+    never the value domain). Quantile positions interpolate uniformly
+    inside their bin.
+
+    Error bound: the true quantile_cont value lies in the hit bin (or
+    its neighbor at a bin-boundary rank), so
+    ``|est − exact| ≤ 2·(max−min)/n_bins`` — asserted in tests. For a
+    KLL/t-digest-style rank guarantee, raise n_bins; 8192 doubles cost
+    64 KiB per batch partial."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    if hi == lo:
+        return pd.DataFrame([{"q": float(q), "value": lo} for q in qs])
+    width = (hi - lo) / n_bins
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy().astype(np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    hist = (ds.map_batches(binify, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()
+            .sort_values("bin").reset_index(drop=True))
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    bins = hist["bin"].to_numpy()
+    counts = hist["n"].to_numpy()
+    out = []
+    for q in qs:
+        h = q * (total - 1)
+        i = int(np.searchsorted(cum, np.floor(h) + 1))
+        c_before = int(cum[i - 1]) if i > 0 else 0
+        frac = min(1.0, max(0.0, (h - c_before) / counts[i]))
+        out.append({"q": float(q),
+                    "value": lo + width * (float(bins[i]) + frac)})
+    return pd.DataFrame(out)
+
+
+def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float],
+                    mode: str = "auto",
+                    n_bins: int = 8192) -> pd.DataFrame:
     """Exact linear-interpolated quantiles (SQL ``quantile_cont``
     semantics) of an integer-ish column via a distributed histogram:
     per-batch value_counts combiner -> groupby(value) sum -> the tiny
@@ -530,7 +586,18 @@ def exact_quantiles(ds: rd.Dataset, col: str,
     quantile positions q*(n-1) are interpolated there. Assumes the
     column's DISTINCT-value cardinality is bounded (lengths, counts,
     scores), which holds even at 100 TB row counts; the full column is
-    never collected."""
+    never collected.
+
+    ``mode="auto"`` keeps this exact path for bounded domains (integer
+    dtypes) and routes CONTINUOUS (floating) columns — where distinct
+    ≈ N and the exact histogram is a scale-killer — to the bounded
+    ``binned_quantiles`` sketch. ``mode="exact"``/``"binned"`` force."""
+    if mode == "auto":
+        mode = "binned" if _is_float_dtype(ds, col) else "exact"
+    if mode == "binned":
+        return binned_quantiles(ds, col, qs, n_bins=n_bins)
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -555,7 +622,9 @@ def exact_quantiles(ds: rd.Dataset, col: str,
         lo, frac = int(np.floor(h)), h - np.floor(h)
         v = value_at(lo)
         if frac > 0:
-            v += frac * (value_at(lo + 1) - v)
+            # DuckDB's quantile_cont lerp form lo*(1-frac) + hi*frac —
+            # last-ulp parity matters at 1e7+ magnitudes (9-dec rounding)
+            v = v * (1 - frac) + frac * value_at(lo + 1)
         out.append({"q": float(q), "value": v})
     return pd.DataFrame(out)
 
@@ -618,12 +687,81 @@ def pivot_counts(ds: rd.Dataset, key: str, pivot_col: str,
                           num_partitions=num_partitions, out_schema=schema)
 
 
+def grouped_binned_quantiles(ds: rd.Dataset, group: str, col: str,
+                             qs: list[float],
+                             n_bins: int = 8192) -> pd.DataFrame:
+    """Per-group ``binned_quantiles``: pass 1 aggregates per-group
+    min/max (one row per group), pass 2 builds per-(group, bin) fixed
+    -width histograms — driver state is <= groups x n_bins rows of
+    counts, independent of the value domain. Same
+    ``<= 2·(max−min)/n_bins`` per-group error bound as the global
+    sketch. Returns (group, q, value) rows."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = (ds.groupby(group)
+          .aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+          .to_pandas())
+    ranges = {g: (float(l), float(h))
+              for g, l, h in zip(mm[group], mm["lo"], mm["hi"])}
+    ref = ray.put(ranges)
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        rg = ray.get(ref)
+        los = df[group].map(lambda g: rg[g][0]).to_numpy(np.float64)
+        his = df[group].map(lambda g: rg[g][1]).to_numpy(np.float64)
+        v = df[col].to_numpy(np.float64)
+        width = np.maximum(his - los, 1e-300) / n_bins
+        b = np.minimum(((v - los) / width).astype(np.int64), n_bins - 1)
+        out = pd.DataFrame({group: df[group], "bin": b})
+        g2 = out.groupby([group, "bin"], as_index=False).size()
+        g2["n"] = g2["size"].astype("int64")
+        return g2[[group, "bin", "n"]]
+
+    hist = (ds.map_batches(binify, batch_format="pandas")
+            .groupby([group, "bin"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    out = []
+    for gval, h in hist.groupby(group):
+        lo, hi = ranges[gval]
+        if hi == lo:
+            out.extend({group: gval, "q": float(q), "value": lo}
+                       for q in qs)
+            continue
+        width = (hi - lo) / n_bins
+        h = h.sort_values("bin")
+        cum = h["n"].cumsum().to_numpy()
+        bins = h["bin"].to_numpy()
+        counts = h["n"].to_numpy()
+        total = int(cum[-1])
+        for q in qs:
+            pos = q * (total - 1)
+            i = int(np.searchsorted(cum, np.floor(pos) + 1))
+            c_before = int(cum[i - 1]) if i > 0 else 0
+            frac = min(1.0, max(0.0, (pos - c_before) / counts[i]))
+            out.append({group: gval, "q": float(q),
+                        "value": lo + width * (float(bins[i]) + frac)})
+    return pd.DataFrame(out).sort_values([group, "q"]).reset_index(drop=True)
+
+
 def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
-                      qs: list[float]) -> pd.DataFrame:
+                      qs: list[float], mode: str = "auto",
+                      n_bins: int = 8192) -> pd.DataFrame:
     """Exact per-group quantile_cont quantiles via one distributed
     (group, value)-histogram; interpolation happens on the driver over
     the tiny histogram (distinct-value cardinality bounded, group
-    cardinality small). Returns (group, q, value) rows."""
+    cardinality small). Returns (group, q, value) rows.
+
+    ``mode="auto"``: integer columns keep this exact path; CONTINUOUS
+    (floating) columns route to ``grouped_binned_quantiles`` (bounded
+    per-group sketch) — the exact histogram over a continuous domain
+    is ~N driver rows at web scale."""
+    if mode == "auto":
+        mode = "binned" if _is_float_dtype(ds, col) else "exact"
+    if mode == "binned":
+        return grouped_binned_quantiles(ds, group, col, qs, n_bins=n_bins)
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -649,7 +787,8 @@ def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
             lo, frac = int(np.floor(pos)), pos - np.floor(pos)
             v = value_at(lo)
             if frac > 0:
-                v += frac * (value_at(lo + 1) - v)
+                # DuckDB's lerp form (see exact_quantiles)
+                v = v * (1 - frac) + frac * value_at(lo + 1)
             out.append({group: gval, "q": float(q), "value": v})
     return pd.DataFrame(out).sort_values([group, "q"]).reset_index(drop=True)
 
@@ -768,8 +907,59 @@ def grouped_topk(ds: rd.Dataset, key: str, order_col: str, tie_col: str,
             .groupby("_part").map_groups(final, batch_format="pandas"))
 
 
+def binned_percentile_rank(ds: rd.Dataset, value_col: str,
+                           out_cols: list[str],
+                           n_bins: int = 8192) -> rd.Dataset:
+    """Approximate per-row percentile rank for CONTINUOUS domains with
+    bounded state: the ``binned_quantiles`` fixed-width histogram is
+    broadcast (n_bins cumulative counts, never the value domain) and
+    each row ranks as (count below its bin + uniform within-bin
+    share) / (N−1). Rank error is bounded by the largest single bin's
+    share, ``max_bin_count / (N−1)`` — computable from the histogram
+    itself and asserted against the exact ranks in tests. Output:
+    out_cols + pr."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = hi - lo
+    width = (span / n_bins) if span > 0 else 1.0
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    hist = (ds.map_batches(binify, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()
+            .sort_values("bin").reset_index(drop=True))
+    total = int(hist["n"].sum())
+    full = np.zeros(n_bins, dtype=np.int64)
+    full[hist["bin"].to_numpy()] = hist["n"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(full)[:-1]))
+    ref = ray.put((below, full))
+
+    def rank(t: pa.Table) -> pa.Table:
+        less, counts = ray.get(ref)
+        x = t.column(value_col).to_numpy().astype(np.float64)
+        b = np.minimum(((x - lo) / width).astype(np.int64), n_bins - 1)
+        within = np.clip((x - (lo + b * width)) / width, 0.0, 1.0)
+        est = less[b] + within * counts[b]
+        pr = est / (total - 1) if total > 1 else np.zeros(len(x))
+        cols = {c: t.column(c) for c in out_cols}
+        cols["pr"] = pa.array(pr, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
 def percentile_rank(ds: rd.Dataset, value_col: str,
-                    out_cols: list[str]) -> rd.Dataset:
+                    out_cols: list[str], mode: str = "exact",
+                    n_bins: int = 8192) -> rd.Dataset:
     """Per-row global percentile rank — SQL ``percent_rank() OVER
     (ORDER BY value)`` = (#rows strictly smaller) / (N − 1) — WITHOUT a
     global sort: the same bounded-cardinality distributed histogram as
@@ -777,7 +967,20 @@ def percentile_rank(ds: rd.Dataset, value_col: str,
     groupby) is cumulated on the driver and broadcast once, then
     ranking is a stateless vectorized ``searchsorted`` pass. Both sides
     evaluate the identical n_less / (N−1) double division. Output:
-    out_cols + pr."""
+    out_cols + pr.
+
+    ``mode="binned"`` (or ``"auto"`` on a floating column) switches to
+    ``binned_percentile_rank`` — the bounded-state sketch for
+    continuous domains where distinct ≈ N. Default stays ``exact``:
+    rank output feeds hash-checked oracles, so the approximation is
+    opt-in."""
+    if mode == "auto":
+        mode = "binned" if _is_float_dtype(ds, value_col) else "exact"
+    if mode == "binned":
+        return binned_percentile_rank(ds, value_col, out_cols,
+                                      n_bins=n_bins)
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
     import ray
     from ray.data.aggregate import Sum
 

@@ -453,3 +453,111 @@ def test_unigram_nll_join_path_matches_broadcast(ray_session):
     auto_big = run(mode="auto", broadcast_max_terms=1)
     pd.testing.assert_frame_equal(bc, auto_small)
     assert np.allclose(bc["nll"], auto_big["nll"], rtol=0, atol=1e-12)
+
+
+def test_frequent_values_cms_prefilter_bounds_candidates(ray_session):
+    """VERDICT r2 item 3: with many small blocks, every block
+    contributes locally-frequent-but-globally-rare survivors; the CMS
+    prefilter must drop them all before the candidate union (bounded
+    driver state) without changing the exact output."""
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import _cms_bucket, frequent_values, value_cms
+
+    n_blocks = 60
+    rows = []
+    for i in range(n_blocks):
+        rows += [{"v": "hot"}] * 20 + [{"v": f"rare_{i}"}] * 20
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(n_blocks)
+
+    out_cms = (frequent_values(ds, "v", theta=0.3, prefilter="cms")
+               .to_pandas().sort_values("value").reset_index(drop=True))
+    out_none = (frequent_values(ds, "v", theta=0.3, prefilter="none")
+                .to_pandas().sort_values("value").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_cms, out_none)   # identical output
+    assert list(out_cms["value"]) == ["hot"]
+    assert int(out_cms["n"].iloc[0]) == 20 * n_blocks
+
+    # candidate boundedness: the CMS estimate of every block-local
+    # rare value sits far below theta*total, so none survives the
+    # prefilter; driver candidate state is O(width*depth + true heavies)
+    width, depth = 8192, 4
+    cells = value_cms(ds, "v", width, depth).to_pandas()
+    total = int(cells.loc[cells["d"] == 0, "c"].sum())
+    lut = {(int(d), int(b)): int(c)
+           for d, b, c in zip(cells["d"], cells["b"], cells["c"])}
+    survivors = [
+        f"rare_{i}" for i in range(n_blocks)
+        if min(lut.get((d, _cms_bucket(d, f"rare_{i}", width)), 0)
+               for d in range(depth)) >= 0.3 * total]
+    assert survivors == []
+    assert total == 40 * n_blocks       # CMS d=0 row sums to exact total
+
+
+def test_incremental_dedup_disk_spill(ray_session, tmp_path):
+    """VERDICT r2 item 4: a forced tiny RAM budget (spill to the
+    sqlite index after 3 fps per shard) must produce the exact same
+    kept-fingerprint SET as the RAM-only index."""
+    import ray
+    import ray.data as rd
+
+    from tabbyray.ops.stateful import FingerprintShard, incremental_dedup_fps
+
+    texts = [f"doc {i % 17} body" for i in range(200)]   # 17 distinct
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(200), "text": texts})).repartition(8)
+
+    ram = set(incremental_dedup_fps(docs, n_shards=4)
+              .to_pandas()["fp"])
+    spill = set(incremental_dedup_fps(docs, n_shards=4, max_ram_fps=3,
+                                      spill_dir=str(tmp_path))
+                .to_pandas()["fp"])
+    assert ram == spill
+    assert len(ram) == 17
+
+    # shard-level: same answers, RAM set bounded, size() counts disk
+    s = FingerprintShard.remote(max_ram_fps=2, spill_dir=str(tmp_path))
+    a1 = ray.get(s.check_add.remote(["a", "b", "a", "c"]))
+    assert a1 == [True, True, False, True]
+    a2 = ray.get(s.check_add.remote(["a", "b", "c", "d"]))   # from disk
+    assert a2 == [False, False, False, True]
+    assert ray.get(s.size.remote()) == 4
+
+
+def test_bmp_codec_roundtrip(ray_session):
+    """The real BMP codec: encode→decode is identity across widths that
+    exercise every row-padding case (w*3 mod 4 = 0..3), and the header
+    fields match the BMP spec (magic, offset, 24bpp, uncompressed)."""
+    import struct
+
+    from tabbyray.ops.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    for w in (4, 5, 6, 7, 16, 33):
+        for h in (1, 3, 8):
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            payload = encode_bmp(img)
+            magic, fsize, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+            assert magic == b"BM" and off == 54 and fsize == len(payload)
+            _, pw, ph, _, bpp, comp, _ = struct.unpack_from("<IiiHHII",
+                                                            payload, 14)
+            assert (pw, ph, bpp, comp) == (w, h, 24, 0)
+            assert np.array_equal(decode_bmp(payload), img)
+
+
+def test_bmp_decode_stats_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import decode_stats, encode_bmp
+
+    imgs = {i: np.full((3, 5), i * 10, np.uint8) for i in range(8)}
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(list(imgs), pa.int64()),
+        "payload": pa.array([encode_bmp(v) for v in imgs.values()],
+                            pa.binary()),
+    }))
+    out = decode_stats(media).to_pandas().sort_values("media_id")
+    assert list(out["width"]) == [5] * 8
+    assert list(out["height"]) == [3] * 8
+    assert list(out["sum_pixel"]) == [i * 10 * 15 for i in range(8)]
