@@ -1137,6 +1137,27 @@ def _q_incremental_dedup_fps(sf_dir: str):
     return incremental_dedup_fps(_docs(sf_dir))
 
 
+def _q_incremental_dedup_spill(sf_dir: str):
+    """The disk-backed variant under the driver gate: a deliberately
+    tiny per-shard RAM budget forces the sqlite spill index; the kept
+    fingerprint SET must still equal SELECT DISTINCT fp."""
+    from tabbyray.ops.stateful import incremental_dedup_fps
+    return incremental_dedup_fps(_docs(sf_dir), max_ram_fps=64)
+
+
+def _q_source_char_moments(sf_dir: str):
+    """grouped_moments over the source column (per-provenance length
+    profile — the same exact-sufficient-statistics plan as the lang
+    variant, different stratification key)."""
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_moments
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+    return grouped_moments(docs, "source", "n_chars")
+
+
 def _q_supplier_counts_by_nation(sf_dir: str):
     import ray.data as rd
     from tabbyray.ops.relational import (broadcast_hash_join,
@@ -1331,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": _q_neardup_clusters,
         "cluster_representatives": _q_cluster_representatives,
         "incremental_dedup_fps": _q_incremental_dedup_fps,
+        "incremental_dedup_spill": _q_incremental_dedup_spill,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
@@ -1403,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bigram_topk": _q_bigram_topk,
         "lang_char_moments": _q_lang_char_moments,
+        "source_char_moments": _q_source_char_moments,
         "doc_length_zscore": _q_doc_length_zscore,
         "user_top3_events": _q_user_top3_events,
         "distinct_users_per_type": _q_distinct_users_per_type,
@@ -2514,4 +2537,8 @@ def oracle_sql() -> dict[str, str]:
     # broadcast originals — identical oracles
     out["tfidf_scores_join"] = out["tfidf_scores"]
     out["doc_unigram_nll_join"] = out["doc_unigram_nll"]
+    # the sqlite-spill variant keeps the identical kept-fp set
+    out["incremental_dedup_spill"] = out["incremental_dedup_fps"]
+    out["source_char_moments"] = out["lang_char_moments"].replace(
+        "lang", "source")
     return out
