@@ -343,6 +343,62 @@ def _q_value_band_range_join(sf_dir: str):
                                 band_cols=["band_id"])
 
 
+def _q_value_band_range_join_bucketed(sf_dir: str):
+    """The scale plan for interval joins, forced: bands co-partition
+    with the fact stream on a coarse value bucket (one shuffle, no
+    broadcast). Same bands, same oracle as value_band_range_join."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.relational import range_join_bucketed
+
+    bands = pd.DataFrame({
+        "band_id": range(13),
+        "lo": [float(i * 40) for i in range(13)],
+        "hi": [float(i * 40 + 55) for i in range(13)],
+    })
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    import pyarrow as pa
+    return range_join_bucketed(
+        ev, "value", bands, band_cols=["band_id"],
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("value", pa.float64())]))
+
+
+def _q_doc_length_zscore_join(sf_dir: str):
+    """The huge-key-cardinality plan, forced: moments stay a Dataset
+    and hash_join back on a key co-partition. Same oracle as
+    doc_length_zscore."""
+    import pyarrow as pa
+
+    from tabbyray.ops.relational import zscore_normalize
+    return zscore_normalize(
+        _docs(sf_dir), "lang", "n_chars",
+        out_cols=["doc_id", "lang", "n_chars"], mode="join",
+        ds_schema=pa.schema([("doc_id", pa.int64()),
+                             ("lang", pa.string()),
+                             ("n_chars", pa.int64())]))
+
+
+def _q_ngram_contamination_join(sf_dir: str):
+    """The big-benchmark plan, forced: doc shingles co-partition with
+    the distinct benchmark shingles on a shingle-hash exchange. Same
+    oracle as ngram_contamination."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.text import ngram_contamination
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("doc_id"), 5))
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    return ngram_contamination(docs, bench, mode="join")
+
+
 def _q_sliding_window(sf_dir: str):
     import ray.data as rd
 
@@ -1371,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_outer": _q_customer_event_outer,
         "region_revenue": _q_region_revenue,
         "value_band_range_join": _q_value_band_range_join,
+        "value_band_range_join_bucketed": _q_value_band_range_join_bucketed,
         "supplier_counts_by_nation": _q_supplier_counts_by_nation,
         # web-scale text scorers (forced join path first — the plan that
         # must hold at 100 TB — then the auto/broadcast originals)
@@ -1427,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_moments": _q_lang_char_moments,
         "source_char_moments": _q_source_char_moments,
         "doc_length_zscore": _q_doc_length_zscore,
+        "doc_length_zscore_join": _q_doc_length_zscore_join,
         "user_top3_events": _q_user_top3_events,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "blocklist_filtered_docs": _q_blocklist_filtered_docs,
@@ -1439,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_counts": _q_pii_counts,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
+        "ngram_contamination_join": _q_ngram_contamination_join,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
@@ -2539,6 +2598,10 @@ def oracle_sql() -> dict[str, str]:
     out["doc_unigram_nll_join"] = out["doc_unigram_nll"]
     # the sqlite-spill variant keeps the identical kept-fp set
     out["incremental_dedup_spill"] = out["incremental_dedup_fps"]
+    # forced scale-path variants compute the same relations
+    out["value_band_range_join_bucketed"] = out["value_band_range_join"]
+    out["doc_length_zscore_join"] = out["doc_length_zscore"]
+    out["ngram_contamination_join"] = out["ngram_contamination"]
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")
     return out

@@ -419,9 +419,9 @@ def range_join_broadcast(left: rd.Dataset, value_col: str,
     interval containment (two ``np.searchsorted`` probes against the
     sorted endpoint arrays when bands are disjoint, a dense mask
     otherwise — band count is small by contract). No shuffle. For
-    interval tables that exceed a worker, partition both sides by a
-    coarse value bucket first (same explode-to-buckets shape as
-    ``sliding_window_agg``).
+    interval tables that exceed a worker use ``range_join_bucketed``
+    (both sides co-partition on a coarse value bucket; same output,
+    one shuffle).
     """
     import ray
 
@@ -447,6 +447,161 @@ def range_join_broadcast(left: rd.Dataset, value_col: str,
         return pa.table(out)
 
     return left.map_batches(f, batch_format="pyarrow")
+
+
+def range_join_bucketed(left: rd.Dataset, value_col: str, bands,
+                        lo_col: str = "lo", hi_col: str = "hi",
+                        band_cols: list[str] | None = None,
+                        bucket_width: float | None = None,
+                        num_partitions: "int | None" = None,
+                        left_schema=None) -> rd.Dataset:
+    """Interval (range) join WITHOUT broadcasting the bands — the scale
+    path ``range_join_broadcast`` documents for interval tables that
+    exceed a worker: both sides co-partition on a coarse value bucket
+    (width defaults to the widest band) and containment is verified
+    in-partition. A band explodes to every bucket it overlaps
+    (amplification <= band_width/bucket_width + 1 <= 2 at the default
+    width); a point value lives in exactly ONE bucket, so every
+    qualifying (row, band) pair meets exactly once — no post-join
+    dedup. ONE shuffle; nothing is collected to the driver. Same
+    output relation as the broadcast plan (tested identical; shared
+    SQL oracle). ``bands``: pd.DataFrame or Dataset with lo/hi
+    (float) + payload columns."""
+    import numpy as np
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def _names_types(ds, given):
+        if given is not None:
+            return list(given.names), {n: given.field(n).type
+                                       for n in given.names}
+        s = ds.schema()
+        return list(s.names), {n: _arrow_type(t)
+                               for n, t in zip(s.names, s.types)}
+
+    if isinstance(bands, rd.Dataset):
+        bands_ds = bands
+        b_names, b_all_types = _names_types(bands_ds, None)
+        band_cols = band_cols or [c for c in b_names
+                                  if c not in (lo_col, hi_col)]
+        b_types = {c: b_all_types[c] for c in band_cols}
+        if bucket_width is None:
+            # distributed max band width — the bands table never
+            # lands on the driver in this mode
+            from ray.data.aggregate import Max
+
+            def widths(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                w = pc.subtract(
+                    pc.cast(t.column(hi_col), pa.float64()),
+                    pc.cast(t.column(lo_col), pa.float64()))
+                return pa.table({"w": w})
+
+            bucket_width = float(
+                bands_ds.map_batches(widths, batch_format="pyarrow")
+                .aggregate(Max("w"))["max(w)"])
+    else:
+        bands = bands.reset_index(drop=True)
+        band_cols = band_cols or [c for c in bands.columns
+                                  if c not in (lo_col, hi_col)]
+        b_types = {c: _arrow_type(bands[c].dtype) for c in band_cols}
+        if bucket_width is None:
+            bucket_width = float((bands[hi_col] - bands[lo_col]).max())
+        bands_ds = rd.from_pandas(bands)
+    if not bucket_width > 0:
+        bucket_width = 1.0
+
+    l_names, l_types = _names_types(left, left_schema)
+    overlap = (set(l_names) & (set(band_cols) | {lo_col, hi_col}))
+    if overlap:
+        raise ValueError(f"range_join column overlap: {sorted(overlap)}")
+    fields = ([pa.field(n, l_types[n]) for n in l_names]
+              + [pa.field(lo_col, pa.float64()),
+                 pa.field(hi_col, pa.float64())]
+              + [pa.field(c, b_types[c]) for c in band_cols]
+              + [pa.field("_side", pa.int8()),
+                 pa.field("_bucket", pa.int64())])
+    schema = pa.schema(fields)
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        bucket = np.floor(v / bucket_width).astype(np.int64)
+        arrays = []
+        for fld in schema:
+            if fld.name == "_side":
+                arrays.append(pa.array(np.zeros(n, dtype=np.int8)))
+            elif fld.name == "_bucket":
+                arrays.append(pa.array(bucket))
+            elif fld.name in l_names:
+                arrays.append(t.column(fld.name).cast(fld.type))
+            else:
+                arrays.append(pa.nulls(n, fld.type))
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    def pad_bands(t: pa.Table) -> pa.Table:
+        los = t.column(lo_col).to_numpy().astype(np.float64)
+        his = t.column(hi_col).to_numpy().astype(np.float64)
+        b0 = np.floor(los / bucket_width).astype(np.int64)
+        b1 = np.floor(his / bucket_width).astype(np.int64)
+        reps = (b1 - b0 + 1)
+        idx = np.repeat(np.arange(len(los)), reps)
+        # bucket sequence per band: b0[i] .. b1[i]
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps)             else np.empty(0, np.int64)
+        buckets = b0[idx] + offs
+        n = len(idx)
+        take = pa.array(idx, pa.int64())
+        arrays = []
+        for fld in schema:
+            if fld.name == "_side":
+                arrays.append(pa.array(np.ones(n, dtype=np.int8)))
+            elif fld.name == "_bucket":
+                arrays.append(pa.array(buckets, pa.int64()))
+            elif fld.name == lo_col:
+                arrays.append(pa.array(los[idx], pa.float64()))
+            elif fld.name == hi_col:
+                arrays.append(pa.array(his[idx], pa.float64()))
+            elif fld.name in band_cols:
+                arrays.append(t.column(fld.name).take(take).cast(fld.type))
+            else:
+                arrays.append(pa.nulls(n, fld.type))
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    both = (left.map_batches(pad_left, batch_format="pyarrow")
+            .union(bands_ds.map_batches(pad_bands, batch_format="pyarrow")))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (df["_bucket"] % num_partitions).astype("int64")
+        return df
+
+    def _pd_dtype(t: "pa.DataType"):
+        try:
+            return np.dtype(t.to_pandas_dtype())
+        except Exception:
+            return np.dtype(object)
+
+    l_dtypes = {c: _pd_dtype(l_types[c]) for c in l_names}
+    r_cols = [lo_col, hi_col] + band_cols
+    r_dtypes = {lo_col: np.dtype(np.float64), hi_col: np.dtype(np.float64),
+                **{c: _pd_dtype(b_types[c]) for c in band_cols}}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # one-sided partitions degrade absent columns to object dtype;
+        # each side's own columns are non-null, so the cast is safe
+        lhs = g[g["_side"] == 0][l_names + ["_bucket"]].astype(l_dtypes)
+        rhs = g[g["_side"] == 1][r_cols + ["_bucket"]].astype(r_dtypes)
+        m = lhs.merge(rhs, on="_bucket")
+        m = m[(m[value_col] >= m[lo_col]) & (m[value_col] <= m[hi_col])]
+        return m[l_names + r_cols]
+
+    out_schema = pa.schema(
+        [pa.field(n, l_types[n]) for n in l_names]
+        + [pa.field(lo_col, pa.float64()), pa.field(hi_col, pa.float64())]
+        + [pa.field(c, b_types[c]) for c in band_cols])
+    return typed_groupby_map(
+        both.map_batches(add_part, batch_format="pandas"), "_part", merge,
+        out_schema)
 
 
 def hourly_user_agg(events: rd.Dataset) -> rd.Dataset:
@@ -839,34 +994,80 @@ def grouped_moments(ds: rd.Dataset, key: str, value_col: str,
 def zscore_normalize(ds: rd.Dataset, key: str, value_col: str,
                      out_cols: list[str],
                      key_type: "pa.DataType | None" = None,
-                     num_partitions: "int | None" = None) -> rd.Dataset:
-    """Per-key z-score normalization — the aggregate → broadcast-scalars
-    → vectorized-map pattern (two corpus passes, no per-row shuffle).
-
-    Moments come from ``grouped_moments``' exact integer sums, so
+                     num_partitions: "int | None" = None,
+                     mode: str = "auto",
+                     broadcast_max_keys: int = 5_000_000,
+                     ds_schema: "pa.Schema | None" = None) -> rd.Dataset:
+    """Per-key z-score normalization. Moments come from
+    ``grouped_moments``' exact integer sums, so
     ``z = (v − mean) / sqrt(var)`` evaluates the identical IEEE
     expression as the SQL oracle (sqrt and the arithmetic ops are
-    correctly rounded on both sides); z = 0 where var == 0. The
-    broadcast assumes #groups fits on the driver (lang/domain/source
-    strata); beyond that, hash_join the moments table back on a key
-    co-partition instead."""
+    correctly rounded on both sides); z = 0 where var == 0.
+
+    Two plans behind a distributed key-count auto-switch:
+
+    - ``broadcast`` (#groups <= broadcast_max_keys — lang/domain/source
+      strata): aggregate → ``ray.put`` scalars → stateless vectorized
+      map; no per-row shuffle.
+    - ``join`` (key cardinality beyond driver RAM, e.g. per-user): the
+      moments table stays a Dataset and ``hash_join``s back onto the
+      rows on a key co-partition; the per-batch finish computes the
+      same IEEE expression. One extra shuffle, zero driver state."""
     import numpy as np
     import ray
 
-    m = grouped_moments(ds, key, value_col, key_type,
-                        num_partitions).to_pandas()
-    std = np.sqrt(m["var_v"].to_numpy())
-    lookup = {k: (mu, sd)
-              for k, mu, sd in zip(m[key], m["mean_v"], std)}
-    ref = ray.put(lookup)
+    moments = grouped_moments(ds, key, value_col, key_type,
+                              num_partitions).materialize()
+    if mode == "auto":
+        mode = ("broadcast" if moments.count() <= broadcast_max_keys
+                else "join")
 
-    def f(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        keys = t.column(key).to_pylist()
-        n = len(keys)
+    if mode == "broadcast":
+        m = moments.to_pandas()
+        std = np.sqrt(m["var_v"].to_numpy())
+        lookup = {k: (mu, sd)
+                  for k, mu, sd in zip(m[key], m["mean_v"], std)}
+        ref = ray.put(lookup)
+
+        def f(t: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            keys = t.column(key).to_pylist()
+            n = len(keys)
+            v = t.column(value_col).to_numpy().astype(np.float64)
+            mu = np.fromiter((lk[k][0] for k in keys), np.float64, n)
+            sd = np.fromiter((lk[k][1] for k in keys), np.float64, n)
+            zero = sd == 0.0
+            z = (v - mu) / np.where(zero, 1.0, sd)
+            z[zero] = 0.0
+            cols = {c: t.column(c) for c in out_cols}
+            cols["z"] = pa.array(z, pa.float64())
+            return pa.table(cols)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    kt = key_type or pa.string()
+    carry = list(dict.fromkeys(out_cols + [value_col]))
+    if ds_schema is not None:
+        left_schema = pa.schema([(n, ds_schema.field(n).type)
+                                 for n in [key] + [c for c in carry
+                                                   if c != key]])
+        rows = ds.select_columns(list(dict.fromkeys([key] + carry)))
+    else:
+        rows = ds.select_columns(list(dict.fromkeys([key] + carry)))
+        left_schema = None
+    joined = hash_join(
+        rows, moments.select_columns([key, "mean_v", "var_v"]),
+        on=key, num_partitions=num_partitions, left_schema=left_schema,
+        right_schema=pa.schema([(key, kt), ("mean_v", pa.float64()),
+                                ("var_v", pa.float64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy().astype(np.float64)
-        mu = np.fromiter((lk[k][0] for k in keys), np.float64, n)
-        sd = np.fromiter((lk[k][1] for k in keys), np.float64, n)
+        mu = t.column("mean_v").to_numpy().astype(np.float64)
+        sd = np.sqrt(t.column("var_v").to_numpy().astype(np.float64))
         zero = sd == 0.0
         z = (v - mu) / np.where(zero, 1.0, sd)
         z[zero] = 0.0
@@ -874,7 +1075,7 @@ def zscore_normalize(ds: rd.Dataset, key: str, value_col: str,
         cols["z"] = pa.array(z, pa.float64())
         return pa.table(cols)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def grouped_topk(ds: rd.Dataset, key: str, order_col: str, tie_col: str,

@@ -391,50 +391,123 @@ def repetition_stats(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def _doc_shingles(text: str, shingle_n: int) -> set[str]:
+    toks = _WS.sub(" ", (text or "")).strip().split(" ")
+    if len(toks) < shingle_n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)}
+
+
 def ngram_contamination(docs: rd.Dataset, benchmark: rd.Dataset,
-                        shingle_n: int = 3) -> rd.Dataset:
+                        shingle_n: int = 3, mode: str = "auto",
+                        broadcast_max_shingles: int = 5_000_000
+                        ) -> rd.Dataset:
     """doc_id, n_overlap, n_shingles: per-document overlap with the
-    union of a benchmark set's n-gram shingles — the decontamination
-    check of a training-data pipeline. The benchmark side is SMALL by
-    assumption (eval sets), built distributedly then ``ray.put`` once;
-    each batch intersects against the broadcast frozenset. For a
-    benchmark too big to broadcast, co-partition doc and benchmark
-    shingles on the shingle hash instead (the ngram_jaccard plan)."""
+    union of a benchmark set's DISTINCT n-gram shingles — the
+    decontamination check of a training-data pipeline.
+
+    Two plans behind a distributed shingle-count auto-switch:
+
+    - ``broadcast`` (eval-set-sized benchmarks): the distinct benchmark
+      shingle set is built distributedly, ``ray.put`` once, and each
+      batch intersects against the shared frozenset — one stateless
+      corpus pass.
+    - ``join`` (benchmark beyond driver/worker RAM): per-doc DISTINCT
+      shingles explode with n_shingles riding along, LEFT-hash_join
+      against the distinct benchmark shingles on a shingle-hash
+      co-partition (marker column), and one per-doc hash aggregate
+      sums matches — the benchmark never leaves the object store.
+      Every doc emits >= 1 shingle row, so zero-overlap docs survive.
+    """
     import ray
+
+    from .relational import hash_aggregate, hash_join
 
     def to_shingles(t: pa.Table) -> pa.Table:
         out = set()
         for x in t.column("text").to_pylist():
-            toks = _WS.sub(" ", (x or "")).strip().split(" ")
-            if len(toks) < shingle_n:
-                out.add(" ".join(toks))
-            else:
-                for i in range(len(toks) - shingle_n + 1):
-                    out.add(" ".join(toks[i:i + shingle_n]))
+            out |= _doc_shingles(x, shingle_n)
         return pa.table({"s": pa.array(sorted(out), pa.string())})
 
-    bench_shingles = frozenset(
-        r["s"] for r in
+    # distinct benchmark shingles as a DATASET (batch-local dedup +
+    # one s-hash aggregate — tiny for eval sets, bounded at scale)
+    bench_distinct = hash_aggregate(
         benchmark.map_batches(to_shingles, batch_format="pyarrow")
-        .take_all())
-    ref = ray.put(bench_shingles)
+        .map_batches(lambda t: t.append_column(
+            "one", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        keys=["s"], sum_cols={"one": "one"},
+        out_schema=pa.schema([("s", pa.string()),
+                              ("one", pa.int64())])).materialize()
 
-    def f(t: pa.Table) -> pa.Table:
-        bench = ray.get(ref)
-        n_ov, n_sh = [], []
-        for x in t.column("text").to_pylist():
-            toks = _WS.sub(" ", (x or "")).strip().split(" ")
-            if len(toks) < shingle_n:
-                sh = {" ".join(toks)}
-            else:
-                sh = {" ".join(toks[i:i + shingle_n])
-                      for i in range(len(toks) - shingle_n + 1)}
-            n_sh.append(len(sh))
-            n_ov.append(len(sh & bench))
+    if mode == "auto":
+        mode = ("broadcast"
+                if bench_distinct.count() <= broadcast_max_shingles
+                else "join")
+
+    if mode == "broadcast":
+        bench_shingles = frozenset(
+            r["s"] for r in bench_distinct.take_all())
+        ref = ray.put(bench_shingles)
+
+        def f(t: pa.Table) -> pa.Table:
+            bench = ray.get(ref)
+            n_ov, n_sh = [], []
+            for x in t.column("text").to_pylist():
+                sh = _doc_shingles(x, shingle_n)
+                n_sh.append(len(sh))
+                n_ov.append(len(sh & bench))
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "n_overlap": pa.array(n_ov, pa.int64()),
+                             "n_shingles": pa.array(n_sh, pa.int64())})
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, shs, ns = [], [], []
+        for doc_id, x in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            sh = _doc_shingles(x, shingle_n)
+            for s in sh:
+                ids.append(doc_id)
+                shs.append(s)
+                ns.append(len(sh))
+        return pa.table({"s": pa.array(shs, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "n_sh": pa.array(ns, pa.int64())})
+
+    joined = hash_join(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        bench_distinct, on="s", how="left",
+        left_schema=pa.schema([("s", pa.string()), ("doc_id", pa.int64()),
+                               ("n_sh", pa.int64())]),
+        right_schema=pa.schema([("s", pa.string()), ("one", pa.int64())]))
+
+    def mark(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        hit = pc.cast(pc.is_valid(t.column("one")), pa.int64())
         return pa.table({"doc_id": t.column("doc_id"),
-                         "n_overlap": pa.array(n_ov, pa.int64()),
-                         "n_shingles": pa.array(n_sh, pa.int64())})
-    return docs.map_batches(f, batch_format="pyarrow")
+                         "hit": hit, "n_sh": t.column("n_sh")})
+
+    agg = hash_aggregate(
+        joined.map_batches(mark, batch_format="pyarrow"),
+        keys=["doc_id"], sum_cols={"hit": "n_overlap"},
+        count_alias="_rows",
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_overlap", pa.int64()),
+                              ("_rows", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # per-doc shingle rows are DISTINCT shingles, so the row count
+        # per doc IS n_shingles
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_overlap": t.column("n_overlap"),
+                         "n_shingles": t.column("_rows")})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def chunk_documents(docs: rd.Dataset, chunk_tokens: int = 128,

@@ -1255,3 +1255,106 @@ def test_binned_percentile_rank_error_bound(ray_session):
     max_bin = int(np.bincount(bins, minlength=n_bins).max())
     bound = max_bin / (n - 1)
     assert np.all(np.abs(exact["pr"] - approx["pr"]) <= bound + 1e-12)
+
+
+def test_range_join_bucketed_matches_broadcast(ray_session):
+    """The no-broadcast interval-join plan must produce the identical
+    (row, band) relation as the broadcast plan — including overlapping
+    bands, bands spanning multiple buckets (forced small bucket_width),
+    and a Dataset-typed bands side (width derived distributedly)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import (range_join_broadcast,
+                                         range_join_bucketed)
+
+    bands = pd.DataFrame({
+        "band_id": range(7),
+        "lo": [float(i * 10) for i in range(7)],
+        "hi": [float(i * 10 + 14) for i in range(7)],   # overlapping
+    })
+    rows = pd.DataFrame({"rid": range(300),
+                         "value": [(i * 7.3) % 80 for i in range(300)]})
+    ds = rd.from_pandas(rows)
+    schema = pa.schema([("rid", pa.int64()), ("value", pa.float64())])
+
+    def norm(d):
+        return (d.to_pandas().sort_values(["rid", "band_id"])
+                .reset_index(drop=True))
+
+    ref = norm(range_join_broadcast(ds, "value", bands,
+                                    band_cols=["band_id"]))
+    got = norm(range_join_bucketed(ds, "value", bands,
+                                   band_cols=["band_id"],
+                                   left_schema=schema))
+    pd.testing.assert_frame_equal(ref[got.columns], got)
+    # bands spanning many buckets (width 3 << band width 14)
+    got_small = norm(range_join_bucketed(ds, "value", bands,
+                                         band_cols=["band_id"],
+                                         bucket_width=3.0,
+                                         left_schema=schema))
+    pd.testing.assert_frame_equal(ref[got_small.columns], got_small)
+    # bands arriving as a Dataset (distributed width derivation)
+    got_ds = norm(range_join_bucketed(ds, "value", rd.from_pandas(bands),
+                                      band_cols=["band_id"],
+                                      left_schema=schema))
+    pd.testing.assert_frame_equal(ref[got_ds.columns], got_ds)
+
+
+def test_zscore_join_matches_broadcast(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import zscore_normalize
+
+    df = pd.DataFrame({"id": range(200),
+                       "g": [("a", "b", "c")[i % 3] for i in range(200)],
+                       "v": [(i * 13) % 97 for i in range(200)]})
+    ds = rd.from_pandas(df)
+    schema = pa.schema([("id", pa.int64()), ("g", pa.string()),
+                        ("v", pa.int64())])
+
+    def run(**kw):
+        return (zscore_normalize(ds, "g", "v", out_cols=["id", "g", "v"],
+                                 **kw).to_pandas()
+                .sort_values("id").reset_index(drop=True))
+
+    bc = run(mode="broadcast")
+    jn = run(mode="join", ds_schema=schema)
+    pd.testing.assert_frame_equal(bc, jn[bc.columns])   # bit-identical
+    auto_small = run(mode="auto", broadcast_max_keys=10)   # 3 keys -> bc
+    auto_big = run(mode="auto", broadcast_max_keys=1,      # -> join
+                   ds_schema=schema)
+    pd.testing.assert_frame_equal(bc, auto_small)
+    pd.testing.assert_frame_equal(bc, auto_big[bc.columns])
+
+
+def test_ngram_contamination_join_matches_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.text import ngram_contamination
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(12),
+        "text": [f"one two three four token{i} five six"
+                 if i % 3 else "alpha beta gamma delta epsilon zeta eta"
+                 for i in range(12)],
+    }))
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100], "text": ["alpha beta gamma delta epsilon"]}))
+
+    def run(**kw):
+        return (ngram_contamination(docs, bench, **kw).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    bc = run(mode="broadcast")
+    jn = run(mode="join")
+    pd.testing.assert_frame_equal(bc, jn[bc.columns])
+    assert (bc["n_overlap"] > 0).any() and (bc["n_overlap"] == 0).any()
+    auto_small = run(mode="auto", broadcast_max_shingles=1000)
+    auto_big = run(mode="auto", broadcast_max_shingles=1)
+    pd.testing.assert_frame_equal(bc, auto_small)
+    pd.testing.assert_frame_equal(bc, auto_big[bc.columns])
