@@ -43,6 +43,12 @@ def main():
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    # partition-shape stress knob: GRAFT_BLOCK_BYTES=32768 forces many
+    # tiny blocks (catches one-sided-partition / empty-block bugs the
+    # default block size hides — found the asof_join dtype bug in r2)
+    blk = os.environ.get("GRAFT_BLOCK_BYTES")
+    if blk:
+        DataContext.get_current().target_max_block_size = int(blk)
 
     import __ray_entry__ as E
 

@@ -81,3 +81,41 @@ def test_heading_rank_bounds(classes, labels):
     from tabbyray.sti import heading_rank
     r = heading_rank([DBO + c for c in classes], labels)
     assert 0 <= r <= 100
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+    min_size=1, max_size=8))
+def test_simhash_vectorized_matches_scalar_definition(texts):
+    """The r3 unpackbits kernel must equal the scalar SimHash
+    definition (bit i set iff Σ ±1 votes of bit i of md5(token) > 0)
+    on arbitrary unicode, including empty and whitespace-only docs."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tabbyray.ops.dedup import _norm_text, simhash_values
+
+    def scalar(text):
+        toks = _norm_text(text).split(" ")
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= (1 << i)
+        return v
+
+    import ray.data as rd
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    got = dict(zip(*(simhash_values(ds).to_pandas()
+                     [c] for c in ("doc_id", "simhash"))))
+    for i, t in enumerate(texts):
+        assert int(got[i]) == scalar(t), (t,)
