@@ -446,6 +446,23 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(embs, _query_vectors(sf_dir), k=10, probes=1)
 
 
+def _q_knn_lsh_fullprobe(sf_dir: str):
+    """knn_lsh with probes == n_planes: the probe set covers every
+    bucket, so the result provably equals brute force (tested rank-
+    exact in test_ops) — which makes the LSH machinery itself
+    hash-checkable against the exact-kNN SQL oracle. The probes=1
+    variant above stays rows-only (random vectors defeat hyperplane
+    recall)."""
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import knn_lsh
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return knn_lsh(embs, _query_vectors(sf_dir), k=10, n_planes=8,
+                   probes=8)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -754,6 +771,46 @@ def _q_multimodal_frames(sf_dir: str):
 
     from tabbyray.ops.multimodal import sample_frames, synth_media_table
     return sample_frames(rd.from_arrow(synth_media_table(64)), n_frames=4)
+
+
+def _q_next_line_quantity(sf_dir: str):
+    """COMPOSITE-key hash join: each order line joined to the NEXT
+    line of the same order on (l_orderkey, l_linenumber) — one
+    co-partitioned shuffle over the two-column key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def as_left(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_linenumber": t.column("l_linenumber"),
+                         "qty": t.column("l_quantity")})
+
+    def as_next(t: pa.Table) -> pa.Table:
+        # line n of the right side keys itself as n-1: joining on the
+        # composite key pairs each line with its successor
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": pc.subtract(t.column("l_linenumber"), 1),
+            "next_qty": t.column("l_quantity")})
+
+    lt = li.map_batches(as_left, batch_format="pyarrow")
+    rt = li.map_batches(as_next, batch_format="pyarrow")
+    qty_t = pa.float64()
+    return hash_join(
+        lt, rt, on=["l_orderkey", "l_linenumber"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int64()),
+                               ("qty", qty_t)]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_linenumber", pa.int64()),
+                                ("next_qty", qty_t)]))
 
 
 def _q_multimodal_decode_stats(sf_dir: str):
@@ -1413,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
+        "knn_lsh_fullprobe": _q_knn_lsh_fullprobe,
         # graph / sketches
         "supplier_pagerank": _q_supplier_pagerank,
         "cms_frequent_terms": _q_cms_frequent_terms,
@@ -1429,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_band_range_join": _q_value_band_range_join,
         "value_band_range_join_bucketed": _q_value_band_range_join_bucketed,
         "supplier_counts_by_nation": _q_supplier_counts_by_nation,
+        "next_line_quantity": _q_next_line_quantity,
         # web-scale text scorers (forced join path first — the plan that
         # must hold at 100 TB — then the auto/broadcast originals)
         "tfidf_scores_join": _q_tfidf_scores_join,
@@ -1854,6 +1913,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(len(string_split(text, ' ')), 0.99)
             FROM documents
         """,
+        "next_line_quantity": """
+            SELECT a.l_orderkey, a.l_linenumber,
+                   a.l_quantity AS qty, b.l_quantity AS next_qty
+            FROM lineitem a
+            JOIN lineitem b
+              ON b.l_orderkey = a.l_orderkey
+             AND b.l_linenumber = a.l_linenumber + 1
+        """,
         "multimodal_decode_stats": """
             WITH d AS (SELECT doc_id,
                               CAST(doc_id % 13 + 4 AS BIGINT) AS w,
@@ -2086,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         # recall verified TOTAL vs brute on the sf corpora, so exact
         # kNN is its oracle (same precedent as minhash_lsh_dedup).
         "knn_ivf": _KNN_EXACT_SQL,
+        "knn_lsh_fullprobe": _KNN_EXACT_SQL,
         "minhash_signatures": _minhash_sig_sql(),
         "simhash_values": _SIMHASH_SQL,
         "embedding_neardup": """

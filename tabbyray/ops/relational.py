@@ -192,10 +192,13 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
     return partials.groupby("part").map_groups(final, batch_format="pandas")
 
 
-def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
+def hash_join(left: rd.Dataset, right: rd.Dataset,
+              on: "str | list[str]",
               how: str = "inner", num_partitions: "int | None" = None,
               left_schema=None, right_schema=None) -> rd.Dataset:
-    """Co-partitioned hash join of two Datasets on one key column.
+    """Co-partitioned hash join of two Datasets on one key column or a
+    COMPOSITE key (``on`` a list; the partition hash combines all key
+    columns row-wise).
 
     Plan: tag each side, pad both to the union schema (typed nulls),
     union the streams, ONE shuffle on ``hash(key) % P``, then a
@@ -223,16 +226,18 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         s = ds.schema()
         return list(s.names), {n: _arrow_type(t) for n, t in zip(s.names, s.types)}
 
+    on_cols = [on] if isinstance(on, str) else list(on)
     l_names, l_types = _names_types(left, left_schema)
     r_names, r_types = _names_types(right, right_schema)
-    l_other = [n for n in l_names if n != on]
-    r_other = [n for n in r_names if n != on]
+    l_other = [n for n in l_names if n not in on_cols]
+    r_other = [n for n in r_names if n not in on_cols]
     if how in ("semi", "anti"):
         # existence checks need only the right KEYS; don't ship payload
         # columns through the shuffle, and dedupe keys batch-locally
         # (combiner) so the exchange moves distinct keys per batch
-        right = right.select_columns([on]).map_batches(
-            lambda t: t.group_by(on).aggregate([]), batch_format="pyarrow")
+        right = right.select_columns(on_cols).map_batches(
+            lambda t: t.group_by(on_cols).aggregate([]),
+            batch_format="pyarrow")
         r_other = []
 
     def _nullable_dtype(t: "pa.DataType"):
@@ -248,7 +253,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     overlap = set(l_other) & set(r_other)
     if overlap:
         raise ValueError(f"hash_join column overlap: {sorted(overlap)}")
-    fields = ([pa.field(on, l_types[on])]
+    fields = ([pa.field(c, l_types[c]) for c in on_cols]
               + [pa.field(n, l_types[n]) for n in l_other]
               + [pa.field(n, r_types[n]) for n in r_other]
               + [pa.field("_side", pa.int8())])
@@ -266,7 +271,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
             for fld in schema:
                 if fld.name == "_side":
                     arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
-                elif fld.name == on or fld.name in own:
+                elif fld.name in on_cols or fld.name in own:
                     arrays.append(t.column(fld.name).cast(fld.type))
                 else:
                     arrays.append(pa.nulls(n, fld.type))
@@ -278,29 +283,35 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["_part"] = (pd.util.hash_pandas_object(df[on], index=False)
+        keys = df[on_cols[0]] if len(on_cols) == 1 else df[on_cols]
+        df["_part"] = (pd.util.hash_pandas_object(keys, index=False)
                        % num_partitions).astype("int64")
         return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["_side"] == 0][[on] + l_other]
-        rhs = g[g["_side"] == 1][[on] + r_other]
+        lhs = g[g["_side"] == 0][on_cols + l_other]
+        rhs = g[g["_side"] == 1][on_cols + r_other]
         if l_dtypes:
             lhs = lhs.astype(l_dtypes)
         if how in ("semi", "anti"):
-            keep = lhs[on].isin(rhs[on].unique())
+            if len(on_cols) == 1:
+                keep = lhs[on_cols[0]].isin(rhs[on_cols[0]].unique())
+            else:
+                m = lhs.merge(rhs[on_cols].drop_duplicates(), on=on_cols,
+                              how="left", indicator="_m")
+                keep = (m["_m"] == "both").to_numpy()
             return lhs[keep if how == "semi" else ~keep]
         if r_dtypes and how in ("inner", "outer"):
             rhs = rhs.astype(r_dtypes)
-        return lhs.merge(rhs, on=on, how=how)
+        return lhs.merge(rhs, on=on_cols, how=how)
 
     if how in ("semi", "anti"):
         out_schema = pa.schema(
-            [pa.field(on, l_types[on])]
+            [pa.field(c, l_types[c]) for c in on_cols]
             + [pa.field(n, l_types[n]) for n in l_other])
     else:
         out_schema = pa.schema(
-            [pa.field(on, l_types[on])]
+            [pa.field(c, l_types[c]) for c in on_cols]
             + [pa.field(n, l_types[n]) for n in l_other]
             + [pa.field(n, r_types[n]) for n in r_other])
     return typed_groupby_map(

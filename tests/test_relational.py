@@ -1358,3 +1358,43 @@ def test_ngram_contamination_join_matches_broadcast(ray_session):
     auto_big = run(mode="auto", broadcast_max_shingles=1)
     pd.testing.assert_frame_equal(bc, auto_small)
     pd.testing.assert_frame_equal(bc, auto_big[bc.columns])
+
+
+def test_hash_join_composite_key(ray_session):
+    """Composite-key hash_join: inner/semi/anti over a two-column key
+    must match pandas merge semantics exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    l = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": [1, 2, 1, 2, 1],
+                      "x": [10, 20, 30, 40, 50]})
+    r = pd.DataFrame({"a": [1, 2, 2, 4], "b": [2, 1, 9, 1],
+                      "y": [7, 8, 9, 6]})
+    ls = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("x", pa.int64())])
+    rs = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("y", pa.int64())])
+    lds, rds = rd.from_pandas(l), rd.from_pandas(r)
+
+    def norm(df):
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True).astype("int64"))
+
+    inner = norm(hash_join(lds, rds, on=["a", "b"], left_schema=ls,
+                           right_schema=rs).to_pandas())
+    pd.testing.assert_frame_equal(inner, norm(l.merge(r, on=["a", "b"])))
+
+    semi = norm(hash_join(lds, rds, on=["a", "b"], how="semi",
+                          left_schema=ls, right_schema=rs).to_pandas())
+    expect_semi = norm(l[l.set_index(["a", "b"]).index.isin(
+        r.set_index(["a", "b"]).index)])
+    pd.testing.assert_frame_equal(semi, expect_semi)
+
+    anti = norm(hash_join(lds, rds, on=["a", "b"], how="anti",
+                          left_schema=ls, right_schema=rs).to_pandas())
+    expect_anti = norm(l[~l.set_index(["a", "b"]).index.isin(
+        r.set_index(["a", "b"]).index)])
+    pd.testing.assert_frame_equal(anti, expect_anti)
