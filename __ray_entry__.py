@@ -1041,6 +1041,18 @@ def _q_frequent_tokens(sf_dir: str):
     return frequent_values(tok_ds, "tok", theta=0.002)
 
 
+def _q_weighted_doc_sample(sf_dir: str):
+    """Importance-weighted sample of 50 documents, weight = n_chars
+    (A-ES keys; per-block prune + tiny final sort — no global sort)."""
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import weighted_sample_k
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars"])
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=50)
+
+
 def _q_per_user_event_sample(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -1524,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "doc_hash_sample": _q_doc_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "weighted_doc_sample": _q_weighted_doc_sample,
         "per_user_event_sample": _q_per_user_event_sample,
         "token_entropy": _q_token_entropy,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -1912,6 +1925,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.99 AS DOUBLE),
                    quantile_cont(len(string_split(text, ' ')), 0.99)
             FROM documents
+        """,
+        "weighted_doc_sample": """
+            SELECT doc_id, n_chars,
+                   pow((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                             AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0,
+                       1.0 / n_chars) AS skey
+            FROM documents
+            ORDER BY skey DESC, doc_id
+            LIMIT 50
         """,
         "next_line_quantity": """
             SELECT a.l_orderkey, a.l_linenumber,

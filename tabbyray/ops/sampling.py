@@ -229,3 +229,38 @@ def global_hash_shuffle(ds: rd.Dataset, id_col: str,
         hds, "_bucket", rank,
         pa.schema([(id_col, id_type or pa.int64()),
                    ("shuffle_rank", pa.int64())]))
+
+
+def weighted_sample_k(ds: rd.Dataset, id_col: str, weight_col: str,
+                      k: int) -> rd.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, algorithm A-ES): each row gets
+    ``skey = u ** (1/w)`` with ``u`` a pure md5 function of the id
+    (never of row order), and the k LARGEST keys are exactly a
+    w-weighted sample without replacement — the importance-weighted
+    data-selection step of a training-mix pipeline.
+
+    Distributed as the ``top_n`` plan: per-block top-k prune, then a
+    tiny sort+limit over <= k rows per block — no global sort, no
+    sampling state. Reproducible in SQL: u = (CAST(md5_number_lower(id)
+    AS DOUBLE) + 1.0) / 2^64 and pow evaluate the same IEEE expression
+    in DuckDB. Ties (measure-zero) break by id asc. Output:
+    (id, weight, skey)."""
+    import numpy as np
+
+    from .relational import top_n
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        w = np.asarray(t.column(weight_col).to_pylist(), dtype=np.float64)
+        h = np.array([int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[8:], "little")
+            for v in ids], dtype=np.uint64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        skey = u ** (1.0 / w)
+        return pa.table({id_col: t.column(id_col),
+                         weight_col: t.column(weight_col),
+                         "skey": pa.array(skey, pa.float64())})
+
+    return top_n(ds.map_batches(add_key, batch_format="pyarrow"),
+                 ["skey", id_col], [False, True], k)

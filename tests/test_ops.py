@@ -561,3 +561,25 @@ def test_bmp_decode_stats_stage(ray_session):
     assert list(out["width"]) == [5] * 8
     assert list(out["height"]) == [3] * 8
     assert list(out["sum_pixel"]) == [i * 10 * 15 for i in range(8)]
+
+
+def test_weighted_sample_k(ray_session):
+    """A-ES weighted sampling: deterministic under resharding, biased
+    toward heavy weights (a weight-1e6 row's key u^(1e-6) ~ 1 always
+    wins over weight-1 rows), and exactly k rows."""
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import weighted_sample_k
+
+    df = pd.DataFrame({"id": range(500),
+                       "w": [1_000_000 if i == 123 else 1
+                             for i in range(500)]})
+
+    out1 = (weighted_sample_k(rd.from_pandas(df), "id", "w", k=20)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    out2 = (weighted_sample_k(rd.from_pandas(df).repartition(13),
+                              "id", "w", k=20)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out2)   # resharding-invariant
+    assert len(out1) == 20
+    assert 123 in set(out1["id"])               # heavy row always in
