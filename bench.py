@@ -90,7 +90,12 @@ def run_bench() -> dict:
                  "minhash_lsh_dedup", "knn_cosine", "hourly_user_agg",
                  "sliding_window_agg", "customer_order_stats",
                  "supplier_pagerank", "cms_frequent_terms",
-                 "incremental_dedup_fps", "packed_sequences"):
+                 "incremental_dedup_fps", "packed_sequences",
+                 # round-3 representatives: vectorized simhash, the
+                 # forced term-hash join scorer, money-cents quantiles,
+                 # A-ES weighted sampling
+                 "simhash_values", "tfidf_scores_join",
+                 "price_quantiles", "weighted_doc_sample"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):
