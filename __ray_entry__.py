@@ -1053,6 +1053,63 @@ def _q_weighted_doc_sample(sf_dir: str):
     return weighted_sample_k(docs, "doc_id", "n_chars", k=50)
 
 
+def _q_lang_weighted_sample(sf_dir: str):
+    """Per-group weighted sampling: top-5 A-ES keys per lang, weight =
+    n_chars — a pure composition (A-ES key map + grouped_topk), zero
+    new operator code."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import grouped_topk
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        w = np.asarray(t.column("n_chars").to_pylist(), dtype=np.float64)
+        h = np.array([int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[8:], "little")
+            for v in ids], dtype=np.uint64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "skey": pa.array(u ** (1.0 / w), pa.float64())})
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    return grouped_topk(keyed, "lang", "skey", "doc_id",
+                        out_cols=["lang", "doc_id", "skey"], k=5)
+
+
+def _q_winsorized_prices(sf_dir: str):
+    """Quantile winsorization over money cents: clip at the exact
+    [0.05, 0.95] quantile_cont bounds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.relational import winsorize
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice"])
+
+    def cents(t):
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t.column("l_extendedprice"), 100),
+                         round_mode="half_towards_infinity"), pa.int64())})
+
+    return winsorize(li.map_batches(cents, batch_format="pyarrow"),
+                     "cents", out_cols=["l_orderkey", "l_linenumber"],
+                     lo_q=0.05, hi_q=0.95)
+
+
 def _q_per_user_event_sample(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -1537,6 +1594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": _q_doc_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "weighted_doc_sample": _q_weighted_doc_sample,
+        "lang_weighted_sample": _q_lang_weighted_sample,
+        "winsorized_prices": _q_winsorized_prices,
         "per_user_event_sample": _q_per_user_event_sample,
         "token_entropy": _q_token_entropy,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -1935,6 +1994,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY skey DESC, doc_id
             LIMIT 50
+        """,
+        "lang_weighted_sample": """
+            WITH s AS (SELECT lang, doc_id,
+                   pow((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                             AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0,
+                       1.0 / n_chars) AS skey
+            FROM documents)
+            SELECT lang, doc_id, skey FROM s
+            QUALIFY row_number() OVER (PARTITION BY lang
+                                       ORDER BY skey DESC, doc_id) <= 5
+        """,
+        "winsorized_prices": """
+            WITH b AS (SELECT
+                quantile_cont(round(l_extendedprice * 100), 0.05) AS lo,
+                quantile_cont(round(l_extendedprice * 100), 0.95) AS hi
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   LEAST(GREATEST(CAST(round(l_extendedprice * 100)
+                                       AS DOUBLE), b.lo), b.hi) AS clipped
+            FROM lineitem, b
         """,
         "next_line_quantity": """
             SELECT a.l_orderkey, a.l_linenumber,

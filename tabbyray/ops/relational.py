@@ -1421,3 +1421,29 @@ def json_int_key_counts(ds: rd.Dataset, col: str,
     return partial_agg_sum(
         ds.map_batches(partial, batch_format="pyarrow"),
         "k", {"one": "n"})
+
+
+def winsorize(ds: rd.Dataset, col: str, out_cols: list[str],
+              lo_q: float = 0.05, hi_q: float = 0.95,
+              mode: str = "auto", n_bins: int = 8192) -> rd.Dataset:
+    """Quantile winsorization (outlier clipping): values clamp to the
+    [lo_q, hi_q] quantile_cont bounds — the tail-trimming step of a
+    feature-normalization pipeline. The aggregate → broadcast-scalars →
+    vectorized-map pattern: the two bounds come from ``exact_quantiles``
+    (exact histogram for bounded/int domains; the binned sketch for
+    continuous, per ``mode``), then one stateless clip pass. Output:
+    out_cols + ``clipped`` (double — quantile bounds interpolate).
+    Both engines evaluate the same LEAST/GREATEST clamp on the same
+    bounds, so the oracle reproduces it exactly."""
+    q = exact_quantiles(ds, col, [lo_q, hi_q], mode=mode, n_bins=n_bins)
+    lo = float(q.loc[q["q"] == lo_q, "value"].iloc[0])
+    hi = float(q.loc[q["q"] == hi_q, "value"].iloc[0])
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy().astype(np.float64)
+        cols = {c: t.column(c) for c in out_cols}
+        cols["clipped"] = pa.array(np.minimum(np.maximum(v, lo), hi),
+                                   pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -1398,3 +1398,21 @@ def test_hash_join_composite_key(ray_session):
     expect_anti = norm(l[~l.set_index(["a", "b"]).index.isin(
         r.set_index(["a", "b"]).index)])
     pd.testing.assert_frame_equal(anti, expect_anti)
+
+
+def test_winsorize(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.relational import exact_quantiles, winsorize
+
+    df = pd.DataFrame({"id": range(100),
+                       "v": list(range(100))})   # 0..99
+    ds = rd.from_pandas(df)
+    out = (winsorize(ds, "v", out_cols=["id"], lo_q=0.1, hi_q=0.9)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    q = exact_quantiles(ds, "v", [0.1, 0.9], mode="exact")
+    lo, hi = float(q["value"].iloc[0]), float(q["value"].iloc[1])
+    assert out["clipped"].min() == lo and out["clipped"].max() == hi
+    # interior values untouched
+    assert out.loc[50, "clipped"] == 50.0
