@@ -119,3 +119,49 @@ def test_simhash_vectorized_matches_scalar_definition(texts):
                      [c] for c in ("doc_id", "simhash"))))
     for i, t in enumerate(texts):
         assert int(got[i]) == scalar(t), (t,)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+             min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+             min_size=0, max_size=12),
+    st.sampled_from(["inner", "left", "outer", "semi", "anti"]),
+)
+def test_hash_join_matches_pandas_merge(lrows, rrows, how):
+    """hash_join must agree with pandas merge semantics on arbitrary
+    key multisets (duplicate keys fan out, empty sides, all hows)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    l = pd.DataFrame(lrows or [(99, -1)], columns=["k", "x"])
+    r = pd.DataFrame(rrows or [(98, -1)], columns=["k", "y"])
+    ls = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("y", pa.int64())])
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    how=how, left_schema=ls, right_schema=rs).to_pandas()
+    if how == "semi":
+        exp = l[l["k"].isin(set(r["k"]))]
+    elif how == "anti":
+        exp = l[~l["k"].isin(set(r["k"]))]
+    else:
+        exp = l.merge(r, on="k", how=how)
+
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            df[c] = df[c].astype("float64")   # null-padded ints widen
+        return (df.sort_values(list(df.columns), na_position="last")
+                .reset_index(drop=True))
+
+    assert len(got) == len(exp)
+    if len(exp) == 0:
+        # Ray's to_pandas() on an all-empty result yields a column-less
+        # frame (upstream quirk); row-count equality is the assertion
+        return
+    got_n, exp_n = norm(got), norm(exp[got.columns])
+    pd.testing.assert_frame_equal(got_n, exp_n)
