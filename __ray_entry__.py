@@ -1258,6 +1258,23 @@ def _q_price_quantiles(sf_dir: str):
                            "cents", [0.25, 0.5, 0.75, 0.95])
 
 
+def _q_price_quantiles_float(sf_dir: str):
+    """EXACT quantile_cont over the RAW double money column — the
+    continuous domain where the distinct-value histogram is a
+    scale-killer — via bounded-state multi-pass histogram refinement
+    (exact_quantiles_multipass). Hash-checked against DuckDB's
+    quantile_cont on the same doubles."""
+    import ray.data as rd
+
+    from tabbyray.ops.relational import exact_quantiles_multipass
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    return exact_quantiles_multipass(li, "l_extendedprice",
+                                     [0.25, 0.5, 0.75, 0.95],
+                                     n_bins=4096, collect_cap=50_000)
+
+
 def _q_tfidf_scores_join(sf_dir: str):
     """The web-scale plan, forced: vocabulary stays a distributed
     Dataset and the tf stream co-partition-joins it on hash(term) —
@@ -1576,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_retention": _q_weekly_retention,
         "token_quantiles": _q_token_quantiles,
         "price_quantiles": _q_price_quantiles,
+        "price_quantiles_float": _q_price_quantiles_float,
         "doc_percentile_rank": _q_doc_percentile_rank,
         "curation_pipeline": _q_curation_pipeline,
         "sequence_pack": _q_sequence_pack,
@@ -1994,6 +2012,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY skey DESC, doc_id
             LIMIT 50
+        """,
+        "price_quantiles_float": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_cont(l_extendedprice, 0.25) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT CAST(0.75 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL
+            SELECT CAST(0.95 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.95) FROM lineitem
         """,
         "lang_weighted_sample": """
             WITH s AS (SELECT lang, doc_id,

@@ -707,7 +707,9 @@ def binned_quantiles(ds: rd.Dataset, col: str, qs: list[float],
     its neighbor at a bin-boundary rank), so
     ``|est − exact| ≤ 2·(max−min)/n_bins`` — asserted in tests. For a
     KLL/t-digest-style rank guarantee, raise n_bins; 8192 doubles cost
-    64 KiB per batch partial."""
+    64 KiB per batch partial. When EXACT continuous quantiles are
+    required, use ``exact_quantiles_multipass`` (bounded state, ~3
+    refinement scans at 10^12 rows)."""
     from ray.data.aggregate import Max, Min, Sum
 
     mm = ds.aggregate(Min(col), Max(col))
@@ -1447,3 +1449,141 @@ def winsorize(ds: rd.Dataset, col: str, out_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def exact_quantiles_multipass(ds: rd.Dataset, col: str, qs: list[float],
+                              n_bins: int = 4096,
+                              collect_cap: int = 100_000,
+                              max_passes: int = 8) -> pd.DataFrame:
+    """EXACT quantile_cont over a CONTINUOUS column with BOUNDED state —
+    the multi-pass histogram-refinement (bisection) plan that upgrades
+    ``binned_quantiles`` from approximate to exact:
+
+    each needed order statistic starts as a rank inside the global
+    [min, max] interval; every pass histograms only the ACTIVE
+    intervals (one ``map_batches`` for all of them — per-batch state is
+    ``intervals × n_bins`` counts plus per-bin min/max), narrows each
+    rank to the bin containing it, and terminates a rank early when its
+    bin holds ONE distinct value (point mass) or when the interval
+    population fits ``collect_cap`` (the survivors are filtered out and
+    the order statistic is read exactly). Interval mass shrinks ~n_bins×
+    per pass, so 10^12 rows need ~3 passes at the defaults; nothing
+    driver-side ever exceeds collect_cap + intervals × n_bins.
+
+    Returns (q, value) with DuckDB's ``lo·(1−frac) + hi·frac``
+    interpolation between the two exact neighboring order statistics —
+    hash-identical to ``quantile_cont`` on raw doubles."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    stats = ds.aggregate(Count(), Min(col), Max(col))
+    total = int(stats["count()"])
+    gmin, gmax = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if total == 0:
+        return pd.DataFrame(columns=["q", "value"])
+
+    # ranks needed (0-based order statistics)
+    need: dict[int, float] = {}
+    for q in qs:
+        h = q * (total - 1)
+        lo_r = int(np.floor(h))
+        need[lo_r] = None
+        if h > lo_r:
+            need[lo_r + 1] = None
+    # state per rank: (lo, hi, rank_within, n_in_interval) — interval is
+    # CLOSED [lo, hi]; values == hi live in the last bin
+    state = {r: [gmin, gmax, r, total] for r in need}
+    resolved: dict[int, float] = {}
+
+    for _ in range(max_passes):
+        active = {r: s for r, s in state.items()
+                  if r not in resolved and s[3] > collect_cap
+                  and s[0] < s[1]}
+        if not active:
+            break
+        iv = sorted({(s[0], s[1]) for s in active.values()})
+        iv_arr = np.array(iv, dtype=np.float64)     # (I, 2)
+        ref = ray.put(iv_arr)
+
+        def hist(t: pa.Table) -> pa.Table:
+            ivs = ray.get(ref)
+            v = t.column(col).to_numpy().astype(np.float64)
+            iids, bins_, ns, vmins, vmaxs = [], [], [], [], []
+            for i, (lo, hi) in enumerate(ivs):
+                m = v[(v >= lo) & (v <= hi)]
+                if len(m) == 0:
+                    continue
+                w = (hi - lo) / n_bins
+                b = np.minimum(((m - lo) / w).astype(np.int64), n_bins - 1)
+                order = np.argsort(b, kind="stable")
+                bs, starts = np.unique(b[order], return_index=True)
+                ms = m[order]
+                for j, bb in enumerate(bs):
+                    seg = ms[starts[j]: starts[j + 1] if j + 1 < len(bs)
+                             else len(ms)]
+                    iids.append(i)
+                    bins_.append(int(bb))
+                    ns.append(len(seg))
+                    vmins.append(float(seg.min()))
+                    vmaxs.append(float(seg.max()))
+            return pa.table({"iid": pa.array(iids, pa.int64()),
+                             "bin": pa.array(bins_, pa.int64()),
+                             "n": pa.array(ns, pa.int64()),
+                             "vmin": pa.array(vmins, pa.float64()),
+                             "vmax": pa.array(vmaxs, pa.float64())})
+
+        agg = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby(["iid", "bin"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Min("vmin", alias_name="vmin"),
+                          Max("vmax", alias_name="vmax"))
+               .to_pandas().sort_values(["iid", "bin"]))
+
+        for r, s in active.items():
+            lo, hi, rw, _ = s
+            i = iv.index((lo, hi))
+            h = agg[agg["iid"] == i]
+            cum = h["n"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, rw + 1))
+            row = h.iloc[j]
+            before = int(cum[j - 1]) if j > 0 else 0
+            if row["vmin"] == row["vmax"]:          # point mass: exact
+                resolved[r] = float(row["vmin"])
+                continue
+            state[r] = [float(row["vmin"]), float(row["vmax"]),
+                        rw - before, int(row["n"])]
+
+    # collect phase: remaining ranks' intervals are tiny — filter & sort
+    pending = {r: s for r, s in state.items() if r not in resolved}
+    if pending:
+        ivs = sorted({(s[0], s[1]) for s in pending.values()})
+        ref2 = ray.put(np.array(ivs, dtype=np.float64))
+
+        def grab(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref2)
+            v = t.column(col).to_numpy().astype(np.float64)
+            iids, vals = [], []
+            for i, (lo, hi) in enumerate(arr):
+                m = v[(v >= lo) & (v <= hi)]
+                iids.extend([i] * len(m))
+                vals.extend(m.tolist())
+            return pa.table({"iid": pa.array(iids, pa.int64()),
+                             "v": pa.array(vals, pa.float64())})
+
+        got = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+        for r, (lo, hi, rw, _n) in pending.items():
+            i = ivs.index((lo, hi))
+            vals = np.sort(got[got["iid"] == i]["v"].to_numpy())
+            resolved[r] = float(vals[rw])
+
+    out = []
+    for q in qs:
+        h = q * (total - 1)
+        lo_r = int(np.floor(h))
+        frac = h - lo_r
+        v = resolved[lo_r]
+        if frac > 0:
+            # DuckDB's lerp form (see exact_quantiles)
+            v = v * (1 - frac) + frac * resolved[lo_r + 1]
+        out.append({"q": float(q), "value": v})
+    return pd.DataFrame(out)

@@ -1416,3 +1416,27 @@ def test_winsorize(ray_session):
     assert out["clipped"].min() == lo and out["clipped"].max() == hi
     # interior values untouched
     assert out.loc[50, "clipped"] == 50.0
+
+
+def test_exact_quantiles_multipass(ray_session):
+    """Multi-pass refinement must equal the exact distinct-histogram
+    path bit-for-bit on continuous data, handle point masses, and
+    resolve under a tiny collect_cap (forcing several passes)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.relational import (exact_quantiles,
+                                         exact_quantiles_multipass)
+
+    rng = np.random.RandomState(9)
+    vals = np.concatenate([rng.lognormal(2.0, 1.0, 15_000),
+                           np.full(3_000, 7.25),       # point mass
+                           rng.uniform(-5, 5, 2_000)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    exact = exact_quantiles(ds, "v", qs, mode="exact")
+    mp = exact_quantiles_multipass(ds, "v", qs, n_bins=64,
+                                   collect_cap=100)
+    for e, m in zip(exact["value"], mp["value"]):
+        assert e == m, (e, m)       # bit-identical, not approximate
