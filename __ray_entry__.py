@@ -21,6 +21,8 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _STI_CACHE: dict[str, Any] = {}
@@ -68,27 +70,53 @@ def _docs(sf_dir: str):
                            override_num_blocks=32)
 
 
+def _sti_export_paths() -> dict[str, str]:
+    """Ensure the STI intermediate export exists (tabbyray.sti_export)
+    and return its fixed parquet paths. The export content is a pure
+    function of the fixture, so the static oracle SQL below can embed
+    these paths."""
+    if "export" not in _STI_CACHE:
+        from tabbyray.sti_export import ensure_export
+        _STI_CACHE["export"] = ensure_export(_fixture(200))
+    return _STI_CACHE["export"]
+
+
 def _q_sti_extract(sf_dir: str):
+    """Oracled against the GENERATOR-side gold cells (the fixture writes
+    the expected extractor output independently of the extractor)."""
     from tabbyray import pipeline
+    from tabbyray.kb import load_kb
     fix, _ = _sti_results()
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    _kb_ref, gaz_ref = pipeline.put_kb(kb)
     pages = pipeline.read_pages(os.path.join(fix, "pages.parquet"))
-    return pipeline.extract_stage(pages)
+    return pipeline.extract_stage(pages, gaz_ref)
 
 
 def _q_sti_annotations(sf_dir: str):
+    """LIVE pipeline winners; oracle = C8 argmax (QUALIFY-equivalent)
+    over the exported per-candidate score table."""
     from tabbyray import pipeline
+    _sti_export_paths()
     _fix, results = _sti_results()
     return pipeline.split_kind(results, "annotation")
 
 
 def _q_sti_rows(sf_dir: str):
+    """LIVE assembled rows; oracle = J2 substitution join over exported
+    cells + SQL-derived winners."""
     from tabbyray import pipeline
+    _sti_export_paths()
     _fix, results = _sti_results()
     return pipeline.split_kind(results, "row")
 
 
 def _q_sti_triples(sf_dir: str):
+    """LIVE triples; oracle = full SQL re-derivation (winner join, CPA
+    edge-property pick via levenshtein over the KB edge list, minted
+    fallback) from exported cells/candidates + the fixture KB parquet."""
     from tabbyray import pipeline
+    _sti_export_paths()
     _fix, results = _sti_results()
     return pipeline.split_kind(results, "triple")
 
@@ -96,6 +124,7 @@ def _q_sti_triples(sf_dir: str):
 def _q_sti_canonical_triples(sf_dir: str):
     from tabbyray import pipeline
     from tabbyray.canonicalize import canonicalize_triples
+    _sti_export_paths()
     _fix, results = _sti_results()
     return canonicalize_triples(pipeline.split_kind(results, "triple"))
 
@@ -106,11 +135,111 @@ def _q_sti_cpa_triples(sf_dir: str):
     import pyarrow.compute as pc
 
     from tabbyray import pipeline
+    _sti_export_paths()
     _fix, results = _sti_results()
     tri = pipeline.split_kind(results, "triple")
     return tri.map_batches(
         lambda t: t.filter(pc.equal(t["pred_source"], "cpa")),
         batch_format="pyarrow")
+
+
+def _q_sti_cea_agg(sf_dir: str):
+    """C6 CEA aggregate check: pipeline-computed agg_rank per active
+    DATA-cell candidate; the oracle recomputes the arithmetic
+    (`components/CanonicalTableAnnotator.php:860-863`) from the exported
+    factor ranks."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.and_(pc.equal(t["cell_type"], 0),
+                         pc.invert(t["is_literal"].combine_chunks())))
+    return t.select(["url", "table_idx", "surface_form", "ord", "entity",
+                     "agg_rank"])
+
+
+def _q_sti_cta_agg(sf_dir: str):
+    """C7 CTA aggregate check (`:382-415`, relationship term hardcoded
+    `* 1` at `:410`)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.and_(pc.is_in(t["cell_type"],
+                                  value_set=pa.array([1, 2], pa.int32())),
+                         pc.invert(t["is_literal"].combine_chunks())))
+    return t.select(["url", "table_idx", "cell_type", "surface_form", "ord",
+                     "entity", "agg_rank"])
+
+
+def _q_sti_counters(sf_dir: str):
+    """G3/G4 per-table total/annotated counters
+    (`commands/SpreadsheetController.php:570-684` counting rules); the
+    oracle recounts from exported cells + SQL-derived winners."""
+    import pyarrow.parquet as pq
+    return pq.read_table(_sti_export_paths()["counters"])
+
+
+def _q_sti_norm_parity(sf_dir: str):
+    """M1 normalization parity: engine-side normalize_entry over every
+    distinct surface form (data values + heading splits) vs a DuckDB
+    regexp_replace chain re-implementing
+    `components/CanonicalTableAnnotator.php:121-137` (incl. the
+    byte-ucfirst and ё-exclusion quirks)."""
+    import ray.data as rd
+
+    from tabbyray.constants import LABEL_SEP
+    from tabbyray.normalize import normalize_entry
+    from tabbyray.ops.relational import hash_aggregate
+    paths = _sti_export_paths()
+    ds = rd.read_parquet(paths["cells"], override_num_blocks=4)
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals = set()
+        for v in t.column("data").to_pylist():
+            vals.add(v or "")
+        for colname in ("row_heading", "column_heading"):
+            for v in t.column(colname).to_pylist():
+                vals.update((v or "").split(LABEL_SEP))
+        s = sorted(vals)
+        return pa.table({"surface": pa.array(s, pa.string()),
+                         "one": pa.array([1] * len(s), pa.int64())})
+
+    dedup = hash_aggregate(ds.map_batches(explode, batch_format="pyarrow"),
+                           ["surface"], {"one": "n"})
+
+    def add_norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "surface": t.column("surface"),
+            "norm": pa.array([normalize_entry(s)
+                              for s in t.column("surface").to_pylist()],
+                             pa.string())})
+
+    return dedup.map_batches(add_norm, batch_format="pyarrow")
+
+
+def _q_sti_lev_parity(sf_dir: str):
+    """C1 Levenshtein parity on the ASCII/<=255-byte subset (PHP
+    levenshtein() is byte-level with a 255 limit; DuckDB levenshtein()
+    is char-level — identical exactly on this subset)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tabbyray.constants import ALL_URI_SECTIONS
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.invert(t["is_literal"].combine_chunks()))
+    local = t.column("entity")
+    for sec in ALL_URI_SECTIONS:
+        local = pc.replace_substring(local, pattern=sec, replacement="")
+    t = t.append_column("local_name", local)
+
+    def ascii_ok(col):
+        return pc.equal(pc.utf8_length(col), pc.binary_length(col))
+
+    keep = pc.and_(
+        pc.and_(ascii_ok(t["norm"]), ascii_ok(t["local_name"])),
+        pc.and_(pc.less_equal(pc.binary_length(t["norm"]), 255),
+                pc.less_equal(pc.binary_length(t["local_name"]), 255)))
+    t = t.filter(keep).select(["norm", "local_name", "lev"])
+    return t.to_pandas().drop_duplicates().reset_index(drop=True)
 
 
 def _q_sti_annotations_sharded(sf_dir: str):
@@ -1530,8 +1659,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dedup, similarity search, joins, graph, sketches, the web-scale
     # join-path text scorers). Long-tail derived/composed queries follow.
     return {
-        # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven,
-        # non-SQL-expressible -> rows-only checks)
+        # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven).
+        # Every entry is SQL-oracled: extraction against the GENERATOR
+        # gold cells; the scoring/assembly/triple/canonicalize stages
+        # against the exported per-candidate intermediates
+        # (tabbyray/sti_export.py) re-derived independently in DuckDB.
         "sti_extract_cells": _q_sti_extract,
         "sti_annotations": _q_sti_annotations,
         "sti_annotated_rows": _q_sti_rows,
@@ -1539,6 +1671,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_canonical_triples": _q_sti_canonical_triples,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
+        "sti_cea_agg": _q_sti_cea_agg,
+        "sti_cta_agg": _q_sti_cta_agg,
+        "sti_counters": _q_sti_counters,
+        "sti_norm_parity": _q_sti_norm_parity,
+        "sti_lev_parity": _q_sti_lev_parity,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -1768,6 +1905,284 @@ _LANG_CASES = {
     "fr": "'le','la','de','et','les','des','en','un','du','est'",
     "ru": "'и','в','не','на','что','с','по','это','как','из'",
 }
+
+
+# DuckDB rendering of tabbyray.normalize.normalize_entry for the FULL
+# alphabet (ASCII + Cyrillic а-яА-Я, ё excluded; byte-ucfirst only for a
+# single-byte ASCII first char) — `components/CanonicalTableAnnotator.php:121-137`
+_NORM_FULL_SQL = (
+    "replace(CASE WHEN substr(x,1,1) BETWEEN 'a' AND 'z' "
+    "THEN upper(substr(x,1,1)) || substr(x,2) ELSE x END, ' ', '_')"
+    .replace("x", "lower(trim(regexp_replace(regexp_replace({col}, "
+                  "'[^a-zA-Zа-яА-Я0-9\\s]', '', 'g'), "
+                  "'[^\\S\\r\\n]+', ' ', 'g')))")
+)
+
+# M7 URI-prefix strip (sequential replaces in ALL_URI_SECTIONS order)
+_STRIP_SQL = ("replace(replace(replace({col}, "
+              "'http://dbpedia.org/ontology/', ''), "
+              "'http://dbpedia.org/resource/', ''), "
+              "'http://dbpedia.org/property/', '')")
+
+
+def _sti_oracles() -> dict[str, str]:
+    """Oracle SQL for the STI flagship family over the fixed-path
+    intermediate export (tabbyray/sti_export.py) + the fixture's
+    generator-gold cells and KB parquet. The export is a pure function
+    of the fixture (never of sf_dir), so embedding absolute paths in
+    static SQL is sound; the queries ensure the files exist."""
+    from tabbyray.fixtures import fixture_path
+    from tabbyray.sti_export import export_paths
+    fix = fixture_path("driver", seed=11, n_pages=200, n_entities=1200)
+    p = export_paths(fix)
+    cand, cells = p["candidates"], p["cells"]
+    triples = p["triples"]
+    gold = os.path.join(fix, "gold_cells.parquet")
+    kbp = os.path.join(fix, "kb.parquet")
+
+    # C8 winner argmax: first-inserted tie-break == min insertion ord
+    # (`commands/SpreadsheetController.php:588-592`)
+    win = f"""
+    cand AS (SELECT * FROM read_parquet('{cand}')),
+    win AS (SELECT url, table_idx, cell_type, surface_form, entity,
+                   agg_rank, rel_rank, n_cands
+            FROM (SELECT *,
+                         count(*) OVER (PARTITION BY url, table_idx,
+                                        cell_type, surface_form) AS n_cands,
+                         row_number() OVER (PARTITION BY url, table_idx,
+                                            cell_type, surface_form
+                                            ORDER BY agg_rank DESC, ord ASC)
+                             AS rn
+                  FROM cand)
+            WHERE rn = 1)
+    """
+
+    out = {}
+    out["sti_extract_cells"] = f"""
+        SELECT url, table_idx, row_idx,
+               url || '#' || CAST(table_idx AS VARCHAR) AS table_id,
+               data, row_heading, column_heading,
+               data_ner, row_heading_ner, column_heading_ner
+        FROM read_parquet('{gold}')
+    """
+    out["sti_annotations"] = f"""
+        WITH {win}
+        SELECT url, table_idx, cell_type, surface_form, entity,
+               agg_rank AS aggregated_rank, rel_rank,
+               CAST(n_cands AS BIGINT) AS n_candidates
+        FROM win
+    """
+    # the sharded-KB path is output-identical to the broadcast path
+    out["sti_annotations_sharded"] = out["sti_annotations"]
+    # C6 (`components/CanonicalTableAnnotator.php:860-863`): identical
+    # IEEE expression shape (left-assoc adds, /100 on the int rank)
+    out["sti_cea_agg"] = f"""
+        SELECT url, table_idx, surface_form, ord, entity,
+               (1 - CAST(lev AS DOUBLE)/100) + ner_rank
+               + (1 - CAST(heading_rank AS DOUBLE)/100) + ctx_rank + sem_rank
+                   AS agg_rank
+        FROM read_parquet('{cand}')
+        WHERE cell_type = 0 AND NOT is_literal
+    """
+    # C7 (`:382-415`; `* 1` relationship stub at `:410`)
+    out["sti_cta_agg"] = f"""
+        SELECT url, table_idx, cell_type, surface_form, ord, entity,
+               (1 - CAST(lev AS DOUBLE)/100) + ner_rank + 1 AS agg_rank
+        FROM read_parquet('{cand}')
+        WHERE cell_type IN (1, 2) AND NOT is_literal
+    """
+    # J2/M8 assembly (`commands/SpreadsheetController.php:570-684`):
+    # substitute each winner into the raw row; multi-label heading
+    # cells re-join ' | ' splits in split order
+    out["sti_annotated_rows"] = f"""
+        WITH {win},
+        cells AS (SELECT * FROM read_parquet('{cells}')),
+        d AS (SELECT c.url, c.table_idx, c.row_idx,
+                     coalesce(w.entity, c.data) AS data
+              FROM cells c LEFT JOIN win w
+                ON w.url = c.url AND w.table_idx = c.table_idx
+               AND w.cell_type = 0 AND w.surface_form = c.data),
+        rhu AS (SELECT url, table_idx, row_idx,
+                       unnest(str_split(row_heading, ' | ')) AS s,
+                       unnest(range(1, len(str_split(row_heading, ' | ')) + 1))
+                           AS ord
+                FROM cells),
+        rh AS (SELECT u.url, u.table_idx, u.row_idx,
+                      string_agg(coalesce(w.entity, u.s), ' | '
+                                 ORDER BY u.ord) AS row_heading
+               FROM rhu u LEFT JOIN win w
+                 ON w.url = u.url AND w.table_idx = u.table_idx
+                AND w.cell_type = 1 AND w.surface_form = u.s
+               GROUP BY u.url, u.table_idx, u.row_idx),
+        chu AS (SELECT url, table_idx, row_idx,
+                       unnest(str_split(column_heading, ' | ')) AS s,
+                       unnest(range(1, len(str_split(column_heading, ' | '))
+                                    + 1)) AS ord
+                FROM cells),
+        ch AS (SELECT u.url, u.table_idx, u.row_idx,
+                      string_agg(coalesce(w.entity, u.s), ' | '
+                                 ORDER BY u.ord) AS column_heading
+               FROM chu u LEFT JOIN win w
+                 ON w.url = u.url AND w.table_idx = u.table_idx
+                AND w.cell_type = 2 AND w.surface_form = u.s
+               GROUP BY u.url, u.table_idx, u.row_idx)
+        SELECT d.url, d.table_idx, d.row_idx, d.data,
+               rh.row_heading, ch.column_heading
+        FROM d
+        JOIN rh ON rh.url = d.url AND rh.table_idx = d.table_idx
+               AND rh.row_idx = d.row_idx
+        JOIN ch ON ch.url = d.url AND ch.table_idx = d.table_idx
+               AND ch.row_idx = d.row_idx
+    """
+    # G3/G4 counting rules (`:576-577` every DATA cell; `:607-609` one
+    # per heading split when the cell is non-empty)
+    out["sti_counters"] = f"""
+        WITH {win},
+        cells AS (SELECT * FROM read_parquet('{cells}')),
+        d AS (SELECT c.url, c.table_idx, count(*) AS t,
+                     sum(CASE WHEN w.entity IS NOT NULL AND c.data <> ''
+                              THEN 1 ELSE 0 END) AS a
+              FROM cells c LEFT JOIN win w
+                ON w.url = c.url AND w.table_idx = c.table_idx
+               AND w.cell_type = 0 AND w.surface_form = c.data
+              GROUP BY c.url, c.table_idx),
+        hu AS (SELECT url, table_idx, 1 AS ct, row_heading AS v,
+                      unnest(str_split(row_heading, ' | ')) AS s
+               FROM cells
+               UNION ALL
+               SELECT url, table_idx, 2 AS ct, column_heading AS v,
+                      unnest(str_split(column_heading, ' | ')) AS s
+               FROM cells),
+        h AS (SELECT u.url, u.table_idx,
+                     sum(CASE WHEN u.v <> '' THEN 1 ELSE 0 END) AS t,
+                     sum(CASE WHEN w.entity IS NOT NULL THEN 1 ELSE 0 END)
+                         AS a
+              FROM hu u LEFT JOIN win w
+                ON w.url = u.url AND w.table_idx = u.table_idx
+               AND w.cell_type = u.ct AND w.surface_form = u.s
+              GROUP BY u.url, u.table_idx)
+        SELECT d.url, d.table_idx,
+               CAST(d.t + h.t AS BIGINT) AS total_elements,
+               CAST(d.a + h.a AS BIGINT) AS annotated_elements
+        FROM d JOIN h ON h.url = d.url AND h.table_idx = d.table_idx
+    """
+    out["sti_norm_parity"] = f"""
+        WITH s AS (SELECT data AS surface FROM read_parquet('{cells}')
+                   UNION ALL
+                   SELECT unnest(str_split(row_heading, ' | '))
+                   FROM read_parquet('{cells}')
+                   UNION ALL
+                   SELECT unnest(str_split(column_heading, ' | '))
+                   FROM read_parquet('{cells}'))
+        SELECT DISTINCT surface, {_NORM_FULL_SQL.format(col='surface')} AS norm
+        FROM s
+    """
+    # strlen() = byte length; = length() (chars) iff pure ASCII
+    out["sti_lev_parity"] = f"""
+        WITH c AS (SELECT norm, {_STRIP_SQL.format(col='entity')} AS local_name
+                   FROM read_parquet('{cand}') WHERE NOT is_literal)
+        SELECT DISTINCT norm, local_name,
+               CAST(levenshtein(norm, local_name) AS BIGINT) AS lev
+        FROM c
+        WHERE strlen(norm) = length(norm)
+          AND strlen(local_name) = length(local_name)
+          AND strlen(norm) <= 255 AND strlen(local_name) <= 255
+    """
+    # Full triple materialization (SURVEY.md §3.3 /
+    # `commands/SpreadsheetController.php:570-684` +
+    # `:189-202` CPA property binding): winner joins on data/heading
+    # splits, CPA predicate = min-levenshtein KB edge property
+    # (first-edge tie-break), else minted dbp:<norm>
+    triple_sql = f"""
+        WITH {win},
+        cells AS (SELECT * FROM read_parquet('{cells}')),
+        base AS (SELECT c.url, c.table_idx, c.row_idx, w.entity AS subj,
+                        c.column_heading, c.row_heading
+                 FROM cells c JOIN win w
+                   ON w.url = c.url AND w.table_idx = c.table_idx
+                  AND w.cell_type = 0 AND w.surface_form = c.data
+                 WHERE c.data <> ''),
+        ch1 AS (SELECT url, table_idx, row_idx, subj, row_heading,
+                       unnest(str_split(column_heading, ' | ')) AS ch
+                FROM base),
+        ch2 AS (SELECT c.*, w.entity AS cta_pred,
+                       {_NORM_FULL_SQL.format(col='c.ch')} AS ch_norm
+                FROM ch1 c LEFT JOIN win w
+                  ON w.url = c.url AND w.table_idx = c.table_idx
+                 AND w.cell_type = 2 AND w.surface_form = c.ch),
+        ch3 AS (SELECT * FROM ch2
+                WHERE cta_pred IS NOT NULL OR ch_norm <> ''),
+        rh1 AS (SELECT *, unnest(str_split(row_heading, ' | ')) AS rh
+                FROM ch3),
+        rh2 AS (SELECT r.*, w.entity AS obj_ent
+                FROM rh1 r LEFT JOIN win w
+                  ON w.url = r.url AND w.table_idx = r.table_idx
+                 AND w.cell_type = 1 AND w.surface_form = r.rh),
+        rh3 AS (SELECT *, coalesce(obj_ent, rh) AS obj,
+                       (obj_ent IS NULL) AS obj_is_literal
+                FROM rh2 WHERE obj_ent IS NOT NULL OR rh <> ''),
+        kbe AS (SELECT uri, unnest(neighbors) AS nb,
+                       unnest(neighbor_props) AS prop,
+                       unnest(range(1, len(neighbors) + 1)) AS eord
+                FROM read_parquet('{kbp}')),
+        cpa AS (SELECT url, table_idx, row_idx, ch, rh, prop
+                FROM (SELECT r.url, r.table_idx, r.row_idx, r.ch, r.rh,
+                             k.prop,
+                             row_number() OVER (
+                                 PARTITION BY r.url, r.table_idx, r.row_idx,
+                                              r.ch, r.rh
+                                 ORDER BY levenshtein(
+                                     {_STRIP_SQL.format(col='k.prop')},
+                                     r.ch_norm) ASC, k.eord ASC) AS rn
+                      FROM rh3 r JOIN kbe k
+                        ON k.uri = r.subj AND k.nb = r.obj AND k.prop <> ''
+                      WHERE r.cta_pred IS NULL AND NOT r.obj_is_literal)
+                WHERE rn = 1)
+        SELECT r.url, r.table_idx, r.row_idx, r.subj,
+               CASE WHEN r.cta_pred IS NOT NULL THEN r.cta_pred
+                    WHEN p.prop IS NOT NULL THEN p.prop
+                    ELSE 'http://dbpedia.org/property/' || r.ch_norm
+               END AS pred,
+               r.obj, r.obj_is_literal,
+               CASE WHEN r.cta_pred IS NOT NULL THEN 'cta'
+                    WHEN p.prop IS NOT NULL THEN 'cpa'
+                    ELSE 'minted' END AS pred_source
+        FROM rh3 r LEFT JOIN cpa p
+          ON p.url = r.url AND p.table_idx = r.table_idx
+         AND p.row_idx = r.row_idx AND p.ch = r.ch AND p.rh = r.rh
+    """
+    out["sti_triples"] = triple_sql
+    out["sti_cpa_triples"] = (f"SELECT * FROM ({triple_sql}) "
+                              f"WHERE pred_source = 'cpa'")
+    # canonicalization (tabbyray/canonicalize.py): winner = most
+    # frequent subject per normalized key, ties lexicographic; obj
+    # rewritten only when an entity
+    out["sti_canonical_triples"] = f"""
+        WITH t AS (SELECT * FROM read_parquet('{triples}')),
+        k AS (SELECT *,
+                     {_NORM_FULL_SQL.format(col=_STRIP_SQL.format(col='subj'))}
+                         AS ks,
+                     CASE WHEN obj_is_literal THEN NULL
+                          ELSE {_NORM_FULL_SQL.format(
+                              col=_STRIP_SQL.format(col='obj'))}
+                     END AS ko
+              FROM t),
+        cnt AS (SELECT ks AS key, subj, count(*) AS c FROM k GROUP BY 1, 2),
+        cwin AS (SELECT key, subj AS canon
+                 FROM (SELECT *, row_number() OVER (PARTITION BY key
+                                                    ORDER BY c DESC, subj ASC)
+                              AS rn
+                       FROM cnt)
+                 WHERE rn = 1)
+        SELECT k.url, k.table_idx, k.row_idx,
+               coalesce(ws.canon, k.subj) AS subj, k.pred,
+               CASE WHEN k.obj_is_literal THEN k.obj
+                    ELSE coalesce(wo.canon, k.obj) END AS obj,
+               k.obj_is_literal, k.pred_source
+        FROM k LEFT JOIN cwin ws ON ws.key = k.ks
+               LEFT JOIN cwin wo ON wo.key = k.ko
+    """
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2807,4 +3222,7 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_contamination_join"] = out["ngram_contamination"]
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")
+    # STI flagship family: oracled over the fixed-path intermediate
+    # export + generator gold + fixture KB (see _sti_oracles)
+    out.update(_sti_oracles())
     return out

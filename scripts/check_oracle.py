@@ -1,6 +1,7 @@
 """Driver-mimic: run every queries() entry and compare against its
 oracle_sql() DuckDB result (row count + schema + order-insensitive
-value hash). Usage: python scripts/check_oracle.py [sf_dir]
+value hash). Usage: python scripts/check_oracle.py [sf_dir] [prefix...]
+(optional prefixes restrict to queries whose name starts with one).
 """
 
 import hashlib
@@ -60,6 +61,10 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    prefixes = sys.argv[2:]
+    if prefixes:
+        qs = {n: f for n, f in qs.items()
+              if any(n.startswith(p) for p in prefixes)}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()

@@ -390,15 +390,24 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
     return pages, gold_cells
 
 
+def fixture_path(name: str = "conformance", seed: int = 7, n_pages: int = 200,
+                 n_entities: int = 1200, skew: bool = False,
+                 inline_ner: bool = True,
+                 root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic fixture directory path WITHOUT generating anything
+    (used by oracle SQL strings that embed read_parquet paths)."""
+    key = (f"{name}-v4-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+           + ("" if inline_ner else "-noner"))
+    return os.path.join(root, key)
+
+
 def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
                    n_entities: int = 1200, skew: bool = False,
                    inline_ner: bool = True,
                    root: str = "/tmp/tabbyray_fixtures") -> str:
     """Generate (or reuse cached) fixture directory with pages.parquet,
     kb.parquet, gold_cells.parquet. Returns the directory path."""
-    key = (f"{name}-v4-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
-           + ("" if inline_ner else "-noner"))
-    path = os.path.join(root, key)
+    path = fixture_path(name, seed, n_pages, n_entities, skew, inline_ner, root)
     marker = os.path.join(path, "_COMPLETE.json")
     if os.path.exists(marker):
         return path

@@ -78,6 +78,11 @@ class Candidate:
     sem_rank: float = 0.0
     rel_rank: int = 0
     agg_rank: Optional[float] = None
+    # provenance: True for the literal short-circuit candidates created
+    # with agg_rank=1 (`components/CanonicalTableAnnotator.php:1081-1098`),
+    # so the intermediate-export oracle can exclude them from the C6/C7
+    # arithmetic recompute. Never affects scoring.
+    is_literal: bool = False
 
 
 @dataclass
@@ -321,7 +326,7 @@ def annotate_data(rows: list[dict], kb: KBIndex, w: Weights) -> dict[str, Cell]:
         literal = LITERAL_INSTANCE_MAP.get(ner)
         cell = Cell(name=surface, cell_type=CELL_DATA)
         if literal is not None:
-            cell.candidates.append(Candidate(entity=literal, agg_rank=1.0))
+            cell.candidates.append(Candidate(entity=literal, agg_rank=1.0, is_literal=True))
         else:
             for uri in kb.candidates(norm):
                 cell.candidates.append(Candidate(entity=uri))
@@ -395,7 +400,7 @@ def annotate_heading(rows: list[dict], kb: KBIndex, role: str, w: Weights,
         literal = LITERAL_INSTANCE_MAP.get(ner)
         cell = Cell(name=surface, cell_type=cell_type)
         if literal is not None:
-            cell.candidates.append(Candidate(entity=literal, agg_rank=1.0))
+            cell.candidates.append(Candidate(entity=literal, agg_rank=1.0, is_literal=True))
         else:
             for uri in kb.candidates(norm):
                 cell.candidates.append(Candidate(entity=uri))
