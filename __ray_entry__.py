@@ -880,26 +880,85 @@ def _q_ngram_contamination(sf_dir: str):
     return ngram_contamination(docs, bench)
 
 
-def _q_multimodal_features(sf_dir: str):
+def _png_media(sf_dir: str):
+    """documents rows -> REAL PNG payloads (deterministic ramp pixels;
+    filter_type = doc_id % 5 exercises every scanline filter at every
+    scale)."""
     import ray.data as rd
 
-    from tabbyray.ops.multimodal import extract_features, synth_media_table
-    media = rd.from_arrow(synth_media_table(64))
-    return extract_features(media)
+    from tabbyray.ops.multimodal import _ramp_image
+    from tabbyray.ops.png import encode_png
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def make_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = [encode_png(_ramp_image(d), d % 5) for d in ids]
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array([d % 13 + 4 for d in ids], pa.int32()),
+            "height": pa.array([d % 7 + 3 for d in ids], pa.int32()),
+        })
+
+    return docs.map_batches(make_media, batch_format="pyarrow",
+                            batch_size=64)
+
+
+def _q_multimodal_features(sf_dir: str):
+    """REAL PNG decode, hash-checked: the actor-pool PNGFeatureDecoder
+    parses zlib streams + reconstructs all five filters; the SQL oracle
+    recomputes the integer pixel stats arithmetically from doc_id."""
+    from tabbyray.ops.multimodal import extract_features
+    return extract_features(_png_media(sf_dir))
 
 
 def _q_multimodal_resize(sf_dir: str):
-    import ray.data as rd
-
-    from tabbyray.ops.multimodal import resize_media, synth_media_table
-    return resize_media(rd.from_arrow(synth_media_table(64)), 32, 32)
+    """REAL pixel resize, hash-checked END-TO-END: decode -> NN
+    resample -> re-ENCODE (PNG, adaptive filter) -> a second decode
+    stage featurizes the re-encoded bytes, so the hash covers the full
+    decode->resize->encode->decode cycle."""
+    from tabbyray.ops.multimodal import extract_features, resize_media
+    return extract_features(resize_media(_png_media(sf_dir), 5, 4))
 
 
 def _q_multimodal_frames(sf_dir: str):
+    """REAL frame sampling, hash-checked: length-prefixed ANIM
+    container parse + PNG decode of each evenly-sampled frame; the
+    oracle recomputes the sampling arithmetic (src = f*total//n) and
+    the frame pixel sums."""
     import ray.data as rd
 
-    from tabbyray.ops.multimodal import sample_frames, synth_media_table
-    return sample_frames(rd.from_arrow(synth_media_table(64)), n_frames=4)
+    from tabbyray.ops.multimodal import (_ramp_image, encode_anim,
+                                         sample_frames)
+    from tabbyray.ops.png import encode_png
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def make_videos(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            total = d % 5 + 4
+            payloads.append(encode_anim(
+                [encode_png(_ramp_image(d, f), f % 5)
+                 for f in range(total)]))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-anim"] * n, pa.string()),
+            "width": pa.array([d % 13 + 4 for d in ids], pa.int32()),
+            "height": pa.array([d % 7 + 3 for d in ids], pa.int32()),
+        })
+
+    videos = docs.map_batches(make_videos, batch_format="pyarrow",
+                              batch_size=32)
+    return sample_frames(videos, n_frames=3)
 
 
 def _q_next_line_quantity(sf_dir: str):
@@ -2483,6 +2542,65 @@ def oracle_sql() -> dict[str, str]:
                    w * h AS n_pixels,
                    CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS sum_pixel
             FROM u GROUP BY doc_id, w, h
+        """,
+        # PNG decode stats: pixel i of doc d = (d*31 + i) % 256, dims
+        # (d%13+4, d%7+3) — recomputed arithmetically, so the hash
+        # breaks on any zlib/filter-reconstruction bug
+        "multimodal_features": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                              CAST(doc_id % 7 + 3 AS BIGINT) AS h
+                       FROM documents),
+            u AS (SELECT doc_id, w, h,
+                         CAST(unnest(range(w * h)) AS BIGINT) AS i
+                  FROM d),
+            p AS (SELECT doc_id, w, h, (doc_id * 31 + i) % 256 AS px FROM u)
+            SELECT doc_id AS media_id, w AS width, h AS height,
+                   w * h AS n_pixels,
+                   CAST(sum(px) AS BIGINT) AS sum_pixel,
+                   CAST(sum(px * px) AS BIGINT) AS sum_sq,
+                   CAST(min(px) AS BIGINT) AS min_pixel,
+                   CAST(max(px) AS BIGINT) AS max_pixel
+            FROM p GROUP BY doc_id, w, h
+        """,
+        # NN resample to 5x4: dst (x,y) reads src ((x*w)//5, (y*h)//4)
+        "multimodal_resize": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                              CAST(doc_id % 7 + 3 AS BIGINT) AS h
+                       FROM documents),
+            u AS (SELECT doc_id, w, h,
+                         CAST(unnest(range(20)) AS BIGINT) AS j
+                  FROM d),
+            p AS (SELECT doc_id,
+                         (doc_id * 31 + ((j // 5) * h // 4) * w
+                          + ((j % 5) * w // 5)) % 256 AS px
+                  FROM u)
+            SELECT doc_id AS media_id, CAST(5 AS BIGINT) AS width,
+                   CAST(4 AS BIGINT) AS height, CAST(20 AS BIGINT) AS n_pixels,
+                   CAST(sum(px) AS BIGINT) AS sum_pixel,
+                   CAST(sum(px * px) AS BIGINT) AS sum_sq,
+                   CAST(min(px) AS BIGINT) AS min_pixel,
+                   CAST(max(px) AS BIGINT) AS max_pixel
+            FROM p GROUP BY doc_id
+        """,
+        # even frame sampling over a (d%5+4)-frame video; frame f pixel
+        # i = (d*31 + f*7 + i) % 256
+        "multimodal_frames": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                              CAST(doc_id % 7 + 3 AS BIGINT) AS h,
+                              CAST(doc_id % 5 + 4 AS BIGINT) AS total
+                       FROM documents),
+            f AS (SELECT doc_id, w, h, total,
+                         CAST(unnest(range(3)) AS BIGINT) AS frame_idx
+                  FROM d),
+            s AS (SELECT *, frame_idx * total // 3 AS src_frame FROM f),
+            u AS (SELECT doc_id, frame_idx, src_frame, w, h,
+                         CAST(unnest(range(w * h)) AS BIGINT) AS i
+                  FROM s)
+            SELECT doc_id AS media_id, frame_idx, src_frame,
+                   w AS width, h AS height,
+                   CAST(sum((doc_id * 31 + src_frame * 7 + i) % 256)
+                        AS BIGINT) AS sum_pixel
+            FROM u GROUP BY 1, 2, 3, 4, 5
         """,
         "price_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q,

@@ -3,17 +3,19 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extraction are actor-pool ``map_batches`` stages.
 
-One REAL codec ships here: a dependency-free 24-bit uncompressed BMP
+TWO real codecs ship in-repo: a 24-bit uncompressed BMP
 encoder/decoder (``encode_bmp`` / ``decode_bmp`` — stdlib struct +
-numpy, incl. the 4-byte row padding and bottom-up row order of the
-format), with ``BMPStatsDecoder`` as the actor-pool decode stage; its
-output is hash-checked against a SQL oracle (the
-``multimodal_decode_stats`` query). Heavier codecs (PNG/JPEG/ffmpeg)
-are NOT available in this environment, so that boundary stays a
-clearly-marked stub (``DeterministicFakeDecoder`` for plumbing tests,
-``LibraryDecoder`` raising ``NotImplementedError``) — the Ray-side
-plumbing (schema, batch sizing for wide binary rows, actor signature,
-output layout) is real and tested either way.
+numpy, incl. the 4-byte row padding and bottom-up row order), and an
+8-bit grayscale PNG codec with all five scanline filters
+(``tabbyray.ops.png`` — stdlib zlib + numpy, CRC-validated). Every
+stage below operates on real bytes: ``BMPStatsDecoder`` /
+``PNGFeatureDecoder`` parse payloads, ``PNGResizer`` resamples real
+pixels and re-encodes, ``PNGFrameSampler`` parses a length-prefixed
+multi-frame container ("ANIM") and decodes the sampled frames. All
+four are hash-checked against arithmetic SQL oracles (the
+``multimodal_*`` queries). JPEG/audio/video libraries are NOT in this
+container — that boundary is the one documented stub
+(``LibraryDecoder`` raising ``NotImplementedError``).
 
 Scale note: binary rows are wide — callers should lower ``batch_size``
 (e.g. 32-256) and rely on block splitting so a batch x concurrency fits
@@ -22,7 +24,6 @@ worker heaps (ray_guide 'Pitfalls').
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np
@@ -122,71 +123,85 @@ def decode_stats(media: rd.Dataset, batch_size: int = 64,
                              batch_size=batch_size, concurrency=concurrency)
 
 
-class DeterministicFakeDecoder:
-    """Stand-in decoder: derives a fixed-length feature vector from the
-    payload bytes (md5-seeded). Deterministic, dependency-free; swap for
-    a real codec actor (PIL/ffmpeg) outside this sandbox."""
-
-    def __init__(self, feature_dim: int = 16):
-        self.dim = feature_dim
+class PNGFeatureDecoder:
+    """Actor-pool decode+featurize over REAL PNG payloads
+    (``tabbyray.ops.png`` — pure zlib/numpy, all five scanline
+    filters). Emits brightness/contrast image features as exact
+    integer stats so a SQL oracle can recompute them arithmetically
+    from the synthesis formula — any codec or filter-reconstruction
+    bug breaks the hash."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        from .png import decode_png
+        ids = batch.column("media_id").to_pylist()
+        ws, hs, np_, sums, sqs, mins, maxs = [], [], [], [], [], [], []
         for payload in batch.column("payload").to_pylist():
-            digest = hashlib.md5(payload or b"").digest()
-            seed = int.from_bytes(digest[:8], "big") % (2**32)
-            rng = np.random.RandomState(seed)
-            feats.append(rng.randn(self.dim).astype(np.float32).tolist())
+            img = decode_png(payload).astype(np.int64)
+            h, w = img.shape
+            ws.append(w)
+            hs.append(h)
+            np_.append(h * w)
+            sums.append(int(img.sum()))
+            sqs.append(int((img * img).sum()))
+            mins.append(int(img.min()))
+            maxs.append(int(img.max()))
         return pa.table({
-            "media_id": batch.column("media_id"),
-            "mime": batch.column("mime"),
-            "feature": pa.array(feats, pa.list_(pa.float32(), self.dim)),
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "n_pixels": pa.array(np_, pa.int64()),
+            "sum_pixel": pa.array(sums, pa.int64()),
+            "sum_sq": pa.array(sqs, pa.int64()),
+            "min_pixel": pa.array(mins, pa.int64()),
+            "max_pixel": pa.array(maxs, pa.int64()),
         })
 
 
 class LibraryDecoder:
-    """The real decode stage. Requires image/audio libraries that are
-    not shipped in this container."""
+    """Decode stage for formats beyond the in-repo BMP/PNG codecs.
+    JPEG / audio / video codec libraries are not shipped in this
+    container — the documented codec boundary."""
 
     def __init__(self, feature_dim: int = 16):
         raise NotImplementedError(
-            "media decoding libraries (PIL/torchvision/ffmpeg) are not "
-            "available in this environment; use DeterministicFakeDecoder "
-            "for plumbing tests")
+            "JPEG/audio/video codec libraries (PIL/torchvision/ffmpeg) are "
+            "not available in this environment; BMP and PNG are decoded by "
+            "the in-repo codecs (encode_bmp/decode_bmp, tabbyray.ops.png)")
 
 
-def extract_features(media: rd.Dataset, decoder_cls=DeterministicFakeDecoder,
+def extract_features(media: rd.Dataset, decoder_cls=PNGFeatureDecoder,
                      batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
-    """Actor-pool feature extraction over a media table. Small batches:
-    payloads are wide binary rows."""
+    """Actor-pool feature extraction over a media table of PNG
+    payloads. Small batches: payloads are wide binary rows."""
     return media.map_batches(decoder_cls, batch_format="pyarrow",
                              batch_size=batch_size, concurrency=concurrency)
 
 
-class FakeResizer:
-    """Resize stage (actor pool). The pixel work is a clearly-marked
-    deterministic FAKE (no codec libraries here): the output payload is
-    an md5-keyed stretch of the input sized to the target dimensions.
-    The Ray-side contract is real: metadata columns updated, payload
-    width scales with target area, wide-binary batch sizing applies."""
+class PNGResizer:
+    """Resize stage (actor pool) over REAL pixels: decode PNG ->
+    nearest-neighbor resample (vectorized integer-index gather:
+    ``src = (dst * src_dim) // dst_dim``) -> re-encode PNG (adaptive
+    filter). Output rows are valid PNG media rows, so a downstream
+    decode stage can verify the full decode->resize->encode cycle."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32):
         self.w = target_w
         self.h = target_h
 
-    def _fake_pixels(self, payload: bytes) -> bytes:
-        n = max(1, (self.w * self.h) // 8)
-        digest = hashlib.md5(payload or b"").digest()
-        return (digest * (n // len(digest) + 1))[:n]
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = [self._fake_pixels(p)
-                    for p in batch.column("payload").to_pylist()]
+        from .png import decode_png, encode_png
+        payloads = []
+        for p in batch.column("payload").to_pylist():
+            img = decode_png(p)
+            h, w = img.shape
+            ys = (np.arange(self.h, dtype=np.int64) * h) // self.h
+            xs = (np.arange(self.w, dtype=np.int64) * w) // self.w
+            payloads.append(encode_png(img[np.ix_(ys, xs)]))
         n = batch.num_rows
         return pa.table({
             "media_id": batch.column("media_id"),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": batch.column("mime"),
+            "mime": pa.array(["image/png"] * n, pa.string()),
             "width": pa.array([self.w] * n, pa.int32()),
             "height": pa.array([self.h] * n, pa.int32()),
         })
@@ -194,59 +209,127 @@ class FakeResizer:
 
 def resize_media(media: rd.Dataset, target_w: int = 32, target_h: int = 32,
                  batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
-    """Actor-pool resize over a media table (decode stubbed, see
-    ``FakeResizer``)."""
-    return media.map_batches(FakeResizer, batch_format="pyarrow",
+    """Actor-pool nearest-neighbor resize over a PNG media table."""
+    return media.map_batches(PNGResizer, batch_format="pyarrow",
                              fn_constructor_args=(target_w, target_h),
                              batch_size=batch_size, concurrency=concurrency)
 
 
-class FakeFrameSampler:
+# ---------------------------------------------------------------------------
+# "ANIM" container: the video stand-in — a real, parseable multi-frame
+# format (magic + frame count + length-prefixed PNG frames)
+# ---------------------------------------------------------------------------
+
+_ANIM_MAGIC = b"ANIM"
+
+
+def encode_anim(frames: "list[bytes]") -> bytes:
+    """Pack PNG frames into a length-prefixed container."""
+    out = [_ANIM_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_anim(payload: bytes) -> "list[bytes]":
+    """Unpack the container; validates magic and frame lengths."""
+    if payload[:4] != _ANIM_MAGIC:
+        raise ValueError("not an ANIM payload")
+    (count,) = struct.unpack_from("<I", payload, 4)
+    frames, pos = [], 8
+    for _ in range(count):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        frames.append(payload[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes in ANIM payload")
+    return frames
+
+
+class PNGFrameSampler:
     """Frame-sampling stage (actor pool): one video row -> ``n_frames``
-    frame rows. Frame 'decoding' is a deterministic FAKE (payload
-    chunking keyed on frame index); the row-expansion plumbing — the
-    part that matters for the Ray pipeline (schema, fan-out, batch
-    sizing) — is real."""
+    frame rows, sampled evenly (``src = f * total // n_frames``), each
+    sampled frame REALLY decoded (container parse + PNG decode) and
+    summarized so a SQL oracle can verify the sampling arithmetic AND
+    the decode."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, payloads = [], [], []
+        from .png import decode_png
+        ids, fidx, src, ws, hs, sums = [], [], [], [], [], []
         for media_id, payload in zip(batch.column("media_id").to_pylist(),
                                      batch.column("payload").to_pylist()):
-            payload = payload or b""
-            step = max(1, len(payload) // self.n_frames)
+            frames = decode_anim(payload)
+            total = len(frames)
             for f in range(self.n_frames):
+                s = f * total // self.n_frames
+                img = decode_png(frames[s]).astype(np.int64)
+                h, w = img.shape
                 ids.append(media_id)
-                frames.append(f)
-                payloads.append(hashlib.md5(
-                    payload[f * step:(f + 1) * step] + bytes([f])).digest())
+                fidx.append(f)
+                src.append(s)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(img.sum()))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
-            "frame_idx": pa.array(frames, pa.int32()),
-            "payload": pa.array(payloads, pa.binary()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "src_frame": pa.array(src, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "sum_pixel": pa.array(sums, pa.int64()),
         })
 
 
 def sample_frames(videos: rd.Dataset, n_frames: int = 4,
                   batch_size: int = 32, concurrency=(1, 4)) -> rd.Dataset:
-    """Actor-pool frame sampling: media rows fan out to frame rows
-    (smaller batches — output is n_frames x wider than input)."""
-    return videos.map_batches(FakeFrameSampler, batch_format="pyarrow",
+    """Actor-pool frame sampling: video rows fan out to decoded frame
+    rows (smaller batches — output is n_frames x wider than input)."""
+    return videos.map_batches(PNGFrameSampler, batch_format="pyarrow",
                               fn_constructor_args=(n_frames,),
                               batch_size=batch_size, concurrency=concurrency)
 
 
+def _ramp_image(media_id: int, frame: int = 0) -> "np.ndarray":
+    """Deterministic synthesis formula shared by the fixtures AND the
+    SQL oracles: dims from the id, pixel i = (id*31 + frame*7 + i) % 256."""
+    w = media_id % 13 + 4
+    h = media_id % 7 + 3
+    i = np.arange(w * h, dtype=np.int64)
+    return ((media_id * 31 + frame * 7 + i) % 256).astype(np.uint8).reshape(h, w)
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
-    rng = np.random.RandomState(seed)
-    payloads = [rng.bytes(256 + int(rng.randint(0, 512))) for _ in range(n)]
+    """Deterministic REAL-PNG media table (filter_type cycles 0-4 then
+    adaptive, so every scanline filter is exercised)."""
+    from .png import encode_png
+    filters = [0, 1, 2, 3, 4, "adaptive"]
+    payloads = [encode_png(_ramp_image(i), filters[i % 6]) for i in range(n)]
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
-        "mime": pa.array(["image/png" if i % 2 == 0 else "image/jpeg"
-                          for i in range(n)], pa.string()),
-        "width": pa.array([64] * n, pa.int32()),
-        "height": pa.array([64] * n, pa.int32()),
+        "mime": pa.array(["image/png"] * n, pa.string()),
+        "width": pa.array([i % 13 + 4 for i in range(n)], pa.int32()),
+        "height": pa.array([i % 7 + 3 for i in range(n)], pa.int32()),
+    })
+
+
+def synth_video_table(n: int = 16, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-ANIM video table: ``id % 5 + 4`` PNG frames
+    per video, frame f pixels from ``_ramp_image(id, f)``."""
+    from .png import encode_png
+    payloads = []
+    for i in range(n):
+        total = i % 5 + 4
+        payloads.append(encode_anim(
+            [encode_png(_ramp_image(i, f), f % 5) for f in range(total)]))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["video/x-anim"] * n, pa.string()),
+        "width": pa.array([i % 13 + 4 for i in range(n)], pa.int32()),
+        "height": pa.array([i % 7 + 3 for i in range(n)], pa.int32()),
     })

@@ -118,18 +118,25 @@ def test_knn_lsh_full_probe_equals_brute(ray_session):
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from tabbyray.ops.multimodal import (
-        DeterministicFakeDecoder,
         LibraryDecoder,
+        _ramp_image,
         extract_features,
         synth_media_table,
     )
     media = rd.from_arrow(synth_media_table(32))
-    out = extract_features(media).to_pandas()
+    out = extract_features(media).to_pandas().set_index("media_id")
     assert len(out) == 32
-    assert len(out["feature"].iloc[0]) == 16
+    # real decode: stats must equal the synthesis formula exactly
+    for mid in (0, 7, 31):
+        img = _ramp_image(mid).astype("int64")
+        assert out.loc[mid, "sum_pixel"] == img.sum()
+        assert out.loc[mid, "sum_sq"] == (img * img).sum()
+        assert (out.loc[mid, "width"], out.loc[mid, "height"]) == \
+            (img.shape[1], img.shape[0])
     # deterministic across runs
-    out2 = extract_features(rd.from_arrow(synth_media_table(32))).to_pandas()
-    assert out["feature"].iloc[0] == pytest.approx(out2["feature"].iloc[0])
+    out2 = (extract_features(rd.from_arrow(synth_media_table(32)))
+            .to_pandas().set_index("media_id"))
+    assert (out["sum_pixel"] == out2["sum_pixel"]).all()
     with pytest.raises(NotImplementedError):
         LibraryDecoder()
 
@@ -260,22 +267,40 @@ def test_knn_ivf_recovers_brute_on_clusters(ray_session):
 
 
 def test_multimodal_resize_and_frames(ray_session):
+    import numpy as np
     import ray.data as rd
-    from tabbyray.ops.multimodal import (resize_media, sample_frames,
-                                         synth_media_table)
+    from tabbyray.ops.multimodal import (_ramp_image, resize_media,
+                                         sample_frames, synth_media_table,
+                                         synth_video_table)
+    from tabbyray.ops.png import decode_png
     media = rd.from_arrow(synth_media_table(16))
-    rs = resize_media(media, 32, 32).to_pandas()
+    rs = resize_media(media, 6, 5).to_pandas().set_index("media_id")
     assert len(rs) == 16
-    assert set(rs["width"]) == {32} and set(rs["height"]) == {32}
-    assert all(len(p) == (32 * 32) // 8 for p in rs["payload"])
+    assert set(rs["width"]) == {6} and set(rs["height"]) == {5}
+    # output payloads are valid PNGs holding the NN-resampled pixels
+    for mid in (0, 5, 15):
+        src = _ramp_image(mid)
+        h, w = src.shape
+        ys = (np.arange(5) * h) // 5
+        xs = (np.arange(6) * w) // 6
+        assert np.array_equal(decode_png(rs.loc[mid, "payload"]),
+                              src[np.ix_(ys, xs)])
     # deterministic
-    rs2 = resize_media(rd.from_arrow(synth_media_table(16)), 32, 32).to_pandas()
+    rs2 = (resize_media(rd.from_arrow(synth_media_table(16)), 6, 5)
+           .to_pandas().set_index("media_id"))
     assert list(rs["payload"]) == list(rs2["payload"])
 
-    fr = sample_frames(media, n_frames=4).to_pandas()
+    videos = rd.from_arrow(synth_video_table(16))
+    fr = sample_frames(videos, n_frames=4).to_pandas()
     assert len(fr) == 64
     assert set(fr["frame_idx"]) == {0, 1, 2, 3}
     assert fr.groupby("media_id").size().eq(4).all()
+    # sampled-frame decode matches the per-frame synthesis formula
+    row = fr[(fr["media_id"] == 3) & (fr["frame_idx"] == 2)].iloc[0]
+    total = 3 % 5 + 4
+    src_frame = 2 * total // 4
+    assert row["src_frame"] == src_frame
+    assert row["sum_pixel"] == _ramp_image(3, src_frame).astype("int64").sum()
 
 
 def test_clean_normalize(ray_session):
