@@ -561,18 +561,26 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_knn_lsh(sf_dir: str):
+    """Multi-probe LSH kNN at probes=2 < n_planes=8, hash-checked
+    against the exact-kNN SQL oracle on the clustered-vector fixture:
+    generation ASSERTS every vector shares its cluster center's
+    hyperplane sign pattern, so each query's own bucket provably holds
+    its whole 32-member cluster — the probe set reaches total recall
+    without widening to the full bucket space (the genuinely
+    approximate plan, verified exact on data it is exact on)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
+    from tabbyray.fixtures import ensure_clustered_embeddings
     from tabbyray.ops.simsearch import knn_lsh
 
-    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
-    # probes=1 multi-probe: 9 of 256 buckets per query. Stays rows-only
-    # (no SQL oracle): random-vector fixtures don't concentrate
-    # neighbors under hyperplane LSH, so total recall would need a
-    # near-exhaustive radius (measured: 5 of 8 bits); the exact-kNN
-    # plumbing is oracle-verified through knn_cosine and knn_ivf.
-    return knn_lsh(embs, _query_vectors(sf_dir), k=10, probes=1)
+    path = ensure_clustered_embeddings()
+    embs = rd.read_parquet(path, override_num_blocks=8)
+    head = pq.read_table(path).slice(0, 5)
+    queries = {int(i): list(e) for i, e in
+               zip(head.column("vec_id").to_pylist(),
+                   head.column("embedding").to_pylist())}
+    return knn_lsh(embs, queries, k=5, n_planes=8, probes=2)
 
 
 def _q_knn_lsh_fullprobe(sf_dir: str):
@@ -2247,7 +2255,9 @@ def _sti_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
+    from tabbyray.fixtures import ensure_clustered_embeddings
     from tabbyray.ops.text import _EMAIL, _PHONE
+    _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -2822,6 +2832,28 @@ def oracle_sql() -> dict[str, str]:
         # kNN is its oracle (same precedent as minhash_lsh_dedup).
         "knn_ivf": _KNN_EXACT_SQL,
         "knn_lsh_fullprobe": _KNN_EXACT_SQL,
+        # probes=2 < n_planes on the clustered fixture: the probe set
+        # provably reaches total recall (sign-margin asserted at
+        # generation), so exact kNN over the fixture parquet is a valid
+        # oracle for the approximate path
+        "knn_lsh": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM read_parquet('{p}') ORDER BY vec_id LIMIT 5),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+                FROM q CROSS JOIN read_parquet('{p}') e
+                WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC,
+                                                     neighbor_id ASC) AS rn
+                  FROM sims)
+            WHERE rn <= 5
+        """.replace("{p}", _clustered_path),
         "minhash_signatures": _minhash_sig_sql(),
         "simhash_values": _SIMHASH_SQL,
         "embedding_neardup": """

@@ -390,6 +390,52 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
     return pages, gold_cells
 
 
+def ensure_clustered_embeddings(n: int = 256, dim: int = 16,
+                                n_clusters: int = 8, seed: int = 38,
+                                noise: float = 0.002,
+                                lsh_planes: int = 8, lsh_seed: int = 42,
+                                root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Clustered embedding fixture for oracling multi-probe LSH kNN at
+    probes < n_planes: vectors sit in tight unit-norm clusters
+    (``vec_id % n_clusters``), and generation ASSERTS that every
+    member's hyperplane sign pattern equals its cluster center's under
+    the default LSH planes — so each query's own bucket provably holds
+    its whole cluster and the exact top-k, making the exact-kNN SQL
+    oracle applicable to the approximate path. Deterministic; returns
+    the parquet path (vec_id:int64, embedding:list<double>)."""
+    import numpy as np
+    key = (f"clustered-v1-s{seed}-n{n}-d{dim}-c{n_clusters}"
+           f"-p{lsh_planes}.parquet")
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # the SAME planes lsh_buckets derives from (lsh_seed, dim)
+    planes = np.random.RandomState(lsh_seed).randn(dim, lsh_planes)
+    center_bits = (centers @ planes) > 0
+    vecs = np.empty((n, dim))
+    for i in range(n):
+        c = i % n_clusters
+        v = centers[c] + noise * rng.randn(dim)
+        if not np.array_equal((v @ planes) > 0, center_bits[c]):
+            raise AssertionError(
+                f"vector {i} crosses a hyperplane; lower noise or "
+                "re-seed the fixture")
+        vecs[i] = v
+    table = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def fixture_path(name: str = "conformance", seed: int = 7, n_pages: int = 200,
                  n_entities: int = 1200, skew: bool = False,
                  inline_ner: bool = True,

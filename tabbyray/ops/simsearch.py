@@ -85,41 +85,58 @@ def kmeans_centroids(embs: rd.Dataset, n_centroids: int = 16,
 
     Initial centroids are seeded draws; each iteration is ONE pass of
     ``map_batches`` partial sums (per-batch assignment + per-centroid
-    sum/count — a combiner) with the tiny centroid matrix re-broadcast
-    per iteration. Nothing corpus-sized touches the driver; the driver
-    reduces K x d partials."""
+    per-dim sum/count — a combiner, exploded to scalar rows) merged by
+    a DISTRIBUTED ``partial_agg_sum`` exchange, so the driver collects
+    at most K x d rows per iteration — bounded by the model size, never
+    by the batch count (at 10^12 rows the old per-batch collect funneled
+    millions of partial rows through the driver per iteration)."""
+    from .relational import partial_agg_sum
+
     first = embs.select_columns(["embedding"]).limit(n_centroids).take_all()
     C = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
                              for r in first]))
+    dim = C.shape[1]
     for _ in range(n_iters):
         ref = ray.put(C)
 
         def partial(t: pa.Table) -> pa.Table:
             cm = ray.get(ref)
+            empty = pa.table({"centroid": pa.array([], pa.int32()),
+                              "dim": pa.array([], pa.int32()),
+                              "s": pa.array([], pa.float64()),
+                              "n": pa.array([], pa.int64())})
             if t.num_rows == 0:
-                return pa.table({"centroid": pa.array([], pa.int32()),
-                                 "vec_sum": pa.array([], pa.list_(pa.float64())),
-                                 "n": pa.array([], pa.int64())})
+                return empty
             M = np.stack([np.asarray(e, dtype=np.float64)
                           for e in t.column("embedding").to_pylist()])
             Mn = _normalize(M)
             assign = np.argmax(Mn @ cm.T, axis=1)
-            sums, counts = [], []
-            for c in range(len(cm)):
-                mask = assign == c
-                sums.append(M[mask].sum(axis=0).tolist())
-                counts.append(int(mask.sum()))
-            return pa.table({
-                "centroid": pa.array(range(len(cm)), pa.int32()),
-                "vec_sum": pa.array(sums, pa.list_(pa.float64())),
-                "n": pa.array(counts, pa.int64())})
+            out_c, out_d, out_s, out_n = [], [], [], []
+            for c in np.unique(assign):
+                sel = M[assign == c]
+                s = sel.sum(axis=0)
+                out_c.extend([int(c)] * dim)
+                out_d.extend(range(dim))
+                out_s.extend(s.tolist())
+                out_n.extend([sel.shape[0]] * dim)
+            return pa.table({"centroid": pa.array(out_c, pa.int32()),
+                             "dim": pa.array(out_d, pa.int32()),
+                             "s": pa.array(out_s, pa.float64()),
+                             "n": pa.array(out_n, pa.int64())})
 
-        parts = embs.map_batches(partial, batch_format="pyarrow").take_all()
+        agg = partial_agg_sum(
+            embs.map_batches(partial, batch_format="pyarrow"),
+            ["centroid", "dim"], {"s": "s", "n": "n"})
+        rows = agg.take_all()
+        # bounded reduce: the distributed merge already collapsed the
+        # per-batch partials — K x d rows max, independent of block count
+        assert len(rows) <= n_centroids * dim, len(rows)
         sums = np.zeros_like(C)
         counts = np.zeros(len(C))
-        for row in parts:
-            sums[row["centroid"]] += np.asarray(row["vec_sum"])
-            counts[row["centroid"]] += row["n"]
+        for row in rows:
+            sums[row["centroid"], row["dim"]] = row["s"]
+            if row["dim"] == 0:
+                counts[row["centroid"]] = row["n"]
         nonzero = counts > 0
         C[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
     return C
@@ -190,19 +207,25 @@ def knn_lsh(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
     q_probes = {q: probe_set(b) for q, b in q_bucket.items()}
     wanted = sorted(set().union(*q_probes.values()))
 
-    # bucket occupancy for the wanted buckets: tiny per-batch combiner +
-    # driver reduce over <= len(wanted) rows
+    # bucket occupancy for the wanted buckets: per-batch combiner, then
+    # a DISTRIBUTED merge — the driver collects <= len(wanted) rows
+    # total, independent of block count (the old per-batch collect grew
+    # O(batches x wanted))
+    from .relational import partial_agg_sum
+
     def occupancy(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         vc = pc.value_counts(pc.filter(
             t.column("bucket").combine_chunks(),
             pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))))
         return pa.table({"bucket": vc.field("values"),
-                         "n": vc.field("counts")})
+                         "n": vc.field("counts").cast(pa.int64())})
 
-    counts: dict[int, int] = {}
-    for row in bucketed.map_batches(occupancy, batch_format="pyarrow").take_all():
-        counts[row["bucket"]] = counts.get(row["bucket"], 0) + row["n"]
+    occ_rows = partial_agg_sum(
+        bucketed.map_batches(occupancy, batch_format="pyarrow"),
+        "bucket", {"n": "n"}).take_all()
+    assert len(occ_rows) <= len(wanted), len(occ_rows)
+    counts: dict[int, int] = {row["bucket"]: row["n"] for row in occ_rows}
     fallback = {q: v for q, v in queries.items()
                 if sum(counts.get(b, 0) for b in q_probes[q])
                 < k + 1}                                 # +1: self may occupy

@@ -115,6 +115,57 @@ def test_knn_lsh_full_probe_equals_brute(ray_session):
     assert sorted(mid.groupby("query_id").size()) == [5, 5]
 
 
+def test_simsearch_bounded_reduces_block_invariant(ray_session):
+    """The k-means and LSH-occupancy partial reduces are merged by a
+    distributed exchange before the driver collect (internal asserts
+    bound the collected rows at K*d resp. len(wanted) — they fire here
+    if the reduce ever regresses to O(blocks)); results must not depend
+    on the block layout. 60 tiny blocks vs 1 block, same data."""
+    import ray.data as rd
+    from tabbyray.ops.simsearch import kmeans_centroids, knn_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(300, 8)
+    df = pd.DataFrame({"vec_id": range(300),
+                       "embedding": [r.tolist() for r in base]})
+    one = rd.from_pandas(df)
+    many = rd.from_pandas(df).repartition(60)
+
+    c_one = kmeans_centroids(one, n_centroids=4, n_iters=3)
+    c_many = kmeans_centroids(many, n_centroids=4, n_iters=3)
+    # identical up to the merge tree's fp reassociation
+    np.testing.assert_allclose(c_one, c_many, rtol=0, atol=1e-12)
+
+    queries = {3: base[3].tolist(), 17: base[17].tolist()}
+    lsh_one = (knn_lsh(one, queries, k=5, n_planes=6, probes=6).to_pandas()
+               .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    lsh_many = (knn_lsh(many, queries, k=5, n_planes=6, probes=6).to_pandas()
+                .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(lsh_one, lsh_many)
+
+
+def test_knn_lsh_clustered_fixture_exact(ray_session):
+    """probes=2 < n_planes on the clustered fixture == brute force —
+    the property the knn_lsh driver oracle relies on."""
+    import ray.data as rd
+    from tabbyray.fixtures import ensure_clustered_embeddings
+    from tabbyray.ops.simsearch import knn_brute, knn_lsh
+
+    path = ensure_clustered_embeddings()
+    embs = rd.read_parquet(path)
+    import pyarrow.parquet as pq
+    head = pq.read_table(path).slice(0, 5)
+    queries = {int(i): list(e) for i, e in
+               zip(head.column("vec_id").to_pylist(),
+                   head.column("embedding").to_pylist())}
+    brute = (knn_brute(embs, queries, k=5).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    approx = (knn_lsh(rd.read_parquet(path), queries, k=5, n_planes=8,
+                      probes=2).to_pandas()
+              .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(brute, approx)
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from tabbyray.ops.multimodal import (
