@@ -195,7 +195,9 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
 def hash_join(left: rd.Dataset, right: rd.Dataset,
               on: "str | list[str]",
               how: str = "inner", num_partitions: "int | None" = None,
-              left_schema=None, right_schema=None) -> rd.Dataset:
+              left_schema=None, right_schema=None,
+              skew_threshold: "int | None" = None,
+              skew_salt: int = 8) -> rd.Dataset:
     """Co-partitioned hash join of two Datasets on one key column or a
     COMPOSITE key (``on`` a list; the partition hash combines all key
     columns row-wise).
@@ -215,10 +217,26 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
     input is a lazy transformed dataset: without them ``ds.schema()``
     must EXECUTE the upstream plan to infer types (and any upstream
     shuffle runs twice — once for the probe, once for real).
+
+    **Hot-key handling** (the ``canonicalize.py`` salting pattern
+    generalized to joins): with ``skew_threshold=N`` set, a distributed
+    key-count pre-pass finds keys whose total row count exceeds N; each
+    hot key's LEFT rows are salted across ``skew_salt`` sub-partitions
+    and its RIGHT rows replicated into every sub-partition, so no merge
+    task ever holds a hot key's full left side. Supported for
+    inner/left/semi/anti (full outer would emit one null-left row per
+    replica for an unmatched right row — raises). Costs one extra pass
+    (the padded union is materialized to avoid re-running upstream
+    stages); leave unset for known-balanced keys.
     """
     import pyarrow as pa
 
     num_partitions = _resolve_partitions(num_partitions)
+    if skew_threshold is not None and how == "outer":
+        raise ValueError("skew_threshold is not supported for how='outer': "
+                         "replicated right rows cannot express full-outer "
+                         "right-null semantics; pre-split the hot keys or "
+                         "use how='left' + an anti-join for the right rest")
 
     def _names_types(ds, given):
         if given is not None:
@@ -281,11 +299,78 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
     both = (left.map_batches(pad(0, l_other), batch_format="pyarrow")
             .union(right.map_batches(pad(1, r_other), batch_format="pyarrow")))
 
+    hot_ref = None
+    if skew_threshold is not None:
+        import ray
+
+        # one extra pass over the (materialized) union: per-batch key
+        # counts -> distributed merge -> the driver collects ONLY the
+        # keys above the threshold (bounded by the hot-key count)
+        both = both.materialize()
+
+        def key_counts(t: pa.Table) -> pa.Table:
+            g = t.select(on_cols).group_by(on_cols).aggregate(
+                [([], "count_all")])
+            names = [n if n != "count_all" else "n" for n in g.column_names]
+            return g.rename_columns(names)
+
+        def only_hot(t: pa.Table, th=skew_threshold) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.greater(t["n"], th))
+
+        hot_rows = (hash_aggregate(
+            both.map_batches(key_counts, batch_format="pyarrow"),
+            on_cols, {"n": "n"}, num_partitions=num_partitions)
+            .map_batches(only_hot, batch_format="pyarrow").take_all())
+        if len(hot_rows) > 100_000:
+            raise ValueError(
+                f"hash_join: {len(hot_rows)} keys exceed "
+                f"skew_threshold={skew_threshold}; that is not skew — "
+                "raise the threshold or repartition wider")
+        if hot_rows:
+            hot_index = {
+                (r[on_cols[0]] if len(on_cols) == 1
+                 else tuple(r[c] for c in on_cols)): i
+                for i, r in enumerate(hot_rows)}
+            hot_ref = ray.put(hot_index)
+
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         keys = df[on_cols[0]] if len(on_cols) == 1 else df[on_cols]
         df["_part"] = (pd.util.hash_pandas_object(keys, index=False)
                        % num_partitions).astype("int64")
+        if hot_ref is None:
+            return df
+        import ray
+        hot_index = ray.get(hot_ref)
+        kv = (df[on_cols[0]] if len(on_cols) == 1
+              else pd.Series(list(zip(*(df[c] for c in on_cols))),
+                             index=df.index))
+        hid = kv.map(hot_index)
+        is_hot = hid.notna().to_numpy()
+        if not is_hot.any():
+            return df
+        df = df.reset_index(drop=True)
+        base = (num_partitions
+                + hid.fillna(0).astype("int64").to_numpy() * skew_salt)
+        side = df["_side"].to_numpy()
+        left_hot = is_hot & (side == 0)
+        right_hot = is_hot & (side == 1)
+        # LEFT rows: spread across the key's salt sub-partitions (which
+        # salt a row lands on is irrelevant to the output set)
+        n_lh = int(left_hot.sum())
+        if n_lh:
+            df.loc[left_hot, "_part"] = (
+                base[left_hot] + np.arange(n_lh, dtype=np.int64) % skew_salt)
+        # RIGHT rows: replicate into every salt sub-partition
+        n_rh = int(right_hot.sum())
+        if n_rh:
+            rep = df.loc[right_hot].loc[
+                df.index[right_hot].repeat(skew_salt)].copy()
+            rep["_part"] = (np.repeat(base[right_hot], skew_salt)
+                            + np.tile(np.arange(skew_salt, dtype=np.int64),
+                                      n_rh))
+            df = pd.concat([df.loc[~right_hot], rep], ignore_index=True)
         return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 
 def test_hash_aggregate_matches_pandas(ray_session):
@@ -88,6 +89,59 @@ def test_hash_join_matches_pandas(ray_session):
                     how="left").to_pandas())
     assert len(gl) == len(left.merge(right, on="k", how="left"))
     assert gl["b"].isna().sum() == left.merge(right, on="k", how="left")["b"].isna().sum()
+
+
+def test_hash_join_skew_salted_matches_pandas(ray_session):
+    """Hot-key guard: a 50%-hot-key fixture joined with skew_threshold
+    set must equal the pandas reference (and the unsalted path) for
+    every supported ``how``; full outer raises actionably."""
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_join
+
+    rng = np.random.RandomState(11)
+    # 50% of left rows carry ONE key; right has multiple rows for it
+    hot = np.full(300, 7)
+    cold = rng.randint(100, 160, 300)
+    left = pd.DataFrame({"k": np.concatenate([hot, cold]),
+                         "a": np.arange(600),
+                         "s": [f"x{i}" for i in range(600)]})
+    right_keys = np.concatenate([np.full(5, 7), np.arange(100, 150)])
+    right = pd.DataFrame({"k": right_keys,
+                          "b": np.arange(len(right_keys)) * 10})
+
+    for how in ("inner", "left", "semi", "anti"):
+        sort_cols = ["k", "s"] if how in ("semi", "anti") else ["k", "s", "b"]
+        got = (hash_join(rd.from_pandas(left).repartition(8),
+                         rd.from_pandas(right), on="k", how=how,
+                         skew_threshold=50, skew_salt=4)
+               .to_pandas().sort_values(sort_cols).reset_index(drop=True))
+        plain = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", how=how)
+                 .to_pandas().sort_values(sort_cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[plain.columns], plain, how)
+        if how in ("inner", "left"):
+            want = (left.merge(right, on="k", how=how)
+                    .sort_values(["k", "s"]).reset_index(drop=True))
+            assert len(got) == len(want), how
+            assert got["b"].isna().sum() == want["b"].isna().sum(), how
+
+    with pytest.raises(ValueError, match="outer"):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  how="outer", skew_threshold=50)
+
+    # composite-key variant: the hot key is a (k1, k2) pair
+    left2 = pd.DataFrame({"k1": np.concatenate([hot, cold]),
+                          "k2": ["z"] * 600, "a": np.arange(600)})
+    right2 = pd.DataFrame({"k1": right_keys, "k2": ["z"] * len(right_keys),
+                           "b": np.arange(len(right_keys))})
+    got2 = (hash_join(rd.from_pandas(left2), rd.from_pandas(right2),
+                      on=["k1", "k2"], skew_threshold=50, skew_salt=3)
+            .to_pandas().sort_values(["k1", "a", "b"]).reset_index(drop=True))
+    want2 = (left2.merge(right2, on=["k1", "k2"])
+             .sort_values(["k1", "a", "b"]).reset_index(drop=True))
+    assert len(got2) == len(want2)
+    assert (got2["b"].to_numpy() == want2["b"].to_numpy()).all()
 
 
 def test_asof_join_matches_merge_asof(ray_session):
