@@ -160,20 +160,36 @@ def minhash_signatures(docs: rd.Dataset, num_perm: int = 64, shingle_n: int = 3,
     a, b = _minhash_params(num_perm, seed)
 
     def f(t: pa.Table) -> pa.Table:
-        sigs = []
-        for text in t.column("text").to_pylist():
-            sh = _shingles(text, shingle_n)
-            if not sh:
-                sigs.append([int(_MERSENNE)] * num_perm)
-                continue
-            x = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
-                                         "little") for s in sh],
-                         dtype=np.uint64)
-            # (num_perm, n_shingles) matrix of permuted hashes, min per row
-            h = (np.outer(a, x) + b[:, None]) % _MERSENNE
-            sigs.append(h.min(axis=1).tolist())
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "sig": pa.array(sigs, pa.list_(pa.uint64(), num_perm))})
+        # batch-level distinct-shingle digest cache: md5 runs once per
+        # DISTINCT shingle in the batch (shingles repeat heavily across
+        # near-duplicate docs — the very corpora this operator targets),
+        # and the permutation matrix is computed ONCE for the distinct
+        # set instead of per doc
+        texts = t.column("text").to_pylist()
+        uniq: dict[str, int] = {}
+        doc_idx = []
+        for text in texts:
+            doc_idx.append(np.fromiter(
+                (uniq.setdefault(s, len(uniq))
+                 for s in _shingles(text, shingle_n)),
+                dtype=np.int64))
+        if uniq:
+            x = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                                "little") for s in uniq),
+                dtype=np.uint64, count=len(uniq))
+            # permuted hashes for the DISTINCT set only, stored row-major
+            # (n_distinct, num_perm) so each doc's min is a contiguous
+            # row-gather; per-doc temporaries stay cache-sized
+            H = ((np.outer(a, x) + b[:, None]) % _MERSENNE).T.copy()
+            sig_m = np.stack([H[ix].min(axis=0) for ix in doc_idx]) \
+                if doc_idx else np.empty((0, num_perm), np.uint64)
+        else:
+            sig_m = np.empty((0, num_perm), np.uint64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_m.reshape(-1), pa.uint64()), num_perm)})
 
     return docs.map_batches(f, batch_format="pyarrow")
 
@@ -208,17 +224,31 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed)
 
     def to_bands(t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, sig in zip(t.column("doc_id").to_pylist(),
-                               t.column("sig").to_pylist()):
-            for bi in range(bands):
-                chunk = tuple(sig[bi * rows_per_band:(bi + 1) * rows_per_band])
-                ids.append(doc_id)
-                band_ids.append(bi)
-                band_hashes.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band_id": pa.array(band_ids, pa.int32()),
-                         "band_hash": pa.array(band_hashes, pa.int64())})
+        # fully vectorized banding: the fixed-size-list sig column is a
+        # zero-copy (n_docs, num_perm) uint64 view; reshape to
+        # (n_docs, bands, rows_per_band) and fold each band with a
+        # polynomial rolling hash (uint64 wrap). Bucketing is
+        # equality-based, so the hash only needs to separate unequal
+        # chunks — collisions are caught by the exact-Jaccard verify.
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        sig_col = t.column("sig").combine_chunks()
+        S = np.asarray(sig_col.flatten()).reshape(n, bands, rows_per_band)
+        h = np.full((n, bands), 1469598103934665603, np.uint64)  # FNV offset
+        prime = np.uint64(1099511628211)
+        for j in range(rows_per_band):
+            h = h * prime + S[:, :, j]
+        band_hash = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        doc_ids = np.asarray(t.column("doc_id").combine_chunks(),
+                             dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                                pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1), pa.int64())})
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
 
