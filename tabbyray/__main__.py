@@ -115,20 +115,16 @@ def main(argv=None) -> int:
     if args.canonicalize or export:
         import ray.data as rd
 
-        from tabbyray.canonicalize import canonicalize_triples
-        triple_files = sorted(glob.glob(
-            os.path.join(annotated_dir, "shard=*", "kind=triple", "*.parquet")))
-        # prune the union-padding columns of the kind-partitioned write:
-        # only the triple columns leave storage
-        tri = rd.read_parquet(triple_files,
-                              columns=pipeline.KIND_COLUMNS["triple"])
-        canon = canonicalize_triples(tri)
+        # resumable canonicalize (lineage manifests for the mapping AND
+        # each per-shard rewrite — a kill mid-canonicalize skips the
+        # finished shards on re-submission)
         canon_dir = os.path.join(args.out, "canonical_triples")
-        canon.write_parquet(canon_dir)
+        summary |= lineage.run_canonicalize_resumable(annotated_dir,
+                                                      canon_dir)
         summary["canonical_triples_dir"] = canon_dir
         if export:
             canon_ds = rd.read_parquet(sorted(glob.glob(
-                os.path.join(canon_dir, "*.parquet"))))
+                os.path.join(canon_dir, "shard=*", "*.parquet"))))
             if args.format == "rdfxml":
                 from tabbyray.io import write_rdfxml
                 x_dir = os.path.join(args.out, "rdfxml")

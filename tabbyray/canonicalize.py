@@ -216,6 +216,22 @@ def _rewrite_join(triples: rd.Dataset, mapping: rd.Dataset,
     ).map_batches(apply_obj, batch_format="pyarrow")
 
 
+def rewrite_with_mapping(triples: rd.Dataset, mapping: rd.Dataset,
+                         mode: str = "auto",
+                         broadcast_max_keys: int = BROADCAST_MAX_KEYS) -> rd.Dataset:
+    """The rewrite half of canonicalization, reusable against a
+    PRECOMPUTED (materialized) mapping — the resumable CLI computes the
+    mapping once, commits it with a manifest, then rewrites shard by
+    shard (tabbyray.lineage.run_canonicalize_resumable)."""
+    if mode == "auto":
+        mode = "broadcast" if mapping.count() <= broadcast_max_keys else "join"
+    if mode == "join":
+        return _rewrite_join(triples, mapping)
+    mdf = mapping.to_pandas()
+    lookup_ref = ray.put(dict(zip(mdf["norm_key"], mdf["canonical_subj"])))
+    return _rewrite_broadcast(triples, lookup_ref)
+
+
 def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
                          mode: str = "auto",
                          broadcast_max_keys: int = BROADCAST_MAX_KEYS) -> rd.Dataset:
@@ -228,10 +244,4 @@ def canonicalize_triples(triples: rd.Dataset, num_salt: int = DEFAULT_SALT,
     the mapping's row count. Both paths are output-identical.
     """
     mapping = canonical_map(triples, num_salt).materialize()
-    if mode == "auto":
-        mode = "broadcast" if mapping.count() <= broadcast_max_keys else "join"
-    if mode == "join":
-        return _rewrite_join(triples, mapping)
-    mdf = mapping.to_pandas()
-    lookup_ref = ray.put(dict(zip(mdf["norm_key"], mdf["canonical_subj"])))
-    return _rewrite_broadcast(triples, lookup_ref)
+    return rewrite_with_mapping(triples, mapping, mode, broadcast_max_keys)

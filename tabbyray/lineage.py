@@ -128,6 +128,125 @@ def run_resumable(pages_path: str, out_dir: str, kb_ref, gaz_ref, *,
     return summarize(out_dir) | {"shards_run": ran, "shards_skipped": skipped}
 
 
+def _annotated_fingerprint(annotated_dir: str) -> str:
+    """Content key of the annotated stage's committed output: the
+    sorted (shard, input_files, row_counts) tuples of every shard
+    manifest. The annotated shards are deterministic in their inputs,
+    so this fingerprints the triple stream the canonicalize stage
+    consumes — a changed input set invalidates downstream manifests."""
+    import hashlib
+    parts = []
+    for mp in sorted(glob.glob(os.path.join(annotated_dir, "shard=*",
+                                            "_MANIFEST.json"))):
+        with open(mp) as f:
+            m = json.load(f)
+        parts.append([m["shard"], m["input_files"], m["row_counts"]])
+    return hashlib.md5(json.dumps(parts, sort_keys=True).encode()).hexdigest()
+
+
+def run_canonicalize_resumable(annotated_dir: str, out_dir: str, *,
+                               num_salt: int = 16,
+                               mode: str = "auto") -> dict:
+    """Resumable canonicalization over the committed annotated shards.
+
+    Two checkpointed phases, both atomic (tmp dir + rename), both keyed
+    on the annotated fingerprint:
+
+    1. ``out/_map/`` — the global norm-key -> canonical-subject mapping
+       (ONE salted shuffle over all triples). Recomputed only when the
+       annotated output changed.
+    2. ``out/shard=<i>/`` — the rewrite of shard i's triples against
+       the committed mapping; embarrassingly parallel across shards, so
+       a kill mid-canonicalize skips every finished shard on rerun and
+       re-runs only the rest. Deterministic: the rerun output is
+       byte-identical row content (tested in test_resume).
+    """
+    import ray.data as rd
+
+    from . import pipeline as P
+    from .canonicalize import canonical_map, rewrite_with_mapping
+
+    os.makedirs(out_dir, exist_ok=True)
+    fp = _annotated_fingerprint(annotated_dir)
+    tri_cols = P.KIND_COLUMNS["triple"]
+
+    # ---- phase 1: the global mapping --------------------------------
+    map_dir = os.path.join(out_dir, "_map")
+    map_manifest = os.path.join(map_dir, "_MANIFEST.json")
+    map_fresh = False
+    if os.path.exists(map_manifest):
+        with open(map_manifest) as f:
+            m = json.load(f)
+        map_fresh = m.get("fingerprint") == fp and m.get("complete")
+    if not map_fresh:
+        all_tri_files = sorted(glob.glob(os.path.join(
+            annotated_dir, "shard=*", "kind=triple", "*.parquet")))
+        tri = rd.read_parquet(all_tri_files, columns=tri_cols)
+        tmp = map_dir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        mapping = canonical_map(tri, num_salt)
+        mapping.write_parquet(tmp)
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"fingerprint": fp, "complete": True,
+                       "num_salt": num_salt}, f)
+        if os.path.exists(map_dir):
+            shutil.rmtree(map_dir)
+        os.rename(tmp, map_dir)
+    mapping = rd.read_parquet(sorted(glob.glob(
+        os.path.join(map_dir, "*.parquet")))).materialize()
+
+    # ---- phase 2: per-shard rewrite ---------------------------------
+    import pyarrow.parquet as pq
+    skipped, ran = [], []
+    shard_dirs = sorted(
+        glob.glob(os.path.join(annotated_dir, "shard=*")),
+        key=lambda d: int(os.path.basename(d).split("=", 1)[1]))
+    live = set()
+    for sdir in shard_dirs:
+        i = int(os.path.basename(sdir).split("=", 1)[1])
+        live.add(i)
+        files = sorted(glob.glob(os.path.join(sdir, "kind=triple",
+                                              "*.parquet")))
+        final = os.path.join(out_dir, f"shard={i}")
+        mp = os.path.join(final, "_MANIFEST.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("fingerprint") == fp:
+                skipped.append(i)
+                continue
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        tri_i = rd.read_parquet(files, columns=tri_cols)
+        rewrite_with_mapping(tri_i, mapping, mode).write_parquet(tmp)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(os.path.join(tmp, "*.parquet")))
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"shard": i, "fingerprint": fp, "rows": rows,
+                       "complete": True}, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        ran.append(i)
+    # drop canonical shards whose annotated shard no longer exists
+    for stale in glob.glob(os.path.join(out_dir, "shard=*")):
+        try:
+            idx = int(os.path.basename(stale).split("=", 1)[1])
+        except ValueError:
+            continue
+        if idx not in live:
+            shutil.rmtree(stale)
+    total = 0
+    for mp in glob.glob(os.path.join(out_dir, "shard=*", "_MANIFEST.json")):
+        with open(mp) as f:
+            total += json.load(f).get("rows", 0)
+    return {"canonical_rows": total, "canonicalize_shards_run": ran,
+            "canonicalize_shards_skipped": skipped,
+            "map_recomputed": not map_fresh}
+
+
 def summarize(out_dir: str) -> dict:
     totals: dict[str, int] = {}
     shards = []

@@ -74,3 +74,55 @@ def test_resume_skips_completed_and_output_identical(sharded_input, tmp_path_fac
         with open(mp) as f:
             m = json.load(f)
         assert m["complete"] and m["row_counts"]
+
+
+def test_canonicalize_resume_skips_and_identical(sharded_input, tmp_path_factory):
+    """Kill mid-canonicalize -> rerun skips the finished rewrite shards
+    (and the committed mapping) and the final output is identical."""
+    import ray.data as rd
+
+    from tabbyray import lineage, pipeline
+    from tabbyray.kb import load_kb
+
+    fix, pages_dir = sharded_input
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+    kb_ref, gaz_ref = pipeline.put_kb(kb)
+    out = str(tmp_path_factory.mktemp("out_canon"))
+    annotated = os.path.join(out, "annotated")
+    lineage.run_resumable(pages_dir, annotated, kb_ref, gaz_ref, num_shards=4)
+
+    canon = os.path.join(out, "canonical_triples")
+    s1 = lineage.run_canonicalize_resumable(annotated, canon)
+    assert s1["canonicalize_shards_run"] == [0, 1, 2, 3]
+    assert s1["map_recomputed"] is True
+    assert s1["canonical_rows"] > 0
+
+    def read_canon():
+        files = sorted(glob.glob(os.path.join(canon, "shard=*", "*.parquet")))
+        df = rd.read_parquet(files).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    full = read_canon()
+
+    # simulate the kill: two rewrite shards gone, one half-written tmp
+    shutil.rmtree(os.path.join(canon, "shard=2"))
+    shutil.rmtree(os.path.join(canon, "shard=3"))
+    os.makedirs(os.path.join(canon, "shard=3.tmp"), exist_ok=True)
+    s2 = lineage.run_canonicalize_resumable(annotated, canon)
+    assert s2["canonicalize_shards_skipped"] == [0, 1]
+    assert s2["canonicalize_shards_run"] == [2, 3]
+    assert s2["map_recomputed"] is False          # mapping manifest held
+    pd.testing.assert_frame_equal(read_canon(), full)
+
+    # nothing to do on a clean rerun
+    s3 = lineage.run_canonicalize_resumable(annotated, canon)
+    assert s3["canonicalize_shards_run"] == []
+    assert s3["canonicalize_shards_skipped"] == [0, 1, 2, 3]
+
+    # a changed annotated input invalidates the fingerprint: re-running
+    # one annotated shard with different inputs forces map + shard redo
+    shards = lineage.shard_inputs(pages_dir, 4)
+    lineage.run_shard(shards[0] + shards[1], 0, annotated, kb_ref, gaz_ref)
+    s4 = lineage.run_canonicalize_resumable(annotated, canon)
+    assert s4["map_recomputed"] is True
+    assert s4["canonicalize_shards_run"] == [0, 1, 2, 3]
