@@ -638,6 +638,14 @@ def range_join_bucketed(left: rd.Dataset, value_col: str, bands,
     def pad_bands(t: pa.Table) -> pa.Table:
         los = t.column(lo_col).to_numpy().astype(np.float64)
         his = t.column(hi_col).to_numpy().astype(np.float64)
+        bad = ~(np.isfinite(los) & np.isfinite(his) & (his >= los))
+        if bad.any():
+            # fail clearly instead of np.repeat's opaque 'negative
+            # dimensions' (hi < lo) or silently poisoned buckets (NaN)
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"range_join_bucketed: invalid band [{los[i]!r}, "
+                f"{his[i]!r}] — bands need finite {lo_col} <= {hi_col}")
         b0 = np.floor(los / bucket_width).astype(np.int64)
         b1 = np.floor(his / bucket_width).astype(np.int64)
         reps = (b1 - b0 + 1)
@@ -772,7 +780,14 @@ def distinct_count(ds: rd.Dataset, key: str, value_col: str,
     return partials.groupby(key).aggregate(Sum(alias, alias_name=alias))
 
 
-def _is_float_dtype(ds: rd.Dataset, col: str) -> bool:
+def _is_float_dtype(ds: rd.Dataset, col: str,
+                    dtype: "pa.DataType | None" = None) -> bool:
+    """``dtype`` short-circuits the probe: ``ds.schema()`` on a lazy
+    transformed dataset EXECUTES the upstream plan just to learn the
+    dtype (the same double-execution hash_join's docstring warns
+    about) — callers that know the column type pass it explicitly."""
+    if dtype is not None:
+        return pa.types.is_floating(dtype)
     s = ds.schema()
     t = dict(zip(s.names, s.types))[col]
     return pa.types.is_floating(_arrow_type(t))
@@ -831,7 +846,8 @@ def binned_quantiles(ds: rd.Dataset, col: str, qs: list[float],
 
 def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float],
                     mode: str = "auto",
-                    n_bins: int = 8192) -> pd.DataFrame:
+                    n_bins: int = 8192,
+                    col_dtype: "pa.DataType | None" = None) -> pd.DataFrame:
     """Exact linear-interpolated quantiles (SQL ``quantile_cont``
     semantics) of an integer-ish column via a distributed histogram:
     per-batch value_counts combiner -> groupby(value) sum -> the tiny
@@ -844,9 +860,11 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float],
     ``mode="auto"`` keeps this exact path for bounded domains (integer
     dtypes) and routes CONTINUOUS (floating) columns — where distinct
     ≈ N and the exact histogram is a scale-killer — to the bounded
-    ``binned_quantiles`` sketch. ``mode="exact"``/``"binned"`` force."""
+    ``binned_quantiles`` sketch. ``mode="exact"``/``"binned"`` force.
+    Pass ``col_dtype`` when ``ds`` is a lazy transform: the auto probe
+    otherwise runs ``ds.schema()``, executing the upstream plan twice."""
     if mode == "auto":
-        mode = "binned" if _is_float_dtype(ds, col) else "exact"
+        mode = "binned" if _is_float_dtype(ds, col, col_dtype) else "exact"
     if mode == "binned":
         return binned_quantiles(ds, col, qs, n_bins=n_bins)
     if mode != "exact":
@@ -999,7 +1017,8 @@ def grouped_binned_quantiles(ds: rd.Dataset, group: str, col: str,
 
 def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
                       qs: list[float], mode: str = "auto",
-                      n_bins: int = 8192) -> pd.DataFrame:
+                      n_bins: int = 8192,
+                      col_dtype: "pa.DataType | None" = None) -> pd.DataFrame:
     """Exact per-group quantile_cont quantiles via one distributed
     (group, value)-histogram; interpolation happens on the driver over
     the tiny histogram (distinct-value cardinality bounded, group
@@ -1008,9 +1027,9 @@ def grouped_quantiles(ds: rd.Dataset, group: str, col: str,
     ``mode="auto"``: integer columns keep this exact path; CONTINUOUS
     (floating) columns route to ``grouped_binned_quantiles`` (bounded
     per-group sketch) — the exact histogram over a continuous domain
-    is ~N driver rows at web scale."""
+    is ~N driver rows at web scale. ``col_dtype``: see exact_quantiles."""
     if mode == "auto":
-        mode = "binned" if _is_float_dtype(ds, col) else "exact"
+        mode = "binned" if _is_float_dtype(ds, col, col_dtype) else "exact"
     if mode == "binned":
         return grouped_binned_quantiles(ds, group, col, qs, n_bins=n_bins)
     if mode != "exact":
@@ -1258,7 +1277,8 @@ def binned_percentile_rank(ds: rd.Dataset, value_col: str,
 
 def percentile_rank(ds: rd.Dataset, value_col: str,
                     out_cols: list[str], mode: str = "exact",
-                    n_bins: int = 8192) -> rd.Dataset:
+                    n_bins: int = 8192,
+                    col_dtype: "pa.DataType | None" = None) -> rd.Dataset:
     """Per-row global percentile rank — SQL ``percent_rank() OVER
     (ORDER BY value)`` = (#rows strictly smaller) / (N − 1) — WITHOUT a
     global sort: the same bounded-cardinality distributed histogram as
@@ -1272,9 +1292,9 @@ def percentile_rank(ds: rd.Dataset, value_col: str,
     ``binned_percentile_rank`` — the bounded-state sketch for
     continuous domains where distinct ≈ N. Default stays ``exact``:
     rank output feeds hash-checked oracles, so the approximation is
-    opt-in."""
+    opt-in. ``col_dtype``: see exact_quantiles."""
     if mode == "auto":
-        mode = "binned" if _is_float_dtype(ds, value_col) else "exact"
+        mode = "binned" if _is_float_dtype(ds, value_col, col_dtype) else "exact"
     if mode == "binned":
         return binned_percentile_rank(ds, value_col, out_cols,
                                       n_bins=n_bins)
@@ -1640,6 +1660,17 @@ def exact_quantiles_multipass(ds: rd.Dataset, col: str, qs: list[float],
 
     # collect phase: remaining ranks' intervals are tiny — filter & sort
     pending = {r: s for r, s in state.items() if r not in resolved}
+    oversize = {r: s[3] for r, s in pending.items() if s[3] > collect_cap}
+    if oversize:
+        # never silently violate the bounded-state guarantee: refinement
+        # exhausted max_passes with a too-populous interval (pathological
+        # point-mass-adjacent distributions) — fail with the knobs named
+        raise RuntimeError(
+            f"exact_quantiles_multipass: {len(oversize)} interval(s) still "
+            f"hold > collect_cap={collect_cap} rows after "
+            f"max_passes={max_passes} refinement passes "
+            f"(worst: {max(oversize.values())} rows); raise max_passes, "
+            "n_bins or collect_cap")
     if pending:
         ivs = sorted({(s[0], s[1]) for s in pending.values()})
         ref2 = ray.put(np.array(ivs, dtype=np.float64))

@@ -253,6 +253,14 @@ def weighted_sample_k(ds: rd.Dataset, id_col: str, weight_col: str,
     def add_key(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         w = np.asarray(t.column(weight_col).to_pylist(), dtype=np.float64)
+        if len(w) and (not np.isfinite(w).all() or (w <= 0).any()):
+            # A-ES requires w > 0: u**(1/w) with w<0 outranks every valid
+            # row (u^negative > 1) and w=0 leans on IEEE inf semantics
+            bad = w[~(np.isfinite(w) & (w > 0))][:3]
+            raise ValueError(
+                f"weighted_sample_k: weight_col {weight_col!r} must be "
+                f"finite and > 0 (saw {bad.tolist()}); filter or clamp "
+                "non-positive weights upstream")
         h = np.array([int.from_bytes(
             hashlib.md5(str(v).encode()).digest()[8:], "little")
             for v in ids], dtype=np.uint64)

@@ -64,14 +64,23 @@ class FingerprintShard:
             self._db.execute(
                 "CREATE TABLE fps (fp TEXT PRIMARY KEY) WITHOUT ROWID")
 
+    # sqlite bind-parameter headroom: SQLITE_MAX_VARIABLE_NUMBER is 999
+    # on older builds — chunk the IN list so huge batches (the very
+    # regime the spill index exists for) can't blow the limit
+    _IN_CHUNK = 500
+
     def _spilled(self, fps: list[str]) -> set[str]:
-        """Which of ``fps`` are in the disk index (one batched query)."""
+        """Which of ``fps`` are in the disk index (chunked IN queries)."""
         if self._db is None or not fps:
             return set()
-        qs = ",".join("?" * len(fps))
-        rows = self._db.execute(
-            f"SELECT fp FROM fps WHERE fp IN ({qs})", fps).fetchall()
-        return {r[0] for r in rows}
+        out: set[str] = set()
+        for i in range(0, len(fps), self._IN_CHUNK):
+            chunk = fps[i:i + self._IN_CHUNK]
+            qs = ",".join("?" * len(chunk))
+            rows = self._db.execute(
+                f"SELECT fp FROM fps WHERE fp IN ({qs})", chunk).fetchall()
+            out.update(r[0] for r in rows)
+        return out
 
     def check_add(self, fps: list[str]) -> list[bool]:
         on_disk = self._spilled(list({f for f in fps

@@ -1494,3 +1494,36 @@ def test_exact_quantiles_multipass(ray_session):
                                    collect_cap=100)
     for e, m in zip(exact["value"], mp["value"]):
         assert e == m, (e, m)       # bit-identical, not approximate
+
+
+def test_guard_rails(ray_session):
+    """ADVICE fixes: invalid bands, non-positive weights and exhausted
+    multipass refinement fail loudly instead of corrupting output or
+    silently unbounding driver state."""
+    import ray.data as rd
+
+    from tabbyray.ops.relational import (exact_quantiles_multipass,
+                                         range_join_bucketed)
+    from tabbyray.ops.sampling import weighted_sample_k
+
+    left = pd.DataFrame({"v": [1.0, 2.0, 3.0], "id": [1, 2, 3]})
+    bad_bands = pd.DataFrame({"lo": [5.0], "hi": [1.0], "name": ["x"]})
+    # errors raised inside Ray tasks surface wrapped in RayTaskError
+    with pytest.raises(Exception, match="invalid band"):
+        range_join_bucketed(rd.from_pandas(left), "v",
+                            bad_bands).to_pandas()
+    nan_bands = pd.DataFrame({"lo": [float("nan")], "hi": [1.0],
+                              "name": ["x"]})
+    with pytest.raises(Exception, match="invalid band"):
+        range_join_bucketed(rd.from_pandas(left), "v",
+                            nan_bands).to_pandas()
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "w": [1.0, -1.0, 2.0]})
+    with pytest.raises(Exception, match="finite and > 0"):
+        weighted_sample_k(rd.from_pandas(docs), "doc_id", "w",
+                          k=2).to_pandas()
+
+    vals = pd.DataFrame({"x": np.linspace(0.0, 1.0, 500)})
+    with pytest.raises(RuntimeError, match="collect_cap"):
+        exact_quantiles_multipass(rd.from_pandas(vals), "x", [0.5],
+                                  collect_cap=2, max_passes=0)
