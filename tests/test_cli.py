@@ -43,7 +43,7 @@ def test_cli_end_to_end(smoke_fixture, tmp_path):
     summary = json.loads(r.stdout[r.stdout.index("{"):])
     assert summary["row_counts"]["triple"] > 0
     assert os.path.exists(os.path.join(out, "annotated", "shard=0", "_MANIFEST.json"))
-    assert glob.glob(os.path.join(out, "canonical_triples", "*.parquet"))
+    assert glob.glob(os.path.join(out, "canonical_triples", "shard=*", "*.parquet"))
     nt_files = glob.glob(os.path.join(out, "ntriples", "*"))
     assert nt_files
 
