@@ -242,6 +242,133 @@ def _q_sti_lev_parity(sf_dir: str):
     return t.to_pandas().drop_duplicates().reset_index(drop=True)
 
 
+def _q_sti_candidates(sf_dir: str):
+    """A1 candidate-lookup parity over the REAL mention distribution:
+    ``KBIndex.candidates(norm)`` for every distinct normalized surface
+    form in the fixture cells (data values + heading splits). The oracle
+    re-derives the whole lookup from ``kb.parquet`` alone — exact arm
+    (first KB row per localname, one row per rdf:type binding), substring
+    arm (case-insensitive containment over instance URIs in KB row
+    order), UNION, LIMIT 100, then order-preserving dedup
+    (`commands/SpreadsheetController.php:86-103`)."""
+    import ray.data as rd
+
+    from tabbyray import pipeline
+    from tabbyray.constants import LABEL_SEP
+    from tabbyray.kb import load_kb
+    from tabbyray.normalize import normalize_entry
+    from tabbyray.ops.relational import hash_aggregate
+
+    paths = _sti_export_paths()
+    fix = _fixture(200)
+    kb_ref, _gaz_ref = pipeline.put_kb(
+        load_kb(os.path.join(fix, "kb.parquet")))
+    ds = rd.read_parquet(paths["cells"], override_num_blocks=4)
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals: set[str] = set()
+        for v in t.column("data").to_pylist():
+            n = normalize_entry(v or "")
+            if n:
+                vals.add(n)
+        for colname in ("row_heading", "column_heading"):
+            for v in t.column(colname).to_pylist():
+                for s in (v or "").split(LABEL_SEP):
+                    n = normalize_entry(s)
+                    if n:
+                        vals.add(n)
+        s = sorted(vals)
+        return pa.table({"norm": pa.array(s, pa.string()),
+                         "one": pa.array([1] * len(s), pa.int64())})
+
+    norms = hash_aggregate(ds.map_batches(explode, batch_format="pyarrow"),
+                           ["norm"], {"one": "n"})
+
+    def cands(t: pa.Table) -> pa.Table:
+        kbx = pipeline._cached_get(kb_ref)
+        out_n, out_o, out_e = [], [], []
+        for n in t.column("norm").to_pylist():
+            for o, e in enumerate(kbx.candidates(n)):
+                out_n.append(n)
+                out_o.append(o)
+                out_e.append(e)
+        return pa.table({"norm": pa.array(out_n, pa.string()),
+                         "ord": pa.array(out_o, pa.int64()),
+                         "entity": pa.array(out_e, pa.string())})
+
+    return norms.drop_columns(["n"]).map_batches(
+        cands, batch_format="pyarrow")
+
+
+def _q_sti_ner_rank(sf_dir: str):
+    """A5 NER-class depth rank parity: ``KBIndex.ner_class_rank`` for
+    every (instance URI, NER label) pair; the oracle recomputes the
+    ``rdf:type/rdfs:subClassOf*`` intermediate-count depth with a
+    recursive CTE over kb.parquet, including the count/2 depth and the
+    ``(int)$rank`` truncation quirk
+    (`commands/SpreadsheetController.php:242-257`)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray import pipeline
+    from tabbyray.constants import NER_CLASS_MAP
+    from tabbyray.kb import load_kb
+
+    fix = _fixture(200)
+    kbp = os.path.join(fix, "kb.parquet")
+    kb_ref, _gaz_ref = pipeline.put_kb(load_kb(kbp))
+    labels = sorted(NER_CLASS_MAP)
+    ds = rd.read_parquet(kbp, columns=["uri", "is_class"],
+                         override_num_blocks=4)
+
+    def ranks(t: pa.Table) -> pa.Table:
+        kbx = pipeline._cached_get(kb_ref)
+        uris = t.filter(pc.invert(
+            t["is_class"].combine_chunks())).column("uri").to_pylist()
+        out_u, out_l, out_r = [], [], []
+        for u in uris:
+            for lb in labels:
+                out_u.append(u)
+                out_l.append(lb)
+                out_r.append(kbx.ner_class_rank(u, lb))
+        return pa.table({"uri": pa.array(out_u, pa.string()),
+                         "ner": pa.array(out_l, pa.string()),
+                         "rank": pa.array(out_r, pa.int64())})
+
+    return ds.map_batches(ranks, batch_format="pyarrow")
+
+
+def _q_sti_parent_classes(sf_dir: str):
+    """A3 parent-class lookup parity: ``KBIndex.parent_classes(uri)`` for
+    every KB row; the oracle re-derives the ANY-property dbo: object
+    concatenation (types, then superclass chain, then dbo: neighbors, in
+    list order) with LIMIT 100
+    (`commands/SpreadsheetController.php:378-383`)."""
+    import ray.data as rd
+
+    from tabbyray import pipeline
+    from tabbyray.kb import load_kb
+
+    fix = _fixture(200)
+    kbp = os.path.join(fix, "kb.parquet")
+    kb_ref, _gaz_ref = pipeline.put_kb(load_kb(kbp))
+    ds = rd.read_parquet(kbp, columns=["uri"], override_num_blocks=4)
+
+    def parents(t: pa.Table) -> pa.Table:
+        kbx = pipeline._cached_get(kb_ref)
+        out_u, out_o, out_p = [], [], []
+        for u in t.column("uri").to_pylist():
+            for o, p in enumerate(kbx.parent_classes(u)):
+                out_u.append(u)
+                out_o.append(o)
+                out_p.append(p)
+        return pa.table({"uri": pa.array(out_u, pa.string()),
+                         "ord": pa.array(out_o, pa.int64()),
+                         "parent": pa.array(out_p, pa.string())})
+
+    return ds.map_batches(parents, batch_format="pyarrow")
+
+
 def _q_sti_annotations_sharded(sf_dir: str):
     """Sharded-KB candidate generation (kbshard.py): same annotations
     as the broadcast path (tests assert exact equality)."""
@@ -1743,6 +1870,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_counters": _q_sti_counters,
         "sti_norm_parity": _q_sti_norm_parity,
         "sti_lev_parity": _q_sti_lev_parity,
+        "sti_candidates": _q_sti_candidates,
+        "sti_ner_rank": _q_sti_ner_rank,
+        "sti_parent_classes": _q_sti_parent_classes,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2143,6 +2273,105 @@ def _sti_oracles() -> dict[str, str]:
                    FROM read_parquet('{cells}'))
         SELECT DISTINCT surface, {_NORM_FULL_SQL.format(col='surface')} AS norm
         FROM s
+    """
+    # A1 candidate lookup re-derived from kb.parquet alone
+    # (`commands/SpreadsheetController.php:86-103`): exact arm = first
+    # KB row per localname (the index's setdefault), instances only, one
+    # result row per rdf:type binding; substring arm = case-insensitive
+    # containment over instance URIs in KB row order (rid); rows UNION,
+    # LIMIT 100, then order-preserving dedup
+    out["sti_candidates"] = f"""
+        WITH cells AS (SELECT * FROM read_parquet('{cells}')),
+        surf AS (SELECT data AS s FROM cells
+                 UNION ALL
+                 SELECT unnest(str_split(row_heading, ' | ')) FROM cells
+                 UNION ALL
+                 SELECT unnest(str_split(column_heading, ' | ')) FROM cells),
+        norms AS (SELECT DISTINCT norm FROM
+                    (SELECT {_NORM_FULL_SQL.format(col='s')} AS norm
+                     FROM surf)
+                  WHERE norm <> ''),
+        kb AS (SELECT rid, uri, lower(uri) AS luri, is_class, types,
+                      regexp_extract(uri, '[^/]*$') AS localname
+               FROM read_parquet('{kbp}')),
+        kbf AS (SELECT * FROM
+                  (SELECT *, row_number() OVER (PARTITION BY localname
+                                                ORDER BY rid) AS lrn
+                   FROM kb)
+                WHERE lrn = 1),
+        ex AS (SELECT norm, uri, arm, srid FROM
+                 (SELECT n.norm, k.uri, 0 AS arm, CAST(-1 AS BIGINT) AS srid,
+                         unnest(k.types) AS _t
+                  FROM norms n JOIN kbf k ON k.localname = n.norm
+                  WHERE NOT k.is_class)),
+        sub AS (SELECT n.norm, k.uri, 1 AS arm, k.rid AS srid
+                FROM norms n JOIN kb k
+                  ON NOT k.is_class AND contains(k.luri, lower(n.norm))),
+        numbered AS (SELECT *, row_number() OVER (PARTITION BY norm
+                                                  ORDER BY arm, srid) AS rn
+                     FROM (SELECT * FROM ex UNION ALL SELECT * FROM sub)),
+        firsts AS (SELECT norm, uri, min(rn) AS frn
+                   FROM numbered WHERE rn <= 100 GROUP BY norm, uri)
+        SELECT norm,
+               CAST(row_number() OVER (PARTITION BY norm ORDER BY frn) - 1
+                    AS BIGINT) AS ord,
+               uri AS entity
+        FROM firsts
+    """
+    # A5 depth rank (`commands/SpreadsheetController.php:242-257`):
+    # intermediates = ancestors-or-self of any rdf:type that themselves
+    # lead to the NER class; depth = count/2; rank = (int)(1/depth)
+    from tabbyray.constants import NER_CLASS_MAP
+    _ner_vals = ", ".join(f"('{lbl}', '{cls}')"
+                          for lbl, cls in sorted(NER_CLASS_MAP.items()))
+    out["sti_ner_rank"] = f"""
+        WITH RECURSIVE
+        kb AS (SELECT * FROM read_parquet('{kbp}')),
+        cp AS (SELECT uri, unnest(parents) AS p FROM kb WHERE is_class),
+        anc AS (SELECT uri AS node, uri AS a FROM kb WHERE is_class
+                UNION
+                SELECT anc.node, cp.p FROM anc JOIN cp ON cp.uri = anc.a),
+        anc_all AS (SELECT node, a FROM anc
+                    UNION
+                    SELECT t, t FROM
+                      (SELECT DISTINCT unnest(types) AS t
+                       FROM kb WHERE NOT is_class)
+                    WHERE t NOT IN (SELECT uri FROM kb WHERE is_class)),
+        ner AS (SELECT * FROM (VALUES {_ner_vals}) AS v(label, cls)),
+        tp AS (SELECT uri, unnest(types) AS t FROM kb WHERE NOT is_class),
+        inters AS (SELECT p.uri, n.label, aa.a AS im
+                   FROM tp p
+                   JOIN anc_all aa ON aa.node = p.t
+                   CROSS JOIN ner n
+                   WHERE aa.a = n.cls
+                      OR EXISTS (SELECT 1 FROM anc z
+                                 WHERE z.node = aa.a AND z.a = n.cls)),
+        cnt AS (SELECT uri, label, count(DISTINCT im) AS c
+                FROM inters GROUP BY uri, label)
+        SELECT k.uri, n.label AS ner,
+               coalesce(CAST(trunc(2.0 / c.c) AS BIGINT), 0) AS rank
+        FROM (SELECT uri FROM kb WHERE NOT is_class) k
+        CROSS JOIN ner n
+        LEFT JOIN cnt c ON c.uri = k.uri AND c.label = n.label
+    """
+    # A3 parent classes (`commands/SpreadsheetController.php:378-383`):
+    # ANY-property dbo: objects — types, then superclass chain, then
+    # dbo: neighbors, in list order, LIMIT 100 (duplicates kept)
+    out["sti_parent_classes"] = f"""
+        WITH kb AS (SELECT * FROM read_parquet('{kbp}')),
+        e AS (SELECT uri, 0 AS src, unnest(types) AS p,
+                     unnest(range(1, len(types) + 1)) AS eord FROM kb
+              UNION ALL
+              SELECT uri, 1, unnest(parents),
+                     unnest(range(1, len(parents) + 1)) FROM kb
+              UNION ALL
+              SELECT uri, 2, unnest(neighbors),
+                     unnest(range(1, len(neighbors) + 1)) FROM kb),
+        n AS (SELECT *, row_number() OVER (PARTITION BY uri
+                                           ORDER BY src, eord) AS rn
+              FROM e WHERE starts_with(p, 'http://dbpedia.org/ontology/'))
+        SELECT uri, CAST(rn - 1 AS BIGINT) AS ord, p AS parent
+        FROM n WHERE rn <= 100
     """
     # strlen() = byte length; = length() (chars) iff pure ASCII
     out["sti_lev_parity"] = f"""

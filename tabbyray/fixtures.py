@@ -193,6 +193,10 @@ def build_kb(rng: random.Random, n_entities: int = 1200) -> pa.Table:
         for nb in neighbors
     ]
     return pa.table({
+        # rid = stable KB row id (the deterministic stand-in for endpoint
+        # result order that KBIndex builds its posting lists in); carried
+        # as data so oracle SQL can reproduce A1's substring-arm ordering
+        "rid": pa.array(range(len(uris)), pa.int64()),
         "uri": uris, "label": labels, "is_class": is_class,
         "types": types, "parents": parents, "neighbors": neighbors,
         "neighbor_props": neighbor_props,
@@ -442,7 +446,7 @@ def fixture_path(name: str = "conformance", seed: int = 7, n_pages: int = 200,
                  root: str = "/tmp/tabbyray_fixtures") -> str:
     """Deterministic fixture directory path WITHOUT generating anything
     (used by oracle SQL strings that embed read_parquet paths)."""
-    key = (f"{name}-v4-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
+    key = (f"{name}-v5-s{seed}-p{n_pages}-e{n_entities}-k{int(skew)}"
            + ("" if inline_ner else "-noner"))
     return os.path.join(root, key)
 
