@@ -242,6 +242,103 @@ def _q_sti_lev_parity(sf_dir: str):
     return t.to_pandas().drop_duplicates().reset_index(drop=True)
 
 
+def _q_sti_ctx_rank(sf_dir: str):
+    """C3+C4 context-similarity parity: the exported per-candidate
+    ctx_rank vs a DuckDB re-derivation — entry context as a cells
+    self-join on shared (whole, raw) heading values with multiplicity
+    (`components/CanonicalTableAnnotator.php:632-681`), counted against
+    the candidate's prefix-stripped KB neighbor multiset (`:786-808`)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.and_(pc.equal(t["cell_type"], 0),
+                         pc.invert(t["is_literal"].combine_chunks())))
+    return t.select(["url", "table_idx", "surface_form", "ord", "entity",
+                     "ctx_rank"])
+
+
+def _q_sti_rel_rank(sf_dir: str):
+    """§2.8 CPA relationship-count parity: the exported per-candidate
+    rel_rank (heading cells) vs a DuckDB re-derivation — bag-semantics
+    adjacency count of the candidate's KB neighbors into the union of
+    all OTHER same-role cells' candidate lists
+    (`commands/SpreadsheetController.php:189-202`)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.and_(pc.is_in(t["cell_type"],
+                                  value_set=pa.array([1, 2], pa.int32())),
+                         pc.invert(t["is_literal"].combine_chunks())))
+    return t.select(["url", "table_idx", "cell_type", "surface_form", "ord",
+                     "entity", "rel_rank"])
+
+
+def _q_sti_sem_rank(sf_dir: str):
+    """C5 semantic-similarity parity: the exported per-candidate
+    sem_rank vs a full DuckDB re-derivation of
+    ``getSemanticSimilarityDistance``
+    (`components/CanonicalTableAnnotator.php:513-623`) — parent-class
+    tuples from kb.parquet, min-Levenshtein class selection with the
+    first-class tie-break, pooled comparative votes, per-entry max and
+    the power-of-ten coefficient banding. All class operands are dbo:
+    URIs (ASCII), so DuckDB's char-level levenshtein == the engine's
+    byte-level one on this domain."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.and_(pc.equal(t["cell_type"], 0),
+                         pc.invert(t["is_literal"].combine_chunks())))
+    return t.select(["url", "table_idx", "surface_form", "ord", "entity",
+                     "sem_rank"])
+
+
+def _q_sti_heading_rank(sf_dir: str):
+    """C2 heading-rank parity on the all-ASCII subset (PHP levenshtein
+    is byte-level; DuckDB's is char-level — identical iff both operands
+    are ASCII, the `sti_lev_parity` precedent). Excludes mentions whose
+    heading-label list contains a non-ASCII label and candidates with a
+    non-ASCII dbo: type, symmetrically on both sides
+    (`commands/SpreadsheetController.php:282-306`)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tabbyray.kb import load_kb
+    from tabbyray.sti import collect_data_mentions
+
+    paths = _sti_export_paths()
+    fix = _fixture(200)
+    kb = load_kb(os.path.join(fix, "kb.parquet"))
+
+    cells = pq.read_table(paths["cells"]).sort_by(
+        [("url", "ascending"), ("table_idx", "ascending"),
+         ("row_idx", "ascending")])
+    per_table: dict[tuple, list[dict]] = {}
+    for r in cells.to_pylist():
+        per_table.setdefault((r["url"], r["table_idx"]), []).append(r)
+    bad_mentions: set[tuple] = set()
+    for key, rows in per_table.items():
+        _entries, _ner, heading_labels = collect_data_mentions(rows)
+        for surface, labels in heading_labels.items():
+            if surface and any(not lb.isascii() for lb in labels):
+                bad_mentions.add(key + (surface,))
+
+    t = pq.read_table(paths["candidates"])
+    t = t.filter(pc.and_(pc.equal(t["cell_type"], 0),
+                         pc.invert(t["is_literal"].combine_chunks())))
+    urls = t.column("url").to_pylist()
+    tidx = t.column("table_idx").to_pylist()
+    surf = t.column("surface_form").to_pylist()
+    ents = t.column("entity").to_pylist()
+    keep = [
+        (u, ti, s) not in bad_mentions
+        and all(ty.isascii() for ty in kb.types_dbo(e))
+        for u, ti, s, e in zip(urls, tidx, surf, ents)
+    ]
+    t = t.filter(pa.array(keep, pa.bool_()))
+    return t.select(["url", "table_idx", "surface_form", "ord", "entity",
+                     "heading_rank"])
+
+
 def _q_sti_candidates(sf_dir: str):
     """A1 candidate-lookup parity over the REAL mention distribution:
     ``KBIndex.candidates(norm)`` for every distinct normalized surface
@@ -1873,6 +1970,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_candidates": _q_sti_candidates,
         "sti_ner_rank": _q_sti_ner_rank,
         "sti_parent_classes": _q_sti_parent_classes,
+        "sti_ctx_rank": _q_sti_ctx_rank,
+        "sti_rel_rank": _q_sti_rel_rank,
+        "sti_heading_rank": _q_sti_heading_rank,
+        "sti_sem_rank": _q_sti_sem_rank,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2372,6 +2473,209 @@ def _sti_oracles() -> dict[str, str]:
               FROM e WHERE starts_with(p, 'http://dbpedia.org/ontology/'))
         SELECT uri, CAST(rn - 1 AS BIGINT) AS ord, p AS parent
         FROM n WHERE rn <= 100
+    """
+    # C3+C4 (`components/CanonicalTableAnnotator.php:632-681`, `:786-808`):
+    # entry context = cells self-join on shared (whole, raw) heading
+    # values, multiplicity = one per (row-of-mention, matching-row) pair,
+    # self included; rank = matches against the prefix-stripped KB
+    # neighbor multiset
+    out["sti_ctx_rank"] = f"""
+        WITH cells AS (SELECT * FROM read_parquet('{cells}')),
+        cand AS (SELECT url, table_idx, surface_form, ord, entity
+                 FROM read_parquet('{cand}')
+                 WHERE cell_type = 0 AND NOT is_literal),
+        ctxp AS (SELECT r.url, r.table_idx, r.data AS mention, r2.data AS d2
+                 FROM cells r JOIN cells r2
+                   ON r2.url = r.url AND r2.table_idx = r.table_idx
+                  AND ((r.row_heading = r2.row_heading
+                        AND r.row_heading <> '')
+                    OR (r.column_heading = r2.column_heading
+                        AND r.column_heading <> ''))
+                 WHERE r.data <> ''),
+        ctxm AS (SELECT url, table_idx, mention, d2, count(*) AS k
+                 FROM ctxp GROUP BY 1, 2, 3, 4),
+        nbc AS (SELECT uri, n, count(*) AS c FROM
+                  (SELECT uri, {_STRIP_SQL.format(col='nb')} AS n FROM
+                     (SELECT uri, unnest(neighbors) AS nb
+                      FROM read_parquet('{kbp}')))
+                GROUP BY 1, 2)
+        SELECT d.url, d.table_idx, d.surface_form, d.ord, d.entity,
+               CAST(coalesce(sum(m.k * nbc.c), 0) AS BIGINT) AS ctx_rank
+        FROM cand d
+        LEFT JOIN ctxm m ON m.url = d.url AND m.table_idx = d.table_idx
+                        AND m.mention = d.surface_form
+        LEFT JOIN nbc ON nbc.uri = d.entity AND nbc.n = m.d2
+        GROUP BY 1, 2, 3, 4, 5
+    """
+    # §2.8 CPA count (`commands/SpreadsheetController.php:189-202`): bag
+    # semantics — candidate's KB neighbor multiset against the union
+    # (with multiplicity) of all OTHER same-role cells' candidate lists
+    out["sti_rel_rank"] = f"""
+        WITH hc AS (SELECT url, table_idx, cell_type, surface_form, ord,
+                           entity
+                    FROM read_parquet('{cand}')
+                    WHERE cell_type IN (1, 2) AND NOT is_literal),
+        oth AS (SELECT a.url, a.table_idx, a.cell_type, a.surface_form,
+                       b.entity AS o, count(*) AS m
+                FROM (SELECT DISTINCT url, table_idx, cell_type,
+                             surface_form FROM hc) a
+                JOIN hc b ON b.url = a.url AND b.table_idx = a.table_idx
+                         AND b.cell_type = a.cell_type
+                         AND b.surface_form <> a.surface_form
+                GROUP BY 1, 2, 3, 4, 5),
+        nbc AS (SELECT uri, nb, count(*) AS c FROM
+                  (SELECT uri, unnest(neighbors) AS nb
+                   FROM read_parquet('{kbp}'))
+                GROUP BY 1, 2)
+        SELECT d.url, d.table_idx, d.cell_type, d.surface_form, d.ord,
+               d.entity,
+               CAST(coalesce(sum(o.m * n.c), 0) AS BIGINT) AS rel_rank
+        FROM hc d
+        LEFT JOIN oth o ON o.url = d.url AND o.table_idx = d.table_idx
+                       AND o.cell_type = d.cell_type
+                       AND o.surface_form = d.surface_form
+        LEFT JOIN nbc n ON n.uri = d.entity AND n.nb = o.o
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """
+    # C2 (`commands/SpreadsheetController.php:282-306`): min Levenshtein
+    # between any dbo: type local name and any heading label of the
+    # mention's LAST row (collect_data_mentions last-row-wins), default
+    # 100, capped at 100 by the strict-< update rule. ASCII-only subset
+    # (byte-lev == char-lev), excluded symmetrically on both sides.
+    out["sti_heading_rank"] = f"""
+        WITH cells AS (SELECT * FROM read_parquet('{cells}')),
+        cand AS (SELECT url, table_idx, surface_form, ord, entity
+                 FROM read_parquet('{cand}')
+                 WHERE cell_type = 0 AND NOT is_literal),
+        lr AS (SELECT url, table_idx, data AS mention, max(row_idx) AS ri
+               FROM cells WHERE data <> '' GROUP BY 1, 2, 3),
+        sp AS (SELECT l.url, l.table_idx, l.mention,
+                      unnest(str_split(c.row_heading, ' | ')
+                             || str_split(c.column_heading, ' | ')) AS lab
+               FROM lr l JOIN cells c
+                 ON c.url = l.url AND c.table_idx = l.table_idx
+                AND c.row_idx = l.ri),
+        labs AS (SELECT url, table_idx, mention, label FROM
+                   (SELECT url, table_idx, mention,
+                           {_NORM_FULL_SQL.format(col='lab')} AS label
+                    FROM sp)
+                 WHERE label <> ''),
+        badm AS (SELECT DISTINCT url, table_idx, mention FROM labs
+                 WHERE strlen(label) <> length(label)),
+        tdbo AS (SELECT uri, {_STRIP_SQL.format(col='t')} AS cname,
+                        (strlen(t) <> length(t)) AS na
+                 FROM (SELECT uri, unnest(types) AS t
+                       FROM read_parquet('{kbp}'))
+                 WHERE starts_with(t, 'http://dbpedia.org/ontology/')),
+        dom AS (SELECT c.* FROM cand c
+                LEFT JOIN badm b ON b.url = c.url
+                                AND b.table_idx = c.table_idx
+                                AND b.mention = c.surface_form
+                WHERE b.mention IS NULL
+                  AND c.entity NOT IN (SELECT uri FROM tdbo WHERE na))
+        SELECT d.url, d.table_idx, d.surface_form, d.ord, d.entity,
+               CAST(coalesce(least(100, min(levenshtein(t.cname, l.label))),
+                             100) AS BIGINT) AS heading_rank
+        FROM dom d
+        LEFT JOIN tdbo t ON t.uri = d.entity
+        LEFT JOIN labs l ON l.url = d.url AND l.table_idx = d.table_idx
+                        AND l.mention = d.surface_form
+        GROUP BY 1, 2, 3, 4, 5
+    """
+    # C5 (`components/CanonicalTableAnnotator.php:513-623`): parent-class
+    # tuples from kb.parquet (the A3 derivation as an ordered LIST),
+    # _select_class = first cur class minimizing the capped (<=100) min
+    # levenshtein to any comp class (empty-string class when nothing
+    # beats the 100 floor), votes pooled over all OTHER entries' tuples
+    # with multiplicity, per-entry max and power-of-ten banding
+    out["sti_sem_rank"] = f"""
+        WITH dc AS (SELECT url, table_idx, surface_form AS entry, ord,
+                           entity
+                    FROM read_parquet('{cand}')
+                    WHERE cell_type = 0 AND NOT is_literal),
+        pe AS (SELECT uri, p, src, eord,
+                      row_number() OVER (PARTITION BY uri
+                                         ORDER BY src, eord) AS rn
+               FROM (SELECT uri, 0 AS src, unnest(types) AS p,
+                            unnest(range(1, len(types) + 1)) AS eord
+                     FROM read_parquet('{kbp}')
+                     UNION ALL
+                     SELECT uri, 1, unnest(parents),
+                            unnest(range(1, len(parents) + 1))
+                     FROM read_parquet('{kbp}')
+                     UNION ALL
+                     SELECT uri, 2, unnest(neighbors),
+                            unnest(range(1, len(neighbors) + 1))
+                     FROM read_parquet('{kbp}'))
+               WHERE starts_with(p, 'http://dbpedia.org/ontology/')),
+        pt AS (SELECT uri, list(p ORDER BY src, eord) AS tup
+               FROM pe WHERE rn <= 100 GROUP BY uri),
+        ec AS (SELECT d.url, d.table_idx, d.entry, d.ord, d.entity,
+                      coalesce(p.tup, CAST([] AS VARCHAR[])) AS tup
+               FROM dc d LEFT JOIN pt p ON p.uri = d.entity),
+        etc AS (SELECT url, table_idx, entry, tup, count(*) AS m
+                FROM ec GROUP BY 1, 2, 3, 4),
+        tot AS (SELECT url, table_idx, tup, sum(m) AS tm
+                FROM etc GROUP BY 1, 2, 3),
+        entries AS (SELECT DISTINCT url, table_idx, entry FROM etc),
+        oth AS (SELECT e.url, e.table_idx, e.entry, t.tup AS comp,
+                       t.tm - coalesce(o.m, 0) AS mult
+                FROM entries e
+                JOIN tot t ON t.url = e.url AND t.table_idx = e.table_idx
+                LEFT JOIN etc o ON o.url = e.url
+                               AND o.table_idx = e.table_idx
+                               AND o.entry = e.entry AND o.tup = t.tup
+                WHERE t.tm - coalesce(o.m, 0) > 0 AND len(t.tup) > 0),
+        curt AS (SELECT DISTINCT url, table_idx, entry, tup AS cur
+                 FROM etc WHERE len(tup) > 0),
+        tpairs AS (SELECT DISTINCT c.cur, o.comp
+                   FROM curt c JOIN oth o
+                     ON o.url = c.url AND o.table_idx = c.table_idx
+                    AND o.entry = c.entry),
+        pex AS (SELECT cur, comp, unnest(cur) AS ccls,
+                       unnest(range(1, len(cur) + 1)) AS cpos
+                FROM tpairs),
+        pmd AS (SELECT cur, comp, ccls, cpos,
+                       least(100, list_min(list_transform(comp,
+                           x -> levenshtein({_STRIP_SQL.format(col='ccls')},
+                                            {_STRIP_SQL.format(col='x')}))))
+                           AS md
+                FROM pex),
+        selc AS (SELECT cur, comp,
+                        CASE WHEN md >= 100 THEN '' ELSE ccls END AS sel
+                 FROM (SELECT *, row_number() OVER (PARTITION BY cur, comp
+                                                    ORDER BY md, cpos) AS rn
+                       FROM pmd)
+                 WHERE rn = 1),
+        votes AS (SELECT o.url, o.table_idx, o.entry, c.cur, s.sel,
+                         sum(o.mult) AS v
+                  FROM curt c
+                  JOIN oth o ON o.url = c.url AND o.table_idx = c.table_idx
+                            AND o.entry = c.entry
+                  JOIN selc s ON s.cur = c.cur AND s.comp = o.comp
+                  GROUP BY 1, 2, 3, 4, 5),
+        curr AS (SELECT url, table_idx, entry, cur, max(v) AS cr
+                 FROM votes GROUP BY 1, 2, 3, 4),
+        perent AS (SELECT e.url, e.table_idx, e.entry, e.ord, e.entity,
+                          coalesce(c.cr, 0) AS r
+                   FROM ec e LEFT JOIN curr c
+                     ON c.url = e.url AND c.table_idx = e.table_idx
+                    AND c.entry = e.entry AND c.cur = e.tup),
+        mx AS (SELECT url, table_idx, entry, max(r) AS mr
+               FROM perent GROUP BY 1, 2, 3)
+        SELECT p.url, p.table_idx, p.entry AS surface_form, p.ord, p.entity,
+               CASE WHEN m.mr >= 1 AND m.mr < 10
+                         THEN CAST(p.r AS DOUBLE) / 10
+                    WHEN m.mr >= 10 AND m.mr < 100
+                         THEN CAST(p.r AS DOUBLE) / 100
+                    WHEN m.mr >= 100 AND m.mr < 1000
+                         THEN CAST(p.r AS DOUBLE) / 1000
+                    WHEN m.mr >= 1000 AND m.mr < 10000
+                         THEN CAST(p.r AS DOUBLE) / 10000
+                    ELSE 0.0 END AS sem_rank
+        FROM perent p JOIN mx m ON m.url = p.url
+                               AND m.table_idx = p.table_idx
+                               AND m.entry = p.entry
     """
     # strlen() = byte length; = length() (chars) iff pure ASCII
     out["sti_lev_parity"] = f"""

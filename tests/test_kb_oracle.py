@@ -32,7 +32,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["sti_candidates", "sti_ner_rank",
-                                  "sti_parent_classes"])
+                                  "sti_parent_classes", "sti_ctx_rank",
+                                  "sti_rel_rank", "sti_heading_rank",
+                                  "sti_sem_rank"])
 def test_kb_lookup_oracle_parity(ray_session, name):
     got, exp = _run(name)
     assert len(got) == len(exp), name
