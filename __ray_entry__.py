@@ -466,6 +466,37 @@ def _q_sti_parent_classes(sf_dir: str):
     return ds.map_batches(parents, batch_format="pyarrow")
 
 
+def _web_captures(num_blocks: int = 8):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_web_fixture
+    return rd.read_parquet(ensure_web_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_web_url_components(sf_dir: str):
+    """Vectorized URL parsing over the capture-log fixture; the oracle
+    re-derives every component with DuckDB regexp_extract/lower."""
+    from tabbyray.ops.web import url_components
+    ds = url_components(_web_captures())
+    return ds.drop_columns(["warc_ts"])
+
+
+def _q_web_latest_captures(sf_dir: str):
+    """Recrawl dedup: latest capture per canonical URL (grouped_argmax
+    over one canon-hash exchange); oracle = QUALIFY row_number over the
+    SQL-recomputed canonical form."""
+    from tabbyray.ops.web import latest_capture_per_url
+    return latest_capture_per_url(_web_captures())
+
+
+def _q_web_host_stats(sf_dir: str):
+    """Per-host crawl rollup composed from hash_aggregate +
+    distinct_count + grouped_argmax + two hash_joins."""
+    from tabbyray.ops.web import host_stats
+    return host_stats(_web_captures())
+
+
 def _q_sti_annotations_sharded(sf_dir: str):
     """Sharded-KB candidate generation (kbshard.py): same annotations
     as the broadcast path (tests assert exact equality)."""
@@ -1974,6 +2005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_rel_rank": _q_sti_rel_rank,
         "sti_heading_rank": _q_sti_heading_rank,
         "sti_sem_rank": _q_sti_sem_rank,
+        # web-capture family (Common-Crawl-style crawl bookkeeping)
+        "web_url_components": _q_web_url_components,
+        "web_latest_captures": _q_web_latest_captures,
+        "web_host_stats": _q_web_host_stats,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2788,9 +2823,10 @@ def _sti_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
-    from tabbyray.fixtures import ensure_clustered_embeddings
+    from tabbyray.fixtures import ensure_clustered_embeddings, ensure_web_fixture
     from tabbyray.ops.text import _EMAIL, _PHONE
     _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
+    _web_fixture_path = ensure_web_fixture()          # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -3905,7 +3941,80 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_contamination_join"] = out["ngram_contamination"]
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")
+    # web-capture family: components / canonical form / host rollup
+    # re-derived in DuckDB from the raw capture log alone
+    out.update(_web_oracles(_web_fixture_path))
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
+    return out
+
+
+def _web_oracles(capture_path: str) -> dict[str, str]:
+    """Oracle SQL for the web-capture operators. The component CTE
+    recomputes scheme/host/port/path/query/fragment and the canonical
+    URL with DuckDB regexp_extract + lower — independent of the engine's
+    pyarrow extract_regex kernels (same RE2 dialect, different code)."""
+    comp = f"""
+    c AS (SELECT url, warc_ts, content_len, status,
+                 lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                     AS hostport,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                     AS raw_path,
+                 regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query,
+                 regexp_extract(url, '#(.*)$', 1) AS fragment
+          FROM read_parquet('{capture_path}')),
+    c2 AS (SELECT *,
+                  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                  regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s,
+                  CASE WHEN scheme = 'https' THEN 443 ELSE 80 END AS dport
+           FROM c),
+    c3 AS (SELECT url, warc_ts, content_len, status, scheme, host, query,
+                  fragment,
+                  CASE WHEN port_s = '' THEN dport
+                       ELSE CAST(port_s AS BIGINT) END AS port,
+                  CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+                      AS path,
+                  dport,
+                  regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                      AS registered_domain
+           FROM c2),
+    canon AS (SELECT *,
+                     scheme || '://' || host
+                     || (CASE WHEN port = dport THEN ''
+                              ELSE ':' || CAST(port AS VARCHAR) END)
+                     || path
+                     || (CASE WHEN query = '' THEN ''
+                              ELSE '?' || query END) AS canon_url,
+                     CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
+              FROM c3)
+    """
+    out = {}
+    out["web_url_components"] = f"""
+        WITH {comp}
+        SELECT url, content_len, status, scheme, host, port, path, query,
+               fragment, registered_domain
+        FROM canon
+    """
+    out["web_latest_captures"] = f"""
+        WITH {comp}
+        SELECT canon_url, url, ts_us, content_len, status
+        FROM (SELECT *, row_number() OVER (PARTITION BY canon_url
+                                           ORDER BY ts_us DESC, url ASC)
+                     AS rn
+              FROM canon)
+        WHERE rn = 1
+    """
+    out["web_host_stats"] = f"""
+        WITH {comp}
+        SELECT host, count(*) AS n_captures,
+               count(DISTINCT canon_url) AS n_urls,
+               CAST(sum(content_len) AS BIGINT) AS total_bytes,
+               max(ts_us) AS last_seen_us
+        FROM canon GROUP BY host
+    """
     return out

@@ -394,6 +394,80 @@ def build_pages(rng: random.Random, kb: pa.Table, n_pages: int,
     return pages, gold_cells
 
 
+_WEB_DOMAINS = ["example.com", "news-site.org", "crawl-archive.net",
+                "shoppy.io", "wikidata-mirror.org", "cityguide.info",
+                "dailytimes.com", "research-hub.edu", "openmaps.net",
+                "forum-board.org", "statportal.gov", "mediacdn.com"]
+_WEB_SUBS = ["", "www.", "en.", "blog.", "cdn."]
+_WEB_PATH_WORDS = ["page", "article", "item", "wiki", "post", "doc",
+                   "archive", "view", "list", "tag"]
+
+
+def ensure_web_fixture(n_urls: int = 900, seed: int = 29,
+                       root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic Common-Crawl-style capture log for the web-ops
+    oracles: ``captures.parquet`` with (url, warc_ts, content_len,
+    status). Each of ``n_urls`` canonical targets is captured 1-4 times
+    (recrawls) under RAW variants that canonicalize identically —
+    scheme/host case differences, explicit default ports (:80/:443) and
+    fragments — plus non-default ports, query strings and empty paths,
+    so every branch of url canonicalization is exercised. warc_ts is
+    strictly increasing over captures (latest-per-url is unambiguous).
+    Returns the parquet file path."""
+    key = f"web-v1-s{seed}-u{n_urls}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    urls, tss, lens, stats = [], [], [], []
+    t0 = 1_735_689_600_000_000   # 2025-01-01 UTC, microseconds
+    cap_idx = 0
+    for u in range(n_urls):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(_WEB_SUBS) + rng.choice(_WEB_DOMAINS)
+        port = rng.choice([None] * 8 + [8080, 8443])
+        depth = rng.randint(0, 3)
+        path_part = "".join(
+            f"/{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(50)}"
+            for _ in range(depth))
+        if depth and rng.random() < 0.3:
+            path_part += "/"
+        query = (f"q={rng.randrange(1000)}&lang={rng.choice(['en', 'de'])}"
+                 if rng.random() < 0.25 else "")
+        n_caps = rng.randint(1, 4)
+        for _c in range(n_caps):
+            s = scheme.upper() if rng.random() < 0.1 else scheme
+            h = host.upper() if rng.random() < 0.1 else host
+            default_port = 443 if scheme == "https" else 80
+            if port is not None:
+                p = f":{port}"
+            elif rng.random() < 0.15:
+                p = f":{default_port}"    # explicit default port
+            else:
+                p = ""
+            pp = path_part
+            if pp == "" and rng.random() < 0.5:
+                pp = "/"                  # empty path == root
+            frag = f"#sec{rng.randrange(9)}" if rng.random() < 0.2 else ""
+            q = f"?{query}" if query else ""
+            urls.append(f"{s}://{h}{p}{pp}{q}{frag}")
+            tss.append(t0 + cap_idx * 1_000_000 + rng.randrange(1000))
+            lens.append(rng.randint(200, 200_000))
+            stats.append(rng.choice([200] * 8 + [301, 404]))
+            cap_idx += 1
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "content_len": pa.array(lens, pa.int64()),
+        "status": pa.array(stats, pa.int64()),
+    })
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_clustered_embeddings(n: int = 256, dim: int = 16,
                                 n_clusters: int = 8, seed: int = 38,
                                 noise: float = 0.002,

@@ -1,0 +1,170 @@
+"""Web-capture operators over Common-Crawl-style page tables.
+
+The flagship's input shape is (url, warc_ts, html, text, lang) — a
+crawl capture log. These operators cover the crawl-side bookkeeping a
+KG-construction pipeline needs before extraction ever runs:
+
+* ``url_components`` — vectorized RFC-3986-lite URL parsing (scheme,
+  host, port, path, query, fragment, registered domain) as a stateless
+  zero-copy Arrow ``map_batches`` stage (``pyarrow.compute
+  extract_regex``, RE2). Scale-free: no state, no shuffle.
+* ``url_canonicalize`` — canonical URL form: lowercased scheme + host,
+  default port (80/443) stripped, empty path -> '/', fragment dropped,
+  non-empty query kept verbatim. One derived column, stateless.
+* ``latest_capture_per_url`` — the recrawl dedup every crawl snapshot
+  needs: top-1 capture per canonical URL by (warc_ts desc). Reuses
+  ``ops.relational.grouped_argmax`` — a batch-local top-1 combiner,
+  ONE canon-hash exchange, vectorized in-partition finish. At 100 TB
+  this is the same plan as the C8 winner argmax: one shuffle whose
+  payload is <= one row per (url, input block).
+* ``host_stats`` — per-host crawl rollup (captures, distinct canonical
+  URLs, total payload bytes, last-seen timestamp), composed entirely
+  from existing primitives: ``hash_aggregate`` (count/sum combiner) +
+  ``distinct_count`` (exact distinct, pair-hash exchange) +
+  ``grouped_argmax`` (last capture) joined with two co-partitioned
+  ``hash_join`` passes. Hosts are the classic skew key (one host can be
+  1% of a crawl) — every stage here pre-aggregates inside the batch
+  before its exchange, so the hot host ships partials, not rows.
+
+Fragment/query edge cases follow the fixture contract: absent query and
+fragment parse as '' (matching DuckDB ``regexp_extract``'s no-match
+result); an empty-but-present query ('?#f') is treated as absent.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .relational import distinct_count, grouped_argmax, hash_aggregate, hash_join
+
+_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+           r"(?P<hostport>[^/?#]*)(?P<path>[^?#]*)"
+           r"(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$")
+_HOSTPORT_RE = r"^(?P<host>[^:]*)(?::(?P<port>[0-9]+))?$"
+_REG_DOMAIN_RE = r"(?P<reg>[^.]+\.[^.]+)$"
+
+
+def _parse_batch(t: pa.Table, url_col: str) -> dict[str, pa.Array]:
+    """Vectorized parse of one Arrow batch -> component arrays."""
+    u = pc.cast(t.column(url_col), pa.string())
+    parts = pc.extract_regex(u, _URL_RE)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    hostport = pc.utf8_lower(pc.struct_field(parts, "hostport"))
+    hp = pc.extract_regex(hostport, _HOSTPORT_RE)
+    host = pc.struct_field(hp, "host")
+    port_s = pc.struct_field(hp, "port")
+    default_port = pc.if_else(pc.equal(scheme, "https"),
+                              pa.scalar(443, pa.int64()),
+                              pa.scalar(80, pa.int64()))
+    port = pc.if_else(
+        pc.equal(pc.fill_null(port_s, ""), ""),
+        default_port,
+        pc.cast(pc.if_else(pc.equal(pc.fill_null(port_s, ""), ""),
+                           "0", pc.fill_null(port_s, "")), pa.int64()))
+    raw_path = pc.fill_null(pc.struct_field(parts, "path"), "")
+    path = pc.if_else(pc.equal(raw_path, ""), "/", raw_path)
+    query = pc.fill_null(pc.struct_field(parts, "query"), "")
+    fragment = pc.fill_null(pc.struct_field(parts, "fragment"), "")
+    reg = pc.fill_null(pc.struct_field(
+        pc.extract_regex(host, _REG_DOMAIN_RE), "reg"), "")
+    return {"scheme": scheme, "host": host, "port": port, "path": path,
+            "query": query, "fragment": fragment, "registered_domain": reg}
+
+
+def url_components(pages: rd.Dataset, url_col: str = "url") -> rd.Dataset:
+    """Parse ``url_col`` into components (stateless vectorized map)."""
+    def f(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        out = t
+        for name, arr in comp.items():
+            out = out.append_column(name, arr)
+        return out
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def _canon_array(t: pa.Table, url_col: str) -> pa.Array:
+    comp = _parse_batch(t, url_col)
+    default_port = pc.if_else(pc.equal(comp["scheme"], "https"),
+                              pa.scalar(443, pa.int64()),
+                              pa.scalar(80, pa.int64()))
+    port_part = pc.if_else(
+        pc.equal(comp["port"], default_port),
+        pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(
+            ":", pc.cast(comp["port"], pa.string()), ""))
+    query_part = pc.if_else(
+        pc.equal(comp["query"], ""),
+        pa.scalar("", pa.string()),
+        pc.binary_join_element_wise("?", comp["query"], ""))
+    return pc.binary_join_element_wise(
+        comp["scheme"], "://", comp["host"], port_part, comp["path"],
+        query_part, "")
+
+
+def url_canonicalize(pages: rd.Dataset, url_col: str = "url",
+                     out_col: str = "canon_url") -> rd.Dataset:
+    """Add the canonical URL column (see module docstring for the
+    normal form). Stateless vectorized map — no shuffle."""
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, _canon_array(t, url_col))
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def latest_capture_per_url(pages: rd.Dataset, url_col: str = "url",
+                           ts_col: str = "warc_ts",
+                           num_partitions: "int | None" = None
+                           ) -> rd.Dataset:
+    """One row per canonical URL: the most recent capture (warc_ts
+    desc, raw url asc tie-break). Plan: canonicalize (stateless) ->
+    grouped_argmax (combiner + one canon-hash exchange)."""
+    canon = url_canonicalize(pages, url_col)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ts_us", pc.cast(t.column(ts_col), pa.int64()))
+
+    with_ts = canon.map_batches(to_us, batch_format="pyarrow")
+    return grouped_argmax(
+        with_ts, key="canon_url", order_col="ts_us", tie_col=url_col,
+        out_cols=["canon_url", url_col, "ts_us", "content_len", "status"],
+        num_partitions=num_partitions)
+
+
+def host_stats(pages: rd.Dataset, url_col: str = "url",
+               ts_col: str = "warc_ts", len_col: str = "content_len",
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-host crawl rollup: (host, n_captures, n_urls, total_bytes,
+    last_seen_us). Composition of existing partitioned primitives —
+    every exchange ships batch-level partials, never raw rows."""
+    def prep(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        return pa.table({
+            "host": comp["host"],
+            "canon_url": _canon_array(t, url_col),
+            "content_len": pc.cast(t.column(len_col), pa.int64()),
+            "ts_us": pc.cast(t.column(ts_col), pa.int64()),
+        })
+
+    base = pages.map_batches(prep, batch_format="pyarrow")
+    agg = hash_aggregate(base, ["host"], {"content_len": "total_bytes"},
+                         count_alias="n_captures",
+                         num_partitions=num_partitions)
+    nurls = distinct_count(base, "host", "canon_url", alias="n_urls",
+                           num_partitions=num_partitions)
+    last = grouped_argmax(base, key="host", order_col="ts_us",
+                          tie_col="canon_url", out_cols=["host", "ts_us"],
+                          num_partitions=num_partitions)
+
+    def last_only(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t.column("host"),
+                         "last_seen_us": t.column("ts_us")})
+
+    last = last.map_batches(last_only, batch_format="pyarrow")
+    joined = hash_join(agg, nurls, on=["host"],
+                       num_partitions=num_partitions)
+    return hash_join(joined, last, on=["host"],
+                     num_partitions=num_partitions)

@@ -1,0 +1,111 @@
+"""Web-capture operators (tabbyray/ops/web.py): URL parsing and
+canonicalization invariants, recrawl dedup, and the per-host rollup —
+each checked against an independent pandas recompute on the
+deterministic capture-log fixture."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def captures(ray_session):
+    from tabbyray.fixtures import ensure_web_fixture
+    path = ensure_web_fixture()
+    ds = rd.read_parquet(path, override_num_blocks=8)
+    return ds, pd.read_parquet(path)
+
+
+def _canon_py(url: str) -> str:
+    """Independent reference canonicalization (urllib-free on purpose:
+    simple string logic mirrors the documented normal form)."""
+    scheme, rest = url.split("://", 1)
+    scheme = scheme.lower()
+    for sep in "/?#":
+        i = rest.find(sep)
+        if i >= 0:
+            hostport, tail = rest[:i], rest[i:]
+            break
+    else:
+        hostport, tail = rest, ""
+    hostport = hostport.lower()
+    host, _, port_s = hostport.partition(":")
+    default = 443 if scheme == "https" else 80
+    port = int(port_s) if port_s else default
+    frag_i = tail.find("#")
+    if frag_i >= 0:
+        tail = tail[:frag_i]
+    q_i = tail.find("?")
+    path, query = (tail[:q_i], tail[q_i + 1:]) if q_i >= 0 else (tail, "")
+    path = path or "/"
+    out = f"{scheme}://{host}"
+    if port != default:
+        out += f":{port}"
+    out += path
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def test_url_components_parse(captures):
+    from tabbyray.ops.web import url_components
+    ds, raw = captures
+    got = url_components(ds).to_pandas()
+    assert len(got) == len(raw)
+    # spot-parse every result row independently
+    for g in got.itertuples():
+        c = _canon_py(g.url)
+        assert c.startswith(g.scheme + "://" + g.host)
+        assert g.scheme == g.scheme.lower()
+        assert g.host == g.host.lower()
+        assert ("." + g.registered_domain) in ("." + g.host) or \
+            g.host == g.registered_domain
+    # default ports filled by scheme
+    https = got[got["scheme"] == "https"]
+    assert set(https["port"].unique()) <= {443, 8443, 8080}
+
+
+def test_canonicalize_collapses_variants(captures):
+    from tabbyray.ops.web import url_canonicalize
+    ds, raw = captures
+    got = url_canonicalize(ds).to_pandas()
+    assert len(got) == len(raw)
+    assert (got["canon_url"] == got["url"].map(_canon_py)).all()
+    # variants genuinely collapse: fewer canon urls than raw spellings
+    assert got["canon_url"].nunique() < got["url"].nunique()
+    # no canonical url retains a fragment or an explicit default port
+    assert not got["canon_url"].str.contains("#").any()
+    assert not got["canon_url"].str.match(r"https://[^/]*:443(/|$)").any()
+    assert not got["canon_url"].str.match(r"http://[^/]*:80(/|$)").any()
+
+
+def test_latest_capture_per_url(captures):
+    from tabbyray.ops.web import latest_capture_per_url
+    ds, raw = captures
+    got = latest_capture_per_url(ds).to_pandas()
+    ref = raw.assign(canon_url=raw["url"].map(_canon_py),
+                     ts_us=raw["warc_ts"].astype("int64"))
+    win = (ref.sort_values(["ts_us", "url"], ascending=[False, True])
+           .drop_duplicates("canon_url"))
+    assert len(got) == len(win)
+    g = got.sort_values("canon_url").reset_index(drop=True)
+    w = (win[["canon_url", "url", "ts_us", "content_len", "status"]]
+         .sort_values("canon_url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(g[w.columns], w)
+
+
+def test_host_stats(captures):
+    from tabbyray.ops.web import host_stats
+    ds, raw = captures
+    got = (host_stats(ds).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    ref = raw.assign(canon_url=raw["url"].map(_canon_py),
+                     ts_us=raw["warc_ts"].astype("int64"))
+    ref["host"] = ref["canon_url"].str.extract(r"^[a-z+.-]+://([^:/?]+)")
+    exp = (ref.groupby("host")
+           .agg(n_captures=("url", "size"),
+                n_urls=("canon_url", "nunique"),
+                total_bytes=("content_len", "sum"),
+                last_seen_us=("ts_us", "max"))
+           .reset_index().sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
