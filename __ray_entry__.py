@@ -497,6 +497,67 @@ def _q_web_host_stats(sf_dir: str):
     return host_stats(_web_captures())
 
 
+def _link_pages(num_blocks: int = 4):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_link_fixture
+    return rd.read_parquet(ensure_link_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_web_anchors(sf_dir: str):
+    """Vectorized anchor extraction (split_pattern explode); oracle =
+    DuckDB regexp_extract_all + unnest over the same contract."""
+    from tabbyray.ops.web import extract_anchors
+    return extract_anchors(_link_pages())
+
+
+def _q_web_resolved_links(sf_dir: str):
+    """RFC-3986-lite href resolution + canonicalization of both
+    endpoints; the oracle re-derives the CASE chain in SQL."""
+    from tabbyray.ops.web import resolve_links
+    return resolve_links(_link_pages())
+
+
+def _q_web_host_edges(sf_dir: str):
+    """Host-level link rollup: one combiner-backed hash exchange on the
+    (src_host, dst_host) pair."""
+    from tabbyray.ops.web import host_edges
+    return host_edges(_link_pages())
+
+
+def _q_web_host_pagerank(sf_dir: str):
+    """Damped PageRank over the distinct inter-host edge set (string
+    node ids); oracle = 3 unrolled iterations of the identical float
+    expression over the SQL-re-derived edge set."""
+    from tabbyray.ops.web import host_pagerank
+    return host_pagerank(_link_pages())
+
+
+def _linedocs(num_blocks: int = 4):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_lineset_docs
+    return rd.read_parquet(ensure_lineset_docs(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_line_dedup_lines(sf_dir: str):
+    """Corpus-wide keep-first line dedup (CCNet boilerplate removal),
+    line granularity: Arrow explode + one line-hash grouped_argmax
+    exchange; oracle = row_number over (doc_id, line_no)."""
+    from tabbyray.ops.dedup import line_dedup_lines
+    return line_dedup_lines(_linedocs())
+
+
+def _q_line_dedup_docs(sf_dir: str):
+    """Line dedup at document granularity: surviving lines reassembled
+    in original order inside a doc-hash partition (docs with no
+    surviving line drop); oracle = string_agg ORDER BY line_no."""
+    from tabbyray.ops.dedup import line_dedup
+    return line_dedup(_linedocs())
+
+
 def _q_sti_annotations_sharded(sf_dir: str):
     """Sharded-KB candidate generation (kbshard.py): same annotations
     as the broadcast path (tests assert exact equality)."""
@@ -2009,6 +2070,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_url_components": _q_web_url_components,
         "web_latest_captures": _q_web_latest_captures,
         "web_host_stats": _q_web_host_stats,
+        "web_anchors": _q_web_anchors,
+        "web_resolved_links": _q_web_resolved_links,
+        "web_host_edges": _q_web_host_edges,
+        "web_host_pagerank": _q_web_host_pagerank,
+        "line_dedup_lines": _q_line_dedup_lines,
+        "line_dedup_docs": _q_line_dedup_docs,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2823,10 +2890,15 @@ def _sti_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
-    from tabbyray.fixtures import ensure_clustered_embeddings, ensure_web_fixture
+    from tabbyray.fixtures import (ensure_clustered_embeddings,
+                                   ensure_link_fixture,
+                                   ensure_lineset_docs,
+                                   ensure_web_fixture)
     from tabbyray.ops.text import _EMAIL, _PHONE
     _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
     _web_fixture_path = ensure_web_fixture()          # idempotent, ~ms
+    _link_fixture_path = ensure_link_fixture()        # idempotent, ~ms
+    _linedocs_path = ensure_lineset_docs()            # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -3944,6 +4016,8 @@ def oracle_sql() -> dict[str, str]:
     # web-capture family: components / canonical form / host rollup
     # re-derived in DuckDB from the raw capture log alone
     out.update(_web_oracles(_web_fixture_path))
+    out.update(_link_oracles(_link_fixture_path))
+    out.update(_linededup_oracles(_linedocs_path))
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
@@ -4016,5 +4090,181 @@ def _web_oracles(capture_path: str) -> dict[str, str]:
                CAST(sum(content_len) AS BIGINT) AS total_bytes,
                max(ts_us) AS last_seen_us
         FROM canon GROUP BY host
+    """
+    return out
+
+
+def _link_oracles(link_path: str) -> dict[str, str]:
+    """Oracle SQL for the link-graph operators: anchor extraction via
+    regexp_extract_all + unnest, then the documented RFC-3986-lite
+    resolution as a CASE chain, then the SAME canonicalization
+    expressions re-applied to the resolved URL — all independent of the
+    engine's Arrow kernels. ``web_host_pagerank`` unrolls 3 iterations
+    of the identical float expression (the supplier_pagerank pattern)
+    over the SQL-re-derived inter-host edge set."""
+    # base-page parse + canonical form + origin/dir for resolution
+    chain = f"""
+    b0 AS (SELECT url, html FROM read_parquet('{link_path}')),
+    b1 AS (SELECT url,
+                  lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                  lower(regexp_extract(url,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                      AS hostport,
+                  regexp_extract(url,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                      AS raw_path,
+                  regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+           FROM b0),
+    b2 AS (SELECT *,
+                  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                  regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s,
+                  CASE WHEN scheme = 'https' THEN 443 ELSE 80 END AS dport
+           FROM b1),
+    b3 AS (SELECT url, scheme, host, query, dport,
+                  CASE WHEN port_s = '' THEN dport
+                       ELSE CAST(port_s AS BIGINT) END AS port,
+                  CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+                      AS path
+           FROM b2),
+    base AS (SELECT url, scheme, host,
+                    scheme || '://' || host
+                    || (CASE WHEN port = dport THEN ''
+                             ELSE ':' || CAST(port AS VARCHAR) END)
+                        AS origin,
+                    scheme || '://' || host
+                    || (CASE WHEN port = dport THEN ''
+                             ELSE ':' || CAST(port AS VARCHAR) END)
+                    || path
+                    || (CASE WHEN query = '' THEN ''
+                             ELSE '?' || query END) AS src_canon,
+                    regexp_extract(path, '^(.*/)', 1) AS dir
+             FROM b3),
+    anch AS (SELECT url, unnest(regexp_extract_all(html,
+                 '<a href="([^"]*)"', 1)) AS href
+             FROM b0),
+    j AS (SELECT a.href, b.* FROM anch a JOIN base b USING (url)),
+    res AS (SELECT src_canon, host AS src_host, href,
+                   regexp_extract(
+                     CASE
+                       WHEN href = '' OR href LIKE '#%' THEN NULL
+                       WHEN regexp_matches(href,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*:') THEN
+                         CASE WHEN lower(regexp_extract(href,
+                                 '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1))
+                                 IN ('http', 'https')
+                              THEN href ELSE NULL END
+                       WHEN href LIKE '//%' THEN scheme || ':' || href
+                       WHEN href LIKE '/%' THEN origin || href
+                       ELSE origin || dir || href
+                     END, '^([^#]*)', 1) AS resolved
+            FROM j),
+    r1 AS (SELECT src_canon, src_host, href, resolved,
+                  lower(regexp_extract(resolved,
+                      '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS dscheme,
+                  lower(regexp_extract(resolved,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                      AS dhostport,
+                  regexp_extract(resolved,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                      AS draw_path,
+                  regexp_extract(resolved, '^[^#]*\\?([^#]*)', 1) AS dquery
+           FROM res WHERE resolved IS NOT NULL),
+    r2 AS (SELECT *,
+                  regexp_extract(dhostport, '^([^:]*)', 1) AS dhost,
+                  regexp_extract(dhostport, ':([0-9]+)$', 1) AS dport_s,
+                  CASE WHEN dscheme = 'https' THEN 443 ELSE 80 END
+                      AS ddport
+           FROM r1),
+    r3 AS (SELECT src_canon, src_host, href, dscheme, dhost, dquery,
+                  ddport,
+                  CASE WHEN dport_s = '' THEN ddport
+                       ELSE CAST(dport_s AS BIGINT) END AS dport2,
+                  CASE WHEN draw_path = '' THEN '/' ELSE draw_path END
+                      AS dpath
+           FROM r2),
+    links AS (SELECT src_canon, src_host, href, dhost AS dst_host,
+                     dscheme || '://' || dhost
+                     || (CASE WHEN dport2 = ddport THEN ''
+                              ELSE ':' || CAST(dport2 AS VARCHAR) END)
+                     || dpath
+                     || (CASE WHEN dquery = '' THEN ''
+                              ELSE '?' || dquery END) AS dst_canon
+              FROM r3)
+    """
+    out = {}
+    out["web_anchors"] = f"""
+        WITH b0 AS (SELECT url, html FROM read_parquet('{link_path}'))
+        SELECT url, unnest(regexp_extract_all(html,
+            '<a href="([^"]*)"', 1)) AS href
+        FROM b0
+    """
+    out["web_resolved_links"] = f"""
+        WITH {chain}
+        SELECT src_canon, href, dst_canon FROM links
+    """
+    out["web_host_edges"] = f"""
+        WITH {chain}
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM links GROUP BY src_host, dst_host
+    """
+    out["web_host_pagerank"] = f"""
+        WITH {chain},
+        edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+                  FROM links WHERE src_host <> dst_host),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        c1 AS (SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS s
+               FROM edges e JOIN r0 ON r0.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr1 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * COALESCE(c1.s, 0) AS r
+                FROM nodes x LEFT JOIN c1 ON c1.node = x.node),
+        c2 AS (SELECT e.dst AS node, sum(rr1.r / deg.outdeg) AS s
+               FROM edges e JOIN rr1 ON rr1.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr2 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * COALESCE(c2.s, 0) AS r
+                FROM nodes x LEFT JOIN c2 ON c2.node = x.node),
+        c3 AS (SELECT e.dst AS node, sum(rr2.r / deg.outdeg) AS s
+               FROM edges e JOIN rr2 ON rr2.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr3 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * COALESCE(c3.s, 0) AS r
+                FROM nodes x LEFT JOIN c3 ON c3.node = x.node)
+        SELECT node, r FROM rr3
+    """
+    return out
+
+
+def _linededup_oracles(linedocs_path: str) -> dict[str, str]:
+    """Oracle SQL for corpus-level line dedup: zipped unnest explode,
+    keep-first = row_number() OVER (PARTITION BY line ORDER BY doc_id,
+    line_no) = 1, reassembly = string_agg ORDER BY line_no."""
+    kept = f"""
+    sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM read_parquet('{linedocs_path}')),
+    l AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(0, len(ls))) AS line_no FROM sp),
+    k AS (SELECT line, doc_id, CAST(line_no AS BIGINT) AS line_no FROM
+          (SELECT *, row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+           FROM l)
+          WHERE rn = 1)
+    """
+    out = {}
+    out["line_dedup_lines"] = f"""
+        WITH {kept}
+        SELECT line, doc_id, line_no FROM k
+    """
+    out["line_dedup_docs"] = f"""
+        WITH {kept}
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM k GROUP BY doc_id
     """
     return out

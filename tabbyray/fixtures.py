@@ -564,3 +564,142 @@ def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
         shutil.rmtree(path)
     os.rename(tmp, path)
     return path
+
+
+def ensure_link_fixture(n_pages: int = 500, seed: int = 37,
+                        root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic crawl-page fixture for the link-graph operators:
+    ``links.parquet`` with (url:string, html:string). Every page URL is
+    unique and already fragment-free; the html body embeds anchors in
+    the canonical serialization ``<a href="H">w</a>`` (the documented
+    extraction contract) covering every href class the resolver
+    handles: absolute http(s) (including raw-case scheme/host, explicit
+    default ports and fragments — canonicalization must flatten them),
+    protocol-relative (``//host/path``), root-relative (``/seg``),
+    directory-relative (``seg`` / ``sub/seg``), plus the dropped
+    classes: fragment-only, empty, ``mailto:`` and ``javascript:``.
+    Absolute targets point at OTHER fixture pages so the resolved graph
+    is dense enough for host pagerank. Returns the parquet path."""
+    key = f"links-v1-s{seed}-p{n_pages}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    # page URLs: one capture per page, path depth >= 1 so every base
+    # has a well-defined directory for relative resolution
+    page_urls = []
+    seen = set()
+    while len(page_urls) < n_pages:
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(_WEB_SUBS) + rng.choice(_WEB_DOMAINS)
+        port = rng.choice([None] * 9 + [8080])
+        depth = rng.randint(1, 3)
+        p = "".join(f"/{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(60)}"
+                    for _ in range(depth))
+        if rng.random() < 0.25:
+            p += "/"
+        q = f"?q={rng.randrange(40)}" if rng.random() < 0.15 else ""
+        u = f"{scheme}://{host}{':' + str(port) if port else ''}{p}{q}"
+        if u not in seen:
+            seen.add(u)
+            page_urls.append(u)
+    urls, htmls = [], []
+    for i, u in enumerate(page_urls):
+        n_links = rng.randint(0, 6)
+        parts = [f"<p>{' '.join(rng.choice(_WEB_PATH_WORDS) for _ in range(8))}</p>"]
+        for j in range(n_links):
+            kind = rng.randrange(10)
+            if kind < 4:        # absolute link to another page (raw variants)
+                t = page_urls[rng.randrange(n_pages)]
+                sch, rest = t.split("://", 1)
+                if rng.random() < 0.2:
+                    sch = sch.upper()
+                if rng.random() < 0.2:
+                    # uppercase the host portion
+                    k = min([x for x in (rest.find("/"), rest.find("?"))
+                             if x >= 0] or [len(rest)])
+                    rest = rest[:k].upper() + rest[k:]
+                if ":" not in rest.split("/", 1)[0] and rng.random() < 0.15:
+                    dflt = 443 if sch.lower() == "https" else 80
+                    k = min([x for x in (rest.find("/"), rest.find("?"))
+                             if x >= 0] or [len(rest)])
+                    rest = rest[:k] + f":{dflt}" + rest[k:]
+                href = f"{sch}://{rest}"
+                if rng.random() < 0.25:
+                    href += f"#frag{rng.randrange(5)}"
+            elif kind < 5:      # protocol-relative
+                t = page_urls[rng.randrange(n_pages)]
+                href = "//" + t.split("://", 1)[1].split("?", 1)[0]
+            elif kind < 7:      # root-relative
+                href = (f"/{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(60)}"
+                        f"/{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(60)}")
+                if rng.random() < 0.3:
+                    href += f"?lang={rng.choice(['en', 'de'])}"
+            elif kind < 9:      # directory-relative
+                href = f"{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(60)}"
+                if rng.random() < 0.4:
+                    href = (f"{rng.choice(_WEB_PATH_WORDS)}"
+                            f"{rng.randrange(60)}/" + href)
+            else:               # dropped classes
+                href = rng.choice(["", f"#sec{rng.randrange(8)}",
+                                   "mailto:a@b.example",
+                                   "javascript:void(0)"])
+            parts.append(f'<a href="{href}">{rng.choice(_WEB_PATH_WORDS)}'
+                         f"{j}</a>")
+        urls.append(u)
+        htmls.append("<html><body>" + "".join(parts) + "</body></html>")
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "html": pa.array(htmls, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_lineset_docs(n_docs: int = 400, seed: int = 31,
+                        n_boiler: int = 80,
+                        root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic multi-line document fixture for corpus-level line
+    dedup (the CCNet scenario): ``linedocs.parquet`` with
+    (doc_id:int64, text:string) where text is 2-10 newline-joined
+    lines. ~40% of lines are drawn from a shared pool of ``n_boiler``
+    boilerplate lines (nav/footer strings that recur across documents);
+    the rest are unique to the document. A handful of docs are exact
+    replicas of an earlier doc (whole-page dup) and some docs repeat a
+    line internally, so keep-first must also dedup WITHIN a document.
+    No line is empty and no line contains a newline."""
+    key = f"linedocs-v1-s{seed}-d{n_docs}-b{n_boiler}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    words = _WEB_PATH_WORDS + ["copyright", "privacy", "terms", "menu",
+                               "home", "contact", "search", "login"]
+    boiler = [f"{rng.choice(words)} {rng.choice(words)} "
+              f"{rng.choice(words)} {i}" for i in range(n_boiler)]
+    texts = []
+    for d in range(n_docs):
+        if d > 20 and rng.random() < 0.05:
+            texts.append(texts[rng.randrange(d - 10, d)])  # whole-page dup
+            continue
+        n_lines = rng.randint(2, 10)
+        lines = []
+        for j in range(n_lines):
+            if rng.random() < 0.4:
+                lines.append(rng.choice(boiler))
+            else:
+                lines.append(f"doc {d} line {j} "
+                             + " ".join(rng.choice(words) for _ in range(5)))
+        if n_lines >= 4 and rng.random() < 0.2:
+            lines[n_lines - 1] = lines[0]   # intra-doc repeat
+        texts.append("\n".join(lines))
+    table = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -765,3 +765,89 @@ def span_dedup(docs: rd.Dataset, width: int = 8) -> rd.Dataset:
         kept, "doc_id", reassemble,
         pa.schema([("doc_id", pa.int64()), ("dedup_text", pa.string()),
                    ("n_kept", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (the CCNet preprocessing step)
+# ---------------------------------------------------------------------------
+
+def line_dedup_lines(docs: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n",
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Corpus-wide keep-first line dedup, line granularity: split every
+    document on ``sep`` and keep each distinct line's FIRST occurrence
+    by (doc_id asc, line_no asc) — the CCNet boilerplate-removal rule
+    (duplicated nav/footer lines survive only where first seen; a line
+    repeated WITHIN one document also dedups). Output: one row per
+    surviving line, (line, doc_id, line_no) with 0-based line_no.
+
+    Plan: vectorized Arrow explode (split_pattern + list offsets — no
+    per-row Python), then ONE line-hash exchange via grouped_argmax
+    whose combiner keeps a batch-local first occurrence per line, so
+    the shuffle ships at most one row per (line, batch). The
+    ``neg_doc`` order column maps keep-first onto the top-1-by-
+    (order desc, tie asc) primitive."""
+    from .web import _explode_positions
+    from .relational import grouped_argmax
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("line", pa.string()),
+                            ("doc_id", pa.int64()),
+                            ("line_no", pa.int64()),
+                            ("neg_doc", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        txt = pc.cast(t.column(text_col), pa.string()).combine_chunks()
+        sp = pc.split_pattern(txt, sep)
+        flat, parents, pos = _explode_positions(sp)
+        ids = pc.take(pc.cast(t.column(id_col), pa.int64()), parents)
+        return pa.table({"line": flat, "doc_id": ids,
+                         "line_no": pa.array(pos, pa.int64()),
+                         "neg_doc": pc.negate(ids)})
+
+    lines = docs.map_batches(explode, batch_format="pyarrow")
+    won = grouped_argmax(lines, key="line", order_col="neg_doc",
+                         tie_col="line_no",
+                         out_cols=["line", "doc_id", "line_no"],
+                         num_partitions=num_partitions)
+    return won.select_columns(["line", "doc_id", "line_no"])
+
+
+def line_dedup(docs: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n",
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """Document-level result of corpus-wide line dedup: each document
+    reassembled from its SURVIVING lines in original order. Documents
+    whose every line was first seen elsewhere disappear (the CCNet
+    empty-doc drop). Output: (doc_id, text, n_kept).
+
+    Plan: ``line_dedup_lines`` (one line-hash exchange) + one doc-hash
+    exchange whose in-partition finish is a vectorized sort +
+    groupby-join — two shuffles total, both on hashes/ids, with the
+    reassembled text produced inside the partition (never the
+    driver)."""
+    from .relational import _resolve_partitions as _rp, typed_groupby_map
+
+    won = line_dedup_lines(docs, id_col=id_col, text_col=text_col,
+                           sep=sep, num_partitions=num_partitions)
+    num_partitions = _rp(num_partitions)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (df["doc_id"] % num_partitions).astype("int64")
+        return df
+
+    out_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string()),
+                            ("n_kept", pa.int64())])
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "line_no"], kind="stable")
+        agg = g.groupby("doc_id", sort=True)["line"].agg(
+            [(text_col, sep.join), ("n_kept", "size")]).reset_index()
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        return agg.rename(columns={"doc_id": id_col})
+
+    return typed_groupby_map(
+        won.map_batches(part, batch_format="pandas"),
+        "_part", reassemble, out_schema)

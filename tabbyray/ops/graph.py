@@ -178,7 +178,8 @@ def cluster_representatives(components: rd.Dataset, meta: rd.Dataset,
 def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              num_partitions: "int | None" = None, mode: str = "auto",
-             broadcast_max_nodes: int = 2_000_000) -> rd.Dataset:
+             broadcast_max_nodes: int = 2_000_000,
+             node_dtype: "pa.DataType | None" = None) -> rd.Dataset:
     """Damped PageRank over a directed edge Dataset — the textbook
     no-dangling-redistribution variant: r0 = 1/N, then
     r_{k+1}(v) = (1−d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
@@ -208,10 +209,17 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
     skips its two aggregate barriers). Both paths evaluate the
     identical float expression per edge (sum ORDER differs, so results
     agree to float roundoff, which the 9-dp oracle hashing absorbs;
-    the SQL oracle unrolls the same expression). Output: (node, r)."""
+    the SQL oracle unrolls the same expression). Output: (node, r).
+
+    ``node_dtype`` is the Arrow type of the node id columns (default
+    int64; pass ``pa.string()`` for e.g. host-name graphs) — supplied
+    explicitly so no lazy upstream plan has to execute just to probe
+    the schema."""
     import numpy as np
 
     from .relational import hash_aggregate, hash_join, partial_agg_sum
+
+    nd = node_dtype if node_dtype is not None else pa.int64()
 
     def as_edge_ones(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -223,7 +231,7 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         edges.map_batches(as_edge_ones, batch_format="pyarrow"),
         keys=["src", "dst"], sum_cols={"one": "n"},
         num_partitions=num_partitions,
-        out_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+        out_schema=pa.schema([("src", nd), ("dst", nd),
                               ("n", pa.int64())])
     ).select_columns(["src", "dst"]).materialize()
     n_edges = ded.count()
@@ -241,7 +249,7 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
 
             def contrib_bc(t: pa.Table) -> pa.Table:
                 if t.num_rows == 0:
-                    return pa.table({"dst": pa.array([], pa.int64()),
+                    return pa.table({"dst": pa.array([], nd),
                                      "c": pa.array([], pa.float64())})
                 m = ray.get(ref)
                 df = t.to_pandas()
@@ -268,8 +276,8 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         outdeg_pd = deg_parts.groupby("src")["outdeg"].sum()
         node_parts = ded.map_batches(
             lambda t: pa.table({"node": pa.concat_arrays(
-                [_flat(t.column("src")).cast(pa.int64()),
-                 _flat(t.column("dst")).cast(pa.int64())]).unique()}),
+                [_flat(t.column("src")).cast(nd),
+                 _flat(t.column("dst")).cast(nd)]).unique()}),
             batch_format="pyarrow").to_pandas()
         nodes_np = np.sort(node_parts["node"].unique())
         return _iterate_broadcast(outdeg_pd, nodes_np)
@@ -289,7 +297,7 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
                                batch_format="pyarrow")),
         keys=["node"], sum_cols={"one": "n"},
         num_partitions=num_partitions,
-        out_schema=pa.schema([("node", pa.int64()), ("n", pa.int64())])
+        out_schema=pa.schema([("node", nd), ("n", pa.int64())])
     ).select_columns(["node"]).materialize()
     n_nodes = nodes.count()
 
@@ -303,9 +311,9 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
 
     edges_deg = hash_join(
         ded, outdeg, on="src",
-        left_schema=pa.schema([("src", pa.int64()),
-                               ("dst", pa.int64())]),
-        right_schema=pa.schema([("src", pa.int64()),
+        left_schema=pa.schema([("src", nd),
+                               ("dst", nd)]),
+        right_schema=pa.schema([("src", nd),
                                 ("outdeg", pa.int64())])).materialize()
 
     base = (1 - damping) / n_nodes
@@ -316,7 +324,7 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
                                        pa.float64())})
 
     ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
-    rank_schema = pa.schema([("src", pa.int64()), ("r", pa.float64())])
+    rank_schema = pa.schema([("src", nd), ("r", pa.float64())])
 
     def rename(old: str, new: str):
         def f(t: pa.Table) -> pa.Table:
@@ -330,8 +338,8 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
             ranks.map_batches(rename("node", "src"),
                               batch_format="pyarrow"),
             on="src",
-            left_schema=pa.schema([("src", pa.int64()),
-                                   ("dst", pa.int64()),
+            left_schema=pa.schema([("src", nd),
+                                   ("dst", nd),
                                    ("outdeg", pa.int64())]),
             right_schema=rank_schema)
 
@@ -350,8 +358,8 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
             sums.map_batches(rename("dst", "node"),
                              batch_format="pyarrow"),
             on="node", how="left",
-            left_schema=pa.schema([("node", pa.int64())]),
-            right_schema=pa.schema([("node", pa.int64()),
+            left_schema=pa.schema([("node", nd)]),
+            right_schema=pa.schema([("node", nd),
                                     ("s", pa.float64())]))
 
         def apply(t: pa.Table) -> pa.Table:

@@ -168,3 +168,197 @@ def host_stats(pages: rd.Dataset, url_col: str = "url",
                        num_partitions=num_partitions)
     return hash_join(joined, last, on=["host"],
                      num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Link graph: anchor extraction -> href resolution -> host edges -> pagerank
+# ---------------------------------------------------------------------------
+#
+# The KG-construction crawl side needs the page link graph (for host
+# authority / crawl prioritization) before any table extraction runs.
+# Contract (mirrored exactly by the DuckDB oracles):
+#
+# * extraction targets the canonical anchor serialization
+#   ``<a href="H">`` (double-quoted, lowercase tag) — the fixture
+#   writer only emits that form, and the SQL oracle uses the identical
+#   RE2 pattern, so both sides parse the same grammar;
+# * resolution is RFC-3986-lite: absolute http(s) hrefs pass through,
+#   non-http(s) schemes (mailto:, javascript:) drop, ``//host/...``
+#   takes the base scheme, ``/path`` joins the base origin, anything
+#   else joins origin + base directory (path up to the last ``/``);
+#   empty and fragment-only hrefs drop; fragments are stripped; no
+#   dot-segment (``..``) collapsing (documented subset — the fixture
+#   emits none);
+# * both endpoints are then canonicalized with the SAME normal form as
+#   ``url_canonicalize``.
+#
+# Everything is stateless vectorized Arrow (split_pattern /
+# extract_regex / if_else) — zero shuffles until the host-edge
+# aggregate, which ships per-batch partial counts.
+
+_ANCHOR_PREFIX = '<a href="'
+
+
+def _explode_positions(sp: pa.ListArray):
+    """Flatten a list array, returning (flat_values, parent_indices,
+    position_within_list) — the shared explode helper."""
+    import numpy as np
+    flat = pc.list_flatten(sp)
+    parents = pc.list_parent_indices(sp)
+    lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+    lens = lens.astype("int64")
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.arange(len(flat), dtype="int64") - starts
+    return flat, parents, pos
+
+
+def extract_anchors(pages: rd.Dataset, url_col: str = "url",
+                    html_col: str = "html") -> rd.Dataset:
+    """One (url, href) row per ``<a href="...">`` anchor, in document
+    order. Vectorized: split each page on the anchor prefix; every
+    segment after the first starts with the href, terminated by the
+    closing quote. Pages without anchors emit no rows."""
+    def f(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(url_col, pa.string()),
+                                ("href", pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        html = pc.cast(t.column(html_col), pa.string()).combine_chunks()
+        sp = pc.split_pattern(html, _ANCHOR_PREFIX)
+        flat, parents, pos = _explode_positions(sp)
+        mask = pa.array(pos > 0)
+        seg = pc.filter(flat, mask)
+        par = pc.filter(parents, mask)
+        href = pc.struct_field(
+            pc.extract_regex(seg, '^(?P<h>[^"]*)"'), "h")
+        urls = pc.take(pc.cast(t.column(url_col), pa.string()), par)
+        return pa.table({url_col: urls, "href": href})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def resolve_hrefs(anchors: rd.Dataset, url_col: str = "url",
+                  href_col: str = "href", src_out: str = "src_canon",
+                  dst_out: str = "dst_canon") -> rd.Dataset:
+    """Resolve each (base url, href) pair to canonical (src, dst) URLs
+    per the module resolution contract; undroppable rows only. Keeps
+    the raw ``href`` column for provenance. Stateless vectorized map."""
+    def f(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(src_out, pa.string()),
+                                (href_col, pa.string()),
+                                (dst_out, pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        comp = _parse_batch(t, url_col)
+        src = _canon_array(t, url_col)
+        href = pc.fill_null(
+            pc.cast(t.column(href_col), pa.string()), "").combine_chunks()
+        default_port = pc.if_else(pc.equal(comp["scheme"], "https"),
+                                  pa.scalar(443, pa.int64()),
+                                  pa.scalar(80, pa.int64()))
+        port_part = pc.if_else(
+            pc.equal(comp["port"], default_port),
+            pa.scalar("", pa.string()),
+            pc.binary_join_element_wise(
+                ":", pc.cast(comp["port"], pa.string()), ""))
+        origin = pc.binary_join_element_wise(
+            comp["scheme"], "://", comp["host"], port_part, "")
+        base_dir = pc.struct_field(
+            pc.extract_regex(comp["path"], "^(?P<d>.*/)"), "d")
+        empty_or_frag = pc.or_(pc.equal(href, ""),
+                               pc.starts_with(href, "#"))
+        has_scheme = pc.match_substring_regex(
+            href, r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+        scheme_of = pc.utf8_lower(pc.fill_null(pc.struct_field(
+            pc.extract_regex(href, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*):"),
+            "s"), ""))
+        http_abs = pc.and_(has_scheme, pc.is_in(
+            scheme_of, value_set=pa.array(["http", "https"])))
+        proto_rel = pc.starts_with(href, "//")
+        root_rel = pc.and_(pc.starts_with(href, "/"),
+                           pc.invert(proto_rel))
+        resolved = pc.if_else(
+            http_abs, href,
+            pc.if_else(
+                proto_rel,
+                pc.binary_join_element_wise(comp["scheme"], ":", href, ""),
+                pc.if_else(
+                    root_rel,
+                    pc.binary_join_element_wise(origin, href, ""),
+                    pc.binary_join_element_wise(
+                        origin, base_dir, href, ""))))
+        resolved = pc.struct_field(
+            pc.extract_regex(resolved, "^(?P<p>[^#]*)"), "p")
+        keep = pc.and_(
+            pc.invert(empty_or_frag),
+            pc.or_(pc.invert(has_scheme), http_abs))
+        kept = pa.table({src_out: src, href_col: href,
+                         "_resolved": resolved}).filter(keep)
+        dst = _canon_array(kept, "_resolved")
+        return pa.table({src_out: kept.column(src_out),
+                         href_col: kept.column(href_col),
+                         dst_out: dst})
+
+    return anchors.map_batches(f, batch_format="pyarrow")
+
+
+def resolve_links(pages: rd.Dataset, url_col: str = "url",
+                  html_col: str = "html") -> rd.Dataset:
+    """extract_anchors -> resolve_hrefs over a (url, html) page table:
+    one (src_canon, href, dst_canon) row per resolvable anchor."""
+    return resolve_hrefs(extract_anchors(pages, url_col, html_col),
+                         url_col=url_col)
+
+
+def host_edges(pages: rd.Dataset, url_col: str = "url",
+               html_col: str = "html",
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """Host-level link rollup: (src_host, dst_host, n_links) including
+    self-loops (intra-host nav). One combiner-backed hash exchange on
+    the host pair — the hot-host case ships per-batch partial counts,
+    never raw anchor rows."""
+    links = resolve_links(pages, url_col, html_col)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("src_host", pa.string()),
+                            ("dst_host", pa.string()),
+                            ("one", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        s = _parse_batch(t, "src_canon")
+        d = _parse_batch(t, "dst_canon")
+        return pa.table({"src_host": s["host"], "dst_host": d["host"],
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    pairs = links.map_batches(hosts, batch_format="pyarrow")
+    return hash_aggregate(
+        pairs, keys=["src_host", "dst_host"], sum_cols={"one": "n_links"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("src_host", pa.string()),
+                              ("dst_host", pa.string()),
+                              ("n_links", pa.int64())]))
+
+
+def host_pagerank(pages: rd.Dataset, url_col: str = "url",
+                  html_col: str = "html", n_iter: int = 3,
+                  num_partitions: "int | None" = None,
+                  mode: str = "auto") -> rd.Dataset:
+    """Damped PageRank over the DISTINCT inter-host edge set
+    (self-loops excluded — intra-host nav drowns the authority
+    signal). Reuses ``ops.graph.pagerank`` and inherits its auto
+    broadcast/join switch: at crawl scale the join path's per-round
+    exchange count is constant in graph size."""
+    from .graph import pagerank
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+
+    def inter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                        t.column("dst_host"))))
+        return pa.table({"src": t.column("src_host"),
+                         "dst": t.column("dst_host")})
+
+    return pagerank(edges.map_batches(inter, batch_format="pyarrow"),
+                    n_iter=n_iter, num_partitions=num_partitions,
+                    mode=mode, node_dtype=pa.string())

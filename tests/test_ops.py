@@ -659,3 +659,52 @@ def test_weighted_sample_k(ray_session):
     pd.testing.assert_frame_equal(out1, out2)   # resharding-invariant
     assert len(out1) == 20
     assert 123 in set(out1["id"])               # heavy row always in
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_semantics(ray_session):
+    """Keep-first across AND within docs; fully-duplicate docs drop."""
+    import pyarrow as pa
+    import ray.data as rd
+    from tabbyray.ops.dedup import line_dedup, line_dedup_lines
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha\nshared\nalpha",      # intra-doc repeat of line 0
+            "shared\nbeta",              # 'shared' first seen in doc 1
+            "shared\nalpha",             # nothing new -> doc drops
+        ]),
+    })
+    ds = rd.from_arrow(docs)
+    lines = line_dedup_lines(ds).to_pandas()
+    got = {(r.line, r.doc_id, r.line_no) for r in lines.itertuples()}
+    assert got == {("alpha", 1, 0), ("shared", 1, 1), ("beta", 2, 1)}
+    out = line_dedup(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "alpha\nshared"
+    assert out.loc[2, "text"] == "beta"
+    assert 3 not in out.index
+    assert out["n_kept"].tolist() == [2, 1]
+
+
+def test_line_dedup_matches_pandas(ray_session):
+    """Fixture-scale equivalence with an independent pandas recompute."""
+    import pandas as pd
+    import ray.data as rd
+    from tabbyray.fixtures import ensure_lineset_docs
+    from tabbyray.ops.dedup import line_dedup
+    path = ensure_lineset_docs()
+    raw = pd.read_parquet(path)
+    rows = []
+    for r in raw.itertuples():
+        for i, ln in enumerate(r.text.split("\n")):
+            rows.append((r.doc_id, i, ln))
+    df = pd.DataFrame(rows, columns=["doc_id", "line_no", "line"])
+    first = df.sort_values(["doc_id", "line_no"]).drop_duplicates("line")
+    want = (first.sort_values(["doc_id", "line_no"])
+            .groupby("doc_id")["line"].agg("\n".join))
+    got = (line_dedup(rd.read_parquet(path, override_num_blocks=4))
+           .to_pandas().set_index("doc_id")["text"])
+    assert got.sort_index().equals(want.sort_index())

@@ -109,3 +109,76 @@ def test_host_stats(captures):
                 last_seen_us=("ts_us", "max"))
            .reset_index().sort_values("host").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+# ---------------------------------------------------------------------------
+# Link graph
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def link_pages(ray_session):
+    from tabbyray.fixtures import ensure_link_fixture
+    path = ensure_link_fixture()
+    return rd.read_parquet(path, override_num_blocks=4), pd.read_parquet(path)
+
+
+def test_resolve_hrefs_classes(ray_session):
+    """One unit case per documented href class."""
+    import pyarrow as pa
+    from tabbyray.ops.web import resolve_hrefs
+    base = "https://www.Example.com:443/a/b?q=1#top"
+    cases = [
+        ("https://OTHER.org:8080/x#f", "https://other.org:8080/x"),
+        ("HTTP://h.example/p", "http://h.example/p"),
+        ("//cdn.example/pic", "https://cdn.example/pic"),
+        ("/root/doc", "https://www.example.com/root/doc"),
+        ("rel/doc?l=en", "https://www.example.com/a/rel/doc?l=en"),
+        ("leaf", "https://www.example.com/a/leaf"),
+        ("", None), ("#sec", None),
+        ("mailto:x@y.example", None), ("javascript:void(0)", None),
+    ]
+    t = pa.table({"url": pa.array([base] * len(cases)),
+                  "href": pa.array([c[0] for c in cases])})
+    got = resolve_hrefs(rd.from_arrow(t)).to_pandas()
+    want = {c[0]: c[1] for c in cases if c[1] is not None}
+    assert dict(zip(got["href"], got["dst_canon"])) == want
+    # src always canonicalizes the base (lowercase, default port
+    # stripped, fragment dropped, query kept)
+    assert set(got["src_canon"]) == {"https://www.example.com/a/b?q=1"}
+
+
+def test_extract_anchors_counts(link_pages):
+    """Anchor rows equal an independent re.findall recount, in order."""
+    import re
+    from tabbyray.ops.web import extract_anchors
+    ds, raw = link_pages
+    got = extract_anchors(ds).to_pandas()
+    want = []
+    for r in raw.itertuples():
+        for h in re.findall(r'<a href="([^"]*)"', r.html):
+            want.append((r.url, h))
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(want)
+
+
+def test_host_edges_conservation(link_pages):
+    """Edge counts sum to the number of resolvable anchors; self-loops
+    are kept in the rollup."""
+    from tabbyray.ops.web import host_edges, resolve_links
+    ds, _ = link_pages
+    links = resolve_links(ds).to_pandas()
+    edges = host_edges(ds).to_pandas()
+    assert edges["n_links"].sum() == len(links)
+    assert (edges["n_links"] > 0).all()
+    assert len(edges) == edges[["src_host", "dst_host"]].drop_duplicates().shape[0]
+
+
+def test_host_pagerank_paths_agree(link_pages):
+    """String-node pagerank: broadcast and join paths agree to float
+    roundoff and conserve total mass."""
+    from tabbyray.ops.web import host_pagerank
+    ds, _ = link_pages
+    b = host_pagerank(ds, mode="broadcast").to_pandas().set_index("node")["r"]
+    j = host_pagerank(ds, mode="join").to_pandas().set_index("node")["r"]
+    assert set(b.index) == set(j.index)
+    assert (b.sort_index() - j.sort_index()).abs().max() < 1e-12
+    assert abs(b.sum() - 1.0) < 1e-9
