@@ -534,6 +534,36 @@ def _q_web_host_pagerank(sf_dir: str):
     return host_pagerank(_link_pages())
 
 
+# snapshot split for web_capture_diff: a constant inside the fixture's
+# strictly-increasing capture timeline (both the query fn and the SQL
+# oracle reference this same literal)
+_WEB_TS_SPLIT_US = 1_735_689_600_000_000 + 1_125 * 1_000_000
+
+
+def _q_web_capture_diff(sf_dir: str):
+    """Crawl snapshot diff: latest-per-canonical-URL before vs at/after
+    the split, full outer join + classify (added/gone/changed/
+    unchanged, -1 sentinels); oracle = two QUALIFY-style row_number
+    sides + FULL OUTER JOIN."""
+    from tabbyray.ops.web import capture_diff
+    return capture_diff(_web_captures(), _WEB_TS_SPLIT_US)
+
+
+def _q_web_host_components(sf_dir: str):
+    """Site clusters: connected components over the undirected
+    inter-host link graph of the 5-community fixture (exactly 5
+    clusters by construction); component = lexicographic min host.
+    63-bit md5 node hashes reuse the int-keyed label propagation;
+    oracle = recursive-CTE transitive closure."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_link_fixture
+    from tabbyray.ops.web import host_components
+    ds = rd.read_parquet(ensure_link_fixture(communities=5),
+                         override_num_blocks=4)
+    return host_components(ds, num_partitions=8)
+
+
 def _linedocs(num_blocks: int = 4):
     import ray.data as rd
 
@@ -2074,6 +2104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_resolved_links": _q_web_resolved_links,
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
+        "web_capture_diff": _q_web_capture_diff,
+        "web_host_components": _q_web_host_components,
         "line_dedup_lines": _q_line_dedup_lines,
         "line_dedup_docs": _q_line_dedup_docs,
         # deduplication family
@@ -2898,6 +2930,7 @@ def oracle_sql() -> dict[str, str]:
     _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
     _web_fixture_path = ensure_web_fixture()          # idempotent, ~ms
     _link_fixture_path = ensure_link_fixture()        # idempotent, ~ms
+    _link_c5_path = ensure_link_fixture(communities=5)
     _linedocs_path = ensure_lineset_docs()            # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
@@ -4017,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
     # re-derived in DuckDB from the raw capture log alone
     out.update(_web_oracles(_web_fixture_path))
     out.update(_link_oracles(_link_fixture_path))
+    out["web_host_components"] = _host_components_oracle(_link_c5_path)
     out.update(_linededup_oracles(_linedocs_path))
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
@@ -4091,6 +4125,36 @@ def _web_oracles(capture_path: str) -> dict[str, str]:
                max(ts_us) AS last_seen_us
         FROM canon GROUP BY host
     """
+    # snapshot diff: latest per canonical URL on each side of the split
+    # (same desc-ts/asc-url rule as web_latest_captures), FULL OUTER
+    # JOIN, -1 sentinels keep the schema all-BIGINT (no float-null
+    # widening on either engine)
+    split = 1_735_689_600_000_000 + 1_125 * 1_000_000
+    out["web_capture_diff"] = f"""
+        WITH {comp},
+        sa AS (SELECT canon_url, ts_us AS a_ts_us, content_len AS a_len
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY canon_url
+                         ORDER BY ts_us DESC, url ASC) AS rn
+                     FROM canon WHERE ts_us < {split})
+               WHERE rn = 1),
+        sb AS (SELECT canon_url, ts_us AS b_ts_us, content_len AS b_len
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY canon_url
+                         ORDER BY ts_us DESC, url ASC) AS rn
+                     FROM canon WHERE ts_us >= {split})
+               WHERE rn = 1)
+        SELECT canon_url,
+               CASE WHEN a_ts_us IS NULL THEN 'added'
+                    WHEN b_ts_us IS NULL THEN 'gone'
+                    WHEN a_len = b_len THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(COALESCE(a_ts_us, -1) AS BIGINT) AS a_ts_us,
+               CAST(COALESCE(b_ts_us, -1) AS BIGINT) AS b_ts_us,
+               CAST(COALESCE(a_len, -1) AS BIGINT) AS a_len,
+               CAST(COALESCE(b_len, -1) AS BIGINT) AS b_len
+        FROM sa FULL OUTER JOIN sb USING (canon_url)
+    """
     return out
 
 
@@ -4102,8 +4166,32 @@ def _link_oracles(link_path: str) -> dict[str, str]:
     engine's Arrow kernels. ``web_host_pagerank`` unrolls 3 iterations
     of the identical float expression (the supplier_pagerank pattern)
     over the SQL-re-derived inter-host edge set."""
-    # base-page parse + canonical form + origin/dir for resolution
-    chain = f"""
+    chain = _link_chain(link_path)
+    out = {}
+    out["web_anchors"] = f"""
+        WITH b0 AS (SELECT url, html FROM read_parquet('{link_path}'))
+        SELECT url, unnest(regexp_extract_all(html,
+            '<a href="([^"]*)"', 1)) AS href
+        FROM b0
+    """
+    out["web_resolved_links"] = f"""
+        WITH {chain}
+        SELECT src_canon, href, dst_canon FROM links
+    """
+    out["web_host_edges"] = f"""
+        WITH {chain}
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM links GROUP BY src_host, dst_host
+    """
+    out["web_host_pagerank"] = _link_pagerank_oracle(chain)
+    return out
+
+
+def _link_chain(link_path: str) -> str:
+    """Shared oracle CTE chain over a (url, html) link fixture: base
+    parse -> canonical form/origin/dir -> anchor unnest -> href
+    resolution CASE -> resolved-URL parse -> canonical dst + hosts."""
+    return f"""
     b0 AS (SELECT url, html FROM read_parquet('{link_path}')),
     b1 AS (SELECT url,
                   lower(regexp_extract(url,
@@ -4192,23 +4280,10 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                               ELSE '?' || dquery END) AS dst_canon
               FROM r3)
     """
-    out = {}
-    out["web_anchors"] = f"""
-        WITH b0 AS (SELECT url, html FROM read_parquet('{link_path}'))
-        SELECT url, unnest(regexp_extract_all(html,
-            '<a href="([^"]*)"', 1)) AS href
-        FROM b0
-    """
-    out["web_resolved_links"] = f"""
-        WITH {chain}
-        SELECT src_canon, href, dst_canon FROM links
-    """
-    out["web_host_edges"] = f"""
-        WITH {chain}
-        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
-        FROM links GROUP BY src_host, dst_host
-    """
-    out["web_host_pagerank"] = f"""
+
+
+def _link_pagerank_oracle(chain: str) -> str:
+    return f"""
         WITH {chain},
         edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst
                   FROM links WHERE src_host <> dst_host),
@@ -4238,7 +4313,34 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                 FROM nodes x LEFT JOIN c3 ON c3.node = x.node)
         SELECT node, r FROM rr3
     """
-    return out
+
+
+def _host_components_oracle(link_c5_path: str) -> str:
+    """Recursive-CTE transitive closure over the undirected inter-host
+    edge set of the COMMUNITY link fixture; component = lexicographic
+    min host. Self-loop-only hosts stay singleton nodes. The inner
+    unions are wrapped in SELECT DISTINCT subqueries because under
+    WITH RECURSIVE DuckDB parses any top-level UNION CTE as a
+    recursive union (observed: duplicate accumulation)."""
+    chain = _link_chain(link_c5_path)
+    return f"""
+        WITH RECURSIVE {chain},
+        he AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM links),
+        nodes AS (SELECT DISTINCT h FROM
+                  (SELECT a AS h FROM he UNION ALL SELECT b FROM he)),
+        ed AS (SELECT DISTINCT a, b FROM
+               (SELECT a, b FROM he UNION ALL SELECT b, a FROM he)
+               WHERE a <> b),
+        reach(a, b) AS (
+            SELECT a, b FROM ed
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+        mins AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+        SELECT n.h AS host,
+               CASE WHEN m.mn IS NULL OR n.h < m.mn THEN n.h ELSE m.mn END
+                   AS component
+        FROM nodes n LEFT JOIN mins m ON m.a = n.h
+    """
 
 
 def _linededup_oracles(linedocs_path: str) -> dict[str, str]:

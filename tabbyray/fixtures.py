@@ -567,6 +567,7 @@ def ensure_fixture(name: str = "conformance", seed: int = 7, n_pages: int = 200,
 
 
 def ensure_link_fixture(n_pages: int = 500, seed: int = 37,
+                        communities: int = 1,
                         root: str = "/tmp/tabbyray_fixtures") -> str:
     """Deterministic crawl-page fixture for the link-graph operators:
     ``links.parquet`` with (url:string, html:string). Every page URL is
@@ -579,15 +580,25 @@ def ensure_link_fixture(n_pages: int = 500, seed: int = 37,
     directory-relative (``seg`` / ``sub/seg``), plus the dropped
     classes: fragment-only, empty, ``mailto:`` and ``javascript:``.
     Absolute targets point at OTHER fixture pages so the resolved graph
-    is dense enough for host pagerank. Returns the parquet path."""
-    key = f"links-v1-s{seed}-p{n_pages}.parquet"
+    is dense enough for host pagerank. Returns the parquet path.
+
+    ``communities > 1`` partitions the HOST universe into that many
+    disjoint groups (by deterministic host index) and restricts every
+    cross-page link to targets whose host is in the same group — the
+    inter-host graph then has exactly ``communities`` connected
+    components (dense within, no edges between), the shape the
+    host_components oracle needs."""
+    key = (f"links-v1-s{seed}-p{n_pages}"
+           + (f"-c{communities}" if communities > 1 else "") + ".parquet")
     path = os.path.join(root, key)
     if os.path.exists(path):
         return path
     rng = random.Random(seed)
+    all_hosts = sorted({s + d for s in _WEB_SUBS for d in _WEB_DOMAINS})
+    host_comm = {h: i % communities for i, h in enumerate(all_hosts)}
     # page URLs: one capture per page, path depth >= 1 so every base
     # has a well-defined directory for relative resolution
-    page_urls = []
+    page_urls, page_hosts = [], []
     seen = set()
     while len(page_urls) < n_pages:
         scheme = rng.choice(["http", "https"])
@@ -603,6 +614,16 @@ def ensure_link_fixture(n_pages: int = 500, seed: int = 37,
         if u not in seen:
             seen.add(u)
             page_urls.append(u)
+            page_hosts.append(host)
+    comm_pages = [[i for i, h in enumerate(page_hosts)
+                   if host_comm[h] == c] for c in range(communities)]
+
+    def pick_target(i: int) -> str:
+        if communities == 1:
+            return page_urls[rng.randrange(n_pages)]
+        pool = comm_pages[host_comm[page_hosts[i]]]
+        return page_urls[pool[rng.randrange(len(pool))]]
+
     urls, htmls = [], []
     for i, u in enumerate(page_urls):
         n_links = rng.randint(0, 6)
@@ -610,7 +631,7 @@ def ensure_link_fixture(n_pages: int = 500, seed: int = 37,
         for j in range(n_links):
             kind = rng.randrange(10)
             if kind < 4:        # absolute link to another page (raw variants)
-                t = page_urls[rng.randrange(n_pages)]
+                t = pick_target(i)
                 sch, rest = t.split("://", 1)
                 if rng.random() < 0.2:
                     sch = sch.upper()
@@ -628,7 +649,7 @@ def ensure_link_fixture(n_pages: int = 500, seed: int = 37,
                 if rng.random() < 0.25:
                     href += f"#frag{rng.randrange(5)}"
             elif kind < 5:      # protocol-relative
-                t = page_urls[rng.randrange(n_pages)]
+                t = pick_target(i)
                 href = "//" + t.split("://", 1)[1].split("?", 1)[0]
             elif kind < 7:      # root-relative
                 href = (f"/{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(60)}"

@@ -96,6 +96,27 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
 
     from .relational import typed_groupby_map
 
+    # convergence checksum: per-block WRAPPING int64 label sums (numpy
+    # C semantics), wrapped again on the driver. Labels decrease
+    # strictly monotonically, so consecutive-round equality of the
+    # wrapped sum still detects the fixpoint — and unlike Ray's Sum
+    # aggregate it cannot overflow-error when node ids are 63-bit
+    # hashes (sum of n x 2^62 exceeds int64); the driver collects one
+    # row per block, bounded by num_partitions
+    import numpy as np
+
+    def batch_sum(t: pa.Table) -> pa.Table:
+        v = t.column("lbl").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(v.astype(np.int64, copy=False))
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    def wrapped_total(ds: rd.Dataset) -> int:
+        rows = ds.map_batches(batch_sum, batch_format="pyarrow").take_all()
+        parts = np.array([r["s"] for r in rows], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            return int(np.add.reduce(parts)) if len(parts) else 0
+
     prev_sum = None
     for _ in range(max_iters):
         msgs = hash_join(
@@ -109,7 +130,7 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
         new_labels = typed_groupby_map(
             msgs.map_batches(partial_min, batch_format="pandas"),
             "_part", final_min, _LBL_SCHEMA).materialize()
-        total = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        total = wrapped_total(new_labels)
         labels = new_labels
         if prev_sum is not None and total == prev_sum:
             break

@@ -53,8 +53,35 @@ def _arrow_type(t) -> "pa.DataType":
     return pa.from_numpy_dtype(dt)
 
 
+def _pad_filler(n: int, dtype: "pa.DataType") -> pa.Array:
+    """Cross-side filler column for the tagged-union join shape.
+
+    Integer/bool columns are padded with ZEROS, not nulls: the merge
+    UDF splits rows by ``_side`` and reads only each side's OWN columns,
+    so the filler value is never observed — but a null-carrying int64
+    column that takes ANY pandas round-trip inside Ray's sort/groupby
+    machinery widens to float64 and silently rounds values above 2^53
+    (63-bit hash ids, snowflake keys). Zero-padding keeps every int
+    column null-free end-to-end, so any internal conversion is exact.
+    Float/string/other types are lossless under pandas nulls and keep
+    null padding."""
+    if pa.types.is_boolean(dtype):
+        return pa.array(np.zeros(n, dtype=bool))
+    if pa.types.is_integer(dtype):
+        return pa.array(np.zeros(n, dtype=np.int64)).cast(dtype)
+    return pa.nulls(n, dtype)
+
+
+_NULLABLE_INT_MAP = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
+
+
 def typed_groupby_map(ds: rd.Dataset, key, fn, out_schema: "pa.Schema",
-                      **map_kwargs) -> rd.Dataset:
+                      exact_ints: bool = False, **map_kwargs) -> rd.Dataset:
     """``groupby(key).map_groups`` with a pandas UDF and a TYPED output.
 
     Ray's pandas block builder finalizes an all-empty partition to a
@@ -63,9 +90,19 @@ def typed_groupby_map(ds: rd.Dataset, key, fn, out_schema: "pa.Schema",
     (names=[])" warnings) and is a schema-inference hazard. Running the
     group stage in Arrow format and casting the UDF's frame to an
     explicit schema keeps every block, including empty ones, typed.
+
+    ``exact_ints=True`` converts integer columns to pandas NULLABLE int
+    dtypes instead of the default conversion, which widens null-carrying
+    int columns to float64 and silently ROUNDS values above 2^53 — fatal
+    for 63-bit hash ids / snowflake keys flowing through a null-padded
+    union (the hash_join shape). Opt-in because plain-numpy UDFs are the
+    norm everywhere else.
     """
     def wrapper(t: pa.Table) -> pa.Table:
-        out = fn(t.to_pandas())
+        if exact_ints:
+            out = fn(t.to_pandas(types_mapper=_NULLABLE_INT_MAP.get))
+        else:
+            out = fn(t.to_pandas())
         result = pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
                                       preserve_index=False)
         # strip the embedded pandas metadata: it would make downstream
@@ -292,7 +329,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
                 elif fld.name in on_cols or fld.name in own:
                     arrays.append(t.column(fld.name).cast(fld.type))
                 else:
-                    arrays.append(pa.nulls(n, fld.type))
+                    arrays.append(_pad_filler(n, fld.type))
             return pa.Table.from_arrays(arrays, schema=schema)
         return f
 
@@ -334,44 +371,53 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
                 for i, r in enumerate(hot_rows)}
             hot_ref = ray.put(hot_index)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        keys = df[on_cols[0]] if len(on_cols) == 1 else df[on_cols]
-        df["_part"] = (pd.util.hash_pandas_object(keys, index=False)
-                       % num_partitions).astype("int64")
+    # _part is computed in ARROW format: only the (null-free) key
+    # columns are converted to pandas for the deterministic hash, so
+    # union-padded int columns never pass through the lossy default
+    # int-with-nulls -> float64 conversion (exact for ids > 2^53)
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        keys_pd = t.select(on_cols).to_pandas()
+        keys = keys_pd[on_cols[0]] if len(on_cols) == 1 else keys_pd
+        part = (pd.util.hash_pandas_object(keys, index=False)
+                % num_partitions).astype("int64").to_numpy()
         if hot_ref is None:
-            return df
+            return t.append_column("_part", pa.array(part, pa.int64()))
         import ray
         hot_index = ray.get(hot_ref)
-        kv = (df[on_cols[0]] if len(on_cols) == 1
-              else pd.Series(list(zip(*(df[c] for c in on_cols))),
-                             index=df.index))
+        kv = (keys_pd[on_cols[0]] if len(on_cols) == 1
+              else pd.Series(list(zip(*(keys_pd[c] for c in on_cols))),
+                             index=keys_pd.index))
         hid = kv.map(hot_index)
         is_hot = hid.notna().to_numpy()
         if not is_hot.any():
-            return df
-        df = df.reset_index(drop=True)
+            return t.append_column("_part", pa.array(part, pa.int64()))
+        part = part.copy()
         base = (num_partitions
                 + hid.fillna(0).astype("int64").to_numpy() * skew_salt)
-        side = df["_side"].to_numpy()
+        side = t.column("_side").to_numpy(zero_copy_only=False)
         left_hot = is_hot & (side == 0)
         right_hot = is_hot & (side == 1)
         # LEFT rows: spread across the key's salt sub-partitions (which
         # salt a row lands on is irrelevant to the output set)
         n_lh = int(left_hot.sum())
         if n_lh:
-            df.loc[left_hot, "_part"] = (
+            part[left_hot] = (
                 base[left_hot] + np.arange(n_lh, dtype=np.int64) % skew_salt)
         # RIGHT rows: replicate into every salt sub-partition
         n_rh = int(right_hot.sum())
-        if n_rh:
-            rep = df.loc[right_hot].loc[
-                df.index[right_hot].repeat(skew_salt)].copy()
-            rep["_part"] = (np.repeat(base[right_hot], skew_salt)
-                            + np.tile(np.arange(skew_salt, dtype=np.int64),
-                                      n_rh))
-            df = pd.concat([df.loc[~right_hot], rep], ignore_index=True)
-        return df
+        if not n_rh:
+            return t.append_column("_part", pa.array(part, pa.int64()))
+        keep_idx = np.nonzero(~right_hot)[0]
+        rep_idx = np.repeat(np.nonzero(right_hot)[0], skew_salt)
+        out = t.take(pa.array(np.concatenate([keep_idx, rep_idx]),
+                              pa.int64()))
+        rep_part = (np.repeat(base[right_hot], skew_salt)
+                    + np.tile(np.arange(skew_salt, dtype=np.int64), n_rh))
+        return out.append_column(
+            "_part", pa.array(np.concatenate([part[keep_idx], rep_part]),
+                              pa.int64()))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["_side"] == 0][on_cols + l_other]
@@ -400,8 +446,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
             + [pa.field(n, l_types[n]) for n in l_other]
             + [pa.field(n, r_types[n]) for n in r_other])
     return typed_groupby_map(
-        both.map_batches(add_part, batch_format="pandas"), "_part", merge,
-        out_schema)
+        both.map_batches(add_part, batch_format="pyarrow"), "_part", merge,
+        out_schema, exact_ints=True)
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -452,7 +498,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
                 elif fld.name == on or fld.name in own:
                     arrays.append(t.column(fld.name).cast(fld.type))
                 else:
-                    arrays.append(pa.nulls(n, fld.type))
+                    arrays.append(_pad_filler(n, fld.type))
             return pa.Table.from_arrays(arrays, schema=schema)
         return f
 
@@ -632,7 +678,7 @@ def range_join_bucketed(left: rd.Dataset, value_col: str, bands,
             elif fld.name in l_names:
                 arrays.append(t.column(fld.name).cast(fld.type))
             else:
-                arrays.append(pa.nulls(n, fld.type))
+                arrays.append(_pad_filler(n, fld.type))
         return pa.Table.from_arrays(arrays, schema=schema)
 
     def pad_bands(t: pa.Table) -> pa.Table:
@@ -668,7 +714,7 @@ def range_join_bucketed(left: rd.Dataset, value_col: str, bands,
             elif fld.name in band_cols:
                 arrays.append(t.column(fld.name).take(take).cast(fld.type))
             else:
-                arrays.append(pa.nulls(n, fld.type))
+                arrays.append(_pad_filler(n, fld.type))
         return pa.Table.from_arrays(arrays, schema=schema)
 
     both = (left.map_batches(pad_left, batch_format="pyarrow")

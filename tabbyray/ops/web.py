@@ -362,3 +362,192 @@ def host_pagerank(pages: rd.Dataset, url_col: str = "url",
     return pagerank(edges.map_batches(inter, batch_format="pyarrow"),
                     n_iter=n_iter, num_partitions=num_partitions,
                     mode=mode, node_dtype=pa.string())
+
+
+def capture_diff(pages: rd.Dataset, ts_split_us: int,
+                 url_col: str = "url", ts_col: str = "warc_ts",
+                 len_col: str = "content_len",
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    """Crawl snapshot diff: compare the latest capture per canonical
+    URL BEFORE ``ts_split_us`` (snapshot A) against the latest AT/AFTER
+    it (snapshot B). Output one row per canonical URL seen in either:
+    (canon_url, status, a_ts_us, b_ts_us, a_len, b_len) with status in
+    {added, gone, changed, unchanged} ('changed' = payload length
+    differs — the fixture has no content hash) and -1 sentinels on the
+    absent side (keeps the schema all-int64; no float-null widening).
+
+    Plan: two pruned passes over the capture log (one per side — at
+    crawl scale two column-pruned scans beat materializing a mid-
+    pipeline copy), each reduced by ``grouped_argmax`` (combiner + one
+    canon-hash exchange), then ONE co-partitioned full outer
+    ``hash_join`` on canon_url and a stateless classify map."""
+    from .relational import hash_join
+
+    def prep(lo: "int | None", hi: "int | None", pfx: str):
+        def f(t: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                         pa.int64())
+            keep = pc.less(ts, hi) if hi is not None else \
+                pc.greater_equal(ts, lo)
+            tt = pa.table({
+                "canon_url": _canon_array(t, url_col),
+                f"{pfx}_ts_us": ts,
+                f"{pfx}_len": pc.cast(t.column(len_col), pa.int64()),
+                "_tie": pc.cast(t.column(url_col), pa.string()),
+            }).filter(keep)
+            return tt
+        return f
+
+    side_schema = lambda pfx: pa.schema(
+        [("canon_url", pa.string()), (f"{pfx}_ts_us", pa.int64()),
+         (f"{pfx}_len", pa.int64())])
+    a = grouped_argmax(
+        pages.map_batches(prep(None, ts_split_us, "a"),
+                          batch_format="pyarrow"),
+        key="canon_url", order_col="a_ts_us", tie_col="_tie",
+        out_cols=["canon_url", "a_ts_us", "a_len"],
+        num_partitions=num_partitions)
+    b = grouped_argmax(
+        pages.map_batches(prep(ts_split_us, None, "b"),
+                          batch_format="pyarrow"),
+        key="canon_url", order_col="b_ts_us", tie_col="_tie",
+        out_cols=["canon_url", "b_ts_us", "b_len"],
+        num_partitions=num_partitions)
+    j = hash_join(a.select_columns(["canon_url", "a_ts_us", "a_len"]),
+                  b.select_columns(["canon_url", "b_ts_us", "b_len"]),
+                  on="canon_url", how="outer",
+                  num_partitions=num_partitions,
+                  left_schema=side_schema("a"),
+                  right_schema=side_schema("b"))
+
+    def classify(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("canon_url", pa.string()),
+                            ("status", pa.string()),
+                            ("a_ts_us", pa.int64()), ("b_ts_us", pa.int64()),
+                            ("a_len", pa.int64()), ("b_len", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        a_ts = pc.fill_null(pc.cast(t.column("a_ts_us"), pa.int64()), -1)
+        b_ts = pc.fill_null(pc.cast(t.column("b_ts_us"), pa.int64()), -1)
+        a_len = pc.fill_null(pc.cast(t.column("a_len"), pa.int64()), -1)
+        b_len = pc.fill_null(pc.cast(t.column("b_len"), pa.int64()), -1)
+        only_b = pc.equal(a_ts, -1)
+        only_a = pc.equal(b_ts, -1)
+        status = pc.if_else(
+            only_b, pa.scalar("added", pa.string()),
+            pc.if_else(
+                only_a, pa.scalar("gone", pa.string()),
+                pc.if_else(pc.equal(a_len, b_len),
+                           pa.scalar("unchanged", pa.string()),
+                           pa.scalar("changed", pa.string()))))
+        return pa.table({"canon_url": t.column("canon_url"),
+                         "status": status, "a_ts_us": a_ts,
+                         "b_ts_us": b_ts, "a_len": a_len,
+                         "b_len": b_len})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+def host_components(pages: rd.Dataset, url_col: str = "url",
+                    html_col: str = "html",
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """Site clusters: connected components over the UNDIRECTED
+    inter-host link graph. Output (host, component) for every host that
+    appears as an edge endpoint (self-loop-only hosts are singleton
+    clusters); component = the lexicographically smallest host in the
+    cluster — a stable, human-readable cluster id.
+
+    Plan: the string graph is mapped to int64 via 63-bit md5 node
+    hashes (collision probability ~n^2/2^63 — negligible below ~1e8
+    hosts; hashes never leave the pipeline), reusing the int-keyed
+    ``connected_components`` label propagation unchanged; the min-host
+    remap is one grouped_argmax (constant order key + host tie-break =
+    distributed MIN-string) plus one co-partitioned join."""
+    import hashlib
+
+    from .graph import connected_components
+    from .relational import hash_aggregate, hash_join, grouped_argmax
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+
+    def _h63(arr: pa.Array) -> pa.Array:
+        uniq = pc.unique(arr)
+        m = {u: int.from_bytes(
+            hashlib.md5(u.encode()).digest()[:8], "big") >> 1
+            for u in uniq.to_pylist()}
+        return pa.array([m[v] for v in arr.to_pylist()], pa.int64())
+
+    def int_pairs(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("ha", pa.int64()), ("hb", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                        t.column("dst_host"))))
+        return pa.table({
+            "ha": _h63(t.column("src_host").combine_chunks()),
+            "hb": _h63(t.column("dst_host").combine_chunks())})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("host", pa.string()), ("hnode", pa.int64()),
+                            ("one", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        hosts = pa.concat_arrays(
+            [t.column("src_host").combine_chunks(),
+             t.column("dst_host").combine_chunks()]).unique()
+        return pa.table({"host": hosts, "hnode": _h63(hosts),
+                         "one": pa.array([1] * len(hosts), pa.int64())})
+
+    edges = edges.materialize()   # small: one row per distinct host pair
+    nodes = hash_aggregate(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        keys=["host", "hnode"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("host", pa.string()),
+                              ("hnode", pa.int64()),
+                              ("n", pa.int64())])
+    ).select_columns(["host", "hnode"]).materialize()
+
+    comps = connected_components(
+        edges.map_batches(int_pairs, batch_format="pyarrow"),
+        nodes.select_columns(["hnode"]).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow"),
+        pair_cols=("ha", "hb"), node_col="node",
+        num_partitions=num_partitions)
+
+    members = hash_join(
+        nodes.map_batches(lambda t: t.rename_columns(["host", "node"]),
+                          batch_format="pyarrow"),
+        comps, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([("host", pa.string()),
+                               ("node", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("component", pa.int64())])).materialize()
+
+    def with_zero(t: pa.Table) -> pa.Table:
+        return t.append_column("_zero",
+                               pa.array([0] * t.num_rows, pa.int64()))
+
+    reps = grouped_argmax(
+        members.map_batches(with_zero, batch_format="pyarrow"),
+        key="component", order_col="_zero", tie_col="host",
+        out_cols=["component", "host"],
+        num_partitions=num_partitions).map_batches(
+            lambda t: pa.table({"component": t.column("component"),
+                                "rep_host": t.column("host")}),
+            batch_format="pyarrow")
+
+    out = hash_join(
+        members.select_columns(["host", "component"]), reps,
+        on="component", num_partitions=num_partitions,
+        left_schema=pa.schema([("host", pa.string()),
+                               ("component", pa.int64())]),
+        right_schema=pa.schema([("component", pa.int64()),
+                                ("rep_host", pa.string())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t.column("host"),
+                         "component": t.column("rep_host")})
+
+    return out.map_batches(finish, batch_format="pyarrow")

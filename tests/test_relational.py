@@ -1527,3 +1527,52 @@ def test_guard_rails(ray_session):
     with pytest.raises(RuntimeError, match="collect_cap"):
         exact_quantiles_multipass(rd.from_pandas(vals), "x", [0.5],
                                   collect_cap=2, max_passes=0)
+
+
+def test_hash_join_exact_63bit_ids(ray_session):
+    """Int64 values above 2^53 (63-bit hash ids / snowflake keys) must
+    survive the tagged-union shuffle EXACTLY — the union-padded int
+    columns take a pandas round-trip inside Ray's sort machinery, which
+    rounds null-carrying int64 to float64 unless sentinel-padded."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from tabbyray.ops.relational import hash_join
+    B = (1 << 61) + 7
+    l = rd.from_pandas(pd.DataFrame({"k": [B + 1, B + 2, B + 5],
+                                     "lv": [B + 11, B + 12, B + 13]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [B + 2, B + 3],
+                                     "rv": [B + 21, B + 22]}))
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+    inner = (hash_join(l, r, on="k", num_partitions=4,
+                       left_schema=ls, right_schema=rs)
+             .to_arrow_refs())
+    import ray as _ray
+    t = pa.concat_tables([_ray.get(x) for x in inner])
+    assert t.column("k").to_pylist() == [B + 2]
+    assert t.column("lv").to_pylist() == [B + 12]
+    assert t.column("rv").to_pylist() == [B + 21]
+    outer = hash_join(l, r, on="k", how="outer", num_partitions=4,
+                      left_schema=ls, right_schema=rs).to_arrow_refs()
+    t = pa.concat_tables([_ray.get(x) for x in outer]).sort_by("k")
+    assert t.column("k").to_pylist() == [B + 1, B + 2, B + 3, B + 5]
+    assert t.column("lv").to_pylist() == [B + 11, B + 12, None, B + 13]
+    assert t.column("rv").to_pylist() == [None, B + 21, B + 22, None]
+
+
+def test_connected_components_63bit_ids(ray_session):
+    """Label propagation stays exact for 63-bit node ids (md5 host
+    hashes), including the wrapping convergence checksum."""
+    import pandas as pd
+    import ray.data as rd
+    from tabbyray.ops.graph import connected_components
+    B = (1 << 61) + 7
+    pairs = rd.from_pandas(pd.DataFrame({"a": [B + 1, B + 2],
+                                         "b": [B + 2, B + 3]}))
+    nodes = rd.from_pandas(pd.DataFrame({"node": [B + 1, B + 2,
+                                                  B + 3, B + 4]}))
+    df = connected_components(pairs, nodes, num_partitions=4).to_pandas()
+    got = sorted(map(tuple, df.itertuples(index=False)))
+    assert got == [(B + 1, B + 1), (B + 2, B + 1),
+                   (B + 3, B + 1), (B + 4, B + 4)]

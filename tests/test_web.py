@@ -182,3 +182,43 @@ def test_host_pagerank_paths_agree(link_pages):
     assert set(b.index) == set(j.index)
     assert (b.sort_index() - j.sort_index()).abs().max() < 1e-12
     assert abs(b.sum() - 1.0) < 1e-9
+
+
+def test_capture_diff_classes(captures):
+    """Snapshot diff statuses match an independent pandas recompute."""
+    from tabbyray.ops.web import capture_diff
+    ds, raw = captures
+    split = 1_735_689_600_000_000 + 1_125 * 1_000_000
+    got = capture_diff(ds, split).to_pandas()
+    df = raw.copy()
+    df["canon"] = df["url"].map(_canon_py)
+    df["ts_us"] = df["warc_ts"].astype("int64")
+    def latest(side):
+        s = (side.sort_values(["ts_us", "url"], ascending=[False, True])
+             .drop_duplicates("canon"))
+        return s.set_index("canon")[["ts_us", "content_len"]]
+    a = latest(df[df.ts_us < split]); b = latest(df[df.ts_us >= split])
+    assert len(got) == len(set(a.index) | set(b.index))
+    gm = got.set_index("canon_url")
+    for c in gm.index:
+        in_a, in_b = c in a.index, c in b.index
+        want = ("added" if not in_a else "gone" if not in_b else
+                "unchanged" if a.loc[c, "content_len"] == b.loc[c, "content_len"]
+                else "changed")
+        assert gm.loc[c, "status"] == want
+        assert gm.loc[c, "a_ts_us"] == (a.loc[c, "ts_us"] if in_a else -1)
+        assert gm.loc[c, "b_len"] == (b.loc[c, "content_len"] if in_b else -1)
+
+
+def test_host_components_communities(ray_session):
+    """The 5-community fixture yields exactly 5 clusters; every member
+    host's community (by generator rule) matches its cluster mates."""
+    from tabbyray.fixtures import ensure_link_fixture
+    from tabbyray.ops.web import host_components
+    ds = rd.read_parquet(ensure_link_fixture(communities=5),
+                         override_num_blocks=4)
+    hc = host_components(ds, num_partitions=8).to_pandas()
+    assert hc.component.nunique() == 5
+    # rep is the lexicographic min of its cluster and a member of it
+    for rep, grp in hc.groupby("component"):
+        assert rep == grp.host.min()
