@@ -588,6 +588,61 @@ def _q_line_dedup_docs(sf_dir: str):
     return line_dedup(_linedocs())
 
 
+def _q_web_robots_rules(sf_dir: str):
+    """robots.txt parsing: the ``User-agent: *`` group's Allow/Disallow
+    prefix rules per host (decoy groups ignored, group boundaries at
+    every User-agent line); oracle = string_split explode + running
+    User-agent count as the group id, re-derived entirely in SQL."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_robots_fixture
+    from tabbyray.ops.web import parse_robots_rules
+    ds = rd.read_parquet(ensure_robots_fixture(), override_num_blocks=4)
+    return parse_robots_rules(ds)
+
+
+def _q_web_robots_gate(sf_dir: str):
+    """robots.txt gate over every distinct canonical capture URL:
+    longest-matching-prefix rule wins, Allow beats Disallow on equal
+    length, missing file / no match -> allowed. Distributed plan:
+    hash_aggregate distinct -> host-hash hash_join vs the parsed rules
+    -> vectorized prefix match -> grouped_argmax -> left join back.
+    Oracle re-derives parse + match + argmax in SQL."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_robots_fixture
+    from tabbyray.ops.web import robots_gate
+    robots = rd.read_parquet(ensure_robots_fixture(),
+                             override_num_blocks=2)
+    return robots_gate(_web_captures(), robots, num_partitions=8)
+
+
+def _q_web_visible_text(sf_dir: str):
+    """Visible-text extraction (boilerplate strip): script/style/comment
+    bodies dropped, tags stripped, entities decoded (&amp; last),
+    whitespace collapsed — all zero-copy Arrow regex kernels; oracle =
+    the identical RE2 chain as DuckDB regexp_replace/replace."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_html_fixture
+    from tabbyray.ops.web import visible_text
+    ds = rd.read_parquet(ensure_html_fixture(), override_num_blocks=4)
+    return visible_text(ds)
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style quality gate (Rae et al. 2021 table A1 subset):
+    per-doc integer rule counters + composite ``passes`` — every
+    threshold cross-multiplied to exact integer arithmetic; oracle =
+    the same counts via DuckDB list lambdas over string_split."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_quality_docs
+    from tabbyray.ops.text import gopher_quality
+    ds = rd.read_parquet(ensure_quality_docs(), override_num_blocks=4)
+    return gopher_quality(ds)
+
+
 def _q_sti_annotations_sharded(sf_dir: str):
     """Sharded-KB candidate generation (kbshard.py): same annotations
     as the broadcast path (tests assert exact equality)."""
@@ -2108,6 +2163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_components": _q_web_host_components,
         "line_dedup_lines": _q_line_dedup_lines,
         "line_dedup_docs": _q_line_dedup_docs,
+        "web_robots_rules": _q_web_robots_rules,
+        "web_robots_gate": _q_web_robots_gate,
+        "web_visible_text": _q_web_visible_text,
+        "gopher_quality": _q_gopher_quality,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2923,15 +2982,21 @@ def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
     from tabbyray.fixtures import (ensure_clustered_embeddings,
+                                   ensure_html_fixture,
                                    ensure_link_fixture,
                                    ensure_lineset_docs,
+                                   ensure_quality_docs,
+                                   ensure_robots_fixture,
                                    ensure_web_fixture)
-    from tabbyray.ops.text import _EMAIL, _PHONE
+    from tabbyray.ops.text import _EMAIL, _PHONE, GOPHER_STOPWORDS
     _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
     _web_fixture_path = ensure_web_fixture()          # idempotent, ~ms
     _link_fixture_path = ensure_link_fixture()        # idempotent, ~ms
     _link_c5_path = ensure_link_fixture(communities=5)
     _linedocs_path = ensure_lineset_docs()            # idempotent, ~ms
+    _robots_path = ensure_robots_fixture()            # idempotent, ~ms
+    _html_path = ensure_html_fixture()                # idempotent, ~ms
+    _quality_path = ensure_quality_docs()             # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4052,6 +4117,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(_link_oracles(_link_fixture_path))
     out["web_host_components"] = _host_components_oracle(_link_c5_path)
     out.update(_linededup_oracles(_linedocs_path))
+    out.update(_robots_oracles(_robots_path, _web_fixture_path))
+    out["web_visible_text"] = _visible_text_oracle(_html_path)
+    out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
@@ -4370,3 +4438,189 @@ def _linededup_oracles(linedocs_path: str) -> dict[str, str]:
         FROM k GROUP BY doc_id
     """
     return out
+
+
+def _robots_rules_cte(robots_path: str) -> str:
+    """Shared CTE: parse a robots.txt corpus into the ``User-agent: *``
+    group's Allow/Disallow rules, re-deriving the engine's semantics
+    (tabbyray/ops/web.py parse_robots_rules) independently: explode
+    lines with ordinals, group id = RUNNING count of User-agent lines
+    (current row included — the pandas cumsum rule), keep rules whose
+    group agent is '*' and whose path starts with '/'."""
+    return f"""
+    rsp AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
+            FROM read_parquet('{robots_path}')),
+    rl AS (SELECT host, unnest(ls) AS line,
+                  unnest(range(0, len(ls))) AS line_no FROM rsp),
+    rg AS (SELECT *, count(*) FILTER (
+                   regexp_matches(line, '^User-agent:\\s*(\\S+)'))
+                   OVER (PARTITION BY host ORDER BY line_no
+                         ROWS UNBOUNDED PRECEDING) AS grp
+           FROM rl),
+    rua AS (SELECT host, grp,
+                   regexp_extract(line, '^User-agent:\\s*(\\S+)', 1)
+                       AS agent
+            FROM rg WHERE regexp_matches(line, '^User-agent:\\s*(\\S+)')),
+    rules AS (SELECT g.host,
+                     regexp_extract(g.line,
+                         '^(Allow|Disallow):\\s*(\\S+)', 2) AS rule_path,
+                     CAST(CASE WHEN regexp_extract(g.line,
+                              '^(Allow|Disallow):\\s*(\\S+)', 1) = 'Allow'
+                          THEN 1 ELSE 0 END AS BIGINT) AS allow
+              FROM rg g JOIN rua u ON u.host = g.host AND u.grp = g.grp
+              WHERE u.agent = '*'
+                AND regexp_matches(g.line, '^(Allow|Disallow):\\s*(\\S+)')
+                AND starts_with(regexp_extract(g.line,
+                        '^(Allow|Disallow):\\s*(\\S+)', 2), '/'))
+    """
+
+
+def _robots_oracles(robots_path: str, capture_path: str) -> dict[str, str]:
+    """Oracle SQL for robots parsing and the robots URL gate. The gate
+    re-derives, all in SQL: the canonical URL / host / path of every
+    capture (the `_web_oracles` component chain), the parsed `*`-group
+    rules, the prefix match, longest-match-wins with Allow beating
+    Disallow on equal length (score = 2*len+allow, rule_path asc
+    tie-break — the engine's grouped_argmax ordering), and default
+    allow for unmatched / robots-less hosts."""
+    rules = _robots_rules_cte(robots_path)
+    out = {}
+    out["web_robots_rules"] = f"""
+        WITH {rules}
+        SELECT host, rule_path, allow FROM rules
+    """
+    # canonical chain over the capture log — same expressions as
+    # _web_oracles but only the columns the gate needs
+    comp = f"""
+    c AS (SELECT url,
+                 lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                     AS hostport,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                     AS raw_path,
+                 regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+          FROM read_parquet('{capture_path}')),
+    c2 AS (SELECT *,
+                  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                  regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s,
+                  CASE WHEN scheme = 'https' THEN 443 ELSE 80 END AS dport
+           FROM c),
+    c3 AS (SELECT scheme, host, query, dport,
+                  CASE WHEN port_s = '' THEN dport
+                       ELSE CAST(port_s AS BIGINT) END AS port,
+                  CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+                      AS path
+           FROM c2),
+    canon AS (SELECT host, path,
+                     scheme || '://' || host
+                     || (CASE WHEN port = dport THEN ''
+                              ELSE ':' || CAST(port AS VARCHAR) END)
+                     || path
+                     || (CASE WHEN query = '' THEN ''
+                              ELSE '?' || query END) AS canon_url
+              FROM c3)
+    """
+    out["web_robots_gate"] = f"""
+        WITH {rules},
+        {comp},
+        d AS (SELECT DISTINCT canon_url, host, path FROM canon),
+        m AS (SELECT d.canon_url, r.rule_path, r.allow,
+                     2 * length(r.rule_path) + r.allow AS score
+              FROM d JOIN rules r ON r.host = d.host
+              WHERE substr(d.path, 1, length(r.rule_path)) = r.rule_path),
+        w AS (SELECT canon_url, rule_path, allow FROM
+              (SELECT *, row_number() OVER (
+                   PARTITION BY canon_url
+                   ORDER BY score DESC, rule_path ASC) AS rn FROM m)
+              WHERE rn = 1)
+        SELECT d.canon_url, d.host,
+               CAST(COALESCE(w.allow, 1) AS BIGINT) AS allowed,
+               COALESCE(w.rule_path, '') AS rule_path
+        FROM d LEFT JOIN w ON w.canon_url = d.canon_url
+    """
+    return out
+
+
+def _visible_text_oracle(html_path: str) -> str:
+    """Oracle SQL for visible-text extraction: the SAME RE2 strip chain
+    (tabbyray/ops/web.py _STRIP_BLOCK_RES/_TAG_RE/_ENTITIES, same
+    order, &amp; decoded last) expressed as DuckDB regexp_replace /
+    replace; lengths are codepoint counts on both engines."""
+    return f"""
+        WITH h0 AS (SELECT url, html FROM read_parquet('{html_path}')),
+        h1 AS (SELECT url, html, regexp_replace(html,
+                   '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+               FROM h0),
+        h2 AS (SELECT url, html, regexp_replace(t,
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+               FROM h1),
+        h3 AS (SELECT url, html, regexp_replace(t,
+                   '(?s)<!--.*?-->', ' ', 'g') AS t FROM h2),
+        h4 AS (SELECT url, html, regexp_replace(t,
+                   '(?s)<[^>]*>', ' ', 'g') AS t FROM h3),
+        h5 AS (SELECT url, html,
+                      replace(replace(replace(replace(replace(replace(t,
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', chr(39)), '&nbsp;', ' '),
+                          '&amp;', '&') AS t
+               FROM h4),
+        h6 AS (SELECT url, html,
+                      trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t
+               FROM h5)
+        SELECT url, t AS text,
+               CAST(length(t) AS BIGINT) AS text_chars,
+               CAST(length(html) AS BIGINT) AS html_chars
+        FROM h6
+    """
+
+
+def _gopher_oracle(quality_path: str, stopwords: tuple) -> str:
+    """Oracle SQL for the Gopher quality gate: tokens = whitespace-run
+    split (empties dropped — Python str.split semantics), lines =
+    chr(10) split; every rule counter re-derived with DuckDB list
+    lambdas and the composite ``passes`` re-stated as the same exact
+    integer comparisons (thresholds cross-multiplied, no floats)."""
+    stop_sql = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+        WITH b AS (SELECT doc_id, text,
+                          list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '') AS ws,
+                          string_split(text, chr(10)) AS ls
+                   FROM read_parquet('{quality_path}')),
+        c AS (SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(COALESCE(list_sum(list_transform(ws,
+                          w -> length(w))), 0) AS BIGINT) AS sum_word_len,
+                     CAST(len(list_filter(ws, w ->
+                          regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                         AS n_alpha_words,
+                     CAST(len(list_filter(ws, w ->
+                          regexp_matches(w, '^(#+|…+)$'))) AS BIGINT)
+                         AS n_symbol_words,
+                     CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(ls, l ->
+                          starts_with(l, '• ') OR starts_with(l, '- ')))
+                          AS BIGINT) AS n_bullet_lines,
+                     CAST(len(list_filter(ls, l ->
+                          ends_with(l, '…') OR ends_with(l, '...')))
+                          AS BIGINT) AS n_ellipsis_lines,
+                     CAST(len(list_filter([{stop_sql}],
+                          s -> list_contains(ws, s))) AS BIGINT)
+                         AS n_stop_hits
+              FROM b)
+        SELECT doc_id, n_words, sum_word_len, n_alpha_words,
+               n_symbol_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+               n_stop_hits,
+               CAST((n_words >= 10 AND n_words <= 100000
+                     AND 3 * n_words <= sum_word_len
+                     AND sum_word_len <= 10 * n_words
+                     AND 10 * n_symbol_words < n_words
+                     AND 10 * n_bullet_lines < 9 * n_lines
+                     AND 10 * n_ellipsis_lines < 3 * n_lines
+                     AND 5 * n_alpha_words >= 4 * n_words
+                     AND n_stop_hits >= 2) AS BIGINT) AS passes
+        FROM c
+    """

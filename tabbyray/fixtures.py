@@ -724,3 +724,182 @@ def ensure_lineset_docs(n_docs: int = 400, seed: int = 31,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_robots_fixture(seed: int = 41,
+                          root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic robots.txt corpus for the robots-gate oracle:
+    ``robots.parquet`` with (host:string, robots_txt:string) over the
+    same host universe as the capture-log fixture (so the host join is
+    meaningful). ~80% of hosts carry a robots file; the rest are absent
+    (default-allow path). Each file mixes, in realistic order: comment
+    lines, a decoy ``User-agent: evilbot`` group whose rules must be
+    IGNORED (often ``Disallow: /``), the ``User-agent: *`` group with
+    0-5 Allow/Disallow prefix rules drawn from the capture path
+    vocabulary, noise directives (``Crawl-delay``, ``Sitemap``), and
+    sometimes a trailing group for another agent — so group-boundary
+    termination is exercised in both parsers. Rule paths are ``/word``
+    or ``/word<digit>`` prefixes, and a few hosts get ``Disallow: /``
+    in the ``*`` group (block-everything)."""
+    key = f"robots-v1-s{seed}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    hosts = sorted({s + d for s in _WEB_SUBS for d in _WEB_DOMAINS})
+    out_hosts, out_txt = [], []
+    for h in hosts:
+        if rng.random() < 0.2:
+            continue                       # no robots.txt -> default allow
+        lines = [f"# robots for {h}"]
+        if rng.random() < 0.5:             # decoy group (must be ignored)
+            lines += ["User-agent: evilbot", "Disallow: /"]
+            if rng.random() < 0.5:
+                lines.append("")
+        lines.append("User-agent: *")
+        n_rules = rng.randint(0, 5)
+        if rng.random() < 0.1:
+            lines.append("Disallow: /")    # block-everything host
+        for _ in range(n_rules):
+            word = rng.choice(_WEB_PATH_WORDS)
+            p = f"/{word}" if rng.random() < 0.5 else f"/{word}{rng.randrange(6)}"
+            verb = "Allow" if rng.random() < 0.35 else "Disallow"
+            lines.append(f"{verb}: {p}")
+        if rng.random() < 0.3:
+            lines.append(f"Crawl-delay: {rng.randint(1, 10)}")   # ignored
+        if rng.random() < 0.3:
+            lines.append(f"Sitemap: https://{h}/sitemap.xml")    # ignored
+        if rng.random() < 0.3:             # trailing non-* group
+            lines += ["", "User-agent: otherbot",
+                      f"Allow: /{rng.choice(_WEB_PATH_WORDS)}"]
+        out_hosts.append(h)
+        out_txt.append("\n".join(lines))
+    table = pa.table({"host": pa.array(out_hosts, pa.string()),
+                      "robots_txt": pa.array(out_txt, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_html_fixture(n_pages: int = 400, seed: int = 53,
+                        root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic HTML corpus for the visible-text extractor:
+    ``html.parquet`` with (url:string, html:string). Every page
+    exercises the full strip chain: a doctype, HTML comments (some
+    multi-line), ``<script>`` and ``<style>`` blocks whose BODIES must
+    vanish entirely (multi-line, attribute-bearing open tags), nested
+    inline markup, attribute-heavy tags, the entity set
+    (&lt; &gt; &quot; &#39; &nbsp; and &amp; — including the
+    ``&amp;lt;`` double-escape trap that breaks a wrong decode order),
+    and messy whitespace (newlines, tabs, runs of spaces) that must
+    collapse to single spaces."""
+    key = f"html-v1-s{seed}-p{n_pages}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    words = _WEB_PATH_WORDS + ["пример", "данные", "таблица", "graph",
+                               "corpus", "crawl"]
+    ents = ["&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;",
+            "&amp;lt;"]
+    urls, htmls = [], []
+    for i in range(n_pages):
+        host = rng.choice(_WEB_SUBS) + rng.choice(_WEB_DOMAINS)
+        urls.append(f"https://{host}/page{i}")
+        body = []
+        for _ in range(rng.randint(1, 5)):
+            ws = [rng.choice(words) for _ in range(rng.randint(3, 10))]
+            if rng.random() < 0.5:
+                ws.insert(rng.randrange(len(ws)), rng.choice(ents))
+            txt = " ".join(ws)
+            if rng.random() < 0.4:
+                k = rng.randrange(len(txt))
+                txt = txt[:k] + rng.choice(["\n", "\t", "   "]) + txt[k:]
+            tag = rng.choice(["p", "div", "span", "li"])
+            attr = ' class="c1" data-x="1"' if rng.random() < 0.4 else ""
+            if rng.random() < 0.3:
+                txt = (f"{txt[:len(txt) // 2]}<b>{rng.choice(words)}</b>"
+                       f"{txt[len(txt) // 2:]}")
+            body.append(f"<{tag}{attr}>{txt}</{tag}>")
+        if rng.random() < 0.6:
+            body.insert(rng.randrange(len(body) + 1),
+                        f"<script type=\"text/javascript\">\nvar x = "
+                        f"{rng.randrange(100)};\nconsole.log('{rng.choice(words)}');"
+                        f"\n</script>")
+        if rng.random() < 0.5:
+            body.insert(rng.randrange(len(body) + 1),
+                        f"<style>\n.c1 {{ color: red; margin: "
+                        f"{rng.randrange(9)}px }}\n</style>")
+        if rng.random() < 0.5:
+            body.insert(rng.randrange(len(body) + 1),
+                        f"<!-- comment {rng.choice(words)}\n spanning -->")
+        htmls.append("<!doctype html>\n<html>\n<body>"
+                     + "\n".join(body) + "</body>\n</html>")
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "html": pa.array(htmls, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_quality_docs(n_docs: int = 500, seed: int = 59,
+                        root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic document fixture for the Gopher-style quality gate:
+    ``qualitydocs.parquet`` with (doc_id:int64, text:string) where every
+    rejection rule has both passing and failing docs: too-short and
+    long-enough word counts, degenerate mean word length (runs of 1-char
+    or 20+-char tokens), symbol-heavy docs ('#' and '…'), bullet-led
+    lines ('•' / '- '), ellipsis-ended lines, low-alpha docs (numeric
+    tokens), and docs with/without the English stopword set. Text is
+    newline-joined lines of space-joined words (no tabs, no empty
+    lines)."""
+    key = f"qualitydocs-v1-s{seed}-d{n_docs}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    stopwords = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    plain = _WEB_PATH_WORDS + ["signal", "window", "stream", "vector",
+                               "column", "batch"]
+    texts = []
+    for d in range(n_docs):
+        flavor = rng.randrange(8)
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            n_words = rng.randint(2, 14) if flavor == 0 else rng.randint(6, 14)
+            ws = []
+            for _ in range(n_words):
+                r = rng.random()
+                if flavor == 1 and r < 0.7:
+                    ws.append("x" * rng.randint(14, 24))    # huge words
+                elif flavor == 2 and r < 0.7:
+                    ws.append(rng.choice(["a", "i", "x"]))  # tiny words
+                elif flavor == 3 and r < 0.4:
+                    ws.append(rng.choice(["#", "…", "##"]))  # symbols
+                elif flavor == 4 and r < 0.6:
+                    ws.append(str(rng.randrange(10_000)))   # numeric
+                elif flavor != 5 and r < 0.25:
+                    ws.append(rng.choice(stopwords))        # 5: no stopwords
+                else:
+                    ws.append(rng.choice(plain))
+            line = " ".join(ws)
+            if flavor == 6 and rng.random() < 0.6:
+                line = rng.choice(["• ", "- "]) + line      # bullet lines
+            if flavor == 7 and rng.random() < 0.6:
+                line += rng.choice(["…", "..."])            # ellipsis ends
+            lines.append(line)
+        texts.append("\n".join(lines))
+    table = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

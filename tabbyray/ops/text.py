@@ -901,3 +901,71 @@ def bigram_counts_topk(docs: rd.Dataset, k: int = 100,
 
     return (counts.map_batches(local_topk, batch_format="pandas")
             .sort(["n", "bigram"], descending=[True, False]).limit(k))
+
+
+# Gopher quality-gate constants (Rae et al. 2021, "Scaling Language
+# Models", table A1 rules — the widely-reproduced repetition-free
+# subset). Thresholds are integers cross-multiplied so the pass/fail
+# decision is exact integer arithmetic on both engines.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_ALPHA = re.compile(r"[A-Za-z]")
+_GOPHER_SYM = re.compile(r"^(#+|…+)$")
+
+
+def gopher_quality(docs: rd.Dataset, min_words: int = 10,
+                   max_words: int = 100_000) -> rd.Dataset:
+    """Gopher-style document quality gate: per-doc integer counts for
+    every rule plus the composite ``passes`` flag. Rules (all integer
+    comparisons — no float thresholds anywhere):
+
+    * ``min_words <= n_words <= max_words``
+    * mean word length in [3, 10]:  ``3*n <= sum_word_len <= 10*n``
+    * symbol-word fraction < 10%:   ``10*n_symbol_words < n_words``
+      (a symbol word is entirely '#' or '…' characters)
+    * bullet-led lines < 90%:       ``10*n_bullet_lines < 9*n_lines``
+      (a bullet line starts with '• ' or '- ')
+    * ellipsis-ended lines < 30%:   ``10*n_ellipsis_lines < 3*n_lines``
+    * alphabetic-word fraction >= 80%: ``5*n_alpha_words >= 4*n_words``
+      (word contains at least one [A-Za-z])
+    * >= 2 distinct Gopher stopwords present
+
+    Stateless map; list kernels run per batch (pandas str.split once,
+    Python set/regex folds over the token lists — the same shape as
+    ``quality_scores``/``lang_id``)."""
+    stops = set(GOPHER_STOPWORDS)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        lines = df["text"].str.split("\n")
+        n_words = toks.str.len().astype("int64")
+        sum_wl = toks.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        n_alpha = toks.map(
+            lambda ws: sum(1 for w in ws if _GOPHER_ALPHA.search(w))
+        ).astype("int64")
+        n_sym = toks.map(
+            lambda ws: sum(1 for w in ws if _GOPHER_SYM.match(w))
+        ).astype("int64")
+        n_lines = lines.str.len().astype("int64")
+        n_bullet = lines.map(
+            lambda ls: sum(1 for l in ls if l.startswith(("• ", "- ")))
+        ).astype("int64")
+        n_ell = lines.map(
+            lambda ls: sum(1 for l in ls if l.endswith(("…", "...")))
+        ).astype("int64")
+        n_stop = toks.map(lambda ws: len(stops & set(ws))).astype("int64")
+        passes = ((n_words >= min_words) & (n_words <= max_words)
+                  & (3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words)
+                  & (10 * n_sym < n_words)
+                  & (10 * n_bullet < 9 * n_lines)
+                  & (10 * n_ell < 3 * n_lines)
+                  & (5 * n_alpha >= 4 * n_words)
+                  & (n_stop >= 2)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "n_words": n_words,
+            "sum_word_len": sum_wl, "n_alpha_words": n_alpha,
+            "n_symbol_words": n_sym, "n_lines": n_lines,
+            "n_bullet_lines": n_bullet, "n_ellipsis_lines": n_ell,
+            "n_stop_hits": n_stop, "passes": passes,
+        })
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -551,3 +551,203 @@ def host_components(pages: rd.Dataset, url_col: str = "url",
                          "component": t.column("rep_host")})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: parse + URL gate
+# ---------------------------------------------------------------------------
+
+_UA_RE = r"^User-agent:\s*(\S+)"
+_RULE_RE = r"^(Allow|Disallow):\s*(\S+)"
+
+
+def parse_robots_rules(robots: rd.Dataset, host_col: str = "host",
+                       txt_col: str = "robots_txt") -> rd.Dataset:
+    """Parse a robots.txt corpus into the ``User-agent: *`` rule set:
+    one (host, rule_path, allow) row per Allow/Disallow line in the
+    ``*`` group. Simplified REP semantics, documented for the oracle:
+    a group is introduced by ONE ``User-agent:`` line and runs until
+    the next one; only the ``*`` group's rules apply; rule paths must
+    start with '/'; every other directive (Crawl-delay, Sitemap,
+    comments, blank lines) is ignored.
+
+    Stateless vectorized map over the ROBOTS table — the corpus-small
+    side (one row per host, not per capture): pandas split/explode +
+    per-row-ordered cumsum assigns group ids without a per-line Python
+    loop; no shuffle."""
+    import pandas as pd
+
+    def f(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"host": pd.Series(dtype="object"),
+                              "rule_path": pd.Series(dtype="object"),
+                              "allow": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        e = (df[[host_col]].assign(_line=df[txt_col].str.split("\n"))
+             .explode("_line"))
+        e["_line"] = e["_line"].fillna("")
+        e = e.reset_index(drop=False, names="_doc")
+        is_ua = e["_line"].str.match(_UA_RE)
+        # group id = running count of User-agent lines within the doc
+        e["_grp"] = is_ua.astype("int64").groupby(e["_doc"]).cumsum()
+        agent = e["_line"].str.extract(_UA_RE, expand=False)
+        ua = (e.loc[is_ua, ["_doc", "_grp"]]
+              .assign(_agent=agent[is_ua].to_numpy()))
+        e = e.merge(ua, on=["_doc", "_grp"], how="left")
+        m = e["_line"].str.extract(_RULE_RE)
+        sel = ((e["_agent"] == "*") & m[0].notna()
+               & m[1].str.startswith("/", na=False))
+        if not sel.any():
+            return empty
+        return pd.DataFrame({
+            "host": e.loc[sel, host_col].astype(object).to_numpy(),
+            "rule_path": m.loc[sel, 1].astype(object).to_numpy(),
+            "allow": (m.loc[sel, 0] == "Allow").astype("int64").to_numpy(),
+        })
+
+    return robots.map_batches(f, batch_format="pandas")
+
+
+def robots_gate(pages: rd.Dataset, robots: rd.Dataset,
+                url_col: str = "url",
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """Evaluate every distinct canonical URL against its host's
+    robots.txt: longest-matching-prefix rule wins, Allow beats Disallow
+    on equal length (Google REP tie rule), no matching rule or no
+    robots file -> allowed. Output one row per canonical URL:
+    (canon_url, host, allowed:int64, rule_path — matched rule or '').
+
+    Plan (all existing primitives; robots is O(hosts) but still rides
+    distributed joins, never a broadcast): distinct canon via one
+    hash_aggregate -> host-hash ``hash_join`` against the parsed rules
+    -> vectorized prefix filter (grouped by the few distinct rule
+    lengths, so the slice compare is one vector op per length) ->
+    ``grouped_argmax`` on score = 2*len(rule)+allow -> LEFT join back
+    to the distinct URL set with default-allow fill."""
+    import numpy as np
+    import pandas as pd
+
+    from .relational import grouped_argmax, hash_aggregate, hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        return pa.table({"canon_url": _canon_array(t, url_col),
+                         "host": comp["host"], "path": comp["path"],
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    distinct = hash_aggregate(
+        pages.map_batches(prep, batch_format="pyarrow"),
+        keys=["canon_url", "host", "path"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("canon_url", pa.string()),
+                              ("host", pa.string()), ("path", pa.string()),
+                              ("n", pa.int64())])
+    ).select_columns(["canon_url", "host", "path"]).materialize()
+
+    rules = parse_robots_rules(robots)
+    cand = hash_join(
+        distinct, rules, on="host", num_partitions=num_partitions,
+        left_schema=pa.schema([("canon_url", pa.string()),
+                               ("host", pa.string()),
+                               ("path", pa.string())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("rule_path", pa.string()),
+                                ("allow", pa.int64())]))
+
+    def match_score(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["canon_url", "rule_path", "allow", "score"]
+        if not len(df):
+            return pd.DataFrame({"canon_url": pd.Series(dtype="object"),
+                                 "rule_path": pd.Series(dtype="object"),
+                                 "allow": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
+        rl = df["rule_path"].str.len().to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for L in np.unique(rl):
+            m = rl == L
+            keep[m] = (df["path"][m].str.slice(0, int(L))
+                       == df["rule_path"][m]).to_numpy()
+        out = df.loc[keep, ["canon_url", "rule_path", "allow"]].copy()
+        out["allow"] = out["allow"].astype("int64")
+        out["score"] = (2 * out["rule_path"].str.len()
+                        + out["allow"]).astype("int64")
+        return out[cols].reset_index(drop=True)
+
+    win = grouped_argmax(
+        cand.map_batches(match_score, batch_format="pandas"),
+        key="canon_url", order_col="score", tie_col="rule_path",
+        out_cols=["canon_url", "rule_path", "allow"],
+        num_partitions=num_partitions)
+
+    final = hash_join(
+        distinct.select_columns(["canon_url", "host"]), win,
+        on="canon_url", how="left", num_partitions=num_partitions,
+        left_schema=pa.schema([("canon_url", pa.string()),
+                               ("host", pa.string())]),
+        right_schema=pa.schema([("canon_url", pa.string()),
+                                ("rule_path", pa.string()),
+                                ("allow", pa.int64())]))
+
+    def classify(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("canon_url", pa.string()),
+                            ("host", pa.string()),
+                            ("allowed", pa.int64()),
+                            ("rule_path", pa.string())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table({
+            "canon_url": t.column("canon_url"),
+            "host": t.column("host"),
+            "allowed": pc.fill_null(pc.cast(t.column("allow"), pa.int64()),
+                                    1),
+            "rule_path": pc.fill_null(pc.cast(t.column("rule_path"),
+                                              pa.string()), ""),
+        })
+
+    return final.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# visible-text extraction (boilerplate strip before the KG extractor)
+# ---------------------------------------------------------------------------
+
+# strip chain shared (as documented semantics) with the DuckDB oracle:
+# RE2-compatible patterns, same order; &amp; decodes LAST so the
+# &amp;lt; double-escape stays a literal '&lt;' in the visible text
+_STRIP_BLOCK_RES = (r"(?is)<script\b[^>]*>.*?</script>",
+                    r"(?is)<style\b[^>]*>.*?</style>",
+                    r"(?s)<!--.*?-->")
+_TAG_RE = r"(?s)<[^>]*>"
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def visible_text(pages: rd.Dataset, url_col: str = "url",
+                 html_col: str = "html") -> rd.Dataset:
+    """Extract the visible text of each page: drop <script>/<style>
+    bodies and HTML comments, strip all remaining tags (replaced by a
+    space so adjacent words don't fuse), decode the common entity set
+    (&amp; last), collapse whitespace runs to single spaces and trim.
+    Output (url, text, text_chars, html_chars) with codepoint lengths.
+
+    Stateless zero-copy Arrow map — every step is one
+    ``pc.replace_substring_regex`` / ``pc.replace_substring`` kernel
+    over the whole batch; no shuffle, no per-row Python."""
+    def f(t: pa.Table) -> pa.Table:
+        html = pc.cast(t.column(html_col), pa.string())
+        txt = html
+        for pat in _STRIP_BLOCK_RES:
+            txt = pc.replace_substring_regex(txt, pat, " ")
+        txt = pc.replace_substring_regex(txt, _TAG_RE, " ")
+        for ent, rep in _ENTITIES:
+            txt = pc.replace_substring(txt, ent, rep)
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(txt, r"\s+", " "))
+        return pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "text": txt,
+            "text_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "html_chars": pc.cast(pc.utf8_length(html), pa.int64()),
+        })
+
+    return pages.map_batches(f, batch_format="pyarrow")

@@ -708,3 +708,35 @@ def test_line_dedup_matches_pandas(ray_session):
     got = (line_dedup(rd.read_parquet(path, override_num_blocks=4))
            .to_pandas().set_index("doc_id")["text"])
     assert got.sort_index().equals(want.sort_index())
+
+
+def test_gopher_quality_rules(ray_session):
+    """Each Gopher rule individually fails exactly one crafted doc;
+    the good doc passes all."""
+    import pandas as pd
+    import ray.data as rd
+    from tabbyray.ops.text import gopher_quality
+    good = "the quick brown fox and that dog have gone to the old mill"
+    docs = {
+        0: good,                                        # passes
+        1: "the be cat sat mat now",                    # too few words
+        2: "the be " + " ".join(["xxxxxxxxxxxxxxxxxxxx"] * 10),  # mean wl>10
+        3: "the be " + " ".join(["a"] * 12),            # mean wl < 3
+        4: good + " " + " ".join(["#"] * 2),            # symbols >= 10%
+        5: "• " + good + "\n• " + good,                 # all bullet lines
+        6: good + "…\n" + good + "...",                 # ellipsis lines
+        7: "the be " + " ".join(str(i) for i in range(10)),  # low alpha
+        8: good.replace("the", "cat").replace("and", "dog")
+              .replace("that", "pig").replace("have", "ran")
+              .replace("to", "up"),                     # <2 stopwords
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (gopher_quality(rd.from_pandas(df).repartition(3), min_words=10)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc[0, "passes"] == 1
+    for d in range(1, 9):
+        assert got.loc[d, "passes"] == 0, d
+    # spot-check counters on the good doc
+    assert got.loc[0, "n_words"] == 13
+    assert got.loc[0, "n_lines"] == 1
+    assert got.loc[0, "n_stop_hits"] >= 4

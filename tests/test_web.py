@@ -222,3 +222,83 @@ def test_host_components_communities(ray_session):
     # rep is the lexicographic min of its cluster and a member of it
     for rep, grp in hc.groupby("component"):
         assert rep == grp.host.min()
+
+
+def test_parse_robots_rules_semantics(ray_session):
+    """Group boundaries, decoy groups, non-/ rules and noise directives
+    all handled on a hand-built robots corpus."""
+    import pyarrow as pa
+    from tabbyray.ops.web import parse_robots_rules
+    txt_a = "\n".join([
+        "# comment",
+        "User-agent: evilbot",
+        "Disallow: /",                 # decoy group: ignored
+        "",
+        "User-agent: *",
+        "Disallow: /private",
+        "Allow: /private/ok",
+        "Crawl-delay: 5",              # noise: ignored
+        "Sitemap: https://a.example/s.xml",
+        "Disallow: nope",              # no leading '/': ignored
+        "",
+        "User-agent: otherbot",
+        "Allow: /x",                   #later group: ignored
+    ])
+    txt_b = "User-agent: *\nDisallow: /"
+    t = pa.table({"host": ["a.example", "b.example"],
+                  "robots_txt": [txt_a, txt_b]})
+    got = parse_robots_rules(rd.from_arrow(t)).to_pandas()
+    rows = set(map(tuple, got[["host", "rule_path", "allow"]].to_numpy()))
+    assert rows == {("a.example", "/private", 0),
+                    ("a.example", "/private/ok", 1),
+                    ("b.example", "/", 0)}
+
+
+def test_robots_gate_rules(ray_session):
+    """Longest-prefix wins; Allow beats Disallow on equal length;
+    missing robots file and unmatched paths default to allowed."""
+    import pyarrow as pa
+    from tabbyray.ops.web import robots_gate
+    robots = pa.table({
+        "host": ["a.example"],
+        "robots_txt": ["User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+                       "Allow: /q\nDisallow: /q"],
+    })
+    pages = pa.table({"url": [
+        "https://a.example/p/secret",     # /p disallow
+        "https://a.example/p/ok/file",    # longer allow wins
+        "https://a.example/q/x",          # equal length: allow wins tie
+        "https://a.example/free",         # no matching rule
+        "https://b.example/p/anything",   # no robots file
+    ]})
+    got = robots_gate(rd.from_arrow(pages), rd.from_arrow(robots),
+                      num_partitions=4).to_pandas()
+    m = got.set_index("canon_url")
+    assert m.loc["https://a.example/p/secret", "allowed"] == 0
+    assert m.loc["https://a.example/p/secret", "rule_path"] == "/p"
+    assert m.loc["https://a.example/p/ok/file", "allowed"] == 1
+    assert m.loc["https://a.example/p/ok/file", "rule_path"] == "/p/ok"
+    assert m.loc["https://a.example/q/x", "allowed"] == 1
+    assert m.loc["https://a.example/free", "allowed"] == 1
+    assert m.loc["https://a.example/free", "rule_path"] == ""
+    assert m.loc["https://b.example/p/anything", "allowed"] == 1
+
+
+def test_visible_text_strip_chain(ray_session):
+    """Script/style/comment bodies vanish, tags become spaces, entity
+    decode order keeps &amp;lt; literal, whitespace collapses."""
+    import pyarrow as pa
+    from tabbyray.ops.web import visible_text
+    html = ("<!doctype html><body><p class=\"c\">Hello\n\t world</p>"
+            "<script type=\"x\">var s = '<p>not text</p>';</script>"
+            "<style>.c { color: red }</style>"
+            "<!-- secret\ncomment --><div>A &amp;lt; B &amp; C&nbsp;D"
+            "<b>bold</b>ed</div></body>")
+    t = pa.table({"url": ["https://e.example/1"], "html": [html]})
+    got = visible_text(rd.from_arrow(t)).to_pandas()
+    assert got.loc[0, "text"] == "Hello world A &lt; B & C D bold ed"
+    assert got.loc[0, "text_chars"] == len(got.loc[0, "text"])
+    assert got.loc[0, "html_chars"] == len(html)
+    assert "secret" not in got.loc[0, "text"]
+    assert "not text" not in got.loc[0, "text"]
+    assert "red" not in got.loc[0, "text"]
