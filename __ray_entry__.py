@@ -643,6 +643,38 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_quality(ds)
 
 
+def _q_web_anchor_text_rollup(sf_dir: str):
+    """Anchor-text rollup — the web-graph surface-form signal: per
+    (canonical target URL, anchor text), how many resolvable links
+    carry that surface form. Extract (vectorized split explode) ->
+    resolve (carry text) -> ONE pair-hash partial-count exchange;
+    oracle re-derives extraction via zipped regexp_extract_all unnests
+    and the full resolution CASE chain."""
+    from tabbyray.ops.web import anchor_text_rollup
+    return anchor_text_rollup(_link_pages(), num_partitions=8)
+
+
+def _q_web_url_indegree(sf_dir: str):
+    """Per canonical target URL: total resolvable in-links, distinct
+    linking pages and distinct linking hosts — count partials + exact
+    pair-hash distincts stitched with co-partitioned hash_joins."""
+    from tabbyray.ops.web import url_indegree
+    return url_indegree(_link_pages(), num_partitions=8)
+
+
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher repetition-removal signals (dup lines / dup chars / top
+    2-3-4-gram coverage, exact integer counters + composite passes);
+    oracle re-derives dup counts via list_distinct identities and top
+    n-grams via scalar-range gram enumeration + QUALIFY argmax."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_repetition_docs
+    from tabbyray.ops.text import gopher_repetition
+    ds = rd.read_parquet(ensure_repetition_docs(), override_num_blocks=4)
+    return gopher_repetition(ds)
+
+
 def _q_sti_annotations_sharded(sf_dir: str):
     """Sharded-KB candidate generation (kbshard.py): same annotations
     as the broadcast path (tests assert exact equality)."""
@@ -2167,6 +2199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_robots_gate": _q_web_robots_gate,
         "web_visible_text": _q_web_visible_text,
         "gopher_quality": _q_gopher_quality,
+        "web_anchor_text_rollup": _q_web_anchor_text_rollup,
+        "web_url_indegree": _q_web_url_indegree,
+        "gopher_repetition": _q_gopher_repetition,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2986,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
                                    ensure_link_fixture,
                                    ensure_lineset_docs,
                                    ensure_quality_docs,
+                                   ensure_repetition_docs,
                                    ensure_robots_fixture,
                                    ensure_web_fixture)
     from tabbyray.ops.text import _EMAIL, _PHONE, GOPHER_STOPWORDS
@@ -2997,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
     _robots_path = ensure_robots_fixture()            # idempotent, ~ms
     _html_path = ensure_html_fixture()                # idempotent, ~ms
     _quality_path = ensure_quality_docs()             # idempotent, ~ms
+    _rep_path = ensure_repetition_docs()              # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4120,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_robots_oracles(_robots_path, _web_fixture_path))
     out["web_visible_text"] = _visible_text_oracle(_html_path)
     out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
+    out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
@@ -4252,13 +4290,47 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         FROM links GROUP BY src_host, dst_host
     """
     out["web_host_pagerank"] = _link_pagerank_oracle(chain)
+    chain_t = _link_chain(link_path, with_text=True)
+    out["web_anchor_text_rollup"] = f"""
+        WITH {chain_t}
+        SELECT dst_canon, atext AS anchor_text,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM links GROUP BY dst_canon, atext
+    """
+    out["web_url_indegree"] = f"""
+        WITH {chain}
+        SELECT dst_canon,
+               CAST(count(*) AS BIGINT) AS n_inlinks,
+               CAST(count(DISTINCT src_canon) AS BIGINT) AS n_src_urls,
+               CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+        FROM links GROUP BY dst_canon
+    """
     return out
 
 
-def _link_chain(link_path: str) -> str:
+def _link_chain(link_path: str, with_text: bool = False) -> str:
     """Shared oracle CTE chain over a (url, html) link fixture: base
     parse -> canonical form/origin/dir -> anchor unnest -> href
-    resolution CASE -> resolved-URL parse -> canonical dst + hosts."""
+    resolution CASE -> resolved-URL parse -> canonical dst + hosts.
+    ``with_text=True`` swaps the anchor unnest for the full canonical
+    serialization ``<a href="H">text</a>`` (two zipped
+    ``regexp_extract_all`` unnests — anchors without the ``">text</a>``
+    close are dropped, matching ``extract_anchor_texts``) and carries
+    ``atext`` through every downstream CTE to ``links``."""
+    if with_text:
+        a_pat = '<a href="([^"]*)">([^<]*)</a>'
+        anch = f"""
+    anch AS (SELECT url,
+                    unnest(regexp_extract_all(html, '{a_pat}', 1)) AS href,
+                    unnest(regexp_extract_all(html, '{a_pat}', 2)) AS atext
+             FROM b0),"""
+        at_j, at = "a.atext, ", "atext, "
+    else:
+        anch = """
+    anch AS (SELECT url, unnest(regexp_extract_all(html,
+                 '<a href="([^"]*)"', 1)) AS href
+             FROM b0),"""
+        at_j = at = ""
     return f"""
     b0 AS (SELECT url, html FROM read_parquet('{link_path}')),
     b1 AS (SELECT url,
@@ -4296,11 +4368,9 @@ def _link_chain(link_path: str) -> str:
                              ELSE '?' || query END) AS src_canon,
                     regexp_extract(path, '^(.*/)', 1) AS dir
              FROM b3),
-    anch AS (SELECT url, unnest(regexp_extract_all(html,
-                 '<a href="([^"]*)"', 1)) AS href
-             FROM b0),
-    j AS (SELECT a.href, b.* FROM anch a JOIN base b USING (url)),
-    res AS (SELECT src_canon, host AS src_host, href,
+    {anch}
+    j AS (SELECT a.href, {at_j}b.* FROM anch a JOIN base b USING (url)),
+    res AS (SELECT src_canon, host AS src_host, href, {at}
                    regexp_extract(
                      CASE
                        WHEN href = '' OR href LIKE '#%' THEN NULL
@@ -4315,7 +4385,7 @@ def _link_chain(link_path: str) -> str:
                        ELSE origin || dir || href
                      END, '^([^#]*)', 1) AS resolved
             FROM j),
-    r1 AS (SELECT src_canon, src_host, href, resolved,
+    r1 AS (SELECT src_canon, src_host, href, {at}resolved,
                   lower(regexp_extract(resolved,
                       '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS dscheme,
                   lower(regexp_extract(resolved,
@@ -4332,14 +4402,14 @@ def _link_chain(link_path: str) -> str:
                   CASE WHEN dscheme = 'https' THEN 443 ELSE 80 END
                       AS ddport
            FROM r1),
-    r3 AS (SELECT src_canon, src_host, href, dscheme, dhost, dquery,
+    r3 AS (SELECT src_canon, src_host, href, {at}dscheme, dhost, dquery,
                   ddport,
                   CASE WHEN dport_s = '' THEN ddport
                        ELSE CAST(dport_s AS BIGINT) END AS dport2,
                   CASE WHEN draw_path = '' THEN '/' ELSE draw_path END
                       AS dpath
            FROM r2),
-    links AS (SELECT src_canon, src_host, href, dhost AS dst_host,
+    links AS (SELECT src_canon, src_host, href, {at}dhost AS dst_host,
                      dscheme || '://' || dhost
                      || (CASE WHEN dport2 = ddport THEN ''
                               ELSE ':' || CAST(dport2 AS VARCHAR) END)
@@ -4623,4 +4693,76 @@ def _gopher_oracle(quality_path: str, stopwords: tuple) -> str:
                      AND 5 * n_alpha_words >= 4 * n_words
                      AND n_stop_hits >= 2) AS BIGINT) AS passes
         FROM c
+    """
+
+
+def _gopher_repetition_oracle(rep_path: str) -> str:
+    """Oracle SQL for the Gopher repetition signals. Line duplicates
+    re-derived WITHOUT position bookkeeping: keep-first means each
+    distinct line is non-dup exactly once, so dup_lines = len(ls) -
+    len(list_distinct(ls)) and dup_line_chars = total chars - chars
+    over distinct lines. Top n-grams re-derived relationally: enumerate
+    every start position with scalar ``range`` + 1-based list indexing,
+    unnest to (doc_id, gram) rows, GROUP BY + QUALIFY row_number
+    (count DESC, gram ASC) — the op's exact tie rule; docs with < n
+    words produce no gram rows and LEFT JOIN + COALESCE restores the
+    (''/0/0) sentinel. ``passes`` re-stated as the same cross-
+    multiplied integer comparisons."""
+    tops = []
+    for n in (2, 3, 4):
+        gram = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]"
+                                  for k in range(n))
+        stop = {2: "len(ws)", 3: "len(ws) - 1", 4: "len(ws) - 2"}[n]
+        tops.append(f"""
+        g{n} AS (SELECT doc_id, unnest(list_transform(
+                     range(1, {stop}), i -> {gram})) AS gram
+                 FROM base),
+        t{n} AS (SELECT doc_id, gram AS top{n}_ngram,
+                        CAST(count(*) AS BIGINT) AS top{n}_count,
+                        CAST(length(gram) - {n - 1} AS BIGINT)
+                            AS top{n}_chars
+                 FROM g{n} GROUP BY doc_id, gram
+                 QUALIFY row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, gram ASC) = 1)""")
+    top_sql = ",".join(tops)
+    out_cols = ", ".join(
+        f"COALESCE(top{n}_ngram, '') AS top{n}_ngram, "
+        f"COALESCE(top{n}_count, 0) AS top{n}_count, "
+        f"COALESCE(top{n}_chars, 0) AS top{n}_chars"
+        for n in (2, 3, 4))
+    return f"""
+        WITH b AS (SELECT doc_id,
+                          list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '') AS ws,
+                          string_split(text, chr(10)) AS ls
+                   FROM read_parquet('{rep_path}')),
+        base AS (SELECT doc_id, ws,
+                        CAST(len(ls) AS BIGINT) AS n_lines,
+                        CAST(len(ls) - len(list_distinct(ls)) AS BIGINT)
+                            AS dup_lines,
+                        CAST(COALESCE(list_sum(list_transform(ls,
+                             l -> length(l))), 0) AS BIGINT) AS line_chars,
+                        CAST(COALESCE(list_sum(list_transform(ls,
+                             l -> length(l))), 0)
+                             - COALESCE(list_sum(list_transform(
+                                 list_distinct(ls), l -> length(l))), 0)
+                             AS BIGINT) AS dup_line_chars,
+                        CAST(COALESCE(list_sum(list_transform(ws,
+                             w -> length(w))), 0) AS BIGINT) AS word_chars
+                 FROM b),{top_sql}
+        SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+               {out_cols}, word_chars,
+               CAST((10 * dup_lines <= 3 * n_lines
+                     AND 5 * dup_line_chars <= line_chars
+                     AND 5 * COALESCE(top2_count, 0)
+                           * COALESCE(top2_chars, 0) <= word_chars
+                     AND 50 * COALESCE(top3_count, 0)
+                            * COALESCE(top3_chars, 0) <= 9 * word_chars
+                     AND 25 * COALESCE(top4_count, 0)
+                            * COALESCE(top4_chars, 0) <= 4 * word_chars)
+                    AS BIGINT) AS passes
+        FROM base
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN t3 USING (doc_id)
+        LEFT JOIN t4 USING (doc_id)
     """

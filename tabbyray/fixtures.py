@@ -903,3 +903,64 @@ def ensure_quality_docs(n_docs: int = 500, seed: int = 59,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_repetition_docs(n_docs: int = 500, seed: int = 61,
+                           root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic fixture for the Gopher repetition signals:
+    ``repdocs.parquet`` with (doc_id:int64, text:string). Flavors give
+    every rule both sides: clean multi-line docs; docs with one line
+    repeated many times (dup-line + dup-char rules); docs with a short
+    phrase (2-4 words) spammed inline (top-n-gram rules, overlapping
+    occurrences included); docs right AT a threshold boundary (the <=
+    keep rule is exercised exactly); single-line and two-word
+    minimal docs (no 3/4-grams exist)."""
+    key = f"repdocs-v1-s{seed}-d{n_docs}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    words = _WEB_PATH_WORDS + ["stream", "vector", "column", "window",
+                               "signal", "batch", "token", "corpus"]
+    def fresh_line(k):
+        return " ".join(rng.choice(words) + str(rng.randrange(50))
+                        for _ in range(k))
+    texts = []
+    for d in range(n_docs):
+        flavor = rng.randrange(6)
+        if flavor == 0:                       # clean
+            lines = [fresh_line(rng.randint(5, 12))
+                     for _ in range(rng.randint(2, 8))]
+        elif flavor == 1:                     # heavy line repetition
+            boiler = fresh_line(rng.randint(3, 8))
+            lines = []
+            for _ in range(rng.randint(4, 10)):
+                lines.append(boiler if rng.random() < 0.6
+                             else fresh_line(rng.randint(3, 8)))
+        elif flavor == 2:                     # ngram spam
+            n = rng.randint(2, 4)
+            phrase = " ".join(rng.choice(words) for _ in range(n))
+            ws = []
+            for _ in range(rng.randint(8, 30)):
+                ws.append(phrase if rng.random() < 0.4
+                          else rng.choice(words) + str(rng.randrange(50)))
+            lines = [" ".join(ws)]
+        elif flavor == 3:                     # exactly at the dup-line bound
+            uniq = [fresh_line(4) for _ in range(7)]
+            lines = uniq + [uniq[0], uniq[1], uniq[2]]  # 3 dups / 10 lines
+        elif flavor == 4:                     # minimal docs
+            lines = [" ".join(rng.choice(words)
+                              for _ in range(rng.randint(1, 3)))]
+        else:                                 # overlap stress: aaa a...
+            w = rng.choice(words)
+            lines = [" ".join([w] * rng.randint(4, 12))]
+        texts.append("\n".join(lines))
+    table = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -969,3 +969,87 @@ def gopher_quality(docs: rd.Dataset, min_words: int = 10,
         })
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def gopher_repetition(docs: rd.Dataset) -> rd.Dataset:
+    """Gopher-style repetition-removal signals (Rae et al. 2021 table
+    A1, repetition block) as per-doc EXACT INTEGER counters plus the
+    composite ``passes`` flag. Documented semantics (mirrored by the
+    SQL oracle):
+
+    * a line OCCURRENCE is a duplicate if the identical line appeared
+      earlier in the same doc (keep-first, the line_dedup rule);
+      ``dup_lines`` counts such occurrences, ``dup_line_chars`` their
+      codepoint chars; ``line_chars`` = total chars over all lines
+      (newlines excluded).
+    * for n in {2,3,4}: the TOP word n-gram is the most frequent
+      (ties: lexicographically smallest joined string); ``topN_chars``
+      = sum of its word lengths (no separators); the covered-char
+      numerator is ``topN_count * topN_chars`` (every occurrence
+      counted, overlaps included); denominator ``word_chars`` = sum of
+      all word lengths. Docs with < n words have topN_ngram='' and
+      zero count/chars.
+    * passes (all integer cross-multiplications, <= keeps):
+      dup-line fraction <= 30%        (10*dup_lines <= 3*n_lines)
+      dup-line char fraction <= 20%   (5*dup_line_chars <= line_chars)
+      top-2-gram char fraction <= 20% (5*top2_count*top2_chars <= word_chars)
+      top-3-gram char fraction <= 18% (50*... <= 9*word_chars)
+      top-4-gram char fraction <= 16% (25*... <= 4*word_chars)
+
+    Stateless map; per-batch pandas split + Counter folds over the
+    token lists (the gopher_quality / lang_id shape)."""
+    from collections import Counter
+
+    def top_ngram(ws: list, n: int):
+        if len(ws) < n:
+            return "", 0, 0
+        grams = Counter(
+            " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+        best = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
+        return best[0], best[1], len(best[0]) - (n - 1)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        lines = df["text"].str.split("\n")
+        n_lines, dup_lines, line_chars, dup_line_chars = [], [], [], []
+        for ls in lines:
+            seen, d, lc, dc = set(), 0, 0, 0
+            for l in ls:
+                lc += len(l)
+                if l in seen:
+                    d += 1
+                    dc += len(l)
+                else:
+                    seen.add(l)
+            n_lines.append(len(ls))
+            dup_lines.append(d)
+            line_chars.append(lc)
+            dup_line_chars.append(dc)
+        cols = {"doc_id": df["doc_id"],
+                "n_lines": pd.Series(n_lines, dtype="int64").to_numpy(),
+                "dup_lines": pd.Series(dup_lines, dtype="int64").to_numpy(),
+                "line_chars": pd.Series(line_chars,
+                                        dtype="int64").to_numpy(),
+                "dup_line_chars": pd.Series(dup_line_chars,
+                                            dtype="int64").to_numpy()}
+        word_chars = toks.map(
+            lambda ws: sum(len(w) for w in ws)).astype("int64")
+        for n in (2, 3, 4):
+            tri = toks.map(lambda ws, n=n: top_ngram(ws, n))
+            cols[f"top{n}_ngram"] = tri.str[0]
+            cols[f"top{n}_count"] = tri.str[1].astype("int64")
+            cols[f"top{n}_chars"] = tri.str[2].astype("int64")
+        cols["word_chars"] = word_chars
+        out = pd.DataFrame(cols)
+        out["passes"] = (
+            (10 * out["dup_lines"] <= 3 * out["n_lines"])
+            & (5 * out["dup_line_chars"] <= out["line_chars"])
+            & (5 * out["top2_count"] * out["top2_chars"]
+               <= out["word_chars"])
+            & (50 * out["top3_count"] * out["top3_chars"]
+               <= 9 * out["word_chars"])
+            & (25 * out["top4_count"] * out["top4_chars"]
+               <= 4 * out["word_chars"])).astype("int64")
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -239,14 +239,20 @@ def extract_anchors(pages: rd.Dataset, url_col: str = "url",
 
 def resolve_hrefs(anchors: rd.Dataset, url_col: str = "url",
                   href_col: str = "href", src_out: str = "src_canon",
-                  dst_out: str = "dst_canon") -> rd.Dataset:
+                  dst_out: str = "dst_canon",
+                  carry_cols: "list[str] | None" = None) -> rd.Dataset:
     """Resolve each (base url, href) pair to canonical (src, dst) URLs
     per the module resolution contract; undroppable rows only. Keeps
-    the raw ``href`` column for provenance. Stateless vectorized map."""
+    the raw ``href`` column for provenance; ``carry_cols`` pass through
+    unchanged (filtered with the kept rows). Stateless vectorized
+    map."""
+    carry = list(carry_cols or [])
+
     def f(t: pa.Table) -> pa.Table:
         out_schema = pa.schema([(src_out, pa.string()),
                                 (href_col, pa.string()),
-                                (dst_out, pa.string())])
+                                (dst_out, pa.string())]
+                               + [(c, pa.string()) for c in carry])
         if t.num_rows == 0:
             return out_schema.empty_table()
         comp = _parse_batch(t, url_col)
@@ -292,12 +298,16 @@ def resolve_hrefs(anchors: rd.Dataset, url_col: str = "url",
         keep = pc.and_(
             pc.invert(empty_or_frag),
             pc.or_(pc.invert(has_scheme), http_abs))
-        kept = pa.table({src_out: src, href_col: href,
-                         "_resolved": resolved}).filter(keep)
+        cols = {src_out: src, href_col: href, "_resolved": resolved}
+        for c in carry:
+            cols[c] = pc.cast(t.column(c), pa.string())
+        kept = pa.table(cols).filter(keep)
         dst = _canon_array(kept, "_resolved")
-        return pa.table({src_out: kept.column(src_out),
-                         href_col: kept.column(href_col),
-                         dst_out: dst})
+        out = {src_out: kept.column(src_out),
+               href_col: kept.column(href_col), dst_out: dst}
+        for c in carry:
+            out[c] = kept.column(c)
+        return pa.table(out)
 
     return anchors.map_batches(f, batch_format="pyarrow")
 
@@ -751,3 +761,112 @@ def visible_text(pages: rd.Dataset, url_col: str = "url",
         })
 
     return pages.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# anchor text: extraction -> per-target rollup; URL in-degree
+# ---------------------------------------------------------------------------
+#
+# Anchor text is the classic web-graph surface-form signal for entity
+# linking: the texts other pages use to link to a URL describe what the
+# URL is about (the reference's candidate lookup matches cell text
+# against entity labels — anchor text is the web-scale analog of that
+# label table). The rollup contract mirrors the link-graph one: only
+# the canonical serialization ``<a href="H">text</a>`` is parsed (text
+# may not contain '<'), resolution/canonicalization reuse the exact
+# resolve_hrefs semantics, and the aggregate ships batch-level
+# partials.
+
+_ANCHOR_TEXT_RE = '^(?P<h>[^"]*)">(?P<t>[^<]*)</a>'
+
+
+def extract_anchor_texts(pages: rd.Dataset, url_col: str = "url",
+                         html_col: str = "html") -> rd.Dataset:
+    """One (url, href, anchor_text) row per canonical-serialization
+    anchor; segments without the full ``">text</a>`` close are dropped
+    (non-canonical anchors carry no text). Same vectorized explode as
+    ``extract_anchors``."""
+    def f(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(url_col, pa.string()),
+                                ("href", pa.string()),
+                                ("anchor_text", pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        html = pc.cast(t.column(html_col), pa.string()).combine_chunks()
+        sp = pc.split_pattern(html, _ANCHOR_PREFIX)
+        flat, parents, pos = _explode_positions(sp)
+        mask = pa.array(pos > 0)
+        seg = pc.filter(flat, mask)
+        par = pc.filter(parents, mask)
+        m = pc.extract_regex(seg, _ANCHOR_TEXT_RE)
+        ok = pc.is_valid(m)
+        urls = pc.take(pc.cast(t.column(url_col), pa.string()),
+                       pc.filter(par, ok))
+        m = pc.filter(m, ok)
+        return pa.table({url_col: urls,
+                         "href": pc.struct_field(m, "h"),
+                         "anchor_text": pc.struct_field(m, "t")})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def anchor_text_rollup(pages: rd.Dataset, url_col: str = "url",
+                       html_col: str = "html",
+                       num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per (dst_canon, anchor_text): how many resolvable links carry
+    that surface form to that target. Plan: extract_anchor_texts
+    (stateless) -> resolve_hrefs with the text column carried through
+    (stateless) -> ONE pair-hash ``hash_aggregate`` exchange shipping
+    per-batch partial counts."""
+    at = extract_anchor_texts(pages, url_col, html_col)
+    resolved = resolve_hrefs(at, url_col=url_col,
+                             carry_cols=["anchor_text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"dst_canon": t.column("dst_canon"),
+                         "anchor_text": t.column("anchor_text"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    return hash_aggregate(
+        resolved.map_batches(prep, batch_format="pyarrow"),
+        keys=["dst_canon", "anchor_text"], sum_cols={"one": "n_links"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("dst_canon", pa.string()),
+                              ("anchor_text", pa.string()),
+                              ("n_links", pa.int64())]))
+
+
+def url_indegree(pages: rd.Dataset, url_col: str = "url",
+                 html_col: str = "html",
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per target canonical URL: total resolvable in-links, distinct
+    linking pages (src canon) and distinct linking hosts. Composition
+    of the host_stats primitives — count partials via hash_aggregate,
+    exact distincts via the pair-hash distinct_count, stitched with
+    co-partitioned hash_joins; no stage ships raw rows across more
+    than one exchange."""
+    links = resolve_links(pages, url_col, html_col)
+
+    def prep(t: pa.Table) -> pa.Table:
+        hosts = _parse_batch(t, "src_canon")["host"]
+        return pa.table({"dst_canon": t.column("dst_canon"),
+                         "src_canon": t.column("src_canon"),
+                         "src_host": hosts,
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    base = links.map_batches(prep, batch_format="pyarrow")
+    total = hash_aggregate(
+        base, keys=["dst_canon"], sum_cols={"one": "n_inlinks"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("dst_canon", pa.string()),
+                              ("n_inlinks", pa.int64())]))
+    nsrc = distinct_count(base, "dst_canon", "src_canon",
+                          alias="n_src_urls",
+                          num_partitions=num_partitions)
+    nhost = distinct_count(base, "dst_canon", "src_host",
+                           alias="n_src_hosts",
+                           num_partitions=num_partitions)
+    j = hash_join(total, nsrc, on=["dst_canon"],
+                  num_partitions=num_partitions)
+    return hash_join(j, nhost, on=["dst_canon"],
+                     num_partitions=num_partitions)

@@ -740,3 +740,43 @@ def test_gopher_quality_rules(ray_session):
     assert got.loc[0, "n_words"] == 13
     assert got.loc[0, "n_lines"] == 1
     assert got.loc[0, "n_stop_hits"] >= 4
+
+
+def test_gopher_repetition_rules(ray_session):
+    """Hand-computed counters on crafted docs: keep-first line dup
+    semantics, overlapping top-n-gram occurrences, the <= boundary,
+    and the short-doc ('' / 0) sentinel."""
+    import pandas as pd
+    import ray.data as rd
+    from tabbyray.ops.text import gopher_repetition
+    docs = {
+        0: "aa bb\ncc dd\naa bb",        # 1 dup line of 5 chars / 3 lines
+        1: "x x x x",                    # overlap: top2 'x x' count 3
+        2: "ab",                         # 1 word: no 2-grams at all
+        3: " ".join(f"w{i:02d}xy" for i in range(30)),  # long clean doc
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (gopher_repetition(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("doc_id"))
+    d0 = got.loc[0]
+    assert (d0["n_lines"], d0["dup_lines"]) == (3, 1)
+    assert (d0["line_chars"], d0["dup_line_chars"]) == (15, 5)
+    # 3 dup lines in 10 would be the boundary; 1/3 > 30% -> fails
+    assert d0["passes"] == 0
+    d1 = got.loc[1]
+    assert (d1["top2_ngram"], d1["top2_count"], d1["top2_chars"]) == ("x x", 3, 2)
+    assert (d1["top3_count"], d1["top4_count"]) == (2, 1)
+    assert d1["word_chars"] == 4 and d1["passes"] == 0  # 3*2 > 4
+    d2 = got.loc[2]
+    assert (d2["top2_ngram"], d2["top2_count"], d2["top2_chars"]) == ("", 0, 0)
+    assert d2["passes"] == 1
+    d3 = got.loc[3]
+    assert d3["top2_count"] == 1 and d3["passes"] == 1
+    assert d3["word_chars"] == 150
+    # exact boundary: dup-line fraction exactly 30% is kept (<=)
+    uniq = [f"line {i} pad" for i in range(7)]
+    bound = "\n".join(uniq + uniq[:3])   # 3 dups / 10 lines
+    db = pd.DataFrame({"doc_id": [9], "text": [bound]})
+    gb = (gopher_repetition(rd.from_pandas(db)).to_pandas().iloc[0])
+    assert gb["dup_lines"] == 3 and gb["n_lines"] == 10
+    assert 10 * gb["dup_lines"] <= 3 * gb["n_lines"]

@@ -302,3 +302,65 @@ def test_visible_text_strip_chain(ray_session):
     assert "secret" not in got.loc[0, "text"]
     assert "not text" not in got.loc[0, "text"]
     assert "red" not in got.loc[0, "text"]
+
+
+def test_extract_anchor_texts(ray_session):
+    """Only canonical-serialization anchors with the full '">text</a>'
+    close yield a row; text may not span '<'."""
+    import pyarrow as pa
+    from tabbyray.ops.web import extract_anchor_texts
+    html = ('<a href="/a">first link</a> noise '
+            '<a href="/b">second</a>'
+            '<a href="/c">broken <b>mark</b></a>'   # '<' in text: dropped
+            '<a href="/d" class="x">attr</a>'        # non-canonical: dropped
+            '<a href="/e"></a>')                     # empty text: kept
+    t = pa.table({"url": ["http://h.example/p/q"], "html": [html]})
+    got = extract_anchor_texts(rd.from_arrow(t)).to_pandas()
+    assert (sorted(zip(got["href"], got["anchor_text"]))
+            == [("/a", "first link"), ("/b", "second"), ("/e", "")])
+
+
+def test_anchor_text_rollup_counts(link_pages):
+    """Rollup equals an independent re.findall + python-dict recount
+    through the same resolution (resolve_hrefs is itself unit-tested)."""
+    import re
+    from collections import Counter
+    from tabbyray.ops.web import anchor_text_rollup, resolve_hrefs
+    import pyarrow as pa
+    ds, raw = link_pages
+    got = anchor_text_rollup(ds, num_partitions=4).to_pandas()
+    # reference: extract (url, href, text), resolve via the op itself
+    # on the exploded table, then count pairs in python
+    rows = []
+    for r in raw.itertuples():
+        for h, txt in re.findall(r'<a href="([^"]*)">([^<]*)</a>', r.html):
+            rows.append((r.url, h, txt))
+    t = pa.table({"url": [r[0] for r in rows],
+                  "href": [r[1] for r in rows],
+                  "anchor_text": [r[2] for r in rows]})
+    res = resolve_hrefs(rd.from_arrow(t),
+                        carry_cols=["anchor_text"]).to_pandas()
+    want = Counter(zip(res["dst_canon"], res["anchor_text"]))
+    have = {(r.dst_canon, r.anchor_text): r.n_links
+            for r in got.itertuples()}
+    assert have == dict(want)
+
+
+def test_url_indegree(link_pages):
+    """Totals and exact distincts vs a pandas groupby recount over the
+    op's own resolved-link table."""
+    from tabbyray.ops.web import resolve_links, url_indegree
+    ds, _raw = link_pages
+    got = url_indegree(ds, num_partitions=4).to_pandas()
+    links = resolve_links(ds).to_pandas()
+    links["src_host"] = links["src_canon"].str.extract(
+        r"^[a-z]+://([^/:?]+)")[0]
+    want = links.groupby("dst_canon").agg(
+        n_inlinks=("src_canon", "size"),
+        n_src_urls=("src_canon", "nunique"),
+        n_src_hosts=("src_host", "nunique")).reset_index()
+    g = got.sort_values("dst_canon").reset_index(drop=True)
+    w = want.sort_values("dst_canon").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["dst_canon", "n_inlinks", "n_src_urls", "n_src_hosts"]], w,
+        check_dtype=False)
