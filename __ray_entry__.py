@@ -662,6 +662,40 @@ def _q_web_url_indegree(sf_dir: str):
     return url_indegree(_link_pages(), num_partitions=8)
 
 
+def _anchor_entity_inputs():
+    import os
+
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_anchor_entity_fixture
+    fix = ensure_anchor_entity_fixture()
+    pages = rd.read_parquet(os.path.join(fix, "pages.parquet"),
+                            override_num_blocks=4)
+    labels = rd.read_parquet(os.path.join(fix, "labels.parquet"),
+                             override_num_blocks=2)
+    return pages, labels
+
+
+def _q_anchor_entity_candidates(sf_dir: str):
+    """Anchor-text entity linking (web-scale candidate generation):
+    link-weighted (dst_canon, entity, votes) via the M1 normalization
+    of anchor texts vs KB labels, met in ONE norm-hash join — the label
+    table is never broadcast. Oracle re-derives extraction, resolution,
+    the full-alphabet norm chain on both sides, the (norm, entity)
+    distinct and the vote sum in SQL."""
+    from tabbyray.ops.web import anchor_entity_candidates
+    pages, labels = _anchor_entity_inputs()
+    return anchor_entity_candidates(pages, labels, num_partitions=8)
+
+
+def _q_anchor_entity_top1(sf_dir: str):
+    """Winning entity per target URL — C8's argmax rule on the link
+    graph (votes desc, entity asc); oracle = QUALIFY row_number."""
+    from tabbyray.ops.web import anchor_entity_top1
+    pages, labels = _anchor_entity_inputs()
+    return anchor_entity_top1(pages, labels, num_partitions=8)
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher repetition-removal signals (dup lines / dup chars / top
     2-3-4-gram coverage, exact integer counters + composite passes);
@@ -2202,6 +2236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchor_text_rollup": _q_web_anchor_text_rollup,
         "web_url_indegree": _q_web_url_indegree,
         "gopher_repetition": _q_gopher_repetition,
+        "anchor_entity_candidates": _q_anchor_entity_candidates,
+        "anchor_entity_top1": _q_anchor_entity_top1,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -3016,7 +3052,8 @@ def _sti_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
-    from tabbyray.fixtures import (ensure_clustered_embeddings,
+    from tabbyray.fixtures import (ensure_anchor_entity_fixture,
+                                   ensure_clustered_embeddings,
                                    ensure_html_fixture,
                                    ensure_link_fixture,
                                    ensure_lineset_docs,
@@ -3034,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
     _html_path = ensure_html_fixture()                # idempotent, ~ms
     _quality_path = ensure_quality_docs()             # idempotent, ~ms
     _rep_path = ensure_repetition_docs()              # idempotent, ~ms
+    _anchor_fix = ensure_anchor_entity_fixture()      # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4158,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
     out["web_visible_text"] = _visible_text_oracle(_html_path)
     out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
+    out.update(_anchor_entity_oracles(_anchor_fix))
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
@@ -4766,3 +4805,43 @@ def _gopher_repetition_oracle(rep_path: str) -> str:
         LEFT JOIN t3 USING (doc_id)
         LEFT JOIN t4 USING (doc_id)
     """
+
+
+def _anchor_entity_oracles(fix: str) -> dict[str, str]:
+    """Oracle SQL for anchor-text entity linking: the with_text link
+    chain re-derives extraction + resolution; both surface-form sides
+    normalize through _NORM_FULL_SQL (the full-alphabet M1 chain — the
+    same RE2 engine the Arrow kernels use); labels collapse to DISTINCT
+    (norm, entity); votes = SUM of per-(dst, text) link counts through
+    the join. Top-1 = QUALIFY row_number (votes DESC, entity ASC)."""
+    import os
+    pages_p = os.path.join(fix, "pages.parquet")
+    labels_p = os.path.join(fix, "labels.parquet")
+    chain_t = _link_chain(pages_p, with_text=True)
+    votes = f"""
+        WITH {chain_t},
+        roll AS (SELECT dst_canon, atext,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM links GROUP BY dst_canon, atext),
+        lnorm AS (SELECT dst_canon,
+                         {_NORM_FULL_SQL.format(col='atext')} AS norm, n
+                  FROM roll),
+        l2 AS (SELECT * FROM lnorm WHERE norm <> ''),
+        lab AS (SELECT DISTINCT
+                       {_NORM_FULL_SQL.format(col='label')} AS norm,
+                       entity
+                FROM read_parquet('{labels_p}')),
+        lab2 AS (SELECT * FROM lab WHERE norm <> ''),
+        v AS (SELECT dst_canon, entity, CAST(SUM(n) AS BIGINT) AS votes
+              FROM l2 JOIN lab2 USING (norm)
+              GROUP BY dst_canon, entity)
+    """
+    return {
+        "anchor_entity_candidates":
+            votes + "SELECT dst_canon, entity, votes FROM v",
+        "anchor_entity_top1": votes + """
+            SELECT dst_canon, entity, votes FROM v
+            QUALIFY row_number() OVER (PARTITION BY dst_canon
+                ORDER BY votes DESC, entity ASC) = 1
+        """,
+    }

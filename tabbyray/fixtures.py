@@ -964,3 +964,114 @@ def ensure_repetition_docs(n_docs: int = 500, seed: int = 61,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_anchor_entity_fixture(n_pages: int = 300, n_entities: int = 120,
+                                 seed: int = 67,
+                                 root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic fixture for anchor-text entity linking: a dir with
+    ``pages.parquet`` (url, html — canonical-serialization anchors whose
+    texts are decorated entity-label variants or noise) and
+    ``labels.parquet`` (entity, label). Shapes exercised on purpose:
+
+    * decorations that normalization must erase: case flips, extra
+      internal/edge spaces, wrapping/trailing punctuation («», *, !).
+      None introduce '"' or '<' (the extraction contract).
+    * multi-label entities, incl. a variant label that normalizes to a
+      DIFFERENT key (matches nothing — the " Inc" suffix).
+    * AMBIGUOUS surface forms: sibling entity pairs whose labels
+      differ only by case/spacing (same norm — punctuation deltas do
+      NOT collide: the strip inserts no space, so 'Delta-Corp' norms
+      to 'Deltacorp'), so both match every decorated anchor and the
+      top-1 rule (votes desc, entity asc) must break the tie.
+    * Cyrillic labels (the ucfirst/ё quirks run on real data) and pure
+      noise anchors plus '***' texts that normalize to '' (filtered).
+    * duplicate labels WITHIN one entity (distinct raw, same norm) —
+      the (norm, entity) distinct must collapse them or votes double.
+    """
+    key = f"anchorkb-v2-s{seed}-p{n_pages}-e{n_entities}"
+    path = os.path.join(root, key)
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    rng = random.Random(seed)
+    first = ["Santa", "Grand", "North", "Delta", "Omega", "Royal",
+             "Union", "Vista", "Echo", "Halcyon"]
+    second = ["Fe", "Rapids", "Harbor", "Corp", "Labs", "Point",
+              "Works", "Mills", "Ridge", "Gate"]
+    cyr = ["Москва", "Ёлкино", "Пермь", "Сити", "Берег"]
+
+    ents, labels = [], []
+    base_labels = []
+    for i in range(n_entities):
+        kind = i % 10
+        if kind < 7:
+            base = f"{rng.choice(first)} {rng.choice(second)}{i}"
+        else:
+            base = f"{rng.choice(cyr)} {rng.choice(second)}{i}"
+        ent = "http://kb.example/resource/" + base.replace(" ", "_")
+        base_labels.append(base)
+        ents.append(ent)
+        labels.append((ent, base))
+        if kind == 1:       # same-norm duplicate label within the entity
+            labels.append((ent, base.upper()))
+        if kind == 2:       # different-norm variant: matches nothing
+            labels.append((ent, base + " Inc"))
+        if kind == 3:       # ambiguous sibling: same-norm label
+            sib = "http://kb.example/resource/sib_" + base.replace(" ", "_")
+            ents.append(sib)
+            labels.append((sib, base.replace(" ", "  ").lower()))
+
+    targets = [f"https://{rng.choice(_WEB_SUBS)}{rng.choice(_WEB_DOMAINS)}"
+               f"/t/{w}{i}"
+               for i, w in enumerate(rng.choices(_WEB_PATH_WORDS, k=80))]
+
+    def decorate(label: str) -> str:
+        style = rng.randrange(6)
+        if style == 0:
+            return label
+        if style == 1:
+            return label.upper()
+        if style == 2:
+            return f"  {label}! "
+        if style == 3:
+            return "«" + label.replace(" ", "  ") + "»"
+        if style == 4:
+            return "*" + label.lower() + "*"
+        return label + "..."
+
+    urls, htmls = [], []
+    for p in range(n_pages):
+        u = (f"https://{rng.choice(_WEB_SUBS)}{rng.choice(_WEB_DOMAINS)}"
+             f"/p/{rng.choice(_WEB_PATH_WORDS)}{p}")
+        parts = []
+        for _ in range(rng.randint(0, 6)):
+            href = (rng.choice(targets) if rng.random() < 0.8
+                    else f"/local/{rng.choice(_WEB_PATH_WORDS)}"
+                         f"{rng.randrange(40)}")
+            r = rng.random()
+            if r < 0.65:
+                text = decorate(rng.choice(base_labels))
+            elif r < 0.9:
+                text = (f"{rng.choice(_WEB_PATH_WORDS)} "
+                        f"{rng.choice(_WEB_PATH_WORDS)}{rng.randrange(30)}")
+            else:
+                text = rng.choice(["***", "–—", "", "!!"])
+            parts.append(f'<a href="{href}">{text}</a>')
+        urls.append(u)
+        htmls.append("<html><body>" + " ".join(parts) + "</body></html>")
+
+    os.makedirs(path, exist_ok=True)
+    pages_t = pa.table({"url": pa.array(urls, pa.string()),
+                        "html": pa.array(htmls, pa.string())})
+    labels_t = pa.table({
+        "entity": pa.array([e for e, _l in labels], pa.string()),
+        "label": pa.array([l for _e, l in labels], pa.string())})
+    for name, t in (("pages.parquet", pages_t),
+                    ("labels.parquet", labels_t)):
+        tmp = os.path.join(path, name + ".tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(path, name))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path

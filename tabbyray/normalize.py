@@ -120,3 +120,37 @@ def decode_partition_name(name: str) -> str:
     for ch, tok in _NAME_SUBSTITUTIONS:
         name = name.replace(tok, ch)
     return name
+
+
+def normalize_batch(arr):
+    """Vectorized Arrow rendering of :func:`normalize_entry` for the
+    web-scale paths (anchor-text entity linking), where a per-string
+    Python call per row would dominate the stage. Same steps on RE2
+    kernels: strip ``[^a-zA-Zа-яА-Я0-9\\s]``, collapse non-newline
+    whitespace runs, trim, full-Unicode lower, byte-``ucfirst`` only
+    for an ASCII first letter, spaces -> underscores.
+
+    Parity bound (property-tested): identical to ``normalize_entry``
+    whenever the input's WHITESPACE is ASCII (space/tab/CR/LF). PCRE
+    and Python ``\\s`` match Unicode whitespace; RE2's is ASCII-only,
+    so exotic Unicode spaces are stripped here but kept (as spaces) by
+    the scalar function. Crawl anchor text is whitespace-normalized
+    upstream (``visible_text`` collapses to ASCII spaces), so the
+    vectorized form is exact on its actual inputs.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.cast(arr, pa.string())
+    s = pc.replace_substring_regex(s, r"[^a-zA-Zа-яА-Я0-9\s]", "")
+    s = pc.replace_substring_regex(s, r"[^\S\r\n]+", " ")
+    s = pc.utf8_trim_whitespace(s)
+    s = pc.utf8_lower(s)
+    first = pc.utf8_slice_codeunits(s, 0, 1)
+    rest = pc.utf8_slice_codeunits(s, 1, 1 << 30)
+    is_ascii_alpha = pc.match_substring_regex(first, "^[a-z]$")
+    s = pc.if_else(
+        is_ascii_alpha,
+        pc.binary_join_element_wise(pc.utf8_upper(first), rest, ""),
+        s)
+    return pc.replace_substring(s, " ", "_")

@@ -870,3 +870,96 @@ def url_indegree(pages: rd.Dataset, url_col: str = "url",
                   num_partitions=num_partitions)
     return hash_join(j, nhost, on=["dst_canon"],
                      num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text entity linking: the web-scale candidate-generation analog
+# ---------------------------------------------------------------------------
+#
+# The reference generates entity candidates by matching normalized cell
+# text against KB entity labels (`commands/SpreadsheetController.php:
+# 86-103`, M1 normalization `components/CanonicalTableAnnotator.php:
+# 121-137`). On a crawl, the same signal comes from the link graph:
+# the anchor texts other pages use for a URL are its surface forms, and
+# matching them (normalized the same way) against a label table yields
+# link-weighted entity candidates per URL. Fully distributed plan — the
+# label table is NEVER broadcast (at web scale it is millions of rows):
+# both sides normalize vectorized (Arrow RE2 kernels), meet in ONE
+# co-partitioned hash_join on the norm key, and votes aggregate through
+# hash exchanges that only ever carry partial counts.
+
+
+def anchor_entity_candidates(pages: rd.Dataset, labels: rd.Dataset,
+                             url_col: str = "url", html_col: str = "html",
+                             entity_col: str = "entity",
+                             label_col: str = "label",
+                             num_partitions: "int | None" = None
+                             ) -> rd.Dataset:
+    """Link-weighted entity candidates per canonical target URL:
+    (dst_canon, entity, votes) where votes = number of resolvable
+    in-links whose anchor text normalizes to one of the entity's label
+    norms. Surface forms normalizing to '' (pure punctuation) are
+    dropped on both sides; duplicate (norm, entity) label rows are
+    collapsed first so one entity never double-votes for one surface
+    form. Plan: anchor_text_rollup (1 exchange) -> vectorized norm ->
+    (norm, entity) distinct (1 exchange) -> norm-hash join (1
+    exchange) -> (dst_canon, entity) partial-sum aggregate (1
+    exchange); every exchange ships pre-aggregated partials."""
+    from ..normalize import normalize_batch
+
+    rollup = anchor_text_rollup(pages, url_col, html_col, num_partitions)
+
+    def norm_anchor(t: pa.Table) -> pa.Table:
+        out = pa.table({"dst_canon": t.column("dst_canon"),
+                        "norm": normalize_batch(t.column("anchor_text")),
+                        "n_links": t.column("n_links")})
+        return out.filter(pc.not_equal(out.column("norm"), ""))
+
+    left = rollup.map_batches(norm_anchor, batch_format="pyarrow")
+
+    def norm_label(t: pa.Table) -> pa.Table:
+        out = pa.table({"norm": normalize_batch(t.column(label_col)),
+                        "entity": pc.cast(t.column(entity_col),
+                                          pa.string()),
+                        "one": pa.array([1] * t.num_rows, pa.int64())})
+        return out.filter(pc.not_equal(out.column("norm"), ""))
+
+    pairs = hash_aggregate(
+        labels.map_batches(norm_label, batch_format="pyarrow"),
+        keys=["norm", "entity"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("norm", pa.string()),
+                              ("entity", pa.string()),
+                              ("_c", pa.int64())])).drop_columns(["_c"])
+
+    j = hash_join(left, pairs, on=["norm"],
+                  num_partitions=num_partitions)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"dst_canon": t.column("dst_canon"),
+                         "entity": t.column("entity"),
+                         "n_links": t.column("n_links")})
+
+    return hash_aggregate(
+        j.map_batches(prep, batch_format="pyarrow"),
+        keys=["dst_canon", "entity"], sum_cols={"n_links": "votes"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("dst_canon", pa.string()),
+                              ("entity", pa.string()),
+                              ("votes", pa.int64())]))
+
+
+def anchor_entity_top1(pages: rd.Dataset, labels: rd.Dataset,
+                       url_col: str = "url", html_col: str = "html",
+                       entity_col: str = "entity",
+                       label_col: str = "label",
+                       num_partitions: "int | None" = None) -> rd.Dataset:
+    """Winning entity per target URL — the C8 argmax rule transplanted
+    to the link graph: top-1 candidate by (votes desc, entity asc),
+    deterministic under any partitioning (grouped_argmax combiner)."""
+    cand = anchor_entity_candidates(pages, labels, url_col, html_col,
+                                    entity_col, label_col, num_partitions)
+    return grouped_argmax(cand, key="dst_canon", order_col="votes",
+                          tie_col="entity",
+                          out_cols=["dst_canon", "entity", "votes"],
+                          num_partitions=num_partitions)

@@ -68,3 +68,23 @@ def test_decode_partition_name_roundtrip():
     from tabbyray.normalize import decode_partition_name
     s = 'a/b|c"<>*?:\\'
     assert decode_partition_name(encode_partition_name(s)) == s
+
+
+def test_normalize_batch_parity_property():
+    """Vectorized Arrow normalize_batch == scalar normalize_entry over
+    the full relevant alphabet (ASCII, Cyrillic incl. the excluded ё,
+    digits, punctuation, ASCII whitespace)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+    from tabbyray.normalize import normalize_batch, normalize_entry
+
+    alphabet = ("abcXYZ09  \t\r\n.,;*-_()[]'\"&%$#@!/\\"
+                "абвгдеёжзиклмнопрстуфхцчшщъыьэюяАБВЁЯ")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=24), max_size=8))
+    def check(vals):
+        got = normalize_batch(pa.array(vals, pa.string())).to_pylist()
+        assert got == [normalize_entry(v) for v in vals]
+
+    check()

@@ -364,3 +364,40 @@ def test_url_indegree(link_pages):
     pd.testing.assert_frame_equal(
         g[["dst_canon", "n_inlinks", "n_src_urls", "n_src_hosts"]], w,
         check_dtype=False)
+
+
+def test_anchor_entity_linking_semantics(ray_session):
+    """Hand-crafted page + label table: decorations erased by
+    normalization, duplicate same-norm labels collapse (no double
+    vote), ambiguous surface forms vote for both entities, top-1
+    breaks ties by (votes desc, entity asc), ''-norm anchors drop."""
+    import pyarrow as pa
+    from tabbyray.ops.web import (anchor_entity_candidates,
+                                  anchor_entity_top1)
+    html = (
+        '<a href="http://t.example/a">Santa Fe</a>'
+        '<a href="http://t.example/a">  SANTA  FE! </a>'   # same norm
+        '<a href="http://t.example/a">Delta Corp</a>'      # ambiguous
+        '<a href="http://t.example/b">delta  corp.</a>'    # same norm
+        '<a href="http://t.example/b">***</a>'             # '' norm
+        '<a href="http://t.example/b">nomatch text</a>')
+    pages = rd.from_arrow(pa.table(
+        {"url": ["http://h.example/p"], "html": [html]}))
+    labels = rd.from_arrow(pa.table({
+        "entity": ["E1", "E1", "E2", "E3"],
+        "label": ["Santa Fe", "SANTA FE",      # same norm: must collapse
+                  "Delta Corp", "DELTA corp"]}))  # same-norm pair
+    cand = (anchor_entity_candidates(pages, labels, num_partitions=4)
+            .to_pandas())
+    got = {(r.dst_canon, r.entity): r.votes for r in cand.itertuples()}
+    assert got == {
+        ("http://t.example/a", "E1"): 2,   # two anchors, one label norm
+        ("http://t.example/a", "E2"): 1,
+        ("http://t.example/a", "E3"): 1,
+        ("http://t.example/b", "E2"): 1,
+        ("http://t.example/b", "E3"): 1,
+    }
+    top = (anchor_entity_top1(pages, labels, num_partitions=4)
+           .to_pandas().set_index("dst_canon"))
+    assert top.loc["http://t.example/a", "entity"] == "E1"   # most votes
+    assert top.loc["http://t.example/b", "entity"] == "E2"   # tie: asc
