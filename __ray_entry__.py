@@ -540,6 +540,14 @@ def _q_web_host_pagerank(sf_dir: str):
 _WEB_TS_SPLIT_US = 1_735_689_600_000_000 + 1_125 * 1_000_000
 
 
+def _q_web_host_hits(sf_dir: str):
+    """HITS hubs & authorities over the distinct inter-host edge set
+    (L1-normalized half-rounds, authorities first); oracle = 3
+    unrolled iterations of the identical float expressions."""
+    from tabbyray.ops.web import host_hits
+    return host_hits(_link_pages())
+
+
 def _q_web_capture_diff(sf_dir: str):
     """Crawl snapshot diff: latest-per-canonical-URL before vs at/after
     the split, full outer join + classify (added/gone/changed/
@@ -2225,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_resolved_links": _q_web_resolved_links,
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
+        "web_host_hits": _q_web_host_hits,
         "web_capture_diff": _q_web_capture_diff,
         "web_host_components": _q_web_host_components,
         "line_dedup_lines": _q_line_dedup_lines,
@@ -4329,6 +4338,7 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         FROM links GROUP BY src_host, dst_host
     """
     out["web_host_pagerank"] = _link_pagerank_oracle(chain)
+    out["web_host_hits"] = _link_hits_oracle(chain)
     chain_t = _link_chain(link_path, with_text=True)
     out["web_anchor_text_rollup"] = f"""
         WITH {chain_t}
@@ -4845,3 +4855,45 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
                 ORDER BY votes DESC, entity ASC) = 1
         """,
     }
+
+
+def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
+    """HITS over the inter-host edge set: n_iter unrolled iterations of
+    the documented half-rounds (authority from hubs, L1 normalize, hub
+    from the NEW authorities, L1 normalize), zeros restored by LEFT
+    JOIN + COALESCE. Same-shape construction as the pagerank oracle;
+    node/edge unions are SELECT DISTINCT subqueries (DuckDB
+    WITH-RECURSIVE parsing quirk documented at _host_components)."""
+    its = []
+    prev_h = "h0"
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+        a{k}raw AS (SELECT e.dst AS node, SUM(p.x) AS s
+                    FROM edges e JOIN {prev_h} p ON p.node = e.src
+                    GROUP BY e.dst),
+        a{k} AS (SELECT n.node,
+                        COALESCE(r.s, 0) / (SELECT SUM(s) FROM a{k}raw)
+                            AS x
+                 FROM nodes n LEFT JOIN a{k}raw r ON r.node = n.node),
+        h{k}raw AS (SELECT e.src AS node, SUM(p.x) AS s
+                    FROM edges e JOIN a{k} p ON p.node = e.dst
+                    GROUP BY e.src),
+        h{k} AS (SELECT n.node,
+                        COALESCE(r.s, 0) / (SELECT SUM(s) FROM h{k}raw)
+                            AS x
+                 FROM nodes n LEFT JOIN h{k}raw r ON r.node = n.node)""")
+        prev_h = f"h{k}"
+    body = ",".join(its)
+    return f"""
+        WITH {chain},
+        edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+                  FROM links WHERE src_host <> dst_host),
+        nodes AS (SELECT node FROM
+                  (SELECT DISTINCT src AS node FROM edges
+                   UNION SELECT DISTINCT dst FROM edges)),
+        h0 AS (SELECT node,
+                      1.0 / (SELECT count(*) FROM nodes) AS x
+               FROM nodes),{body}
+        SELECT a.node, a.x AS auth, h.x AS hub
+        FROM a{n_iter} a JOIN h{n_iter} h ON h.node = a.node
+    """

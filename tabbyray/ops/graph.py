@@ -394,3 +394,184 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
                                    batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def hits(edges: rd.Dataset, n_iter: int = 3,
+         src_col: str = "src", dst_col: str = "dst",
+         num_partitions: "int | None" = None, mode: str = "auto",
+         broadcast_max_nodes: int = 2_000_000,
+         node_dtype: "pa.DataType | None" = None) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    Dataset. Documented iteration (the SQL oracle unrolls the exact
+    same float expressions): edges dedupe first; h0 = 1/N over ALL
+    nodes; per round, a_raw(v) = Σ_{u→v} h(u), a = a_raw / Σ a_raw
+    (L1 — no sqrt, so both engines evaluate identical arithmetic),
+    then h_raw(u) = Σ_{u→v} a(v) from the NEW authorities,
+    h = h_raw / Σ h_raw. Nodes without inbound (resp. outbound) edges
+    get authority (resp. hub) 0. Output: (node, auth, hub).
+
+    Execution mirrors :func:`pagerank`'s two plans and auto-switch:
+
+    - ``join`` — the 100-TB path: per half-round ONE edges×scores
+      co-partitioned hash join + one combiner aggregate + one nodes
+      left join; the L1 total is a Dataset.sum() scalar reduce over
+      the MATERIALIZED raw scores (one float per node crosses that
+      tree-reduce, nothing else collects).
+    - ``broadcast`` — taken when the DISTINCT edge set is
+      driver-bounded (decided from the materialized dedup count, as in
+      pagerank): score vectors ship via ray.put each half-round, edges
+      stream through stateless per-batch combiner sums.
+
+    Sum order differs between paths/engines; agreement is to float
+    roundoff, absorbed by the oracle's 9-dp hashing."""
+    import numpy as np
+
+    from .relational import hash_aggregate, hash_join, partial_agg_sum
+
+    nd = node_dtype if node_dtype is not None else pa.int64()
+
+    def as_edge_ones(t: pa.Table) -> pa.Table:
+        return pa.table({"src": _flat(t.column(src_col)),
+                         "dst": _flat(t.column(dst_col)),
+                         "one": pa.array([1] * len(t), pa.int64())})
+
+    ded = hash_aggregate(
+        edges.map_batches(as_edge_ones, batch_format="pyarrow"),
+        keys=["src", "dst"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("src", nd), ("dst", nd),
+                              ("n", pa.int64())])
+    ).select_columns(["src", "dst"]).materialize()
+    n_edges = ded.count()
+
+    if mode != "join" and n_edges <= 2 * broadcast_max_nodes:
+        import ray
+
+        node_parts = ded.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [_flat(t.column("src")).cast(nd),
+                 _flat(t.column("dst")).cast(nd)]).unique()}),
+            batch_format="pyarrow").to_pandas()
+        nodes_np = np.sort(node_parts["node"].unique())
+        n_nodes = len(nodes_np)
+        h = pd.Series(1.0 / n_nodes, index=nodes_np)
+        a = pd.Series(0.0, index=nodes_np)
+
+        def push(vec: pd.Series, key_in: str, key_out: str) -> pd.Series:
+            """Σ over edges of vec[key_in], grouped by key_out —
+            distributed per-batch combiner, bounded collect (the
+            broadcast arm only runs when ded itself is bounded)."""
+            ref = ray.put(vec.to_dict())
+
+            def contrib(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({"node": pa.array([], nd),
+                                     "s": pa.array([], pa.float64())})
+                m = ray.get(ref)
+                df = t.to_pandas()
+                df["s"] = df[key_in].map(m)
+                g = (df.groupby(key_out, as_index=False)["s"].sum()
+                     .rename(columns={key_out: "node"}))
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            return (ded.map_batches(contrib, batch_format="pyarrow")
+                    .to_pandas().groupby("node")["s"].sum())
+
+        for _ in range(n_iter):
+            a_raw = push(h, "src", "dst").reindex(nodes_np,
+                                                  fill_value=0.0)
+            tot = float(a_raw.sum())
+            a = a_raw / tot if tot > 0 else a_raw
+            h_raw = push(a, "dst", "src").reindex(nodes_np,
+                                                  fill_value=0.0)
+            tot = float(h_raw.sum())
+            h = h_raw / tot if tot > 0 else h_raw
+        return rd.from_pandas(pd.DataFrame(
+            {"node": nodes_np, "auth": a.to_numpy(),
+             "hub": h.to_numpy()}))
+
+    def ones(col, out):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: _flat(t.column(col)),
+                             "one": pa.array([1] * len(t), pa.int64())})
+        return f
+
+    nodes = hash_aggregate(
+        ded.map_batches(ones("src", "node"), batch_format="pyarrow")
+        .union(ded.map_batches(ones("dst", "node"),
+                               batch_format="pyarrow")),
+        keys=["node"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node", nd), ("n", pa.int64())])
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes.count()
+
+    def rename(old: str, new: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names])
+        return f
+
+    score_schema_src = pa.schema([("src", nd), ("x", pa.float64())])
+    score_schema_dst = pa.schema([("dst", nd), ("x", pa.float64())])
+    edge_schema = pa.schema([("src", nd), ("dst", nd)])
+
+    def half_round(scores: rd.Dataset, key_in: str,
+                   key_out: str) -> rd.Dataset:
+        """scores (node, x) -> normalized pushed scores (node, x):
+        join on key_in, combiner-sum on key_out, L1 normalize, left
+        join back to the full node set with 0 fill."""
+        per_edge = hash_join(
+            ded,
+            scores.map_batches(rename("node", key_in),
+                               batch_format="pyarrow"),
+            on=key_in, left_schema=edge_schema,
+            right_schema=(score_schema_src if key_in == "src"
+                          else score_schema_dst),
+            num_partitions=num_partitions)
+        raw = partial_agg_sum(
+            per_edge.map_batches(
+                lambda t: pa.table({key_out: _flat(t.column(key_out)),
+                                    "s": _flat(t.column("x"))}),
+                batch_format="pyarrow"),
+            key_out, {"s": "s"}).materialize()
+        tot = raw.sum("s") or 0.0
+        joined = hash_join(
+            nodes,
+            raw.map_batches(rename(key_out, "node"),
+                            batch_format="pyarrow"),
+            on="node", how="left",
+            left_schema=pa.schema([("node", nd)]),
+            right_schema=pa.schema([("node", nd),
+                                    ("s", pa.float64())]),
+            num_partitions=num_partitions)
+
+        def norm(t: pa.Table) -> pa.Table:
+            s = _flat(t.column("s")).to_numpy(zero_copy_only=False)
+            s = np.nan_to_num(s, nan=0.0)
+            if tot > 0:
+                s = s / tot
+            return pa.table({"node": _flat(t.column("node")),
+                             "x": pa.array(s, pa.float64())})
+
+        return joined.map_batches(norm,
+                                  batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(
+        lambda t: pa.table({"node": _flat(t.column("node")),
+                            "x": pa.array([1.0 / n_nodes] * len(t),
+                                          pa.float64())}),
+        batch_format="pyarrow").materialize()
+    auths = None
+    for _ in range(n_iter):
+        auths = half_round(hubs, "src", "dst")
+        hubs = half_round(auths, "dst", "src")
+
+    out = hash_join(
+        auths.map_batches(rename("x", "auth"), batch_format="pyarrow"),
+        hubs.map_batches(rename("x", "hub"), batch_format="pyarrow"),
+        on="node",
+        left_schema=pa.schema([("node", nd), ("auth", pa.float64())]),
+        right_schema=pa.schema([("node", nd), ("hub", pa.float64())]),
+        num_partitions=num_partitions)
+    return out

@@ -963,3 +963,29 @@ def anchor_entity_top1(pages: rd.Dataset, labels: rd.Dataset,
                           tie_col="entity",
                           out_cols=["dst_canon", "entity", "votes"],
                           num_partitions=num_partitions)
+
+
+def host_hits(pages: rd.Dataset, url_col: str = "url",
+              html_col: str = "html", n_iter: int = 3,
+              num_partitions: "int | None" = None,
+              mode: str = "auto") -> rd.Dataset:
+    """HITS hubs & authorities over the DISTINCT inter-host edge set
+    (self-loops excluded, as in host_pagerank): authorities are the
+    hosts good pages point AT, hubs the hosts that point at good
+    authorities — the complementary centrality to PageRank for crawl
+    seed selection. Reuses ``ops.graph.hits`` (same broadcast/join
+    auto-switch; constant exchanges per half-round at scale)."""
+    from .graph import hits
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+
+    def inter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                        t.column("dst_host"))))
+        return pa.table({"src": t.column("src_host"),
+                         "dst": t.column("dst_host")})
+
+    return hits(edges.map_batches(inter, batch_format="pyarrow"),
+                n_iter=n_iter, num_partitions=num_partitions,
+                mode=mode, node_dtype=pa.string())

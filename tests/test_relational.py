@@ -1576,3 +1576,46 @@ def test_connected_components_63bit_ids(ray_session):
     got = sorted(map(tuple, df.itertuples(index=False)))
     assert got == [(B + 1, B + 1), (B + 2, B + 1),
                    (B + 3, B + 1), (B + 4, B + 4)]
+
+
+def test_hits_matches_dense_iteration(ray_session):
+    """HITS == dense numpy power iteration (L1-normalized half-rounds,
+    authorities first) on both execution paths at several partition
+    counts; no-inbound nodes get auth 0, no-outbound hub 0."""
+    import ray.data as rd
+
+    from tabbyray.ops.graph import hits
+
+    rng = np.random.RandomState(13)
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 25, 160),
+        "dst": rng.randint(5, 30, 160)}).drop_duplicates()
+    edges = edges[edges["src"] != edges["dst"]]
+    nodes = np.array(sorted(set(edges["src"]) | set(edges["dst"])))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t in edges.itertuples(index=False):
+        A[idx[s], idx[t]] = 1.0
+    h = np.full(n, 1.0 / n)
+    for _ in range(3):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for nparts, mode in ((1, "broadcast"), (5, "broadcast"), (5, "join")):
+        got = (hits(rd.from_pandas(edges).repartition(nparts),
+                    n_iter=3, mode=mode)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert list(got["node"]) == list(nodes)
+        assert np.allclose(got["auth"], a, rtol=1e-12, atol=1e-15), mode
+        assert np.allclose(got["hub"], h, rtol=1e-12, atol=1e-15), mode
+    # sources only (no inbound) -> auth 0; sinks only -> hub 0
+    src_only = sorted(set(edges["src"]) - set(edges["dst"]))
+    if src_only:
+        assert np.allclose(
+            got.set_index("node").loc[src_only, "auth"], 0.0)
+    dst_only = sorted(set(edges["dst"]) - set(edges["src"]))
+    if dst_only:
+        assert np.allclose(
+            got.set_index("node").loc[dst_only, "hub"], 0.0)

@@ -401,3 +401,16 @@ def test_anchor_entity_linking_semantics(ray_session):
            .to_pandas().set_index("dst_canon"))
     assert top.loc["http://t.example/a", "entity"] == "E1"   # most votes
     assert top.loc["http://t.example/b", "entity"] == "E2"   # tie: asc
+
+
+def test_host_hits_paths_agree(link_pages):
+    """String-node HITS: broadcast and join paths agree to float
+    roundoff; each score vector is L1-normalized."""
+    from tabbyray.ops.web import host_hits
+    ds, _ = link_pages
+    b = host_hits(ds, mode="broadcast").to_pandas().set_index("node")
+    j = host_hits(ds, mode="join").to_pandas().set_index("node")
+    assert set(b.index) == set(j.index)
+    for c in ("auth", "hub"):
+        assert (b[c].sort_index() - j[c].sort_index()).abs().max() < 1e-12
+        assert abs(b[c].sum() - 1.0) < 1e-9
