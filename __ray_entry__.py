@@ -704,6 +704,17 @@ def _q_anchor_entity_top1(sf_dir: str):
     return anchor_entity_top1(pages, labels, num_partitions=8)
 
 
+def _q_entity_cooccurrence(sf_dir: str):
+    """Entity co-occurrence graph with PMI over co-mentions (a page
+    mentions an entity when any anchor text normalizes to one of its
+    label norms, counted once per page): url-hash self-join generates
+    in-page pairs, marginals stitch via co-partitioned joins; oracle
+    re-derives mention sets, pair/marginal counts and ln-PMI in SQL."""
+    from tabbyray.ops.web import entity_cooccurrence
+    pages, labels = _anchor_entity_inputs()
+    return entity_cooccurrence(pages, labels, num_partitions=8)
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher repetition-removal signals (dup lines / dup chars / top
     2-3-4-gram coverage, exact integer counters + composite passes);
@@ -2247,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "anchor_entity_candidates": _q_anchor_entity_candidates,
         "anchor_entity_top1": _q_anchor_entity_top1,
+        "entity_cooccurrence": _q_entity_cooccurrence,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -4846,6 +4858,37 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
               FROM l2 JOIN lab2 USING (norm)
               GROUP BY dst_canon, entity)
     """
+    a_pat = '<a href="([^"]*)">([^<]*)</a>'
+    cooc = f"""
+        WITH raw AS (SELECT url,
+                            unnest(regexp_extract_all(html,
+                                '{a_pat}', 2)) AS atext
+                     FROM read_parquet('{pages_p}')),
+        n AS (SELECT count(DISTINCT url) AS c
+              FROM read_parquet('{pages_p}')),
+        an AS (SELECT DISTINCT url,
+                      {_NORM_FULL_SQL.format(col='atext')} AS norm
+               FROM raw),
+        an2 AS (SELECT * FROM an WHERE norm <> ''),
+        lab AS (SELECT DISTINCT
+                       {_NORM_FULL_SQL.format(col='label')} AS norm,
+                       entity
+                FROM read_parquet('{labels_p}')),
+        lab2 AS (SELECT * FROM lab WHERE norm <> ''),
+        m AS (SELECT DISTINCT url, entity FROM an2 JOIN lab2
+              USING (norm)),
+        marg AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_e
+                 FROM m GROUP BY entity),
+        p AS (SELECT a.entity AS e1, b.entity AS e2,
+                     CAST(count(*) AS BIGINT) AS n_pair
+              FROM m a JOIN m b ON a.url = b.url
+                                AND a.entity < b.entity
+              GROUP BY a.entity, b.entity)
+        SELECT e1, e2, n_pair, m1.n_e AS n_e1, m2.n_e AS n_e2,
+               ln((SELECT c FROM n) * n_pair / (m1.n_e * m2.n_e)) AS pmi
+        FROM p JOIN marg m1 ON m1.entity = e1
+               JOIN marg m2 ON m2.entity = e2
+    """
     return {
         "anchor_entity_candidates":
             votes + "SELECT dst_canon, entity, votes FROM v",
@@ -4854,6 +4897,7 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY dst_canon
                 ORDER BY votes DESC, entity ASC) = 1
         """,
+        "entity_cooccurrence": cooc,
     }
 
 

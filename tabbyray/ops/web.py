@@ -989,3 +989,174 @@ def host_hits(pages: rd.Dataset, url_col: str = "url",
     return hits(edges.map_batches(inter, batch_format="pyarrow"),
                 n_iter=n_iter, num_partitions=num_partitions,
                 mode=mode, node_dtype=pa.string())
+
+
+def entity_cooccurrence(pages: rd.Dataset, labels: rd.Dataset,
+                        url_col: str = "url", html_col: str = "html",
+                        entity_col: str = "entity",
+                        label_col: str = "label",
+                        min_count: int = 1,
+                        num_partitions: "int | None" = None
+                        ) -> rd.Dataset:
+    """Entity co-occurrence graph with PMI — the relatedness signal a
+    KG-construction pipeline derives from the corpus itself (the
+    reference's entity-context relatedness, A4/C3, re-expressed over
+    crawl pages): a page MENTIONS entity e when any anchor text on it
+    normalizes (M1) to one of e's label norms; for entity pairs
+    co-mentioned on >= min_count pages,
+
+        pmi(x, y) = ln(N * n_pair / (n_x * n_y))
+
+    with N = distinct pages in the input, n_x = pages mentioning x,
+    counted ONCE per page regardless of anchor multiplicity. Output:
+    (e1, e2, n_pair, n_e1, n_e2, pmi) with e1 < e2 (string order).
+
+    Plan: extract+norm (stateless) -> labels norm-hash join ->
+    (url, entity) distinct -> url-hash SELF-join generates in-page
+    pairs (bounded by per-page anchor count squared) -> pair-hash
+    count aggregate -> two co-partitioned joins stitch the marginals.
+    N and nothing else crosses to the driver (one scalar count)."""
+    import numpy as np
+
+    from ..normalize import normalize_batch
+
+    at = extract_anchor_texts(pages, url_col, html_col)
+
+    def norm_anchor(t: pa.Table) -> pa.Table:
+        out = pa.table({"url": pc.cast(t.column(url_col), pa.string()),
+                        "norm": normalize_batch(t.column("anchor_text")),
+                        "one": pa.array([1] * t.num_rows, pa.int64())})
+        return out.filter(pc.not_equal(out.column("norm"), ""))
+
+    def norm_label(t: pa.Table) -> pa.Table:
+        out = pa.table({"norm": normalize_batch(t.column(label_col)),
+                        "entity": pc.cast(t.column(entity_col),
+                                          pa.string()),
+                        "one": pa.array([1] * t.num_rows, pa.int64())})
+        return out.filter(pc.not_equal(out.column("norm"), ""))
+
+    pairs_lab = hash_aggregate(
+        labels.map_batches(norm_label, batch_format="pyarrow"),
+        keys=["norm", "entity"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("norm", pa.string()),
+                              ("entity", pa.string()),
+                              ("_c", pa.int64())])).drop_columns(["_c"])
+
+    anchors_n = hash_aggregate(
+        at.map_batches(norm_anchor, batch_format="pyarrow"),
+        keys=["url", "norm"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("url", pa.string()),
+                              ("norm", pa.string()),
+                              ("_c", pa.int64())])).drop_columns(["_c"])
+
+    j = hash_join(anchors_n, pairs_lab, on=["norm"],
+                  num_partitions=num_partitions)
+    mentions = hash_aggregate(
+        j.map_batches(
+            lambda t: pa.table({"url": t.column("url"),
+                                "entity": t.column("entity"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["url", "entity"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("url", pa.string()),
+                              ("entity", pa.string()),
+                              ("_c", pa.int64())])
+    ).drop_columns(["_c"]).materialize()
+
+    n_pages = hash_aggregate(
+        pages.map_batches(
+            lambda t: pa.table({"url": pc.cast(t.column(url_col),
+                                               pa.string()),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["url"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("url", pa.string()),
+                              ("_c", pa.int64())])).count()
+
+    from .relational import partial_agg_sum
+    marg = partial_agg_sum(
+        mentions.map_batches(
+            lambda t: pa.table({"entity": t.column("entity"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        "entity", {"one": "n_e"}).materialize()
+
+    def rn(old, new):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names])
+        return f
+
+    sj = hash_join(
+        mentions.map_batches(rn("entity", "e1"), batch_format="pyarrow"),
+        mentions.map_batches(rn("entity", "e2"), batch_format="pyarrow"),
+        on=["url"],
+        left_schema=pa.schema([("url", pa.string()),
+                               ("e1", pa.string())]),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("e2", pa.string())]),
+        num_partitions=num_partitions)
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("e1"), t.column("e2")))
+        return pa.table({"e1": t.column("e1"), "e2": t.column("e2"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    pair_counts = hash_aggregate(
+        sj.map_batches(keep_ordered, batch_format="pyarrow"),
+        keys=["e1", "e2"], sum_cols={"one": "n_pair"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                              ("n_pair", pa.int64())]))
+    if min_count > 1:
+        pair_counts = pair_counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_pair"),
+                                                min_count)),
+            batch_format="pyarrow")
+
+    j1 = hash_join(
+        pair_counts, marg.map_batches(rn("entity", "e1"),
+                                      batch_format="pyarrow")
+        .map_batches(rn("n_e", "n_e1"), batch_format="pyarrow"),
+        on=["e1"],
+        left_schema=pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                               ("n_pair", pa.int64())]),
+        right_schema=pa.schema([("e1", pa.string()),
+                                ("n_e1", pa.int64())]),
+        num_partitions=num_partitions)
+    j2 = hash_join(
+        j1, marg.map_batches(rn("entity", "e2"), batch_format="pyarrow")
+        .map_batches(rn("n_e", "n_e2"), batch_format="pyarrow"),
+        on=["e2"],
+        left_schema=pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                               ("n_pair", pa.int64()),
+                               ("n_e1", pa.int64())]),
+        right_schema=pa.schema([("e2", pa.string()),
+                                ("n_e2", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def with_pmi(t: pa.Table) -> pa.Table:
+        np_ = _np_col(t, "n_pair")
+        ne1 = _np_col(t, "n_e1")
+        ne2 = _np_col(t, "n_e2")
+        pmi = np.log(n_pages * np_ / (ne1 * ne2))
+        return pa.table({"e1": t.column("e1"), "e2": t.column("e2"),
+                         "n_pair": t.column("n_pair"),
+                         "n_e1": t.column("n_e1"),
+                         "n_e2": t.column("n_e2"),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return j2.map_batches(with_pmi, batch_format="pyarrow")
+
+
+def _np_col(t: pa.Table, name: str):
+    import numpy as np
+    return (t.column(name).combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.float64))

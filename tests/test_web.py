@@ -414,3 +414,38 @@ def test_host_hits_paths_agree(link_pages):
     for c in ("auth", "hub"):
         assert (b[c].sort_index() - j[c].sort_index()).abs().max() < 1e-12
         assert abs(b[c].sum() - 1.0) < 1e-9
+
+
+def test_entity_cooccurrence_pmi(ray_session):
+    """Hand-computed PMI on 4 pages: once-per-page counting, e1<e2
+    ordering, min_count filter."""
+    import math
+    import pyarrow as pa
+    from tabbyray.ops.web import entity_cooccurrence
+
+    def page(*texts):
+        return "".join(f'<a href="/x">{t}</a>' for t in texts)
+
+    pages = rd.from_arrow(pa.table({
+        "url": [f"http://h.example/p{i}" for i in range(4)],
+        "html": [page("Aaa", "Bbb", "aaa"),    # A,B (A once despite 2 anchors)
+                 page("Aaa", "Bbb"),           # A,B
+                 page("Aaa", "Ccc"),           # A,C
+                 page("Ddd")],                 # D alone
+    }))
+    labels = rd.from_arrow(pa.table({
+        "entity": ["A", "B", "C", "D"],
+        "label": ["Aaa", "Bbb", "Ccc", "Ddd"]}))
+    got = (entity_cooccurrence(pages, labels, num_partitions=4)
+           .to_pandas().set_index(["e1", "e2"]).sort_index())
+    # N=4; n_A=3 n_B=2 n_C=1; pairs: (A,B):2, (A,C):1
+    assert set(got.index) == {("A", "B"), ("A", "C")}
+    ab = got.loc[("A", "B")]
+    assert (ab["n_pair"], ab["n_e1"], ab["n_e2"]) == (2, 3, 2)
+    assert abs(ab["pmi"] - math.log(4 * 2 / (3 * 2))) < 1e-12
+    ac = got.loc[("A", "C")]
+    assert abs(ac["pmi"] - math.log(4 * 1 / (3 * 1))) < 1e-12
+    # min_count=2 drops the single-page pair
+    got2 = (entity_cooccurrence(pages, labels, min_count=2,
+                                num_partitions=4).to_pandas())
+    assert set(zip(got2["e1"], got2["e2"])) == {("A", "B")}
