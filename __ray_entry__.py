@@ -548,6 +548,47 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_url_features(sf_dir: str):
+    """URL-level spam/quality features (C4/RefinedWeb-style pre-fetch
+    filters) + the composite integer-threshold suspicious flag;
+    stateless Arrow kernels, oracle from the same component grammar."""
+    from tabbyray.ops.web import url_quality_features
+    return url_quality_features(_web_captures())
+
+
+def _q_web_blocklist_allowed(sf_dir: str):
+    """Domain blocklist gate (keep allowed): ONE co-partitioned hash
+    ANTI join on the registered domain — the blocklist is a Dataset,
+    never a broadcast set; oracle = NOT IN over both parquets."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_blocklist_fixture
+    from tabbyray.ops.web import domain_blocklist_gate
+    bl = rd.read_parquet(ensure_blocklist_fixture(),
+                         override_num_blocks=1)
+    return domain_blocklist_gate(_web_captures(), bl, keep="allowed",
+                                 num_partitions=8)
+
+
+def _q_web_blocklist_blocked(sf_dir: str):
+    """Audit view of the same gate (semi join)."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_blocklist_fixture
+    from tabbyray.ops.web import domain_blocklist_gate
+    bl = rd.read_parquet(ensure_blocklist_fixture(),
+                         override_num_blocks=1)
+    return domain_blocklist_gate(_web_captures(), bl, keep="blocked",
+                                 num_partitions=8)
+
+
+def _q_script_profile(sf_dir: str):
+    """Unicode-script codepoint profile per document (Latin/Cyrillic/
+    digit/space/other + dominant); RE2 count kernels on both engines."""
+    from tabbyray.ops.text import script_profile
+    return script_profile(_docs(sf_dir))
+
+
 def _q_web_capture_diff(sf_dir: str):
     """Crawl snapshot diff: latest-per-canonical-URL before vs at/after
     the split, full outer join + classify (added/gone/changed/
@@ -2245,6 +2286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
+        "web_url_features": _q_web_url_features,
+        "web_blocklist_allowed": _q_web_blocklist_allowed,
+        "web_blocklist_blocked": _q_web_blocklist_blocked,
+        "script_profile": _q_script_profile,
         "web_capture_diff": _q_web_capture_diff,
         "web_host_components": _q_web_host_components,
         "line_dedup_lines": _q_line_dedup_lines,
@@ -3074,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
     from tabbyray.fixtures import (ensure_anchor_entity_fixture,
+                                   ensure_blocklist_fixture,
                                    ensure_clustered_embeddings,
                                    ensure_html_fixture,
                                    ensure_link_fixture,
@@ -3093,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
     _quality_path = ensure_quality_docs()             # idempotent, ~ms
     _rep_path = ensure_repetition_docs()              # idempotent, ~ms
     _anchor_fix = ensure_anchor_entity_fixture()      # idempotent, ~ms
+    _bl_path = ensure_blocklist_fixture()             # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4218,6 +4265,28 @@ def oracle_sql() -> dict[str, str]:
     out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
     out.update(_anchor_entity_oracles(_anchor_fix))
+    out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
+    out["script_profile"] = """
+        WITH c AS (SELECT doc_id,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS BIGINT) AS n_latin,
+                CAST(length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))
+                     AS BIGINT) AS n_cyrillic,
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     AS BIGINT) AS n_digit,
+                CAST(length(regexp_replace(text, '\\S', '', 'g'))
+                     AS BIGINT) AS n_space,
+                CAST(length(text) AS BIGINT) AS n_total
+            FROM documents)
+        SELECT doc_id, n_latin, n_cyrillic, n_digit, n_space,
+               n_total - n_latin - n_cyrillic - n_digit - n_space
+                   AS n_other,
+               n_total,
+               CASE WHEN n_latin > n_cyrillic THEN 'latin'
+                    WHEN n_cyrillic > n_latin THEN 'cyrillic'
+                    ELSE 'none' END AS dominant
+        FROM c
+    """
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
@@ -4321,7 +4390,67 @@ def _web_oracles(capture_path: str) -> dict[str, str]:
                CAST(COALESCE(b_len, -1) AS BIGINT) AS b_len
         FROM sa FULL OUTER JOIN sb USING (canon_url)
     """
+    out["web_url_features"] = f"""
+        WITH {comp},
+        f AS (SELECT url, length(url) AS url_len,
+                     length(host) - length(replace(host, '.', ''))
+                         AS host_dots,
+                     length(regexp_replace(host, '[^0-9]', '', 'g'))
+                         AS host_digits,
+                     length(path) - length(replace(path, '/', ''))
+                         AS path_depth,
+                     length(path) AS path_len,
+                     CASE WHEN query = '' THEN 0
+                          ELSE length(query)
+                               - length(replace(query, '&', '')) + 1
+                     END AS n_query_params,
+                     CASE WHEN port = dport THEN 0 ELSE 1 END
+                         AS nondefault_port
+              FROM canon)
+        SELECT url, CAST(url_len AS BIGINT) AS url_len,
+               CAST(host_dots AS BIGINT) AS host_dots,
+               CAST(host_digits AS BIGINT) AS host_digits,
+               CAST(path_depth AS BIGINT) AS path_depth,
+               CAST(path_len AS BIGINT) AS path_len,
+               CAST(n_query_params AS BIGINT) AS n_query_params,
+               CAST(nondefault_port AS BIGINT) AS nondefault_port,
+               CAST((host_digits > 3 OR path_depth > 6
+                     OR url_len > 120 OR n_query_params > 4) AS BIGINT)
+                   AS suspicious
+        FROM f
+    """
     return out
+
+
+def _blocklist_oracles(capture_path: str, blocklist_path: str
+                       ) -> dict[str, str]:
+    """Blocklist gate oracles: registered domain re-derived from the
+    raw URL alone; membership via (NOT) IN over the lowercased
+    blocklist parquet."""
+    base = f"""
+        WITH h AS (SELECT url,
+                          lower(regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)',
+                              1)) AS hostport
+                   FROM read_parquet('{capture_path}')),
+        r AS (SELECT url,
+                     regexp_extract(regexp_extract(hostport,
+                         '^([^:]*)', 1), '([^.]+\\.[^.]+)$', 1)
+                         AS registered_domain
+              FROM h),
+        bl AS (SELECT lower(domain) AS d
+               FROM read_parquet('{blocklist_path}'))
+    """
+    return {
+        "web_blocklist_allowed": base + """
+            SELECT url, registered_domain FROM r
+            WHERE registered_domain NOT IN (SELECT d FROM bl)
+        """,
+        "web_blocklist_blocked": base + """
+            SELECT url, registered_domain FROM r
+            WHERE registered_domain IN (SELECT d FROM bl)
+        """,
+    }
 
 
 def _link_oracles(link_path: str) -> dict[str, str]:

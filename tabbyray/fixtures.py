@@ -1075,3 +1075,21 @@ def ensure_anchor_entity_fixture(n_pages: int = 300, n_entities: int = 120,
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+def ensure_blocklist_fixture(root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Tiny deterministic UT1-style domain blocklist over the web
+    fixture's domain universe: two registered domains blocked (one with
+    mixed-case raw entries — the gate lowercases), one entry that
+    matches nothing (blocklists always carry dead domains)."""
+    path = os.path.join(root, "blocklist-v1.parquet")
+    if os.path.exists(path):
+        return path
+    table = pa.table({"domain": pa.array(
+        ["Shoppy.IO", "forum-board.org", "dead-domain.example"],
+        pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -1053,3 +1053,42 @@ def gopher_repetition(docs: rd.Dataset) -> rd.Dataset:
         return out
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def script_profile(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc Unicode-script profile for curation routing: exact
+    codepoint counts of Latin letters, Cyrillic letters (ё/Ё included
+    — this is script detection, NOT the M1 normalization alphabet),
+    digits and ASCII whitespace, plus ``n_other`` (the remainder of
+    the codepoint length) and a deterministic ``dominant`` script
+    ('latin' / 'cyrillic' / 'none' when tied). All zero-copy Arrow
+    ``count_substring_regex`` kernels — RE2 on both engines, so the
+    SQL oracle's regexp_replace-length counts are definitionally
+    identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("text"), pa.string())
+        n_latin = pc.count_substring_regex(s, "[A-Za-z]")
+        n_cyr = pc.count_substring_regex(s, "[а-яА-ЯёЁ]")
+        n_digit = pc.count_substring_regex(s, "[0-9]")
+        n_space = pc.count_substring_regex(s, r"\s")
+        total = pc.utf8_length(s)
+        known = pc.add(pc.add(n_latin, n_cyr), pc.add(n_digit, n_space))
+        n_other = pc.subtract(total, known)
+        dom = pc.if_else(
+            pc.greater(n_latin, n_cyr), pa.scalar("latin"),
+            pc.if_else(pc.greater(n_cyr, n_latin),
+                       pa.scalar("cyrillic"), pa.scalar("none")))
+        cast = lambda a: pc.cast(a, pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_latin": cast(n_latin),
+                         "n_cyrillic": cast(n_cyr),
+                         "n_digit": cast(n_digit),
+                         "n_space": cast(n_space),
+                         "n_other": cast(n_other),
+                         "n_total": cast(total),
+                         "dominant": dom})
+
+    return docs.map_batches(f, batch_format="pyarrow")

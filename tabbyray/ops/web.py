@@ -1160,3 +1160,93 @@ def _np_col(t: pa.Table, name: str):
     import numpy as np
     return (t.column(name).combine_chunks()
             .to_numpy(zero_copy_only=False).astype(np.float64))
+
+
+def url_quality_features(pages: rd.Dataset, url_col: str = "url"
+                         ) -> rd.Dataset:
+    """Per-capture URL spam/quality features (the URL-level filter
+    signals C4/RefinedWeb-style curation applies before fetching
+    content): codepoint ``url_len``, ``host_dots`` (subdomain depth
+    proxy), ``host_digits``, ``path_depth`` ('/' count in the path),
+    ``path_len``, ``n_query_params`` (0 for an absent/empty query,
+    else '&'-separated count), ``nondefault_port`` (0/1), plus a
+    composite ``suspicious`` flag under documented integer thresholds:
+    host_digits > 3 OR path_depth > 6 OR url_len > 120 OR
+    n_query_params > 4. Stateless zero-copy Arrow kernels; the oracle
+    re-derives every counter from the same RE2 component grammar."""
+    def f(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        u = pc.cast(t.column(url_col), pa.string())
+        url_len = pc.cast(pc.utf8_length(u), pa.int64())
+        host_dots = pc.cast(pc.count_substring(comp["host"], "."),
+                            pa.int64())
+        host_digits = pc.cast(
+            pc.count_substring_regex(comp["host"], "[0-9]"), pa.int64())
+        path_depth = pc.cast(pc.count_substring(comp["path"], "/"),
+                             pa.int64())
+        path_len = pc.cast(pc.utf8_length(comp["path"]), pa.int64())
+        has_q = pc.invert(pc.equal(comp["query"], ""))
+        n_params = pc.cast(
+            pc.if_else(has_q,
+                       pc.add(pc.count_substring(comp["query"], "&"), 1),
+                       pa.scalar(0, pa.int32())), pa.int64())
+        default_port = pc.if_else(pc.equal(comp["scheme"], "https"),
+                                  pa.scalar(443, pa.int64()),
+                                  pa.scalar(80, pa.int64()))
+        nondefault = pc.cast(
+            pc.invert(pc.equal(comp["port"], default_port)), pa.int64())
+        suspicious = pc.cast(
+            pc.or_(pc.or_(pc.greater(host_digits, 3),
+                          pc.greater(path_depth, 6)),
+                   pc.or_(pc.greater(url_len, 120),
+                          pc.greater(n_params, 4))), pa.int64())
+        return pa.table({url_col: u, "url_len": url_len,
+                         "host_dots": host_dots,
+                         "host_digits": host_digits,
+                         "path_depth": path_depth, "path_len": path_len,
+                         "n_query_params": n_params,
+                         "nondefault_port": nondefault,
+                         "suspicious": suspicious})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def domain_blocklist_gate(pages: rd.Dataset, blocklist: rd.Dataset,
+                          url_col: str = "url",
+                          domain_col: str = "domain",
+                          keep: str = "allowed",
+                          num_partitions: "int | None" = None
+                          ) -> rd.Dataset:
+    """UT1-style domain blocklist gate: drop (or keep) captures whose
+    REGISTERED domain (last two host labels — the url_components
+    contract) appears in the blocklist table. ``keep='allowed'`` is
+    the curation filter (anti join); ``keep='blocked'`` the audit view
+    (semi join). Fully distributed: ONE co-partitioned hash semi/anti
+    join on the registered domain — the blocklist is a Dataset, never
+    a driver-side set, so a 10M-domain list costs the same plan.
+    Output: (url, registered_domain)."""
+    if keep not in ("allowed", "blocked"):
+        raise ValueError(f"keep must be 'allowed'|'blocked', got {keep!r}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        return pa.table({url_col: pc.cast(t.column(url_col),
+                                          pa.string()),
+                         "registered_domain": comp["registered_domain"]})
+
+    left = pages.map_batches(prep, batch_format="pyarrow")
+
+    def prep_bl(t: pa.Table) -> pa.Table:
+        return pa.table({"registered_domain":
+                         pc.utf8_lower(pc.cast(t.column(domain_col),
+                                               pa.string()))})
+
+    right = blocklist.map_batches(prep_bl, batch_format="pyarrow")
+    how = "anti" if keep == "allowed" else "semi"
+    return hash_join(left, right, on=["registered_domain"], how=how,
+                     left_schema=pa.schema([(url_col, pa.string()),
+                                            ("registered_domain",
+                                             pa.string())]),
+                     right_schema=pa.schema([("registered_domain",
+                                              pa.string())]),
+                     num_partitions=num_partitions)

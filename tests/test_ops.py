@@ -780,3 +780,23 @@ def test_gopher_repetition_rules(ray_session):
     gb = (gopher_repetition(rd.from_pandas(db)).to_pandas().iloc[0])
     assert gb["dup_lines"] == 3 and gb["n_lines"] == 10
     assert 10 * gb["dup_lines"] <= 3 * gb["n_lines"]
+
+
+def test_script_profile(ray_session):
+    """Codepoint counts per class; ё counts as Cyrillic here (script
+    detection, not the M1 alphabet); dominant tie -> 'none'."""
+    import pandas as pd
+    import ray.data as rd
+    from tabbyray.ops.text import script_profile
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["Hi мир 7!", "ёжик", "abc АБВ", ""]})
+    got = (script_profile(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("doc_id"))
+    assert tuple(got.loc[0, ["n_latin", "n_cyrillic", "n_digit",
+                             "n_space", "n_other", "n_total"]]) \
+        == (2, 3, 1, 2, 1, 9)
+    assert got.loc[0, "dominant"] == "cyrillic"
+    assert got.loc[1, "n_cyrillic"] == 4          # ё included
+    assert got.loc[2, "dominant"] == "none"       # 3 vs 3 tie
+    assert got.loc[3, "n_total"] == 0 and got.loc[3, "dominant"] == "none"

@@ -449,3 +449,40 @@ def test_entity_cooccurrence_pmi(ray_session):
     got2 = (entity_cooccurrence(pages, labels, min_count=2,
                                 num_partitions=4).to_pandas())
     assert set(zip(got2["e1"], got2["e2"])) == {("A", "B")}
+
+
+def test_url_quality_features(ray_session):
+    """Hand-computed features incl. the suspicious composite."""
+    import pyarrow as pa
+    from tabbyray.ops.web import url_quality_features
+    urls = [
+        "https://a.b.example.com/x/y?p=1&q=2",
+        "http://h0st123456.net:8080/a/b/c/d/e/f/g",       # digits+depth
+        "https://ok.example.com/",
+    ]
+    got = (url_quality_features(rd.from_arrow(
+        pa.table({"url": urls}))).to_pandas().set_index("url"))
+    r0 = got.loc[urls[0]]
+    assert (r0["host_dots"], r0["path_depth"], r0["n_query_params"],
+            r0["nondefault_port"], r0["suspicious"]) == (3, 2, 2, 0, 0)
+    r1 = got.loc[urls[1]]
+    assert (r1["host_digits"], r1["path_depth"],
+            r1["nondefault_port"], r1["suspicious"]) == (7, 7, 1, 1)
+    r2 = got.loc[urls[2]]
+    assert (r2["n_query_params"], r2["suspicious"]) == (0, 0)
+
+
+def test_domain_blocklist_gate(ray_session):
+    """Registered-domain anti/semi gate; blocklist case-insensitive."""
+    import pyarrow as pa
+    from tabbyray.ops.web import domain_blocklist_gate
+    pages = rd.from_arrow(pa.table({"url": [
+        "https://www.spam.example/x",
+        "https://sub.deep.spam.example/y",    # same registered domain
+        "http://clean.org/z"]}))
+    bl = rd.from_arrow(pa.table({"domain": ["SPAM.example"]}))
+    ok = domain_blocklist_gate(pages, bl, keep="allowed").to_pandas()
+    assert list(ok["url"]) == ["http://clean.org/z"]
+    bad = domain_blocklist_gate(pages, bl, keep="blocked").to_pandas()
+    assert sorted(bad["url"]) == ["https://sub.deep.spam.example/y",
+                                  "https://www.spam.example/x"]
