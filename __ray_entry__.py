@@ -548,6 +548,22 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_crawl_frontier(sf_dir: str):
+    """Discovery frontier: linked-but-never-captured canonical URLs
+    with exact in-link priority — dst-hash count aggregate + ONE hash
+    ANTI join vs the canonicalized capture set."""
+    from tabbyray.ops.web import crawl_frontier
+    return crawl_frontier(_link_pages(), num_partitions=8)
+
+
+def _q_web_fetch_schedule(sf_dir: str):
+    """Politeness fetch ordering: 1-based per-host slots over the
+    frontier by (n_inlinks desc, dst_canon asc); oracle = row_number
+    window over the SQL-re-derived frontier."""
+    from tabbyray.ops.web import fetch_schedule
+    return fetch_schedule(_link_pages(), num_partitions=8)
+
+
 def _q_web_url_features(sf_dir: str):
     """URL-level spam/quality features (C4/RefinedWeb-style pre-fetch
     filters) + the composite integer-threshold suspicious flag;
@@ -2286,6 +2302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
+        "web_crawl_frontier": _q_web_crawl_frontier,
+        "web_fetch_schedule": _q_web_fetch_schedule,
         "web_url_features": _q_web_url_features,
         "web_blocklist_allowed": _q_web_blocklist_allowed,
         "web_blocklist_blocked": _q_web_blocklist_blocked,
@@ -4494,6 +4512,31 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                CAST(count(DISTINCT src_canon) AS BIGINT) AS n_src_urls,
                CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
         FROM links GROUP BY dst_canon
+    """
+    frontier = f"""
+        tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks
+                FROM links GROUP BY dst_canon),
+        crawled AS (SELECT DISTINCT src_canon AS dst_canon FROM base),
+        frontier AS (SELECT t.dst_canon, t.n_inlinks
+                     FROM tot t LEFT JOIN crawled c USING (dst_canon)
+                     WHERE c.dst_canon IS NULL)
+    """
+    out["web_crawl_frontier"] = f"""
+        WITH {chain}, {frontier}
+        SELECT dst_canon, n_inlinks FROM frontier
+    """
+    out["web_fetch_schedule"] = f"""
+        WITH {chain}, {frontier}
+        SELECT dst_canon,
+               regexp_extract(dst_canon,
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1) AS host,
+               n_inlinks,
+               CAST(row_number() OVER (
+                   PARTITION BY regexp_extract(dst_canon,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)
+                   ORDER BY n_inlinks DESC, dst_canon ASC) AS BIGINT)
+                   AS slot
+        FROM frontier
     """
     return out
 

@@ -95,12 +95,38 @@ def run_bench() -> dict:
                  # forced term-hash join scorer, money-cents quantiles,
                  # A-ES weighted sampling
                  "simhash_values", "tfidf_scores_join",
-                 "price_quantiles", "weighted_doc_sample"):
+                 "price_quantiles", "weighted_doc_sample",
+                 # round-4 representative: RE2 script counting over the
+                 # sf documents table
+                 "script_profile"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         queries[name] = round(time.monotonic() - t0, 3)
+
+    # round-4 web-graph representatives at headline scale (the registry
+    # fixtures are correctness-sized; these re-generate the same shapes
+    # at n_pages so the timing reflects the sf, cached across runs)
+    from tabbyray.fixtures import (ensure_anchor_entity_fixture,
+                                   ensure_link_fixture)
+    link_path = ensure_link_fixture(n_pages=n_pages)
+    anchor_fix = ensure_anchor_entity_fixture(
+        n_pages=n_pages, n_entities=max(120, n_pages // 100))
+
+    from tabbyray.ops.web import anchor_entity_candidates, host_hits
+    t0 = time.monotonic()
+    host_hits(rd.read_parquet(link_path, override_num_blocks=64)
+              ).to_pandas()
+    queries["web_host_hits"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    anchor_entity_candidates(
+        rd.read_parquet(os.path.join(anchor_fix, "pages.parquet"),
+                        override_num_blocks=64),
+        rd.read_parquet(os.path.join(anchor_fix, "labels.parquet"),
+                        override_num_blocks=8)).to_pandas()
+    queries["anchor_entity_candidates"] = round(time.monotonic() - t0, 3)
 
     out = {
         "metric": "kg_pipeline_wall_sec",

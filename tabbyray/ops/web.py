@@ -1250,3 +1250,87 @@ def domain_blocklist_gate(pages: rd.Dataset, blocklist: rd.Dataset,
                      right_schema=pa.schema([("registered_domain",
                                               pa.string())]),
                      num_partitions=num_partitions)
+
+
+def crawl_frontier(pages: rd.Dataset, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Discovery frontier: every canonical URL the crawl LINKS TO but
+    has never CAPTURED, with its total resolvable in-link count as the
+    (exact integer) priority signal. Plan: resolve_links (stateless)
+    -> dst-hash partial-count aggregate -> distinct crawled canon set
+    (hash_aggregate over the canonicalized capture URLs) -> ONE
+    co-partitioned hash ANTI join. Output: (dst_canon, n_inlinks)."""
+    links = resolve_links(pages, url_col, html_col)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"dst_canon": t.column("dst_canon"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    total = hash_aggregate(
+        links.map_batches(ones, batch_format="pyarrow"),
+        keys=["dst_canon"], sum_cols={"one": "n_inlinks"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("dst_canon", pa.string()),
+                              ("n_inlinks", pa.int64())]))
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({"dst_canon": _canon_array(t, url_col),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    crawled = hash_aggregate(
+        pages.map_batches(canon, batch_format="pyarrow"),
+        keys=["dst_canon"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("dst_canon", pa.string()),
+                              ("_c", pa.int64())])).drop_columns(["_c"])
+
+    return hash_join(total, crawled, on=["dst_canon"], how="anti",
+                     left_schema=pa.schema([("dst_canon", pa.string()),
+                                            ("n_inlinks", pa.int64())]),
+                     right_schema=pa.schema([("dst_canon", pa.string())]),
+                     num_partitions=num_partitions)
+
+
+def fetch_schedule(pages: rd.Dataset, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Politeness-aware fetch ordering over the discovery frontier:
+    within each target HOST (the politeness unit — one queue per host,
+    one fetch per slot), frontier URLs take 1-based ``slot`` positions
+    by (n_inlinks desc, dst_canon asc). A crawler draining slot k of
+    every host in round k never fetches a host twice per round while
+    always fetching the best-linked URLs first. ONE host-hash exchange
+    after the frontier's own plan; ranking is vectorized pandas per
+    partition (the sessionize shape). Output: (dst_canon, host,
+    n_inlinks, slot)."""
+    import pandas as pd
+
+    from .relational import typed_groupby_map
+
+    frontier = crawl_frontier(pages, url_col, html_col, num_partitions)
+    nparts = num_partitions or 16
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = _parse_batch(t, "dst_canon")["host"]
+        return pa.table({"dst_canon": t.column("dst_canon"),
+                         "host": host,
+                         "n_inlinks": t.column("n_inlinks")})
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["host"], index=False)
+        return df.assign(_part=(h % nparts).astype("int64"))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "n_inlinks", "dst_canon"],
+                          ascending=[True, False, True], kind="stable")
+        slot = g.groupby("host").cumcount() + 1
+        return g.assign(slot=slot.astype("int64"))[
+            ["dst_canon", "host", "n_inlinks", "slot"]]
+
+    withhost = frontier.map_batches(add_host, batch_format="pyarrow")
+    return typed_groupby_map(
+        withhost.map_batches(add_part, batch_format="pandas"),
+        "_part", rank,
+        pa.schema([("dst_canon", pa.string()), ("host", pa.string()),
+                   ("n_inlinks", pa.int64()), ("slot", pa.int64())]))

@@ -486,3 +486,32 @@ def test_domain_blocklist_gate(ray_session):
     bad = domain_blocklist_gate(pages, bl, keep="blocked").to_pandas()
     assert sorted(bad["url"]) == ["https://sub.deep.spam.example/y",
                                   "https://www.spam.example/x"]
+
+
+def test_crawl_frontier_and_schedule(ray_session):
+    """Captured targets leave the frontier (matched on CANONICAL form);
+    per-host slots are 1-based by (inlinks desc, url asc)."""
+    import pyarrow as pa
+    from tabbyray.ops.web import crawl_frontier, fetch_schedule
+    pages = rd.from_arrow(pa.table({
+        "url": ["https://A.example:443/p1",     # canon https://a.example/p1
+                "https://b.example/p2"],
+        "html": [
+            # p1 links: captured p2 (drops), new x twice, new y once
+            '<a href="https://b.example/p2">t</a>'
+            '<a href="https://c.example/x">t</a>'
+            '<a href="https://c.example/x#f">t</a>'
+            '<a href="https://c.example/y">t</a>',
+            # p2 links: CAPTURED p1 via a raw variant (drops), new z
+            '<a href="https://a.example:443/p1">t</a>'
+            '<a href="https://d.example/z">t</a>'],
+    }))
+    fr = crawl_frontier(pages).to_pandas().set_index("dst_canon")
+    assert fr["n_inlinks"].to_dict() == {
+        "https://c.example/x": 2, "https://c.example/y": 1,
+        "https://d.example/z": 1}
+    sched = fetch_schedule(pages).to_pandas().set_index("dst_canon")
+    assert sched.loc["https://c.example/x", "slot"] == 1   # 2 inlinks
+    assert sched.loc["https://c.example/y", "slot"] == 2
+    assert sched.loc["https://d.example/z", "slot"] == 1   # own host
+    assert sched.loc["https://c.example/x", "host"] == "c.example"
