@@ -548,6 +548,13 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_reciprocal_hosts(sf_dir: str):
+    """Link-farm signal: unordered host pairs linking both ways with
+    per-direction counts; oracle = oriented pair aggregate + HAVING."""
+    from tabbyray.ops.web import reciprocal_host_edges
+    return reciprocal_host_edges(_link_pages(), num_partitions=8)
+
+
 def _q_web_crawl_frontier(sf_dir: str):
     """Discovery frontier: linked-but-never-captured canonical URLs
     with exact in-link priority — dst-hash count aggregate + ONE hash
@@ -2302,6 +2309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
+        "web_reciprocal_hosts": _q_web_reciprocal_hosts,
         "web_crawl_frontier": _q_web_crawl_frontier,
         "web_fetch_schedule": _q_web_fetch_schedule,
         "web_url_features": _q_web_url_features,
@@ -4512,6 +4520,23 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                CAST(count(DISTINCT src_canon) AS BIGINT) AS n_src_urls,
                CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
         FROM links GROUP BY dst_canon
+    """
+    out["web_reciprocal_hosts"] = f"""
+        WITH {chain},
+        he AS (SELECT src_host, dst_host,
+                      CAST(count(*) AS BIGINT) AS n_links
+               FROM links WHERE src_host <> dst_host
+               GROUP BY src_host, dst_host)
+        SELECT CASE WHEN src_host < dst_host THEN src_host
+                    ELSE dst_host END AS host_a,
+               CASE WHEN src_host < dst_host THEN dst_host
+                    ELSE src_host END AS host_b,
+               CAST(SUM(CASE WHEN src_host < dst_host THEN n_links
+                             ELSE 0 END) AS BIGINT) AS ab_links,
+               CAST(SUM(CASE WHEN src_host < dst_host THEN 0
+                             ELSE n_links END) AS BIGINT) AS ba_links
+        FROM he GROUP BY 1, 2
+        HAVING ab_links > 0 AND ba_links > 0
     """
     frontier = f"""
         tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks

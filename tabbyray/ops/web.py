@@ -1334,3 +1334,45 @@ def fetch_schedule(pages: rd.Dataset, url_col: str = "url",
         "_part", rank,
         pa.schema([("dst_canon", pa.string()), ("host", pa.string()),
                    ("n_inlinks", pa.int64()), ("slot", pa.int64())]))
+
+
+def reciprocal_host_edges(pages: rd.Dataset, url_col: str = "url",
+                          html_col: str = "html",
+                          num_partitions: "int | None" = None
+                          ) -> rd.Dataset:
+    """Link-farm signal: unordered host pairs linking BOTH ways.
+    Output (host_a, host_b, ab_links, ba_links) with host_a < host_b,
+    where ab_links counts resolvable a->b links (and ba_links b->a),
+    both > 0 by construction. Plan: host_edges (1 exchange) -> orient
+    each directed pair to its sorted form (stateless) -> ONE pair-hash
+    exchange summing the two directions into separate columns -> keep
+    pairs with both directions present. Self-loops excluded."""
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                        t.column("dst_host"))))
+        s, d, n = (t.column("src_host"), t.column("dst_host"),
+                   t.column("n_links"))
+        fwd = pc.less(s, d)
+        zero = pa.array([0] * t.num_rows, pa.int64())
+        return pa.table({
+            "host_a": pc.if_else(fwd, s, d),
+            "host_b": pc.if_else(fwd, d, s),
+            "ab_links": pc.if_else(fwd, n, zero),
+            "ba_links": pc.if_else(fwd, zero, n)})
+
+    summed = hash_aggregate(
+        edges.map_batches(orient, batch_format="pyarrow"),
+        keys=["host_a", "host_b"],
+        sum_cols={"ab_links": "ab_links", "ba_links": "ba_links"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("host_a", pa.string()),
+                              ("host_b", pa.string()),
+                              ("ab_links", pa.int64()),
+                              ("ba_links", pa.int64())]))
+    return summed.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t.column("ab_links"), 0),
+                                   pc.greater(t.column("ba_links"), 0))),
+        batch_format="pyarrow")

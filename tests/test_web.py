@@ -515,3 +515,23 @@ def test_crawl_frontier_and_schedule(ray_session):
     assert sched.loc["https://c.example/y", "slot"] == 2
     assert sched.loc["https://d.example/z", "slot"] == 1   # own host
     assert sched.loc["https://c.example/x", "host"] == "c.example"
+
+
+def test_reciprocal_host_edges(ray_session):
+    """Only both-way pairs survive; counts keep their direction
+    relative to the sorted (host_a < host_b) orientation."""
+    import pyarrow as pa
+    from tabbyray.ops.web import reciprocal_host_edges
+    pages = rd.from_arrow(pa.table({
+        "url": ["http://a.x/p", "http://b.x/p", "http://c.x/p"],
+        "html": [
+            '<a href="http://b.x/1">t</a><a href="http://b.x/2">t</a>'
+            '<a href="http://c.x/1">t</a>',      # a->b x2, a->c x1
+            '<a href="http://a.x/1">t</a>',      # b->a x1
+            ''],                                 # c links nowhere
+    }))
+    got = reciprocal_host_edges(pages).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["host_a"], r["host_b"], r["ab_links"], r["ba_links"]) \
+        == ("a.x", "b.x", 2, 1)
