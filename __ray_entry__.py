@@ -548,6 +548,32 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_page_blocks(sf_dir: str):
+    """Block-level visible-text segmentation (strip bodies first,
+    split at block-open tags, per-segment finish); stateless Arrow
+    explode, oracle = unnest + the identical RE2 chain."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_template_fixture
+    from tabbyray.ops.web import page_blocks
+    ds = rd.read_parquet(ensure_template_fixture(),
+                         override_num_blocks=4)
+    return page_blocks(ds)
+
+
+def _q_web_host_templates(sf_dir: str):
+    """Per-host template/boilerplate mining: blocks on >= 50% of the
+    host's pages (and >= 2 absolutely), presence once per page; exact
+    integer threshold; oracle re-derives the whole chain."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_template_fixture
+    from tabbyray.ops.web import host_template_blocks
+    ds = rd.read_parquet(ensure_template_fixture(),
+                         override_num_blocks=4)
+    return host_template_blocks(ds, num_partitions=8)
+
+
 def _q_web_reciprocal_hosts(sf_dir: str):
     """Link-farm signal: unordered host pairs linking both ways with
     per-direction counts; oracle = oriented pair aggregate + HAVING."""
@@ -2309,6 +2335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
+        "web_page_blocks": _q_web_page_blocks,
+        "web_host_templates": _q_web_host_templates,
         "web_reciprocal_hosts": _q_web_reciprocal_hosts,
         "web_crawl_frontier": _q_web_crawl_frontier,
         "web_fetch_schedule": _q_web_fetch_schedule,
@@ -3153,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
                                    ensure_quality_docs,
                                    ensure_repetition_docs,
                                    ensure_robots_fixture,
+                                   ensure_template_fixture,
                                    ensure_web_fixture)
     from tabbyray.ops.text import _EMAIL, _PHONE, GOPHER_STOPWORDS
     _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
@@ -3166,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
     _rep_path = ensure_repetition_docs()              # idempotent, ~ms
     _anchor_fix = ensure_anchor_entity_fixture()      # idempotent, ~ms
     _bl_path = ensure_blocklist_fixture()             # idempotent, ~ms
+    _template_path = ensure_template_fixture()        # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4292,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
     out.update(_anchor_entity_oracles(_anchor_fix))
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
+    out.update(_template_oracles(_template_path))
     out["script_profile"] = """
         WITH c AS (SELECT doc_id,
                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -5138,3 +5169,61 @@ def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
         SELECT a.node, a.x AS auth, h.x AS hub
         FROM a{n_iter} a JOIN h{n_iter} h ON h.node = a.node
     """
+
+
+def _template_oracles(template_path: str) -> dict[str, str]:
+    """Oracle SQL for block segmentation + per-host template mining:
+    the SAME order of operations as the ops (strip script/style/
+    comment bodies on the whole page FIRST, split at block-open tags,
+    then per-segment tag strip -> entity decode (&amp; last) ->
+    whitespace collapse), presence counted once per page, exact
+    integer threshold."""
+    block_pat = r"(?i)<(?:p|div|li|h[1-6]|td|tr|br)\b[^>]*>"
+    seg_chain = f"""
+        h0 AS (SELECT url, html FROM read_parquet('{template_path}')),
+        s1 AS (SELECT url, regexp_replace(html,
+                   '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+               FROM h0),
+        s2 AS (SELECT url, regexp_replace(t,
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT url, regexp_replace(t,
+                   '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        seg AS (SELECT url, unnest(string_split_regex(t,
+                    '{block_pat}')) AS s
+                FROM s3),
+        c1 AS (SELECT url, trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(s, '(?s)<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&nbsp;', ' '),
+                       '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS block
+               FROM seg),
+        blocks AS (SELECT url, block FROM c1 WHERE block <> '')
+    """
+    host_expr = ("regexp_extract(lower(regexp_extract(url, "
+                 "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+                 "'^([^:]*)', 1)")
+    return {
+        "web_page_blocks": f"""
+            WITH {seg_chain}
+            SELECT url, block FROM blocks
+        """,
+        "web_host_templates": f"""
+            WITH {seg_chain},
+            hb AS (SELECT DISTINCT {host_expr} AS host, url, block
+                   FROM blocks),
+            pb AS (SELECT host, block,
+                          CAST(count(*) AS BIGINT) AS n_pages_with
+                   FROM hb GROUP BY host, block),
+            hp AS (SELECT {host_expr} AS host,
+                          CAST(count(DISTINCT url) AS BIGINT)
+                              AS n_pages_host
+                   FROM h0 GROUP BY 1)
+            SELECT host, block, n_pages_with, n_pages_host
+            FROM pb JOIN hp USING (host)
+            WHERE 100 * n_pages_with >= 50 * n_pages_host
+              AND n_pages_with >= 2
+        """,
+    }

@@ -1093,3 +1093,50 @@ def ensure_blocklist_fixture(root: str = "/tmp/tabbyray_fixtures") -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_template_fixture(n_hosts: int = 10, seed: int = 71,
+                            root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic fixture for per-host template mining:
+    ``template.parquet`` with (url, html). Each host has 1-8 pages; a
+    host-wide HEADER and FOOTER block appear on every page (template),
+    a PROMO block on roughly half (one host pins it to exactly 50% —
+    the >= boundary), content blocks are unique per page, a singleton
+    host exercises the min_pages floor, and script/entity noise rides
+    inside blocks so the strip chain does real work."""
+    key = f"template-v1-s{seed}-h{n_hosts}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    urls, htmls = [], []
+    for h in range(n_hosts):
+        host = f"site{h}.{rng.choice(_WEB_DOMAINS)}"
+        n_pages = 1 if h == 0 else rng.randint(2, 8)
+        header = f"Welcome to site{h} &amp; friends"
+        footer = f"Copyright site{h} — all rights reserved"
+        promo = f"Join the site{h} newsletter today"
+        # exactly-half host: even page count, promo on first half
+        if h == 1:
+            n_pages = 6
+        for p in range(n_pages):
+            parts = [f'<div class="hdr">{header}</div>',
+                     '<script>var x = "<div>not text</div>";</script>']
+            if (h == 1 and p < 3) or (h > 1 and rng.random() < 0.5):
+                parts.append(f"<p>{promo}</p>")
+            for _ in range(rng.randint(1, 3)):
+                words = " ".join(rng.choice(_WEB_PATH_WORDS)
+                                 + str(rng.randrange(90))
+                                 for _ in range(rng.randint(3, 9)))
+                parts.append(f"<li>{words}</li>")
+            parts.append(f"<div>{footer}</div>")
+            urls.append(f"https://{host}/p/{p}")
+            htmls.append("<html><body>" + "".join(parts)
+                         + "</body></html>")
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "html": pa.array(htmls, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -1376,3 +1376,131 @@ def reciprocal_host_edges(pages: rd.Dataset, url_col: str = "url",
         lambda t: t.filter(pc.and_(pc.greater(t.column("ab_links"), 0),
                                    pc.greater(t.column("ba_links"), 0))),
         batch_format="pyarrow")
+
+
+_BLOCK_SPLIT_RE = r"(?i)<(?:p|div|li|h[1-6]|td|tr|br)\b[^>]*>"
+
+
+def page_blocks(pages: rd.Dataset, url_col: str = "url",
+                html_col: str = "html") -> rd.Dataset:
+    """Block-level visible-text segmentation: strip script/style
+    bodies and comments from the WHOLE page first (so a block tag
+    inside a script string cannot sever the script body), split at
+    every remaining block-OPEN tag (p/div/li/h1-6/td/tr/br — the
+    boilerplate units), then finish each segment with the visible_text
+    chain (tag strip, entities with &amp; last, whitespace collapse)
+    and drop empty results. One (url, block) row per non-empty
+    segment, including the pre-first-tag preamble. Stateless zero-copy
+    Arrow explode — the extract_anchors shape."""
+    def f(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(url_col, pa.string()),
+                                ("block", pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        html = pc.cast(t.column(html_col), pa.string()).combine_chunks()
+        for pat in _STRIP_BLOCK_RES:
+            html = pc.replace_substring_regex(html, pat, " ")
+        sp = pc.split_pattern_regex(html, _BLOCK_SPLIT_RE)
+        flat, parents, _pos = _explode_positions(sp)
+        txt = pc.replace_substring_regex(flat, _TAG_RE, " ")
+        for ent, rep in _ENTITIES:
+            txt = pc.replace_substring(txt, ent, rep)
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(txt, r"\s+", " "))
+        keep = pc.invert(pc.equal(txt, ""))
+        urls = pc.take(pc.cast(t.column(url_col), pa.string()),
+                       pc.filter(parents, keep))
+        return pa.table({url_col: urls, "block": pc.filter(txt, keep)})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def host_template_blocks(pages: rd.Dataset, url_col: str = "url",
+                         html_col: str = "html", min_pct: int = 50,
+                         min_pages: int = 2,
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """Per-host template/boilerplate mining (the site-level CCNet
+    analog): blocks whose text appears on >= min_pct % of the host's
+    captured pages (and on >= min_pages pages absolutely — a 1-page
+    host is all 'template' otherwise). Exact integer threshold:
+    100 * n_pages_with >= min_pct * n_pages_host. Presence is counted
+    once per page (distinct), hosts parse from the raw URL. Plan:
+    page_blocks (stateless) -> (host,url,block) distinct exchange ->
+    (host,block) count exchange -> host-hash join vs the per-host
+    distinct page count -> stateless filter. Output: (host, block,
+    n_pages_with, n_pages_host)."""
+    blocks = page_blocks(pages, url_col, html_col)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = _parse_batch(t, url_col)["host"]
+        return pa.table({"host": host,
+                         "url": pc.cast(t.column(url_col), pa.string()),
+                         "block": t.column("block"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    distinct = hash_aggregate(
+        blocks.map_batches(add_host, batch_format="pyarrow"),
+        keys=["host", "url", "block"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("host", pa.string()),
+                              ("url", pa.string()),
+                              ("block", pa.string()),
+                              ("_c", pa.int64())]))
+
+    per_block = hash_aggregate(
+        distinct.map_batches(
+            lambda t: pa.table({"host": t.column("host"),
+                                "block": t.column("block"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["host", "block"], sum_cols={"one": "n_pages_with"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("host", pa.string()),
+                              ("block", pa.string()),
+                              ("n_pages_with", pa.int64())]))
+
+    def host_url(t: pa.Table) -> pa.Table:
+        host = _parse_batch(t, url_col)["host"]
+        return pa.table({"host": host,
+                         "url": pc.cast(t.column(url_col), pa.string()),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    host_pages = hash_aggregate(
+        hash_aggregate(
+            pages.map_batches(host_url, batch_format="pyarrow"),
+            keys=["host", "url"], sum_cols={"one": "_c"},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([("host", pa.string()),
+                                  ("url", pa.string()),
+                                  ("_c", pa.int64())])
+        ).map_batches(
+            lambda t: pa.table({"host": t.column("host"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["host"], sum_cols={"one": "n_pages_host"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("host", pa.string()),
+                              ("n_pages_host", pa.int64())]))
+
+    j = hash_join(per_block, host_pages, on=["host"],
+                  num_partitions=num_partitions)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(pc.multiply(t.column("n_pages_with"),
+                                         pa.scalar(100, pa.int64())),
+                             pc.multiply(t.column("n_pages_host"),
+                                         pa.scalar(min_pct,
+                                                   pa.int64()))),
+            pc.greater_equal(t.column("n_pages_with"),
+                             pa.scalar(min_pages, pa.int64())))
+        t = t.filter(ok)
+        return pa.table({"host": t.column("host"),
+                         "block": t.column("block"),
+                         "n_pages_with": t.column("n_pages_with"),
+                         "n_pages_host": t.column("n_pages_host")})
+
+    return j.map_batches(gate, batch_format="pyarrow")

@@ -535,3 +535,32 @@ def test_reciprocal_host_edges(ray_session):
     r = got.iloc[0]
     assert (r["host_a"], r["host_b"], r["ab_links"], r["ba_links"]) \
         == ("a.x", "b.x", 2, 1)
+
+
+def test_page_blocks_and_templates(ray_session):
+    """Strip-before-split contract (a <div> inside a script string
+    must NOT sever the script body), entity decode, the >= 50%
+    boundary and the min_pages floor."""
+    import pyarrow as pa
+    from tabbyray.ops.web import host_template_blocks, page_blocks
+    mk = lambda *bs: "<html><body>" + "".join(bs) + "</body></html>"
+    hdr = '<div>Header &amp; nav</div>'
+    scr = '<script>var x = "<div>ghost</div>";</script>'
+    pages = rd.from_arrow(pa.table({
+        "url": [f"https://h.example/p{i}" for i in range(4)]
+        + ["https://solo.example/p0"],
+        "html": [mk(hdr, scr, "<p>unique one</p>"),
+                 mk(hdr, scr, "<li>unique two</li>"),
+                 mk(hdr, "<p>promo block</p>"),
+                 mk(hdr, "<p>promo block</p>"),   # promo on 2/4 = 50%
+                 mk("<p>alone</p>")],
+    }))
+    pb = page_blocks(pages).to_pandas()
+    assert "ghost" not in " ".join(pb["block"])        # script survived split
+    assert (pb["block"] == "Header & nav").sum() == 4  # entity decoded
+    ht = (host_template_blocks(pages, num_partitions=4)
+          .to_pandas().set_index("block"))
+    assert ht.loc["Header & nav", "n_pages_with"] == 4
+    assert ht.loc["promo block", "n_pages_with"] == 2  # exactly 50% kept
+    assert "unique one" not in ht.index
+    assert "alone" not in ht.index                     # min_pages floor
