@@ -548,6 +548,19 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_strip_tracking(sf_dir: str):
+    """Tracking-param removal + canonical rebuild ('&'-sentinel regex
+    chain, surviving params keep order); oracle = the identical RE2
+    program in DuckDB over the same component grammar."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_tracking_fixture
+    from tabbyray.ops.web import url_strip_tracking
+    ds = rd.read_parquet(ensure_tracking_fixture(),
+                         override_num_blocks=4)
+    return url_strip_tracking(ds)
+
+
 def _q_web_page_blocks(sf_dir: str):
     """Block-level visible-text segmentation (strip bodies first,
     split at block-open tags, per-segment finish); stateless Arrow
@@ -2335,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
+        "web_strip_tracking": _q_web_strip_tracking,
         "web_page_blocks": _q_web_page_blocks,
         "web_host_templates": _q_web_host_templates,
         "web_reciprocal_hosts": _q_web_reciprocal_hosts,
@@ -3182,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
                                    ensure_repetition_docs,
                                    ensure_robots_fixture,
                                    ensure_template_fixture,
+                                   ensure_tracking_fixture,
                                    ensure_web_fixture)
     from tabbyray.ops.text import _EMAIL, _PHONE, GOPHER_STOPWORDS
     _clustered_path = ensure_clustered_embeddings()   # idempotent, ~ms
@@ -3196,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
     _anchor_fix = ensure_anchor_entity_fixture()      # idempotent, ~ms
     _bl_path = ensure_blocklist_fixture()             # idempotent, ~ms
     _template_path = ensure_template_fixture()        # idempotent, ~ms
+    _tracking_path = ensure_tracking_fixture()        # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4323,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_anchor_entity_oracles(_anchor_fix))
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))
+    out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
     out["script_profile"] = """
         WITH c AS (SELECT doc_id,
                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -5227,3 +5244,44 @@ def _template_oracles(template_path: str) -> dict[str, str]:
               AND n_pages_with >= 2
         """,
     }
+
+
+def _tracking_oracle(tracking_path: str) -> str:
+    """Tracking-strip oracle: the same component grammar as the web
+    chain, then the documented 3-step regex program on the query."""
+    return f"""
+        WITH c AS (SELECT url,
+                 lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                     AS hostport,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                     AS raw_path,
+                 regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+           FROM read_parquet('{tracking_path}')),
+        c2 AS (SELECT *,
+                  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                  regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s,
+                  CASE WHEN scheme = 'https' THEN 443 ELSE 80 END
+                      AS dport
+           FROM c),
+        c3 AS (SELECT url, scheme, host, dport,
+                  CASE WHEN port_s = '' THEN dport
+                       ELSE CAST(port_s AS BIGINT) END AS port,
+                  CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+                      AS path,
+                  regexp_replace(regexp_replace('&' || query,
+                      '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*',
+                      '', 'g'), '^&', '') AS q3
+           FROM c2)
+        SELECT url,
+               scheme || '://' || host
+               || (CASE WHEN port = dport THEN ''
+                        ELSE ':' || CAST(port AS VARCHAR) END)
+               || path
+               || (CASE WHEN q3 = '' THEN '' ELSE '?' || q3 END)
+                   AS clean_url
+        FROM c3
+    """

@@ -1140,3 +1140,42 @@ def ensure_template_fixture(n_hosts: int = 10, seed: int = 71,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_tracking_fixture(n_urls: int = 400, seed: int = 73,
+                            root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic fixture for tracking-param stripping:
+    ``tracking.parquet`` with (url). Query strings mix tracking params
+    (utm_*, gclid, fbclid, ref, mc_cid/mc_eid) with real params at
+    every position (first / middle / last / only / none), some urls
+    with fragments and non-default ports, some with empty param
+    values, and clean urls that must pass through byte-identical."""
+    key = f"tracking-v1-s{seed}-u{n_urls}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    track = ["utm_source=news", "utm_medium=cpc", "utm_campaign=x1",
+             "utm_term=", "gclid=abc123", "fbclid=zz9", "ref=sidebar",
+             "mc_cid=77", "mc_eid=a1b2"]
+    real = ["q=7", "page=2", "lang=en", "id=991", "sort=asc", "v="]
+    urls = []
+    for i in range(n_urls):
+        host = rng.choice(_WEB_SUBS) + rng.choice(_WEB_DOMAINS)
+        scheme = rng.choice(["http", "https"])
+        port = ":8080" if rng.random() < 0.1 else ""
+        p = f"/{rng.choice(_WEB_PATH_WORDS)}{i}"
+        n_t = rng.randint(0, 3)
+        n_r = rng.randint(0, 3)
+        params = ([rng.choice(track) for _ in range(n_t)]
+                  + [rng.choice(real) for _ in range(n_r)])
+        rng.shuffle(params)
+        q = "?" + "&".join(params) if params else ""
+        frag = f"#sec{rng.randrange(5)}" if rng.random() < 0.2 else ""
+        urls.append(f"{scheme}://{host}{port}{p}{q}{frag}")
+    table = pa.table({"url": pa.array(urls, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

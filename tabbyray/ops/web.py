@@ -1504,3 +1504,45 @@ def host_template_blocks(pages: rd.Dataset, url_col: str = "url",
                          "n_pages_host": t.column("n_pages_host")})
 
     return j.map_batches(gate, batch_format="pyarrow")
+
+
+_TRACKING_PARAM_RE = (r"&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref"
+                      r"|mc_cid|mc_eid)=[^&]*")
+
+
+def url_strip_tracking(pages: rd.Dataset, url_col: str = "url",
+                       out_col: str = "clean_url") -> rd.Dataset:
+    """Tracking-parameter removal — the recrawl-dedup signal that
+    collapses campaign-tagged captures of one resource: drop query
+    params named utm_* / gclid / fbclid / ref / mc_cid / mc_eid
+    (surviving params keep their order), then rebuild the CANONICAL
+    url (lower scheme+host, default port stripped, fragment dropped,
+    '?' dropped when no params survive). Documented as a pure regex
+    chain over the parsed query — '&'-sentinel prefix, one global
+    removal, one leading-'&' strip — so the SQL oracle is the
+    identical RE2 program. Stateless vectorized map; output
+    (url, clean_url)."""
+    def f(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        q1 = pc.binary_join_element_wise("&", comp["query"], "")
+        q2 = pc.replace_substring_regex(q1, _TRACKING_PARAM_RE, "")
+        q3 = pc.replace_substring_regex(q2, "^&", "")
+        default_port = pc.if_else(pc.equal(comp["scheme"], "https"),
+                                  pa.scalar(443, pa.int64()),
+                                  pa.scalar(80, pa.int64()))
+        port_part = pc.if_else(
+            pc.equal(comp["port"], default_port),
+            pa.scalar("", pa.string()),
+            pc.binary_join_element_wise(
+                ":", pc.cast(comp["port"], pa.string()), ""))
+        query_part = pc.if_else(
+            pc.equal(q3, ""), pa.scalar("", pa.string()),
+            pc.binary_join_element_wise("?", q3, ""))
+        clean = pc.binary_join_element_wise(
+            comp["scheme"], "://", comp["host"], port_part,
+            comp["path"], query_part, "")
+        return pa.table({url_col: pc.cast(t.column(url_col),
+                                          pa.string()),
+                         out_col: clean})
+
+    return pages.map_batches(f, batch_format="pyarrow")

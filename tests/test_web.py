@@ -564,3 +564,25 @@ def test_page_blocks_and_templates(ray_session):
     assert ht.loc["promo block", "n_pages_with"] == 2  # exactly 50% kept
     assert "unique one" not in ht.index
     assert "alone" not in ht.index                     # min_pages floor
+
+
+def test_url_strip_tracking(ray_session):
+    """Position cases (first/middle/last/only/none), empty values,
+    canonicalization of the rebuilt URL, clean pass-through."""
+    import pyarrow as pa
+    from tabbyray.ops.web import url_strip_tracking
+    cases = {
+        "https://A.example/p?utm_source=x&q=1": "https://a.example/p?q=1",
+        "https://a.example/p?q=1&utm_medium=&id=2":
+            "https://a.example/p?q=1&id=2",
+        "https://a.example/p?q=1&gclid=g": "https://a.example/p?q=1",
+        "https://a.example/p?fbclid=f": "https://a.example/p",
+        "https://a.example:443/p?ref=r#top": "https://a.example/p",
+        "http://a.example:8080/p?q=1": "http://a.example:8080/p?q=1",
+        "https://a.example/p": "https://a.example/p",
+        # 'ref' matches only as a FULL name: 'referrer' is kept
+        "https://a.example/p?referrer=x": "https://a.example/p?referrer=x",
+    }
+    got = (url_strip_tracking(rd.from_arrow(
+        pa.table({"url": list(cases)}))).to_pandas())
+    assert dict(zip(got["url"], got["clean_url"])) == cases
