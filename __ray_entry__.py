@@ -561,6 +561,31 @@ def _q_web_strip_tracking(sf_dir: str):
     return url_strip_tracking(ds)
 
 
+def _q_web_latest_clean(sf_dir: str):
+    """Recrawl dedup on the tracking-stripped form (campaign variants
+    collapse): strip program + grouped_argmax (ts desc, url asc);
+    oracle = the same RE2 program + QUALIFY row_number."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_tracking_fixture
+    from tabbyray.ops.web import latest_capture_clean
+    ds = rd.read_parquet(ensure_tracking_fixture(),
+                         override_num_blocks=4)
+    return latest_capture_clean(ds, num_partitions=8)
+
+
+def _q_web_robots_sitemaps(sf_dir: str):
+    """Sitemap discovery (global case-insensitive directive, first
+    token after the colon); Arrow explode + extract_regex; oracle =
+    string_split + regexp_extract."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_robots_fixture
+    from tabbyray.ops.web import robots_sitemaps
+    ds = rd.read_parquet(ensure_robots_fixture(), override_num_blocks=2)
+    return robots_sitemaps(ds)
+
+
 def _q_web_page_blocks(sf_dir: str):
     """Block-level visible-text segmentation (strip bodies first,
     split at block-open tags, per-segment finish); stateless Arrow
@@ -2349,6 +2374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
         "web_strip_tracking": _q_web_strip_tracking,
+        "web_latest_clean": _q_web_latest_clean,
+        "web_robots_sitemaps": _q_web_robots_sitemaps,
         "web_page_blocks": _q_web_page_blocks,
         "web_host_templates": _q_web_host_templates,
         "web_reciprocal_hosts": _q_web_reciprocal_hosts,
@@ -4340,6 +4367,30 @@ def oracle_sql() -> dict[str, str]:
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
+    _clean_expr = _tracking_oracle(_tracking_path)
+    out["web_latest_clean"] = f"""
+        WITH stripped AS ({_clean_expr}),
+        base AS (SELECT s.clean_url, s.url,
+                        CAST(t.warc_ts AS BIGINT) AS ts_us
+                 FROM stripped s
+                 JOIN read_parquet('{_tracking_path}') t
+                   ON t.url = s.url)
+        SELECT clean_url, url, ts_us
+        FROM (SELECT *, row_number() OVER (PARTITION BY clean_url
+                  ORDER BY ts_us DESC, url ASC) AS rn FROM base)
+        WHERE rn = 1
+    """
+    out["web_robots_sitemaps"] = f"""
+        WITH e AS (SELECT host,
+                          unnest(string_split(robots_txt, chr(10)))
+                              AS line
+                   FROM read_parquet('{_robots_path}'))
+        SELECT host,
+               regexp_extract(line, '(?i)^sitemap:[ \t]*(\\S+)', 1)
+                   AS sitemap_url
+        FROM e
+        WHERE regexp_matches(line, '(?i)^sitemap:[ \t]*\\S')
+    """
     out["script_profile"] = """
         WITH c AS (SELECT doc_id,
                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))

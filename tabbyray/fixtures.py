@@ -1144,13 +1144,16 @@ def ensure_template_fixture(n_hosts: int = 10, seed: int = 71,
 
 def ensure_tracking_fixture(n_urls: int = 400, seed: int = 73,
                             root: str = "/tmp/tabbyray_fixtures") -> str:
-    """Deterministic fixture for tracking-param stripping:
-    ``tracking.parquet`` with (url). Query strings mix tracking params
+    """Deterministic fixture for tracking-param stripping and
+    clean-URL recrawl dedup: ``tracking.parquet`` with (url, warc_ts
+    int64 us). ~n_urls/3 base resources each captured 1-5 times with
+    DIFFERENT tracking decorations (so stripped forms collapse) and
+    strictly increasing timestamps; query strings mix tracking params
     (utm_*, gclid, fbclid, ref, mc_cid/mc_eid) with real params at
     every position (first / middle / last / only / none), some urls
     with fragments and non-default ports, some with empty param
     values, and clean urls that must pass through byte-identical."""
-    key = f"tracking-v1-s{seed}-u{n_urls}.parquet"
+    key = f"tracking-v2-s{seed}-u{n_urls}.parquet"
     path = os.path.join(root, key)
     if os.path.exists(path):
         return path
@@ -1159,21 +1162,28 @@ def ensure_tracking_fixture(n_urls: int = 400, seed: int = 73,
              "utm_term=", "gclid=abc123", "fbclid=zz9", "ref=sidebar",
              "mc_cid=77", "mc_eid=a1b2"]
     real = ["q=7", "page=2", "lang=en", "id=991", "sort=asc", "v="]
-    urls = []
-    for i in range(n_urls):
+    urls, tss = [], []
+    ts = 1_735_689_600_000_000
+    for i in range(max(1, n_urls // 3)):
         host = rng.choice(_WEB_SUBS) + rng.choice(_WEB_DOMAINS)
         scheme = rng.choice(["http", "https"])
         port = ":8080" if rng.random() < 0.1 else ""
         p = f"/{rng.choice(_WEB_PATH_WORDS)}{i}"
-        n_t = rng.randint(0, 3)
-        n_r = rng.randint(0, 3)
-        params = ([rng.choice(track) for _ in range(n_t)]
-                  + [rng.choice(real) for _ in range(n_r)])
-        rng.shuffle(params)
-        q = "?" + "&".join(params) if params else ""
-        frag = f"#sec{rng.randrange(5)}" if rng.random() < 0.2 else ""
-        urls.append(f"{scheme}://{host}{port}{p}{q}{frag}")
-    table = pa.table({"url": pa.array(urls, pa.string())})
+        base_real = sorted({rng.choice(real)
+                            for _ in range(rng.randint(0, 2))})
+        for _cap in range(rng.randint(1, 5)):
+            n_t = rng.randint(0, 3)
+            params = list(base_real) + [rng.choice(track)
+                                        for _ in range(n_t)]
+            rng.shuffle(params)
+            q = "?" + "&".join(params) if params else ""
+            frag = (f"#sec{rng.randrange(5)}"
+                    if rng.random() < 0.2 else "")
+            urls.append(f"{scheme}://{host}{port}{p}{q}{frag}")
+            ts += rng.randint(1, 10_000_000)
+            tss.append(ts)
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "warc_ts": pa.array(tss, pa.int64())})
     os.makedirs(root, exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)

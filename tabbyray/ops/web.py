@@ -1510,6 +1510,30 @@ _TRACKING_PARAM_RE = (r"&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref"
                       r"|mc_cid|mc_eid)=[^&]*")
 
 
+def _clean_array(t: pa.Table, url_col: str) -> pa.Array:
+    """The tracking-strip program over one batch: parse, remove the
+    tracking params via the documented 3-step regex chain, rebuild the
+    canonical URL. Shared by url_strip_tracking / latest_capture_clean."""
+    comp = _parse_batch(t, url_col)
+    q1 = pc.binary_join_element_wise("&", comp["query"], "")
+    q2 = pc.replace_substring_regex(q1, _TRACKING_PARAM_RE, "")
+    q3 = pc.replace_substring_regex(q2, "^&", "")
+    default_port = pc.if_else(pc.equal(comp["scheme"], "https"),
+                              pa.scalar(443, pa.int64()),
+                              pa.scalar(80, pa.int64()))
+    port_part = pc.if_else(
+        pc.equal(comp["port"], default_port),
+        pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(
+            ":", pc.cast(comp["port"], pa.string()), ""))
+    query_part = pc.if_else(
+        pc.equal(q3, ""), pa.scalar("", pa.string()),
+        pc.binary_join_element_wise("?", q3, ""))
+    return pc.binary_join_element_wise(
+        comp["scheme"], "://", comp["host"], port_part,
+        comp["path"], query_part, "")
+
+
 def url_strip_tracking(pages: rd.Dataset, url_col: str = "url",
                        out_col: str = "clean_url") -> rd.Dataset:
     """Tracking-parameter removal — the recrawl-dedup signal that
@@ -1523,26 +1547,61 @@ def url_strip_tracking(pages: rd.Dataset, url_col: str = "url",
     identical RE2 program. Stateless vectorized map; output
     (url, clean_url)."""
     def f(t: pa.Table) -> pa.Table:
-        comp = _parse_batch(t, url_col)
-        q1 = pc.binary_join_element_wise("&", comp["query"], "")
-        q2 = pc.replace_substring_regex(q1, _TRACKING_PARAM_RE, "")
-        q3 = pc.replace_substring_regex(q2, "^&", "")
-        default_port = pc.if_else(pc.equal(comp["scheme"], "https"),
-                                  pa.scalar(443, pa.int64()),
-                                  pa.scalar(80, pa.int64()))
-        port_part = pc.if_else(
-            pc.equal(comp["port"], default_port),
-            pa.scalar("", pa.string()),
-            pc.binary_join_element_wise(
-                ":", pc.cast(comp["port"], pa.string()), ""))
-        query_part = pc.if_else(
-            pc.equal(q3, ""), pa.scalar("", pa.string()),
-            pc.binary_join_element_wise("?", q3, ""))
-        clean = pc.binary_join_element_wise(
-            comp["scheme"], "://", comp["host"], port_part,
-            comp["path"], query_part, "")
         return pa.table({url_col: pc.cast(t.column(url_col),
                                           pa.string()),
-                         out_col: clean})
+                         out_col: _clean_array(t, url_col)})
 
     return pages.map_batches(f, batch_format="pyarrow")
+
+
+def robots_sitemaps(robots: rd.Dataset, host_col: str = "host",
+                    txt_col: str = "robots_txt") -> rd.Dataset:
+    """Sitemap discovery from the robots corpus: one (host,
+    sitemap_url) row per ``Sitemap:`` line (REP: the directive is
+    GLOBAL — group membership is irrelevant — and case-insensitive;
+    value = first whitespace-free token after the colon). Stateless
+    zero-copy Arrow explode + extract_regex; no shuffle."""
+    pat = r"(?i)^sitemap:[ \t]*(?P<u>\S+)"
+
+    def f(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("host", pa.string()),
+                                ("sitemap_url", pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        txt = pc.cast(t.column(txt_col), pa.string()).combine_chunks()
+        sp = pc.split_pattern(txt, "\n")
+        flat, parents, _pos = _explode_positions(sp)
+        m = pc.extract_regex(flat, pat)
+        ok = pc.is_valid(m)
+        hosts = pc.take(pc.cast(t.column(host_col), pa.string()),
+                        pc.filter(parents, ok))
+        return pa.table({"host": hosts,
+                         "sitemap_url": pc.struct_field(
+                             pc.filter(m, ok), "u")})
+
+    return robots.map_batches(f, batch_format="pyarrow")
+
+
+def latest_capture_clean(pages: rd.Dataset, url_col: str = "url",
+                         ts_col: str = "warc_ts",
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """Recrawl dedup on the TRACKING-STRIPPED canonical form: campaign
+    variants of one resource collapse to a single (latest) capture.
+    Composition: url_strip_tracking (stateless) -> grouped_argmax on
+    clean_url by (warc_ts desc, raw url asc) — one clean-hash
+    exchange. The clean form is computed in the SAME stateless batch
+    as the timestamp (re-using the url_strip_tracking program) so no
+    join re-attaches columns. Output: (clean_url, url, ts_us)."""
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"clean_url": _clean_array(t, url_col),
+                         url_col: pc.cast(t.column(url_col),
+                                          pa.string()),
+                         "ts_us": pc.cast(t.column(ts_col),
+                                          pa.int64())})
+
+    base = pages.map_batches(prep, batch_format="pyarrow")
+    return grouped_argmax(base, key="clean_url", order_col="ts_us",
+                          tie_col=url_col,
+                          out_cols=["clean_url", url_col, "ts_us"],
+                          num_partitions=num_partitions)

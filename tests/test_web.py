@@ -586,3 +586,29 @@ def test_url_strip_tracking(ray_session):
     got = (url_strip_tracking(rd.from_arrow(
         pa.table({"url": list(cases)}))).to_pandas())
     assert dict(zip(got["url"], got["clean_url"])) == cases
+
+
+def test_latest_capture_clean_and_sitemaps(ray_session):
+    """Campaign variants collapse to one latest capture; sitemap lines
+    extract case-insensitively regardless of group position."""
+    import pyarrow as pa
+    from tabbyray.ops.web import latest_capture_clean, robots_sitemaps
+    pages = rd.from_arrow(pa.table({
+        "url": ["https://a.x/p?utm_source=1&q=1",
+                "https://a.x/p?q=1&gclid=g",
+                "https://a.x/p?q=1",
+                "https://a.x/other"],
+        "warc_ts": [100, 300, 200, 50]}))
+    got = (latest_capture_clean(pages).to_pandas()
+           .set_index("clean_url"))
+    assert len(got) == 2
+    assert got.loc["https://a.x/p?q=1", "ts_us"] == 300
+    assert got.loc["https://a.x/p?q=1", "url"] == "https://a.x/p?q=1&gclid=g"
+    robots = rd.from_arrow(pa.table({
+        "host": ["h1", "h2"],
+        "robots_txt": ["User-agent: *\nSITEMAP: https://h1/s.xml\n"
+                       "Disallow: /x\nsitemap:\thttps://h1/s2.xml",
+                       "User-agent: bot\nDisallow: /"]}))
+    sm = robots_sitemaps(robots).to_pandas()
+    assert sorted(sm["sitemap_url"]) == ["https://h1/s.xml",
+                                         "https://h1/s2.xml"]
