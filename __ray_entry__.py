@@ -824,6 +824,16 @@ def _q_anchor_entity_candidates(sf_dir: str):
     return anchor_entity_candidates(pages, labels, num_partitions=8)
 
 
+def _q_anchor_entity_candidates_join(sf_dir: str):
+    """The FORCED fully-distributed label-side plan (norm-hash join,
+    label table never collected) under the identical oracle — the
+    100-TB path verified at fixture scale (tfidf_scores_join pattern)."""
+    from tabbyray.ops.web import anchor_entity_candidates
+    pages, labels = _anchor_entity_inputs()
+    return anchor_entity_candidates(pages, labels, num_partitions=8,
+                                    mode="join")
+
+
 def _q_anchor_entity_top1(sf_dir: str):
     """Winning entity per target URL — C8's argmax rule on the link
     graph (votes desc, entity asc); oracle = QUALIFY row_number."""
@@ -2397,6 +2407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_url_indegree": _q_web_url_indegree,
         "gopher_repetition": _q_gopher_repetition,
         "anchor_entity_candidates": _q_anchor_entity_candidates,
+        "anchor_entity_candidates_join": _q_anchor_entity_candidates_join,
         "anchor_entity_top1": _q_anchor_entity_top1,
         "entity_cooccurrence": _q_entity_cooccurrence,
         # deduplication family
@@ -5194,6 +5205,8 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
                 ORDER BY votes DESC, entity ASC) = 1
         """,
         "entity_cooccurrence": cooc,
+        "anchor_entity_candidates_join":
+            votes + "SELECT dst_canon, entity, votes FROM v",
     }
 
 

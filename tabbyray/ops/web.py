@@ -882,40 +882,64 @@ def url_indegree(pages: rd.Dataset, url_col: str = "url",
 # 121-137`). On a crawl, the same signal comes from the link graph:
 # the anchor texts other pages use for a URL are its surface forms, and
 # matching them (normalized the same way) against a label table yields
-# link-weighted entity candidates per URL. Fully distributed plan — the
-# label table is NEVER broadcast (at web scale it is millions of rows):
-# both sides normalize vectorized (Arrow RE2 kernels), meet in ONE
-# co-partitioned hash_join on the norm key, and votes aggregate through
-# hash exchanges that only ever carry partial counts.
+# link-weighted entity candidates per URL. Two label-side plans with
+# hash-identical results (the tfidf/pagerank auto-switch pattern):
+# "join" — both sides normalize vectorized (Arrow RE2 kernels) and
+# meet in ONE co-partitioned hash_join on the norm key, the label
+# table never leaves the cluster (at web scale it is millions of
+# rows); "broadcast" — when the label table is driver-bounded the
+# distinct (norm -> entities) map ships once via ray.put and the match
+# is a stateless per-batch explode, leaving ONE exchange (the vote
+# sum) in the whole pipeline.
 
 
 def anchor_entity_candidates(pages: rd.Dataset, labels: rd.Dataset,
                              url_col: str = "url", html_col: str = "html",
                              entity_col: str = "entity",
                              label_col: str = "label",
-                             num_partitions: "int | None" = None
+                             num_partitions: "int | None" = None,
+                             mode: str = "auto",
+                             broadcast_max_labels: int = 2_000_000
                              ) -> rd.Dataset:
     """Link-weighted entity candidates per canonical target URL:
     (dst_canon, entity, votes) where votes = number of resolvable
     in-links whose anchor text normalizes to one of the entity's label
     norms. Surface forms normalizing to '' (pure punctuation) are
-    dropped on both sides; duplicate (norm, entity) label rows are
-    collapsed first so one entity never double-votes for one surface
-    form. Plan: anchor_text_rollup (1 exchange) -> vectorized norm ->
-    (norm, entity) distinct (1 exchange) -> norm-hash join (1
-    exchange) -> (dst_canon, entity) partial-sum aggregate (1
-    exchange); every exchange ships pre-aggregated partials."""
+    dropped on both sides; duplicate (norm, entity) label rows
+    collapse so one entity never double-votes for one surface form.
+
+    Anchor side (both modes): extract+resolve (stateless) -> per-BATCH
+    (dst_canon, norm) partial counts — a vectorized combiner with NO
+    exchange of its own; the final vote sum is over partials, so a
+    full pre-aggregation shuffle would be pure overhead. Label side:
+    ``mode="join"`` (the 100-TB path) runs (norm, entity) distinct
+    (1 exchange) -> norm-hash join (1 exchange) -> vote sum
+    (1 exchange); ``mode="broadcast"`` (taken by ``auto`` when
+    ``labels.count() <= broadcast_max_labels`` — metadata-cheap for
+    parquet reads) collects the distinct pairs once, ships the
+    norm->entities map via ray.put, and matches statelessly, leaving
+    the vote sum as the pipeline's ONLY exchange."""
     from ..normalize import normalize_batch
 
-    rollup = anchor_text_rollup(pages, url_col, html_col, num_partitions)
+    resolved = resolve_hrefs(
+        extract_anchor_texts(pages, url_col, html_col),
+        url_col=url_col, carry_cols=["anchor_text"])
 
-    def norm_anchor(t: pa.Table) -> pa.Table:
+    def partial_counts(t: pa.Table) -> pa.Table:
         out = pa.table({"dst_canon": t.column("dst_canon"),
                         "norm": normalize_batch(t.column("anchor_text")),
-                        "n_links": t.column("n_links")})
-        return out.filter(pc.not_equal(out.column("norm"), ""))
+                        "n_links": pa.array([1] * t.num_rows,
+                                            pa.int64())})
+        out = out.filter(pc.not_equal(out.column("norm"), ""))
+        df = (out.to_pandas()
+              .groupby(["dst_canon", "norm"], as_index=False)
+              ["n_links"].sum())
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("dst_canon", pa.string()),
+                       ("norm", pa.string()),
+                       ("n_links", pa.int64())]))
 
-    left = rollup.map_batches(norm_anchor, batch_format="pyarrow")
+    left = resolved.map_batches(partial_counts, batch_format="pyarrow")
 
     def norm_label(t: pa.Table) -> pa.Table:
         out = pa.table({"norm": normalize_batch(t.column(label_col)),
@@ -923,6 +947,43 @@ def anchor_entity_candidates(pages: rd.Dataset, labels: rd.Dataset,
                                           pa.string()),
                         "one": pa.array([1] * t.num_rows, pa.int64())})
         return out.filter(pc.not_equal(out.column("norm"), ""))
+
+    votes_schema = pa.schema([("dst_canon", pa.string()),
+                              ("entity", pa.string()),
+                              ("votes", pa.int64())])
+
+    if mode == "broadcast" or (mode == "auto"
+                               and labels.count() <= broadcast_max_labels):
+        import ray as _ray
+
+        lab_pd = (labels.map_batches(norm_label, batch_format="pyarrow")
+                  .to_pandas().drop_duplicates(["norm", "entity"]))
+        lab_map = {k: g["entity"].to_numpy()
+                   for k, g in lab_pd.groupby("norm")}
+        ref = _ray.put(lab_map)
+
+        def match(t: pa.Table) -> pa.Table:
+            out_schema = pa.schema([("dst_canon", pa.string()),
+                                    ("entity", pa.string()),
+                                    ("n_links", pa.int64())])
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            m = _ray.get(ref)
+            df = t.to_pandas()
+            ents = df["norm"].map(m)
+            keep = ents.notna()
+            df = df[keep].assign(entity=ents[keep]).explode("entity")
+            if not len(df):
+                return out_schema.empty_table()
+            return pa.Table.from_pandas(
+                df[["dst_canon", "entity", "n_links"]],
+                preserve_index=False).cast(out_schema)
+
+        matched = left.map_batches(match, batch_format="pyarrow")
+        return hash_aggregate(
+            matched, keys=["dst_canon", "entity"],
+            sum_cols={"n_links": "votes"},
+            num_partitions=num_partitions, out_schema=votes_schema)
 
     pairs = hash_aggregate(
         labels.map_batches(norm_label, batch_format="pyarrow"),
@@ -943,22 +1004,21 @@ def anchor_entity_candidates(pages: rd.Dataset, labels: rd.Dataset,
     return hash_aggregate(
         j.map_batches(prep, batch_format="pyarrow"),
         keys=["dst_canon", "entity"], sum_cols={"n_links": "votes"},
-        num_partitions=num_partitions,
-        out_schema=pa.schema([("dst_canon", pa.string()),
-                              ("entity", pa.string()),
-                              ("votes", pa.int64())]))
+        num_partitions=num_partitions, out_schema=votes_schema)
 
 
 def anchor_entity_top1(pages: rd.Dataset, labels: rd.Dataset,
                        url_col: str = "url", html_col: str = "html",
                        entity_col: str = "entity",
                        label_col: str = "label",
-                       num_partitions: "int | None" = None) -> rd.Dataset:
+                       num_partitions: "int | None" = None,
+                       mode: str = "auto") -> rd.Dataset:
     """Winning entity per target URL — the C8 argmax rule transplanted
     to the link graph: top-1 candidate by (votes desc, entity asc),
     deterministic under any partitioning (grouped_argmax combiner)."""
     cand = anchor_entity_candidates(pages, labels, url_col, html_col,
-                                    entity_col, label_col, num_partitions)
+                                    entity_col, label_col, num_partitions,
+                                    mode=mode)
     return grouped_argmax(cand, key="dst_canon", order_col="votes",
                           tie_col="entity",
                           out_cols=["dst_canon", "entity", "votes"],

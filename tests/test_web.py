@@ -612,3 +612,25 @@ def test_latest_capture_clean_and_sitemaps(ray_session):
     sm = robots_sitemaps(robots).to_pandas()
     assert sorted(sm["sitemap_url"]) == ["https://h1/s.xml",
                                          "https://h1/s2.xml"]
+
+
+def test_anchor_entity_paths_agree(ray_session):
+    """Broadcast and forced-join label-side plans produce identical
+    candidate sets on the fixture."""
+    import os
+    import pyarrow.parquet  # noqa: F401
+    from tabbyray.fixtures import ensure_anchor_entity_fixture
+    from tabbyray.ops.web import anchor_entity_candidates
+    fix = ensure_anchor_entity_fixture()
+    pages = rd.read_parquet(os.path.join(fix, "pages.parquet"),
+                            override_num_blocks=4)
+    labels = rd.read_parquet(os.path.join(fix, "labels.parquet"),
+                             override_num_blocks=2)
+    key = ["dst_canon", "entity"]
+    b = (anchor_entity_candidates(pages, labels, mode="broadcast",
+                                  num_partitions=4)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    j = (anchor_entity_candidates(pages, labels, mode="join",
+                                  num_partitions=4)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, j)
