@@ -561,6 +561,28 @@ def _q_web_strip_tracking(sf_dir: str):
     return url_strip_tracking(ds)
 
 
+def _q_crawl_curated(sf_dir: str):
+    """The end-to-end crawl-curation flagship composition
+    (ops.crawlpipe.curate_crawl): blocklist ANTI join -> robots gate ->
+    latest-per-clean-URL collapse (html through the argmax combiner) ->
+    visible text -> Gopher quality AND repetition AND latin-script
+    gates -> keep-first content dedup. Oracle = one SQL program
+    assembled from the stage oracles."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import (ensure_blocklist_fixture,
+                                   ensure_crawl_fixture,
+                                   ensure_robots_fixture)
+    from tabbyray.ops.crawlpipe import curate_crawl
+    pages = rd.read_parquet(ensure_crawl_fixture(),
+                            override_num_blocks=8)
+    robots = rd.read_parquet(ensure_robots_fixture(),
+                             override_num_blocks=2)
+    bl = rd.read_parquet(ensure_blocklist_fixture(),
+                         override_num_blocks=1)
+    return curate_crawl(pages, robots, bl, num_partitions=8)
+
+
 def _q_web_latest_clean(sf_dir: str):
     """Recrawl dedup on the tracking-stripped form (campaign variants
     collapse): strip program + grouped_argmax (ts desc, url asc);
@@ -2384,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
         "web_strip_tracking": _q_web_strip_tracking,
+        "crawl_curated": _q_crawl_curated,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
         "web_page_blocks": _q_web_page_blocks,
@@ -3227,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
     from tabbyray.fixtures import (ensure_anchor_entity_fixture,
                                    ensure_blocklist_fixture,
                                    ensure_clustered_embeddings,
+                                   ensure_crawl_fixture,
                                    ensure_html_fixture,
                                    ensure_link_fixture,
                                    ensure_lineset_docs,
@@ -3250,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
     _bl_path = ensure_blocklist_fixture()             # idempotent, ~ms
     _template_path = ensure_template_fixture()        # idempotent, ~ms
     _tracking_path = ensure_tracking_fixture()        # idempotent, ~ms
+    _crawl_path = ensure_crawl_fixture()              # idempotent, ~ms
     _EMAIL_RE = _EMAIL.pattern
     _PHONE_RE = _PHONE.pattern
     norm_p_name = _NORM_SQL.format(col="p_name")
@@ -4378,6 +4403,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
+    out["crawl_curated"] = _crawl_pipeline_oracle(
+        _crawl_path, _robots_path, _bl_path, GOPHER_STOPWORDS)
     _clean_expr = _tracking_oracle(_tracking_path)
     out["web_latest_clean"] = f"""
         WITH stripped AS ({_clean_expr}),
@@ -4402,27 +4429,7 @@ def oracle_sql() -> dict[str, str]:
         FROM e
         WHERE regexp_matches(line, '(?i)^sitemap:[ \t]*\\S')
     """
-    out["script_profile"] = """
-        WITH c AS (SELECT doc_id,
-                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                     AS BIGINT) AS n_latin,
-                CAST(length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))
-                     AS BIGINT) AS n_cyrillic,
-                CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                     AS BIGINT) AS n_digit,
-                CAST(length(regexp_replace(text, '\\S', '', 'g'))
-                     AS BIGINT) AS n_space,
-                CAST(length(text) AS BIGINT) AS n_total
-            FROM documents)
-        SELECT doc_id, n_latin, n_cyrillic, n_digit, n_space,
-               n_total - n_latin - n_cyrillic - n_digit - n_space
-                   AS n_other,
-               n_total,
-               CASE WHEN n_latin > n_cyrillic THEN 'latin'
-                    WHEN n_cyrillic > n_latin THEN 'cyrillic'
-                    ELSE 'none' END AS dominant
-        FROM c
-    """
+    out["script_profile"] = _script_profile_sql("documents")
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
@@ -5021,13 +5028,19 @@ def _gopher_oracle(quality_path: str, stopwords: tuple) -> str:
     chr(10) split; every rule counter re-derived with DuckDB list
     lambdas and the composite ``passes`` re-stated as the same exact
     integer comparisons (thresholds cross-multiplied, no floats)."""
+    return _gopher_sql(f"read_parquet('{quality_path}')", stopwords)
+
+
+def _gopher_sql(src: str, stopwords: tuple) -> str:
+    """The quality-gate SQL over any (doc_id, text) source relation —
+    shared by the standalone oracle and the crawl-pipeline oracle."""
     stop_sql = ", ".join(f"'{s}'" for s in stopwords)
     return f"""
         WITH b AS (SELECT doc_id, text,
                           list_filter(string_split_regex(text, '\\s+'),
                                       x -> x <> '') AS ws,
                           string_split(text, chr(10)) AS ls
-                   FROM read_parquet('{quality_path}')),
+                   FROM {src}),
         c AS (SELECT doc_id,
                      CAST(len(ws) AS BIGINT) AS n_words,
                      CAST(COALESCE(list_sum(list_transform(ws,
@@ -5076,6 +5089,11 @@ def _gopher_repetition_oracle(rep_path: str) -> str:
     words produce no gram rows and LEFT JOIN + COALESCE restores the
     (''/0/0) sentinel. ``passes`` re-stated as the same cross-
     multiplied integer comparisons."""
+    return _gopher_repetition_sql(f"read_parquet('{rep_path}')")
+
+
+def _gopher_repetition_sql(src: str) -> str:
+    """The repetition-signal SQL over any (doc_id, text) source."""
     tops = []
     for n in (2, 3, 4):
         gram = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]"
@@ -5103,7 +5121,7 @@ def _gopher_repetition_oracle(rep_path: str) -> str:
                           list_filter(string_split_regex(text, '\\s+'),
                                       x -> x <> '') AS ws,
                           string_split(text, chr(10)) AS ls
-                   FROM read_parquet('{rep_path}')),
+                   FROM {src}),
         base AS (SELECT doc_id, ws,
                         CAST(len(ls) AS BIGINT) AS n_lines,
                         CAST(len(ls) - len(list_distinct(ls)) AS BIGINT)
@@ -5348,4 +5366,148 @@ def _tracking_oracle(tracking_path: str) -> str:
                || (CASE WHEN q3 = '' THEN '' ELSE '?' || q3 END)
                    AS clean_url
         FROM c3
+    """
+
+
+def _script_profile_sql(src: str) -> str:
+    """Unicode-script profile SQL over any (doc_id, text) source —
+    shared by the standalone oracle and the crawl-pipeline oracle."""
+    return f"""
+        WITH c AS (SELECT doc_id,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS BIGINT) AS n_latin,
+                CAST(length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))
+                     AS BIGINT) AS n_cyrillic,
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     AS BIGINT) AS n_digit,
+                CAST(length(regexp_replace(text, '\\S', '', 'g'))
+                     AS BIGINT) AS n_space,
+                CAST(length(text) AS BIGINT) AS n_total
+            FROM {src})
+        SELECT doc_id, n_latin, n_cyrillic, n_digit, n_space,
+               n_total - n_latin - n_cyrillic - n_digit - n_space
+                   AS n_other,
+               n_total,
+               CASE WHEN n_latin > n_cyrillic THEN 'latin'
+                    WHEN n_cyrillic > n_latin THEN 'cyrillic'
+                    ELSE 'none' END AS dominant
+        FROM c
+    """
+
+
+def _crawl_pipeline_oracle(crawl_path: str, robots_path: str,
+                           bl_path: str, stopwords: tuple) -> str:
+    """The end-to-end crawl-curation oracle: every stage of
+    ops.crawlpipe.curate_crawl re-derived in one SQL program, each
+    fragment lifted verbatim from its already-hash-verified standalone
+    oracle (component grammar, tracking strip, robots parse+gate,
+    latest-per-clean argmax, visible-text chain, Gopher quality +
+    repetition via the shared _gopher_sql/_gopher_repetition_sql,
+    script profile, keep-first content dedup)."""
+    rules = _robots_rules_cte(robots_path)
+    track_re = ("&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref"
+                "|mc_cid|mc_eid)=[^&]*")
+    return f"""
+        WITH {rules},
+        c AS (SELECT url, warc_ts, html,
+                 lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                     AS hostport,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                     AS raw_path,
+                 regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+           FROM read_parquet('{crawl_path}')),
+        c2 AS (SELECT *,
+                  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                  regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s,
+                  CASE WHEN scheme = 'https' THEN 443 ELSE 80 END
+                      AS dport
+           FROM c),
+        c3 AS (SELECT url, CAST(warc_ts AS BIGINT) AS ts_us, html,
+                  scheme, host, dport, query,
+                  regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                      AS registered_domain,
+                  CASE WHEN port_s = '' THEN dport
+                       ELSE CAST(port_s AS BIGINT) END AS port,
+                  CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+                      AS path,
+                  regexp_replace(regexp_replace('&' || query,
+                      '{track_re}', '', 'g'), '^&', '') AS q3
+           FROM c2),
+        canon AS (SELECT *,
+                  scheme || '://' || host
+                  || (CASE WHEN port = dport THEN ''
+                           ELSE ':' || CAST(port AS VARCHAR) END)
+                  || path
+                  || (CASE WHEN query = '' THEN ''
+                           ELSE '?' || query END) AS canon_url,
+                  scheme || '://' || host
+                  || (CASE WHEN port = dport THEN ''
+                           ELSE ':' || CAST(port AS VARCHAR) END)
+                  || path
+                  || (CASE WHEN q3 = '' THEN ''
+                           ELSE '?' || q3 END) AS clean_url
+           FROM c3),
+        unblocked AS (SELECT * FROM canon
+                      WHERE registered_domain NOT IN
+                          (SELECT lower(domain)
+                           FROM read_parquet('{bl_path}'))),
+        d AS (SELECT DISTINCT canon_url, host, path FROM unblocked),
+        m AS (SELECT d.canon_url, r.rule_path, r.allow,
+                     2 * length(r.rule_path) + r.allow AS score
+              FROM d JOIN rules r ON r.host = d.host
+              WHERE substr(d.path, 1, length(r.rule_path))
+                    = r.rule_path),
+        w AS (SELECT canon_url, allow FROM
+              (SELECT *, row_number() OVER (
+                   PARTITION BY canon_url
+                   ORDER BY score DESC, rule_path ASC) AS rn FROM m)
+              WHERE rn = 1),
+        allow_set AS (SELECT d.canon_url
+                      FROM d LEFT JOIN w USING (canon_url)
+                      WHERE COALESCE(w.allow, 1) = 1),
+        allowed AS (SELECT u.* FROM unblocked u
+                    JOIN allow_set a ON a.canon_url = u.canon_url),
+        win AS (SELECT clean_url, html FROM
+                (SELECT *, row_number() OVER (
+                     PARTITION BY clean_url
+                     ORDER BY ts_us DESC, url ASC) AS rn
+                 FROM allowed)
+                WHERE rn = 1),
+        h1 AS (SELECT clean_url, regexp_replace(html,
+                   '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+               FROM win),
+        h2 AS (SELECT clean_url, regexp_replace(t,
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+               FROM h1),
+        h3 AS (SELECT clean_url, regexp_replace(t,
+                   '(?s)<!--.*?-->', ' ', 'g') AS t FROM h2),
+        h4 AS (SELECT clean_url, regexp_replace(t,
+                   '(?s)<[^>]*>', ' ', 'g') AS t FROM h3),
+        h5 AS (SELECT clean_url,
+                      replace(replace(replace(replace(replace(replace(t,
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', chr(39)), '&nbsp;', ' '),
+                          '&amp;', '&') AS t
+               FROM h4),
+        vt AS (SELECT clean_url AS doc_id,
+                      trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
+               FROM h5),
+        qq AS ({_gopher_sql('vt', stopwords)}),
+        rr AS ({_gopher_repetition_sql('vt')}),
+        ss AS ({_script_profile_sql('vt')}),
+        kept AS (SELECT vt.doc_id, vt.text, qq.n_words
+                 FROM vt
+                 JOIN qq USING (doc_id)
+                 JOIN rr USING (doc_id)
+                 JOIN ss USING (doc_id)
+                 WHERE qq.passes = 1 AND rr.passes = 1
+                   AND ss.dominant = 'latin')
+        SELECT doc_id AS clean_url, text, n_words
+        FROM (SELECT *, row_number() OVER (PARTITION BY text
+                  ORDER BY doc_id ASC) AS rn FROM kept)
+        WHERE rn = 1
     """

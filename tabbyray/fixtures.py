@@ -1189,3 +1189,98 @@ def ensure_tracking_fixture(n_urls: int = 400, seed: int = 73,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_crawl_fixture(n_resources: int = 300, seed: int = 79,
+                         root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic end-to-end crawl-curation fixture:
+    ``crawl.parquet`` with (url, warc_ts int64 us, html) over the SAME
+    host universe as the robots fixture (so robots rules bind) and the
+    blocklist fixture's blocked domains. Every curation gate gets both
+    sides:
+
+    * ~15% of resources live on blocked registered domains.
+    * paths reuse the robots path vocabulary, so some canonical URLs
+      hit Disallow rules (and Allow overrides).
+    * each resource is captured 1-3 times, some captures decorated
+      with tracking params (collapse under the clean form) at strictly
+      increasing global timestamps; the html CONTENT CHANGES per
+      capture except a marker tied to the resource, so the
+      latest-capture choice is observable.
+    * body flavors: good latin paragraphs (pass all gates); too-short
+      (fail Gopher quality); one line spammed (fail repetition);
+      Cyrillic-dominant (fail script routing); near-empty. ~10% of
+      GOOD resources share an identical visible body with another
+      resource (content dup across urls — keep-first by clean_url).
+    * html carries the usual noise: script bodies with block tags in
+      strings, entities, comments."""
+    key = f"crawl-v1-s{seed}-r{n_resources}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    blocked = ["shoppy.io", "forum-board.org"]       # = blocklist fixture
+    good_words = ["the", "and", "for", "with", "from", "this", "that",
+                  "have", "were", "their", "about", "which", "would",
+                  "there", "could", "people", "system", "process",
+                  "data", "value", "market", "river", "city", "house"]
+
+    def good_body(k: int) -> str:
+        ps = []
+        for _ in range(3):
+            ws = [rng.choice(good_words) for _ in range(14)]
+            ps.append(" ".join(ws))
+        return (f"<p>resource {k} overview: {ps[0]}.</p>"
+                f"<p>{ps[1]} &amp; more.</p><p>{ps[2]}.</p>")
+
+    dup_pool = []
+    urls, tss, htmls = [], [], []
+    ts = 1_735_689_600_000_000
+    for r in range(n_resources):
+        if rng.random() < 0.15:
+            dom = rng.choice(blocked)
+        else:
+            dom = rng.choice([d for d in _WEB_DOMAINS
+                              if d not in blocked])
+        host = rng.choice(_WEB_SUBS) + dom
+        word = rng.choice(_WEB_PATH_WORDS)
+        p = (f"/{word}" if rng.random() < 0.3
+             else f"/{word}{rng.randrange(6)}")
+        p += f"/r{r}"
+        flavor = rng.randrange(10)
+        if flavor < 5:                       # good
+            if dup_pool and rng.random() < 0.2:
+                body = rng.choice(dup_pool)  # exact content dup
+            else:
+                body = good_body(r)
+                dup_pool.append(body)
+        elif flavor < 7:                     # too short
+            body = f"<p>tiny {r}</p>"
+        elif flavor < 8:                     # repetition spam
+            line = f"buy resource {r} now and again"
+            body = "<p>" + " ".join([line] * 12) + "</p>"
+        else:                                # cyrillic-dominant
+            body = (f"<p>ресурс {r}: это полностью русский текст "
+                    "про длинную реку и большой город возле " 
+                    "старого моста через долину</p>")
+        noise = ('<script>var t = "<p>ghost</p>";</script>'
+                 "<!-- comment -->")
+        for _cap in range(rng.randint(1, 3)):
+            q = ""
+            if rng.random() < 0.4:
+                q = "?" + rng.choice(["utm_source=x", "gclid=g1",
+                                      "ref=feed"])
+            ts += rng.randint(1, 5_000_000)
+            urls.append(f"https://{host}{p}{q}")
+            tss.append(ts)
+            htmls.append("<html><body>" + noise
+                         + f"<!-- cap {_cap} -->" + body
+                         + "</body></html>")
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "warc_ts": pa.array(tss, pa.int64()),
+                      "html": pa.array(htmls, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -634,3 +634,45 @@ def test_anchor_entity_paths_agree(ray_session):
                                   num_partitions=4)
          .to_pandas().sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(b, j)
+
+
+
+def test_curate_crawl_gates(ray_session):
+    """Each gate individually excludes its crafted capture; the
+    survivor collapses recrawls and dedups content keep-first."""
+    import pyarrow as pa
+    from tabbyray.ops.crawlpipe import curate_crawl
+    # long enough that a single n-gram occurrence stays under the
+    # Gopher coverage fractions (a short doc fails top-4 at count 1)
+    good = ("<p>the quick brown fox and that dog have gone from the "
+            "old mill to the wide river near this city</p>"
+            "<p>people from the market would trade value and data "
+            "with those that came from the house by the river</p>")
+    mk = lambda b: "<html><body><!-- x -->" + b + "</body></html>"
+    pages = rd.from_arrow(pa.table({
+        "url": [
+            "https://ok.example/a?utm_source=1",    # good, variant 1
+            "https://ok.example/a",                  # good, variant 2 (later)
+            "https://ok.example/dup",                # same content as /a
+            "https://blocked.bad/x",                 # blocked domain
+            "https://ok.example/private/p",          # robots-disallowed
+            "https://ok.example/short",              # fails quality
+            "https://ok.example/ru",                 # cyrillic
+        ],
+        "warc_ts": [100, 200, 300, 400, 500, 600, 700],
+        "html": [mk(good), mk(good), mk(good),
+                 mk(good), mk(good),
+                 mk("<p>tiny doc</p>"),
+                 mk("<p>это русский текст про реку и город и мост "
+                    "и долину и берег и лес</p>")],
+    }))
+    robots = rd.from_arrow(pa.table({
+        "host": ["ok.example"],
+        "robots_txt": ["User-agent: *\nDisallow: /private"]}))
+    bl = rd.from_arrow(pa.table({"domain": ["blocked.bad"]}))
+    got = curate_crawl(pages, robots, bl, num_partitions=4).to_pandas()
+    # only the deduped good doc survives; keep-first by clean_url:
+    # 'https://ok.example/a' < 'https://ok.example/dup'
+    assert list(got["clean_url"]) == ["https://ok.example/a"]
+    assert got.iloc[0]["n_words"] == 39
+    assert got.iloc[0]["text"].startswith("the quick brown fox")
