@@ -443,6 +443,10 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
                               ("n", pa.int64())])
     ).select_columns(["src", "dst"]).materialize()
     n_edges = ded.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.schema(
+            [("node", nd), ("auth", pa.float64()),
+             ("hub", pa.float64())]).empty_table())
 
     if mode != "join" and n_edges <= 2 * broadcast_max_nodes:
         import ray

@@ -1368,8 +1368,10 @@ def fetch_schedule(pages: rd.Dataset, url_col: str = "url",
 
     from .relational import typed_groupby_map
 
+    from .relational import _resolve_partitions
+
     frontier = crawl_frontier(pages, url_col, html_col, num_partitions)
-    nparts = num_partitions or 16
+    nparts = _resolve_partitions(num_partitions)
 
     def add_host(t: pa.Table) -> pa.Table:
         host = _parse_batch(t, "dst_canon")["host"]
