@@ -548,6 +548,44 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_host_triangles(sf_dir: str):
+    """Per-host triangle counts via degree-ordered orientation (wedge
+    self-join + semi-join close, O(m^1.5) bound under hub skew);
+    oracle = a lexicographic 3-way self-join over the SQL-re-derived
+    undirected distinct inter-host edge set (a < b < c enumerates each
+    triangle once; orientation order doesn't change the SET)."""
+    from tabbyray.ops.web import host_triangles
+    return host_triangles(_link_pages())
+
+
+def _q_web_host_clustering(sf_dir: str):
+    """Local clustering coefficient per host (2T / d(d-1), 0 at
+    deg < 2); oracle re-derives the same float expression over the SQL
+    triangle/degree CTEs."""
+    from tabbyray.ops.web import host_clustering
+    return host_clustering(_link_pages())
+
+
+def _q_web_host_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the undirected inter-host
+    graph: wedge self-join on the pivot, sum(1/ln(deg(pivot))) per
+    non-adjacent pair, ANTI join drops existing edges; oracle = the
+    identical expression as a SQL wedge join + ANTI JOIN. Both sides
+    quantize the score to 9 decimals: the engine and DuckDB sum the
+    1/ln terms in different orders (diff ~1e-16), and the harness
+    SORTS rows on the raw float before rounding — un-quantized,
+    score-tied rows order differently and the CSV hash diverges."""
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.web import host_adamic_adar
+    ds = host_adamic_adar(_link_pages())
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("adamic_adar"), "adamic_adar",
+            pc.round(t.column("adamic_adar"), 9)),
+        batch_format="pyarrow")
+
+
 def _q_web_strip_tracking(sf_dir: str):
     """Tracking-param removal + canonical rebuild ('&'-sentinel regex
     chain, surviving params keep order); oracle = the identical RE2
@@ -2405,6 +2443,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_hits": _q_web_host_hits,
+        "web_host_triangles": _q_web_host_triangles,
+        "web_host_clustering": _q_web_host_clustering,
+        "web_host_adamic_adar": _q_web_host_adamic_adar,
         "web_strip_tracking": _q_web_strip_tracking,
         "crawl_curated": _q_crawl_curated,
         "web_latest_clean": _q_web_latest_clean,
@@ -4654,6 +4695,65 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                              ELSE n_links END) AS BIGINT) AS ba_links
         FROM he GROUP BY 1, 2
         HAVING ab_links > 0 AND ba_links > 0
+    """
+    # undirected distinct inter-host edges + degree/triangle CTEs
+    # shared by the three graph-analytics oracles; lexicographic
+    # a < b < c enumerates each triangle exactly once (the engine's
+    # DEGREE-ordered orientation yields the same triangle SET)
+    tri_ctes = """
+        und AS (SELECT DISTINCT
+                  CASE WHEN src_host < dst_host THEN src_host
+                       ELSE dst_host END AS a,
+                  CASE WHEN src_host < dst_host THEN dst_host
+                       ELSE src_host END AS b
+                FROM links WHERE src_host <> dst_host),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tcnt AS (SELECT node,
+                        CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM (SELECT x AS node FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                 GROUP BY node)
+    """
+    out["web_host_triangles"] = f"""
+        WITH {chain}, {tri_ctes}
+        SELECT d.node AS host,
+               COALESCE(t.n_triangles, 0) AS n_triangles
+        FROM deg d LEFT JOIN tcnt t USING (node)
+    """
+    out["web_host_clustering"] = f"""
+        WITH {chain}, {tri_ctes}
+        SELECT d.node AS host, d.deg,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN 2.0 * COALESCE(t.n_triangles, 0)
+                         / (d.deg * (d.deg - 1.0))
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tcnt t USING (node)
+    """
+    out["web_host_adamic_adar"] = f"""
+        WITH {chain}, {tri_ctes},
+        sym AS (SELECT a AS pivot, b AS leaf FROM und
+                UNION ALL SELECT b, a FROM und),
+        aa AS (SELECT s1.leaf AS host_a, s2.leaf AS host_b,
+                      CAST(count(*) AS BIGINT) AS common_neighbors,
+                      round(SUM(1.0 / ln(d.deg)), 9) AS adamic_adar
+               FROM sym s1
+               JOIN sym s2 ON s1.pivot = s2.pivot
+                          AND s1.leaf < s2.leaf
+               JOIN deg d ON d.node = s1.pivot
+               GROUP BY 1, 2)
+        SELECT aa.host_a, aa.host_b, aa.common_neighbors,
+               aa.adamic_adar
+        FROM aa ANTI JOIN und e
+          ON aa.host_a = e.a AND aa.host_b = e.b
     """
     frontier = f"""
         tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks

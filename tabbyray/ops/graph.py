@@ -579,3 +579,339 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
         right_schema=pa.schema([("node", nd), ("hub", pa.float64())]),
         num_partitions=num_partitions)
     return out
+
+
+def undirected_edges(edges: rd.Dataset,
+                     pair_cols: tuple[str, str] = ("src", "dst"),
+                     node_dtype: "pa.DataType | None" = None,
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Canonical undirected edge set: drop self-loops and nulls, order
+    each pair as (a, b) with a < b (element-wise min/max — works for
+    string and integer node ids), then distinct via one combiner-backed
+    hash exchange on the pair. Output schema: (a, b)."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate
+
+    nd = node_dtype or pa.string()
+    ca, cb = pair_cols
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(_flat(t.column(ca)), nd)
+        b = pc.cast(_flat(t.column(cb)), nd)
+        keep = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                       pc.not_equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        out = pa.table({"a": lo, "b": hi,
+                        "one": pa.array([1] * len(lo), pa.int64())})
+        # batch-local dedup so the exchange moves distinct pairs/batch
+        return out.group_by(["a", "b"]).aggregate([("one", "min")]) \
+                  .rename_columns(["a", "b", "one"])
+
+    pairs = edges.map_batches(canon, batch_format="pyarrow")
+    out = hash_aggregate(
+        pairs, keys=["a", "b"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("a", nd), ("b", nd), ("_c", pa.int64())]))
+    return out.drop_columns(["_c"])
+
+
+def _edge_degrees(e: rd.Dataset, nd: "pa.DataType") -> rd.Dataset:
+    """(node, deg) over an (a, b) undirected distinct edge set — one
+    combiner-backed count aggregate over the exploded endpoints."""
+    from .relational import partial_agg_sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = _flat(t.column("a"))
+        b = _flat(t.column("b"))
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "one": pa.array([1] * (2 * t.num_rows),
+                                         pa.int64())})
+
+    return partial_agg_sum(e.map_batches(explode, batch_format="pyarrow"),
+                           "node", {"one": "deg"})
+
+
+def triangle_counts(edges: rd.Dataset,
+                    pair_cols: tuple[str, str] = ("src", "dst"),
+                    node_dtype: "pa.DataType | None" = None,
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-node triangle counts via DEGREE-ORDERED edge orientation —
+    the standard distributed triangle algorithm (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    orient every undirected edge from its lower-(deg, id) endpoint to
+    the higher one, so each node's oriented out-degree is O(sqrt(m))
+    and the wedge self-join materializes O(m^1.5) candidate pairs
+    TOTAL regardless of hub skew (an unordered wedge join on a
+    degree-d hub would emit d^2 rows — at web scale the host graph has
+    multi-million-degree hubs, which is exactly the 'last reducer'
+    this orientation kills).
+
+    Plan: undirected distinct edge set -> degree aggregate -> two
+    co-partitioned joins attach endpoint degrees -> vectorized orient
+    -> SELF-join oriented edges on the pivot (wedge generation) ->
+    rank-order filter -> SEMI-join candidate pairs against the
+    oriented edge set (each survivor is one triangle, found exactly
+    once) -> explode its 3 corners -> count aggregate -> left join
+    back onto the full node set (0-fill). Output: (node, n_triangles)
+    for EVERY node in the edge set. No driver-side state beyond plan
+    scalars."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import hash_join, partial_agg_sum
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    e = undirected_edges(edges, pair_cols, nd, num_partitions).materialize()
+    deg = _edge_degrees(e, nd).materialize()
+    deg_schema = pa.schema([("node", nd), ("deg", pa.int64())])
+    e_schema = pa.schema([("a", nd), ("b", nd)])
+
+    def rename(m: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+        return f
+
+    ja = hash_join(
+        e, deg.map_batches(rename({"node": "a", "deg": "deg_a"}),
+                           batch_format="pyarrow"),
+        on="a", left_schema=e_schema,
+        right_schema=pa.schema([("a", nd), ("deg_a", pa.int64())]),
+        num_partitions=num_partitions)
+    jb = hash_join(
+        ja, deg.map_batches(rename({"node": "b", "deg": "deg_b"}),
+                            batch_format="pyarrow"),
+        on="b",
+        left_schema=pa.schema([("a", nd), ("b", nd),
+                               ("deg_a", pa.int64())]),
+        right_schema=pa.schema([("b", nd), ("deg_b", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = _flat(t.column("a")), _flat(t.column("b"))
+        da = _flat(t.column("deg_a"))
+        db = _flat(t.column("deg_b"))
+        # a-first iff (deg_a, a) < (deg_b, b); a != b so the tuple
+        # order is total
+        first = pc.or_(pc.less(da, db),
+                       pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({"u": pc.if_else(first, a, b),
+                         "v": pc.if_else(first, b, a),
+                         "deg_v": pc.if_else(first, db, da)})
+
+    o_schema = pa.schema([("u", nd), ("v", nd), ("deg_v", pa.int64())])
+    oriented = jb.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedge generation: self-join on the pivot u; both neighbors sit
+    # ABOVE u in rank order, the candidate closing edge is oriented by
+    # THEIR (deg, id) rank — same total order, so one filter suffices
+    wedges = hash_join(
+        oriented.map_batches(rename({"v": "x", "deg_v": "deg_x"}),
+                             batch_format="pyarrow"),
+        oriented.map_batches(rename({"v": "y", "deg_v": "deg_y"}),
+                             batch_format="pyarrow"),
+        on="u",
+        left_schema=pa.schema([("u", nd), ("x", nd),
+                               ("deg_x", pa.int64())]),
+        right_schema=pa.schema([("u", nd), ("y", nd),
+                                ("deg_y", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def rank_filter(t: pa.Table) -> pa.Table:
+        dx, dy = _flat(t.column("deg_x")), _flat(t.column("deg_y"))
+        x, y = _flat(t.column("x")), _flat(t.column("y"))
+        keep = pc.or_(pc.less(dx, dy),
+                      pc.and_(pc.equal(dx, dy), pc.less(x, y)))
+        return pa.table({"x": x.filter(keep), "y": y.filter(keep),
+                         "pivot": _flat(t.column("u")).filter(keep)})
+
+    cand = wedges.map_batches(rank_filter, batch_format="pyarrow")
+    closed = hash_join(
+        cand,
+        oriented.map_batches(
+            lambda t: pa.table({"x": _flat(t.column("u")),
+                                "y": _flat(t.column("v"))}),
+            batch_format="pyarrow"),
+        on=["x", "y"], how="semi",
+        left_schema=pa.schema([("x", nd), ("y", nd), ("pivot", nd)]),
+        right_schema=pa.schema([("x", nd), ("y", nd)]),
+        num_partitions=num_partitions)
+
+    def corners(t: pa.Table) -> pa.Table:
+        xs = _flat(t.column("x"))
+        ys = _flat(t.column("y"))
+        ps = _flat(t.column("pivot"))
+        return pa.table({"node": pa.concat_arrays([xs, ys, ps]),
+                         "one": pa.array([1] * (3 * t.num_rows),
+                                         pa.int64())})
+
+    cnt = partial_agg_sum(closed.map_batches(corners,
+                                             batch_format="pyarrow"),
+                          "node", {"one": "n_tri"})
+
+    out = hash_join(
+        deg, cnt, on="node", how="left",
+        left_schema=deg_schema,
+        right_schema=pa.schema([("node", nd), ("n_tri", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(_flat(t.column("n_tri")), pa.int64()), 0)
+        return pa.table({"node": _flat(t.column("node")),
+                         "n_triangles": n})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def clustering_coefficients(edges: rd.Dataset,
+                            pair_cols: tuple[str, str] = ("src", "dst"),
+                            node_dtype: "pa.DataType | None" = None,
+                            num_partitions: "int | None" = None
+                            ) -> rd.Dataset:
+    """Local clustering coefficient per node:
+    ``2 * triangles(v) / (deg(v) * (deg(v) - 1))`` (0.0 for deg < 2).
+    One extra co-partitioned join over ``triangle_counts`` to stitch
+    the degree back on. Output: (node, deg, n_triangles, clustering)."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    e = undirected_edges(edges, pair_cols, nd, num_partitions).materialize()
+    tri = triangle_counts(e, ("a", "b"), nd, num_partitions)
+    deg = _edge_degrees(e, nd)
+    out = hash_join(
+        tri, deg, on="node",
+        left_schema=pa.schema([("node", nd),
+                               ("n_triangles", pa.int64())]),
+        right_schema=pa.schema([("node", nd), ("deg", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(_flat(t.column("deg")), pa.float64())
+        n = pc.cast(_flat(t.column("n_triangles")), pa.float64())
+        denom = pc.multiply(d, pc.subtract(d, pa.scalar(1.0)))
+        cc = pc.if_else(pc.greater(denom, pa.scalar(0.0)),
+                        pc.divide(pc.multiply(pa.scalar(2.0), n), denom),
+                        pa.scalar(0.0))
+        return pa.table({"node": _flat(t.column("node")),
+                         "deg": _flat(t.column("deg")),
+                         "n_triangles": _flat(t.column("n_triangles")),
+                         "clustering": pc.cast(cc, pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def adamic_adar(edges: rd.Dataset,
+                pair_cols: tuple[str, str] = ("src", "dst"),
+                node_dtype: "pa.DataType | None" = None,
+                max_pivot_degree: "int | None" = None,
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    NON-adjacent pair (a, b) with at least one common neighbor,
+
+        aa(a, b) = sum over common neighbors z of 1 / ln(deg(z))
+
+    (deg(z) >= 2 whenever z is a wedge pivot, so ln > 0). Output:
+    (node_a, node_b, common_neighbors, adamic_adar), node_a < node_b.
+
+    Plan: undirected edge set -> degree aggregate -> ONE join attaches
+    the pivot's 1/ln(deg) to its symmetric adjacency -> SELF-join on
+    the pivot generates wedges (x < z keeps each pair once) -> pair
+    count+sum aggregate -> ANTI-join drops already-connected pairs.
+
+    Wedge fan-out is quadratic in pivot degree and this op does NOT
+    orient by degree (both wedge ENDS are needed, not just the
+    above-rank ones), so a web-scale hub generates deg^2 candidate
+    pairs. ``max_pivot_degree`` caps it: pivots above the cap are
+    dropped from wedge generation (the standard supernode cut for
+    similarity joins — a 10^6-degree host's neighbor pairs are
+    near-random anyway); the cap is applied to the aggregated degree
+    table, one vectorized filter."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate, hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    e = undirected_edges(edges, pair_cols, nd, num_partitions).materialize()
+    deg = _edge_degrees(e, nd)
+    if max_pivot_degree is not None:
+        cap = max_pivot_degree
+        deg = deg.map_batches(
+            lambda t: t.filter(pc.less_equal(t.column("deg"), cap)),
+            batch_format="pyarrow")
+
+    def inv_ln(t: pa.Table) -> pa.Table:
+        d = pc.cast(_flat(t.column("deg")), pa.float64())
+        return pa.table({"pivot": _flat(t.column("node")),
+                         "inv_ln_deg": pc.divide(pa.scalar(1.0),
+                                                 pc.ln(d))})
+
+    piv = deg.map_batches(inv_ln, batch_format="pyarrow")
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = _flat(t.column("a")), _flat(t.column("b"))
+        return pa.table({"pivot": pa.concat_arrays([a, b]),
+                         "leaf": pa.concat_arrays([b, a])})
+
+    adj = hash_join(
+        e.map_batches(sym, batch_format="pyarrow"), piv, on="pivot",
+        left_schema=pa.schema([("pivot", nd), ("leaf", nd)]),
+        right_schema=pa.schema([("pivot", nd),
+                                ("inv_ln_deg", pa.float64())]),
+        num_partitions=num_partitions).materialize()
+
+    def rename(m: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+        return f
+
+    adj_schema = pa.schema([("pivot", nd), ("leaf", nd),
+                            ("inv_ln_deg", pa.float64())])
+    wedges = hash_join(
+        adj.map_batches(rename({"leaf": "node_a"}),
+                        batch_format="pyarrow"),
+        adj.map_batches(
+            lambda t: pa.table({"pivot": _flat(t.column("pivot")),
+                                "node_b": _flat(t.column("leaf"))}),
+            batch_format="pyarrow"),
+        on="pivot",
+        left_schema=pa.schema([("pivot", nd), ("node_a", nd),
+                               ("inv_ln_deg", pa.float64())]),
+        right_schema=pa.schema([("pivot", nd), ("node_b", nd)]),
+        num_partitions=num_partitions)
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        a, b = _flat(t.column("node_a")), _flat(t.column("node_b"))
+        keep = pc.less(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({"node_a": a, "node_b": b,
+                         "one": pa.array([1] * len(a), pa.int64()),
+                         "inv_ln_deg": _flat(t.column("inv_ln_deg"))
+                         .filter(keep)})
+
+    pairs = hash_aggregate(
+        wedges.map_batches(pair_filter, batch_format="pyarrow"),
+        keys=["node_a", "node_b"],
+        sum_cols={"one": "common_neighbors",
+                  "inv_ln_deg": "adamic_adar"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node_a", nd), ("node_b", nd),
+                              ("common_neighbors", pa.int64()),
+                              ("adamic_adar", pa.float64())]))
+
+    return hash_join(
+        pairs,
+        e.map_batches(rename({"a": "node_a", "b": "node_b"}),
+                      batch_format="pyarrow"),
+        on=["node_a", "node_b"], how="anti",
+        left_schema=pa.schema([("node_a", nd), ("node_b", nd),
+                               ("common_neighbors", pa.int64()),
+                               ("adamic_adar", pa.float64())]),
+        right_schema=pa.schema([("node_a", nd), ("node_b", nd)]),
+        num_partitions=num_partitions)

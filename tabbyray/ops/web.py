@@ -1667,3 +1667,67 @@ def latest_capture_clean(pages: rd.Dataset, url_col: str = "url",
                           tie_col=url_col,
                           out_cols=["clean_url", url_col, "ts_us"],
                           num_partitions=num_partitions)
+
+
+def host_triangles(pages: rd.Dataset, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-host triangle counts over the UNDIRECTED distinct inter-host
+    link graph (self-loops dropped inside ``undirected_edges``) — the
+    community-density signal for link-farm detection. Degree-ordered
+    orientation (see ``ops.graph.triangle_counts``) keeps the wedge
+    join O(m^1.5) under hub skew. Output: (host, n_triangles)."""
+    from .graph import triangle_counts
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    tri = triangle_counts(edges, ("src_host", "dst_host"),
+                          node_dtype=pa.string(),
+                          num_partitions=num_partitions)
+    return tri.map_batches(
+        lambda t: t.rename_columns(
+            ["host" if c == "node" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def host_clustering(pages: rd.Dataset, url_col: str = "url",
+                    html_col: str = "html",
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """Local clustering coefficient per host over the undirected
+    inter-host graph. Output: (host, deg, n_triangles, clustering)."""
+    from .graph import clustering_coefficients
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    cc = clustering_coefficients(edges, ("src_host", "dst_host"),
+                                 node_dtype=pa.string(),
+                                 num_partitions=num_partitions)
+    return cc.map_batches(
+        lambda t: t.rename_columns(
+            ["host" if c == "node" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def host_adamic_adar(pages: rd.Dataset, url_col: str = "url",
+                     html_col: str = "html",
+                     max_pivot_degree: "int | None" = None,
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Adamic-Adar link prediction over the undirected inter-host
+    graph: non-adjacent host pairs scored by their shared neighbors
+    (suggests hosts that SHOULD be crawled together / likely same
+    operator). Output: (host_a, host_b, common_neighbors,
+    adamic_adar)."""
+    from .graph import adamic_adar
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    aa = adamic_adar(edges, ("src_host", "dst_host"),
+                     node_dtype=pa.string(),
+                     max_pivot_degree=max_pivot_degree,
+                     num_partitions=num_partitions)
+
+    def rn(t: pa.Table) -> pa.Table:
+        m = {"node_a": "host_a", "node_b": "host_b"}
+        return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+    return aa.map_batches(rn, batch_format="pyarrow")

@@ -676,3 +676,52 @@ def test_curate_crawl_gates(ray_session):
     assert list(got["clean_url"]) == ["https://ok.example/a"]
     assert got.iloc[0]["n_words"] == 39
     assert got.iloc[0]["text"].startswith("the quick brown fox")
+
+
+def test_graph_analytics_hand_graph(ray_session):
+    """triangle_counts / clustering_coefficients / adamic_adar against
+    a hand-computed 6-node graph (two triangles sharing edge b-c, a
+    pendant, a disconnected edge):
+
+        a-b, a-c, b-c, b-d, c-d, d-e, f-g
+
+    triangles: (a,b,c) and (b,c,d); deg: a2 b3 c3 d3 e1 f1 g1."""
+    import math
+
+    from tabbyray.ops.graph import (adamic_adar, clustering_coefficients,
+                                    triangle_counts)
+    edges = rd.from_items([
+        {"src": "a", "dst": "b"}, {"src": "c", "dst": "a"},
+        {"src": "b", "dst": "c"}, {"src": "b", "dst": "d"},
+        {"src": "d", "dst": "c"}, {"src": "d", "dst": "e"},
+        {"src": "g", "dst": "f"},
+        # noise: dup edge both ways + self-loop, must not change counts
+        {"src": "b", "dst": "a"}, {"src": "a", "dst": "a"},
+    ])
+    tri = triangle_counts(edges).to_pandas().set_index("node")[
+        "n_triangles"].to_dict()
+    assert tri == {"a": 1, "b": 2, "c": 2, "d": 1, "e": 0,
+                   "f": 0, "g": 0}
+
+    cc = clustering_coefficients(edges).to_pandas().set_index("node")
+    assert cc.loc["a", "deg"] == 2 and cc.loc["b", "deg"] == 3
+    assert cc.loc["a", "clustering"] == pytest.approx(1.0)       # 2*1/(2*1)
+    assert cc.loc["b", "clustering"] == pytest.approx(2 * 2 / 6)
+    assert cc.loc["d", "clustering"] == pytest.approx(2 * 1 / 6)
+    assert cc.loc["e", "clustering"] == 0.0
+
+    aa = adamic_adar(edges).to_pandas()
+    aa = aa.set_index(["node_a", "node_b"]).sort_index()
+    # non-adjacent pairs with common neighbors:
+    #   (a,d): via b(3), c(3)  (b,e)/(c,e): via d(3)  (a,e): none
+    assert set(aa.index) == {("a", "d"), ("b", "e"), ("c", "e")}
+    assert aa.loc[("a", "d"), "common_neighbors"] == 2
+    assert aa.loc[("a", "d"), "adamic_adar"] == pytest.approx(
+        2 / math.log(3))
+    assert aa.loc[("b", "e"), "adamic_adar"] == pytest.approx(
+        1 / math.log(3))
+
+    # supernode cut: capping pivot degree at 2 leaves only a/e/f/g as
+    # pivots — a's single wedge (b, c) is adjacent, so no pair at all
+    aa_cap = adamic_adar(edges, max_pivot_degree=2).to_pandas()
+    assert len(aa_cap) == 0
