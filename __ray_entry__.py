@@ -2114,6 +2114,24 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_dsir_logratios(sf_dir: str):
+    """DSIR hashed-unigram importance weights (target = lang 'en'):
+    n_buckets fixed counters -> broadcast delta array -> stateless
+    scoring; oracle re-derives both smoothed bucket models with
+    md5_number_lower(term) % B and sums the identical ln-ratio per
+    doc (both sides quantize to 9 decimals — see the op docstring)."""
+    from tabbyray.ops.text import dsir_logratios
+    return dsir_logratios(_docs(sf_dir))
+
+
+def _q_dsir_selected(sf_dir: str):
+    """DSIR selection: top-200 docs by (log_ratio DESC, doc_id) via
+    the grouped_topk combiner; oracle = QUALIFY row_number over the
+    same quantized score."""
+    from tabbyray.ops.text import dsir_select_topk
+    return dsir_select_topk(_docs(sf_dir), k=200)
+
+
 def _q_price_quantiles(sf_dir: str):
     """Quantiles over a MONEY column: the exact distributed-histogram
     path on integer cents (bounded domain, hash-checkable). The
@@ -2513,6 +2531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # must hold at 100 TB — then the auto/broadcast originals)
         "tfidf_scores_join": _q_tfidf_scores_join,
         "doc_unigram_nll_join": _q_doc_unigram_nll_join,
+        "dsir_logratios": _q_dsir_logratios,
+        "dsir_selected": _q_dsir_selected,
         "tfidf_scores": _q_tfidf_scores,
         "doc_unigram_nll": _q_doc_unigram_nll,
         "term_doc_freq": _q_term_doc_freq,
@@ -4375,6 +4395,38 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN tc USING (term), tot
             GROUP BY doc_id
         """,
+        # DSIR hashed-unigram importance: bucket = md5_number_lower %
+        # 1024 (the engine's little-endian low-8-byte md5 convention),
+        # add-1 Laplace smoothing on both models, ln-ratio summed per
+        # doc and quantized to 9 decimals exactly like the engine
+        "dsir_logratios": """
+            WITH tok AS (SELECT doc_id, lang, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            tb AS (SELECT doc_id, lang,
+                          CAST(md5_number_lower(term) % 1024 AS BIGINT)
+                              AS b
+                   FROM tok),
+            raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS nr
+                    FROM tb GROUP BY b),
+            tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS nt
+                    FROM tb WHERE lang = 'en' GROUP BY b),
+            tots AS (SELECT CAST((SELECT count(*) FROM tb) AS DOUBLE)
+                                AS rtot,
+                            CAST((SELECT count(*) FROM tb
+                                  WHERE lang = 'en') AS DOUBLE) AS ttot),
+            delta AS (SELECT r.b,
+                             ln((COALESCE(t.nt, 0) + 1.0)
+                                / (tots.ttot + 1024.0))
+                             - ln((r.nr + 1.0) / (tots.rtot + 1024.0))
+                                 AS d
+                      FROM raw r LEFT JOIN tgt t USING (b), tots)
+            SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(SUM(delta.d), 9) AS log_ratio
+            FROM tb JOIN delta ON tb.b = delta.b
+            GROUP BY tb.doc_id
+        """,
         # order-preserving bucket rank == a global ORDER BY the full
         # 64-bit id hash (ties broken by id; hash collisions only)
         "global_shuffle_rank": """
@@ -4422,6 +4474,12 @@ def oracle_sql() -> dict[str, str]:
     # broadcast originals — identical oracles
     out["tfidf_scores_join"] = out["tfidf_scores"]
     out["doc_unigram_nll_join"] = out["doc_unigram_nll"]
+    out["dsir_selected"] = f"""
+        WITH scores AS ({out["dsir_logratios"]})
+        SELECT doc_id, n_tokens, log_ratio FROM scores
+        QUALIFY row_number() OVER (
+            ORDER BY log_ratio DESC, doc_id ASC) <= 200
+    """
     # the sqlite-spill variant keeps the identical kept-fp set
     out["incremental_dedup_spill"] = out["incremental_dedup_fps"]
     # forced scale-path variants compute the same relations

@@ -1092,3 +1092,131 @@ def script_profile(docs: rd.Dataset) -> rd.Dataset:
                          "dominant": dom})
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _bucket_tokens(texts: list, n_buckets: int):
+    """Tokenize a batch (shared _WS whitespace convention) and hash
+    every token to a fixed bucket: low-8-bytes-little-endian md5 ==
+    DuckDB's ``md5_number_lower`` (the ops/dedup.py shingle
+    convention), mod n_buckets. A per-batch distinct-token cache runs
+    md5 once per unique token. Returns (per-doc token counts int64,
+    flat bucket array int64, doc boundaries via counts)."""
+    toks_per_doc: list[list[str]] = [
+        _WS.sub(" ", (x or "")).strip().split(" ") for x in texts]
+    cache: dict[str, int] = {}
+    flat = []
+    for toks in toks_per_doc:
+        for tok in toks:
+            b = cache.get(tok)
+            if b is None:
+                b = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[8:],
+                    "little") % n_buckets
+                cache[tok] = b
+            flat.append(b)
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    return counts, np.array(flat, dtype=np.int64)
+
+
+def dsir_logratios(docs: rd.Dataset, target_col: str = "lang",
+                   target_value: str = "en", n_buckets: int = 1024,
+                   smoothing: float = 1.0,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"), hashed-unigram
+    variant: tokens hash into ``n_buckets`` fixed buckets; a TARGET
+    unigram model (docs where ``target_col == target_value``) and a
+    RAW model (all docs) are estimated over the bucket space with
+    add-``smoothing`` Laplace smoothing, and every doc scores
+
+        log_ratio(d) = sum over tokens of
+                       [ln p_target(bucket) - ln p_raw(bucket)]
+
+    High log_ratio = looks like the target distribution; resample /
+    top-k on it to select pretraining data.
+
+    This is DSIR's own scale architecture: model state is EXACTLY
+    ``n_buckets`` counters regardless of corpus size, so pass 1 is a
+    bincount combiner + one tiny aggregate (the driver touches
+    n_buckets rows, never the vocabulary), and pass 2 is a stateless
+    map over a broadcast (n_buckets,) float array (``ray.put`` once,
+    ~8 KiB at the default 1024). No vocabulary shuffle exists in the
+    plan at any scale.
+
+    ``log_ratio`` is quantized to 9 decimals: the engine sums per-doc
+    in token order, a SQL oracle sums in join order — equal to ~1e-13
+    but not bitwise, and downstream top-k ordering must agree exactly.
+    Output: (id_col, n_tokens, log_ratio)."""
+    import ray
+
+    from .relational import partial_agg_sum
+
+    lam = float(smoothing)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        is_tgt = np.array(
+            [v == target_value for v in t.column(target_col).to_pylist()],
+            dtype=bool)
+        counts, flat = _bucket_tokens(texts, n_buckets)
+        raw = np.bincount(flat, minlength=n_buckets)
+        tgt_mask = np.repeat(is_tgt, counts)
+        tgt = np.bincount(flat[tgt_mask], minlength=n_buckets)
+        nz = np.nonzero(raw)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n_raw": pa.array(raw[nz], pa.int64()),
+                         "n_tgt": pa.array(tgt[nz], pa.int64())})
+
+    bc = partial_agg_sum(
+        docs.map_batches(bucket_counts, batch_format="pyarrow"),
+        "bucket", {"n_raw": "n_raw", "n_tgt": "n_tgt"}
+    ).to_pandas()  # bounded: <= n_buckets rows by construction
+
+    raw = np.zeros(n_buckets, dtype=np.float64)
+    tgt = np.zeros(n_buckets, dtype=np.float64)
+    raw[bc["bucket"].to_numpy()] = bc["n_raw"].to_numpy()
+    tgt[bc["bucket"].to_numpy()] = bc["n_tgt"].to_numpy()
+    rtot, ttot = raw.sum(), tgt.sum()
+    delta = (np.log((tgt + lam) / (ttot + lam * n_buckets))
+             - np.log((raw + lam) / (rtot + lam * n_buckets)))
+    ref = ray.put(delta)
+
+    def score(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        counts, flat = _bucket_tokens(t.column(text_col).to_pylist(),
+                                      n_buckets)
+        sums = np.zeros(len(counts), dtype=np.float64)
+        np.add.at(sums, np.repeat(np.arange(len(counts)), counts),
+                  d[flat])
+        return pa.table({id_col: t.column(id_col),
+                         "n_tokens": pa.array(counts, pa.int64()),
+                         "log_ratio": pa.array(np.round(sums, 9),
+                                               pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select_topk(docs: rd.Dataset, k: int = 200,
+                     target_col: str = "lang", target_value: str = "en",
+                     n_buckets: int = 1024,
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """DSIR selection: the k docs whose hashed-unigram importance
+    ratio is highest (ties broken by doc_id) — ``dsir_logratios``
+    piped through the grouped_topk combiner (each batch forwards at
+    most k rows, one single-partition finish). Output: (doc_id,
+    n_tokens, log_ratio)."""
+    from .relational import grouped_topk
+
+    scores = dsir_logratios(docs, target_col, target_value, n_buckets,
+                            num_partitions=num_partitions)
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array([0] * t.num_rows,
+                                              pa.int64()))
+
+    return grouped_topk(
+        scores.map_batches(add_const, batch_format="pyarrow"),
+        key="_g", order_col="log_ratio", tie_col="doc_id",
+        out_cols=["doc_id", "n_tokens", "log_ratio"], k=k,
+        num_partitions=num_partitions)

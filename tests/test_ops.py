@@ -800,3 +800,61 @@ def test_script_profile(ray_session):
     assert got.loc[1, "n_cyrillic"] == 4          # ё included
     assert got.loc[2, "dominant"] == "none"       # 3 vs 3 tie
     assert got.loc[3, "n_total"] == 0 and got.loc[3, "dominant"] == "none"
+
+
+def test_dsir_logratios_reference(ray_session):
+    """DSIR hashed-unigram weights vs an independent per-test reference
+    (dict-based bucket models, plain Python sums) on a tiny bilingual
+    corpus; the target-language docs must outscore the others and the
+    top-k selection must agree with a full sort."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from tabbyray.ops.text import dsir_logratios, dsir_select_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "lang": ["en", "en", "de", "de", "en"],
+        "text": ["the cat sat", "the dog ran fast",
+                 "der hund lief", "die katze sass schnell",
+                 "the cat ran"]})
+    B = 1024
+
+    def bucket(tok):
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:],
+                              "little") % B
+
+    raw, tgt = {}, {}
+    for _, r in docs.iterrows():
+        for tok in r["text"].split(" "):
+            b = bucket(tok)
+            raw[b] = raw.get(b, 0) + 1
+            if r["lang"] == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    rtot, ttot = sum(raw.values()), sum(tgt.values())
+
+    def ref_score(text):
+        s = 0.0
+        for tok in text.split(" "):
+            b = bucket(tok)
+            s += (math.log((tgt.get(b, 0) + 1.0) / (ttot + B))
+                  - math.log((raw.get(b, 0) + 1.0) / (rtot + B)))
+        return s
+
+    ds = rd.from_pandas(docs).repartition(3)
+    got = dsir_logratios(ds).to_pandas().set_index("doc_id")
+    for _, r in docs.iterrows():
+        assert got.loc[r["doc_id"], "log_ratio"] == pytest.approx(
+            ref_score(r["text"]), abs=1e-8)
+        assert got.loc[r["doc_id"], "n_tokens"] == len(
+            r["text"].split(" "))
+    en_mean = got.loc[[0, 1, 4], "log_ratio"].mean()
+    de_mean = got.loc[[2, 3], "log_ratio"].mean()
+    assert en_mean > de_mean
+
+    top = dsir_select_topk(ds, k=3).to_pandas()
+    full = got.reset_index().sort_values(
+        ["log_ratio", "doc_id"], ascending=[False, True]).head(3)
+    assert sorted(top["doc_id"]) == sorted(full["doc_id"])
