@@ -672,6 +672,20 @@ def _q_web_host_templates(sf_dir: str):
     return host_template_blocks(ds, num_partitions=8)
 
 
+def _q_web_strip_templates(sf_dir: str):
+    """Boilerplate removal: positioned block explode -> ANTI join on
+    (host, block) vs the mined template set -> per-url reassembly in
+    segment order (all-template pages disappear); oracle = the same
+    chain with seg_no from a zipped unnest and SQL ANTI JOIN."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_template_fixture
+    from tabbyray.ops.web import strip_template_blocks
+    ds = rd.read_parquet(ensure_template_fixture(),
+                         override_num_blocks=4)
+    return strip_template_blocks(ds, num_partitions=8)
+
+
 def _q_web_reciprocal_hosts(sf_dir: str):
     """Link-farm signal: unordered host pairs linking both ways with
     per-direction counts; oracle = oriented pair aggregate + HAVING."""
@@ -782,6 +796,14 @@ def _q_line_dedup_docs(sf_dir: str):
     surviving line drop); oracle = string_agg ORDER BY line_no."""
     from tabbyray.ops.dedup import line_dedup
     return line_dedup(_linedocs())
+
+
+def _q_doc_line_dedup(sf_dir: str):
+    """WITHIN-doc keep-first line dedup — stateless zero-shuffle map
+    (no exchange at any scale); oracle = QUALIFY row_number PARTITION
+    BY (doc_id, line) + string_agg reassembly."""
+    from tabbyray.ops.dedup import doc_line_dedup
+    return doc_line_dedup(_linedocs())
 
 
 def _q_web_robots_rules(sf_dir: str):
@@ -2470,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_robots_sitemaps": _q_web_robots_sitemaps,
         "web_page_blocks": _q_web_page_blocks,
         "web_host_templates": _q_web_host_templates,
+        "web_strip_templates": _q_web_strip_templates,
         "web_reciprocal_hosts": _q_web_reciprocal_hosts,
         "web_crawl_frontier": _q_web_crawl_frontier,
         "web_fetch_schedule": _q_web_fetch_schedule,
@@ -2481,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_components": _q_web_host_components,
         "line_dedup_lines": _q_line_dedup_lines,
         "line_dedup_docs": _q_line_dedup_docs,
+        "doc_line_dedup": _q_doc_line_dedup,
         "web_robots_rules": _q_web_robots_rules,
         "web_robots_gate": _q_web_robots_gate,
         "web_visible_text": _q_web_visible_text,
@@ -5040,6 +5064,22 @@ def _linededup_oracles(linedocs_path: str) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_kept
         FROM k GROUP BY doc_id
     """
+    out["doc_line_dedup"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM read_parquet('{linedocs_path}')),
+        l AS (SELECT doc_id, len(ls) AS n_lines, unnest(ls) AS line,
+                     CAST(unnest(range(0, len(ls))) AS BIGINT) AS line_no
+              FROM sp),
+        k AS (SELECT doc_id, n_lines, line, line_no FROM l
+              QUALIFY row_number() OVER (PARTITION BY doc_id, line
+                                         ORDER BY line_no) = 1)
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_no) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(any_value(n_lines) - count(*) AS BIGINT)
+                   AS n_dropped
+        FROM k GROUP BY doc_id
+    """
     return out
 
 
@@ -5446,10 +5486,14 @@ def _template_oracles(template_path: str) -> dict[str, str]:
                FROM s1),
         s3 AS (SELECT url, regexp_replace(t,
                    '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-        seg AS (SELECT url, unnest(string_split_regex(t,
-                    '{block_pat}')) AS s
-                FROM s3),
-        c1 AS (SELECT url, trim(regexp_replace(
+        segl AS (SELECT url, string_split_regex(t,
+                     '{block_pat}') AS ss
+                 FROM s3),
+        seg AS (SELECT url, unnest(ss) AS s,
+                       CAST(unnest(range(0, len(ss))) AS BIGINT)
+                           AS seg_no
+                FROM segl),
+        c1 AS (SELECT url, seg_no, trim(regexp_replace(
                    replace(replace(replace(replace(replace(replace(
                        regexp_replace(s, '(?s)<[^>]*>', ' ', 'g'),
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -5457,7 +5501,8 @@ def _template_oracles(template_path: str) -> dict[str, str]:
                        '&amp;', '&'),
                    '\\s+', ' ', 'g')) AS block
                FROM seg),
-        blocks AS (SELECT url, block FROM c1 WHERE block <> '')
+        blocks AS (SELECT url, seg_no, block FROM c1
+                   WHERE block <> '')
     """
     host_expr = ("regexp_extract(lower(regexp_extract(url, "
                  "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
@@ -5482,6 +5527,30 @@ def _template_oracles(template_path: str) -> dict[str, str]:
             FROM pb JOIN hp USING (host)
             WHERE 100 * n_pages_with >= 50 * n_pages_host
               AND n_pages_with >= 2
+        """,
+        "web_strip_templates": f"""
+            WITH {seg_chain},
+            hb AS (SELECT DISTINCT {host_expr} AS host, url, block
+                   FROM blocks),
+            pb AS (SELECT host, block,
+                          CAST(count(*) AS BIGINT) AS n_pages_with
+                   FROM hb GROUP BY host, block),
+            hp AS (SELECT {host_expr} AS host,
+                          CAST(count(DISTINCT url) AS BIGINT)
+                              AS n_pages_host
+                   FROM h0 GROUP BY 1),
+            tpl AS (SELECT host, block FROM pb JOIN hp USING (host)
+                    WHERE 100 * n_pages_with >= 50 * n_pages_host
+                      AND n_pages_with >= 2),
+            bh AS (SELECT {host_expr} AS host, url, seg_no, block
+                   FROM blocks),
+            kept AS (SELECT bh.url, bh.seg_no, bh.block FROM bh
+                     ANTI JOIN tpl ON bh.host = tpl.host
+                                  AND bh.block = tpl.block)
+            SELECT url,
+                   string_agg(block, chr(10) ORDER BY seg_no) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY url
         """,
     }
 

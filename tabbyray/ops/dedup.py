@@ -851,3 +851,45 @@ def line_dedup(docs: rd.Dataset, id_col: str = "doc_id",
     return typed_groupby_map(
         won.map_batches(part, batch_format="pandas"),
         "_part", reassemble, out_schema)
+
+
+def doc_line_dedup(docs: rd.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   sep: str = "\n") -> rd.Dataset:
+    """WITHIN-document line dedup (the Gopher/RefinedWeb in-doc
+    repetition cleanup, cousin of corpus-wide ``line_dedup``): each
+    document keeps the FIRST occurrence of every distinct line, in
+    original order. Purely per-row — a stateless zero-shuffle
+    map_batches; the whole transform is one vectorized explode +
+    drop_duplicates + rejoin per batch, no exchange at any scale.
+    Output: (id_col, text_col, n_kept, n_dropped)."""
+    import pyarrow.compute as pc
+
+    from .web import _explode_positions
+
+    out_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("n_dropped", pa.int64())])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        txt = pc.cast(t.column(text_col), pa.string()).combine_chunks()
+        sp = pc.split_pattern(txt, sep)
+        flat, parents, pos = _explode_positions(sp)
+        df = pd.DataFrame({
+            "_p": parents, "line": flat.to_pandas(), "pos": pos})
+        kept = df.drop_duplicates(["_p", "line"], keep="first")
+        agg = kept.groupby("_p", sort=True)["line"].agg(
+            [(text_col, sep.join), ("n_kept", "size")])
+        total = df.groupby("_p", sort=True).size()
+        ids = pc.cast(t.column(id_col), pa.int64()).to_pandas()
+        return pa.table({
+            id_col: pa.array(ids.iloc[agg.index].to_numpy(), pa.int64()),
+            text_col: pa.array(agg[text_col].to_numpy(), pa.string()),
+            "n_kept": pa.array(agg["n_kept"].to_numpy(), pa.int64()),
+            "n_dropped": pa.array(
+                (total.loc[agg.index] - agg["n_kept"]).to_numpy(),
+                pa.int64())})
+
+    return docs.map_batches(dedup, batch_format="pyarrow")

@@ -1444,7 +1444,8 @@ _BLOCK_SPLIT_RE = r"(?i)<(?:p|div|li|h[1-6]|td|tr|br)\b[^>]*>"
 
 
 def page_blocks(pages: rd.Dataset, url_col: str = "url",
-                html_col: str = "html") -> rd.Dataset:
+                html_col: str = "html",
+                with_pos: bool = False) -> rd.Dataset:
     """Block-level visible-text segmentation: strip script/style
     bodies and comments from the WHOLE page first (so a block tag
     inside a script string cannot sever the script body), split at
@@ -1453,17 +1454,22 @@ def page_blocks(pages: rd.Dataset, url_col: str = "url",
     chain (tag strip, entities with &amp; last, whitespace collapse)
     and drop empty results. One (url, block) row per non-empty
     segment, including the pre-first-tag preamble. Stateless zero-copy
-    Arrow explode — the extract_anchors shape."""
+    Arrow explode — the extract_anchors shape. ``with_pos=True`` adds
+    the 0-based RAW segment index ``seg_no`` (position among all
+    segments, empties included — stable under the empty-drop) for
+    order-preserving reassembly downstream."""
     def f(t: pa.Table) -> pa.Table:
-        out_schema = pa.schema([(url_col, pa.string()),
-                                ("block", pa.string())])
+        cols = [(url_col, pa.string()), ("block", pa.string())]
+        if with_pos:
+            cols.append(("seg_no", pa.int64()))
+        out_schema = pa.schema(cols)
         if t.num_rows == 0:
             return out_schema.empty_table()
         html = pc.cast(t.column(html_col), pa.string()).combine_chunks()
         for pat in _STRIP_BLOCK_RES:
             html = pc.replace_substring_regex(html, pat, " ")
         sp = pc.split_pattern_regex(html, _BLOCK_SPLIT_RE)
-        flat, parents, _pos = _explode_positions(sp)
+        flat, parents, pos = _explode_positions(sp)
         txt = pc.replace_substring_regex(flat, _TAG_RE, " ")
         for ent, rep in _ENTITIES:
             txt = pc.replace_substring(txt, ent, rep)
@@ -1472,7 +1478,10 @@ def page_blocks(pages: rd.Dataset, url_col: str = "url",
         keep = pc.invert(pc.equal(txt, ""))
         urls = pc.take(pc.cast(t.column(url_col), pa.string()),
                        pc.filter(parents, keep))
-        return pa.table({url_col: urls, "block": pc.filter(txt, keep)})
+        out = {url_col: urls, "block": pc.filter(txt, keep)}
+        if with_pos:
+            out["seg_no"] = pc.filter(pa.array(pos, pa.int64()), keep)
+        return pa.table(out)
 
     return pages.map_batches(f, batch_format="pyarrow")
 
@@ -1731,3 +1740,71 @@ def host_adamic_adar(pages: rd.Dataset, url_col: str = "url",
         return t.rename_columns([m.get(c, c) for c in t.column_names])
 
     return aa.map_batches(rn, batch_format="pyarrow")
+
+
+def strip_template_blocks(pages: rd.Dataset, url_col: str = "url",
+                          html_col: str = "html", min_pct: int = 50,
+                          min_pages: int = 2,
+                          num_partitions: "int | None" = None
+                          ) -> rd.Dataset:
+    """Boilerplate REMOVAL (the transform ``host_template_blocks``
+    mines for): every block whose text is one of its host's template
+    blocks is dropped from the page, the survivors reassemble in
+    original segment order. A block text that recurs within one page
+    drops at every position if it's a template. Pages whose every
+    block is template disappear (nothing left — the CCNet empty-doc
+    rule). Output: (url, text, n_kept).
+
+    Plan: positioned block explode (stateless) -> host attach ->
+    ANTI ``hash_join`` on (host, block) against the mined template
+    set (big-big safe: both sides are distributed, the anti side
+    ships distinct keys only) -> one url-hash exchange reassembles
+    per partition. The template mining itself re-runs its own two
+    exchanges; at crawl scale mine ONCE, persist, and pass the
+    parquet-backed template set instead (same join)."""
+    import pandas as pd
+
+    from .relational import hash_join, typed_groupby_map, \
+        _resolve_partitions as _rp
+
+    num_partitions = _rp(num_partitions)
+    blocks = page_blocks(pages, url_col, html_col, with_pos=True)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = _parse_batch(t, url_col)["host"]
+        return pa.table({"host": host,
+                         "url": pc.cast(t.column(url_col), pa.string()),
+                         "block": t.column("block"),
+                         "seg_no": t.column("seg_no")})
+
+    tpl = host_template_blocks(pages, url_col, html_col, min_pct,
+                               min_pages, num_partitions)
+    kept = hash_join(
+        blocks.map_batches(add_host, batch_format="pyarrow"),
+        tpl.select_columns(["host", "block"]),
+        on=["host", "block"], how="anti",
+        left_schema=pa.schema([("host", pa.string()),
+                               ("url", pa.string()),
+                               ("block", pa.string()),
+                               ("seg_no", pa.int64())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("block", pa.string())]),
+        num_partitions=num_partitions)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["url"], index=False)
+        return df.assign(_part=(h % num_partitions).astype("int64"))
+
+    out_schema = pa.schema([("url", pa.string()), ("text", pa.string()),
+                            ("n_kept", pa.int64())])
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "seg_no"], kind="stable")
+        agg = g.groupby("url", sort=True)["block"].agg(
+            [("text", "\n".join), ("n_kept", "size")]).reset_index()
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        return agg
+
+    return typed_groupby_map(
+        kept.map_batches(part, batch_format="pandas"),
+        "_part", reassemble, out_schema)

@@ -725,3 +725,37 @@ def test_graph_analytics_hand_graph(ray_session):
     # pivots — a's single wedge (b, c) is adjacent, so no pair at all
     aa_cap = adamic_adar(edges, max_pivot_degree=2).to_pandas()
     assert len(aa_cap) == 0
+
+
+def test_strip_template_blocks_and_doc_line_dedup(ray_session):
+    """strip_template_blocks: the shared footer drops from every page
+    of the host, unique content stays in order, the all-template page
+    disappears. doc_line_dedup: within-doc keep-first."""
+    from tabbyray.ops.dedup import doc_line_dedup
+    from tabbyray.ops.web import strip_template_blocks
+    foot = "<p>copyright footer</p>"
+    pages = rd.from_items([
+        {"url": "http://h.com/1",
+         "html": f"<p>alpha one</p><p>beta</p>{foot}"},
+        {"url": "http://h.com/2", "html": f"<p>gamma</p>{foot}"},
+        {"url": "http://h.com/3", "html": foot},
+        {"url": "http://other.org/1",
+         "html": "<p>copyright footer</p><p>solo</p>"},
+    ])
+    got = strip_template_blocks(pages, min_pct=50, min_pages=2) \
+        .to_pandas().set_index("url")
+    assert got.loc["http://h.com/1", "text"] == "alpha one\nbeta"
+    assert got.loc["http://h.com/2", "text"] == "gamma"
+    assert "http://h.com/3" not in got.index      # all-template page
+    # other.org has <2 pages: its footer is NOT a template there
+    assert got.loc["http://other.org/1", "text"] \
+        == "copyright footer\nsolo"
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "a\nb\na\nc\nb"},
+        {"doc_id": 1, "text": "x"},
+    ])
+    dd = doc_line_dedup(docs).to_pandas().set_index("doc_id")
+    assert dd.loc[0, "text"] == "a\nb\nc"
+    assert dd.loc[0, "n_kept"] == 3 and dd.loc[0, "n_dropped"] == 2
+    assert dd.loc[1, "text"] == "x" and dd.loc[1, "n_dropped"] == 0
