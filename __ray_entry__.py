@@ -586,6 +586,34 @@ def _q_web_host_adamic_adar(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_web_host_features(sf_dir: str):
+    """Per-host web-graph feature assembly (classifier input table):
+    degree + triangles + clustering + PageRank + HITS stitched with
+    two co-partitioned joins; oracle = one SQL program composed from
+    the individually-verified fragment oracles (nested-CTE
+    subqueries), joined on host."""
+    from tabbyray.ops.web import host_feature_table
+    return host_feature_table(_link_pages())
+
+
+def _q_web_host_assortativity(sf_dir: str):
+    """Degree assortativity over the undirected inter-host graph:
+    exact int64 moments (n, Σx, Σxy, Σx²) via per-batch partials + one
+    tiny aggregate; only the final division is float. Oracle = the
+    same integer moments in SQL, same final expression."""
+    from tabbyray.ops.web import host_assortativity
+    return host_assortativity(_link_pages())
+
+
+def _q_web_host_kcore(sf_dir: str):
+    """k-core peeling (k=16) at the FIXED-DEPTH 4-round contract (the
+    unrolled-oracle pattern pagerank/HITS use): each round recomputes
+    degrees over the surviving edges and drops hosts below k. Oracle =
+    4 unrolled degree/filter CTE rounds."""
+    from tabbyray.ops.web import host_kcore
+    return host_kcore(_link_pages(), k=16, max_rounds=4)
+
+
 def _q_web_strip_tracking(sf_dir: str):
     """Tracking-param removal + canonical rebuild ('&'-sentinel regex
     chain, surviving params keep order); oracle = the identical RE2
@@ -2136,6 +2164,16 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing at exact NLL
+    terciles via bounded-state multipass quantiles; oracle =
+    quantile_cont thresholds + the same CASE over the unigram-NLL
+    fragment (engine NLL is bitwise-equal to the SQL — proven by the
+    hash-green doc_unigram_nll — so bucket edges agree exactly)."""
+    from tabbyray.ops.text import ccnet_perplexity_buckets
+    return ccnet_perplexity_buckets(_docs(sf_dir))
+
+
 def _q_dsir_logratios(sf_dir: str):
     """DSIR hashed-unigram importance weights (target = lang 'en'):
     n_buckets fixed counters -> broadcast delta array -> stateless
@@ -2361,6 +2399,20 @@ def _q_embedding_norms(sf_dir: str):
         columns=["vec_id", "embedding"]))
 
 
+def _q_embedding_quantized(sf_dir: str):
+    """Per-dimension int8-style scalar quantization (long format):
+    bounded min/max aggregate (one row per dim) + broadcast scale
+    arrays + stateless map; round-half-up via floor so numpy and SQL
+    agree bitwise; oracle = zipped unnest + the identical expression
+    (v - lo) * (255.0 / (hi - lo)) + 0.5."""
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import embedding_quantize
+    return embedding_quantize(rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))
+
+
 def _q_inverted_index(sf_dir: str):
     from tabbyray.ops.text import inverted_index
     return inverted_index(_docs(sf_dir), min_df=10)
@@ -2486,6 +2538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_triangles": _q_web_host_triangles,
         "web_host_clustering": _q_web_host_clustering,
         "web_host_adamic_adar": _q_web_host_adamic_adar,
+        "web_host_assortativity": _q_web_host_assortativity,
+        "web_host_kcore": _q_web_host_kcore,
+        "web_host_features": _q_web_host_features,
         "web_strip_tracking": _q_web_strip_tracking,
         "crawl_curated": _q_crawl_curated,
         "web_latest_clean": _q_web_latest_clean,
@@ -2557,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll_join": _q_doc_unigram_nll_join,
         "dsir_logratios": _q_dsir_logratios,
         "dsir_selected": _q_dsir_selected,
+        "ccnet_buckets": _q_ccnet_buckets,
         "tfidf_scores": _q_tfidf_scores,
         "doc_unigram_nll": _q_doc_unigram_nll,
         "term_doc_freq": _q_term_doc_freq,
@@ -2607,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_dense_counts": _q_hourly_dense_counts,
         "label_centroids": _q_label_centroids,
         "embedding_norms": _q_embedding_norms,
+        "embedding_quantized": _q_embedding_quantized,
         "inverted_index": _q_inverted_index,
         "bigram_topk": _q_bigram_topk,
         "lang_char_moments": _q_lang_char_moments,
@@ -4232,6 +4289,23 @@ def oracle_sql() -> dict[str, str]:
                        AS norm
             FROM embeddings
         """,
+        "embedding_quantized": """
+            WITH e AS (SELECT vec_id, embedding AS v,
+                              len(embedding) AS d
+                       FROM embeddings),
+            u AS (SELECT vec_id,
+                         CAST(unnest(range(d)) AS BIGINT) AS dim,
+                         CAST(unnest(v) AS DOUBLE) AS val
+                  FROM e),
+            mm AS (SELECT dim, min(val) AS lo, max(val) AS hi
+                   FROM u GROUP BY dim)
+            SELECT u.vec_id, u.dim,
+                   CAST(CASE WHEN mm.hi > mm.lo
+                        THEN floor((u.val - mm.lo)
+                                   * (255.0 / (mm.hi - mm.lo)) + 0.5)
+                        ELSE 0 END AS BIGINT) AS q
+            FROM u JOIN mm USING (dim)
+        """,
         "inverted_index": """
             WITH tok AS (SELECT doc_id, unnest(string_split(
                              trim(regexp_replace(text, '\\s+', ' ', 'g')),
@@ -4418,6 +4492,29 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(CAST(n AS DOUBLE) / total)) AS nll
             FROM tok JOIN tc USING (term), tot
             GROUP BY doc_id
+        """,
+        # CCNet bucketing over the unigram-NLL fragment: thresholds =
+        # quantile_cont at the terciles, labels by the same <= CASE
+        "ccnet_buckets": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY term),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+            s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         avg(-ln(CAST(n AS DOUBLE) / total)) AS nll
+                  FROM tok JOIN tc USING (term), tot
+                  GROUP BY doc_id),
+            q AS (SELECT quantile_cont(nll, 1.0 / 3) AS t1,
+                         quantile_cont(nll, 2.0 / 3) AS t2
+                  FROM s)
+            SELECT s.doc_id, s.n_tokens, s.nll,
+                   CASE WHEN s.nll <= q.t1 THEN 'head'
+                        WHEN s.nll <= q.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s, q
         """,
         # DSIR hashed-unigram importance: bucket = md5_number_lower %
         # 1024 (the engine's little-endian low-8-byte md5 convention),
@@ -4783,21 +4880,25 @@ def _link_oracles(link_path: str) -> dict[str, str]:
     # a < b < c enumerates each triangle exactly once (the engine's
     # DEGREE-ordered orientation yields the same triangle SET)
     tri_ctes = """
-        und AS (SELECT DISTINCT
+        und AS MATERIALIZED (
+                SELECT DISTINCT
                   CASE WHEN src_host < dst_host THEN src_host
                        ELSE dst_host END AS a,
                   CASE WHEN src_host < dst_host THEN dst_host
                        ELSE src_host END AS b
                 FROM links WHERE src_host <> dst_host),
-        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        deg AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
                 FROM (SELECT a AS node FROM und
                       UNION ALL SELECT b FROM und)
                 GROUP BY node),
-        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        tri AS MATERIALIZED (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
                 FROM und e1
                 JOIN und e2 ON e2.a = e1.b
                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-        tcnt AS (SELECT node,
+        tcnt AS MATERIALIZED (
+                 SELECT node,
                         CAST(count(*) AS BIGINT) AS n_triangles
                  FROM (SELECT x AS node FROM tri
                        UNION ALL SELECT y FROM tri
@@ -4836,6 +4937,73 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                aa.adamic_adar
         FROM aa ANTI JOIN und e
           ON aa.host_a = e.a AND aa.host_b = e.b
+    """
+    # feature assembly: the verified fragment oracles as nested-CTE
+    # subqueries (DuckDB allows WITH inside a parenthesized subquery),
+    # joined on host — the composition mirrors the engine's two joins
+    out["web_host_features"] = f"""
+        WITH cc AS (
+            WITH {chain}, {tri_ctes}
+            SELECT d.node AS host, d.deg,
+                   COALESCE(t.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN 2.0 * COALESCE(t.n_triangles, 0)
+                             / (d.deg * (d.deg - 1.0))
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN tcnt t USING (node)
+        ),
+        pr AS ({_link_pagerank_oracle(chain)}),
+        ht AS ({_link_hits_oracle(chain)})
+        SELECT cc.host, cc.deg, cc.n_triangles, cc.clustering,
+               pr.r AS pagerank, ht.auth, ht.hub
+        FROM cc
+        JOIN pr ON pr.node = cc.host
+        JOIN ht ON ht.node = cc.host
+    """
+    out["web_host_assortativity"] = f"""
+        WITH {chain}, {tri_ctes},
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        xy AS (SELECT d1.deg AS x, d2.deg AS y
+               FROM sym s
+               JOIN deg d1 ON d1.node = s.a
+               JOIN deg d2 ON d2.node = s.b),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM xy)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+               round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                          ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                     END, 9) AS assortativity
+        FROM m
+    """
+    # 4-round unrolled k-core peel (k=16): eN = edges among round-N
+    # survivors, dN = degrees over e(N-1), kN = dN filtered at k —
+    # matches the engine's max_rounds=4 fixed-depth contract exactly
+    kcore_rounds = []
+    prev_e = "und"
+    for i in range(1, 5):
+        kcore_rounds.append(f"""
+        d{i} AS MATERIALIZED (
+                 SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT a AS node FROM {prev_e}
+                       UNION ALL SELECT b FROM {prev_e})
+                 GROUP BY node),
+        k{i} AS MATERIALIZED (
+                 SELECT node, deg FROM d{i} WHERE deg >= 16)""")
+        if i < 4:
+            kcore_rounds.append(f"""
+        e{i} AS MATERIALIZED (
+                 SELECT e.a, e.b FROM {prev_e} e
+                 SEMI JOIN k{i} ka ON e.a = ka.node
+                 SEMI JOIN k{i} kb ON e.b = kb.node)""")
+            prev_e = f"e{i}"
+    out["web_host_kcore"] = f"""
+        WITH {chain}, {tri_ctes},
+        {','.join(kcore_rounds)}
+        SELECT node AS host, deg FROM k4
     """
     frontier = f"""
         tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks
@@ -4966,7 +5134,7 @@ def _link_chain(link_path: str, with_text: bool = False) -> str:
                   CASE WHEN draw_path = '' THEN '/' ELSE draw_path END
                       AS dpath
            FROM r2),
-    links AS (SELECT src_canon, src_host, href, {at}dhost AS dst_host,
+    links AS MATERIALIZED (SELECT src_canon, src_host, href, {at}dhost AS dst_host,
                      dscheme || '://' || dhost
                      || (CASE WHEN dport2 = ddport THEN ''
                               ELSE ':' || CAST(dport2 AS VARCHAR) END)
@@ -4980,13 +5148,17 @@ def _link_chain(link_path: str, with_text: bool = False) -> str:
 def _link_pagerank_oracle(chain: str) -> str:
     return f"""
         WITH {chain},
-        edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+        edges AS MATERIALIZED (
+                  SELECT DISTINCT src_host AS src, dst_host AS dst
                   FROM links WHERE src_host <> dst_host),
-        nodes AS (SELECT src AS node FROM edges
+        nodes AS MATERIALIZED (
+                  SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
-        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        deg AS MATERIALIZED (
+                SELECT src, CAST(count(*) AS BIGINT) AS outdeg
                 FROM edges GROUP BY src),
-        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
         c1 AS (SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS s
                FROM edges e JOIN r0 ON r0.node = e.src
@@ -5437,17 +5609,21 @@ def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
     prev_h = "h0"
     for k in range(1, n_iter + 1):
         its.append(f"""
-        a{k}raw AS (SELECT e.dst AS node, SUM(p.x) AS s
+        a{k}raw AS MATERIALIZED (
+                    SELECT e.dst AS node, SUM(p.x) AS s
                     FROM edges e JOIN {prev_h} p ON p.node = e.src
                     GROUP BY e.dst),
-        a{k} AS (SELECT n.node,
+        a{k} AS MATERIALIZED (
+                 SELECT n.node,
                         COALESCE(r.s, 0) / (SELECT SUM(s) FROM a{k}raw)
                             AS x
                  FROM nodes n LEFT JOIN a{k}raw r ON r.node = n.node),
-        h{k}raw AS (SELECT e.src AS node, SUM(p.x) AS s
+        h{k}raw AS MATERIALIZED (
+                    SELECT e.src AS node, SUM(p.x) AS s
                     FROM edges e JOIN a{k} p ON p.node = e.dst
                     GROUP BY e.src),
-        h{k} AS (SELECT n.node,
+        h{k} AS MATERIALIZED (
+                 SELECT n.node,
                         COALESCE(r.s, 0) / (SELECT SUM(s) FROM h{k}raw)
                             AS x
                  FROM nodes n LEFT JOIN h{k}raw r ON r.node = n.node)""")
@@ -5455,12 +5631,15 @@ def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
     body = ",".join(its)
     return f"""
         WITH {chain},
-        edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+        edges AS MATERIALIZED (
+                  SELECT DISTINCT src_host AS src, dst_host AS dst
                   FROM links WHERE src_host <> dst_host),
-        nodes AS (SELECT node FROM
+        nodes AS MATERIALIZED (
+                  SELECT node FROM
                   (SELECT DISTINCT src AS node FROM edges
                    UNION SELECT DISTINCT dst FROM edges)),
-        h0 AS (SELECT node,
+        h0 AS MATERIALIZED (
+               SELECT node,
                       1.0 / (SELECT count(*) FROM nodes) AS x
                FROM nodes),{body}
         SELECT a.node, a.x AS auth, h.x AS hub

@@ -82,6 +82,23 @@ def run_bench() -> dict:
 
     headline = queries["kg_annotate_write"] + queries["kg_canonicalize"]
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # scaling legs measure the headline pipeline only — the per-op
+        # section below is timing diagnostics, not part of "value", and
+        # at 320k pages it would double each leg's wall for nothing
+        ray.shutdown()
+        return {
+            "metric": "kg_pipeline_wall_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "docs": n_pages,
+            "docs_per_sec": round(n_pages / headline, 1),
+            "triples": int(n_triples),
+        }
+
     # representative operator timings over the sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
@@ -114,11 +131,25 @@ def run_bench() -> dict:
     anchor_fix = ensure_anchor_entity_fixture(
         n_pages=n_pages, n_entities=max(120, n_pages // 100))
 
-    from tabbyray.ops.web import anchor_entity_candidates, host_hits
+    from tabbyray.ops.web import (anchor_entity_candidates, host_hits,
+                                  host_triangles)
     t0 = time.monotonic()
     host_hits(rd.read_parquet(link_path, override_num_blocks=64)
               ).to_pandas()
     queries["web_host_hits"] = round(time.monotonic() - t0, 3)
+
+    # session-2 round-4 representatives: degree-ordered triangle
+    # counting at headline link scale; DSIR scoring over sf documents
+    t0 = time.monotonic()
+    host_triangles(rd.read_parquet(link_path, override_num_blocks=64)
+                   ).to_pandas()
+    queries["web_host_triangles"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    res = qs["dsir_logratios"](sf_dir)
+    if hasattr(res, "to_pandas"):
+        res.to_pandas()
+    queries["dsir_logratios"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     anchor_entity_candidates(
@@ -171,7 +202,8 @@ def run_scaling() -> dict:
         best = None
         for _ in range(trials):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_BENCH_PAGES=pages)
+                       GRAFT_BENCH_PAGES=pages,
+                       GRAFT_HEADLINE_ONLY="1")
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout

@@ -581,6 +581,22 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
     return out
 
 
+def _coalesced(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Materialize and bound the BLOCK count at ``num_partitions`` with
+    a shuffle-free repartition (local split/merge, no exchange).
+
+    Ray's sort-based groupby/map_groups keeps the INPUT block count, so
+    a 64-block toy read stays 64 tiny blocks through every exchange —
+    and a multi-join chain (triangles: 8 exchanges) then pays per-task
+    scheduling on 128-block unions at every stage (measured 201s -> 16s
+    on the 2k-page host graph from this one change). At scale blocks
+    are full-size and the coalesce is a no-op pass-through."""
+    ds = ds.materialize()
+    if ds.num_blocks() > num_partitions:
+        ds = ds.repartition(num_partitions, shuffle=False).materialize()
+    return ds
+
+
 def undirected_edges(edges: rd.Dataset,
                      pair_cols: tuple[str, str] = ("src", "dst"),
                      node_dtype: "pa.DataType | None" = None,
@@ -665,8 +681,9 @@ def triangle_counts(edges: rd.Dataset,
 
     nd = node_dtype or pa.string()
     num_partitions = _resolve_partitions(num_partitions)
-    e = undirected_edges(edges, pair_cols, nd, num_partitions).materialize()
-    deg = _edge_degrees(e, nd).materialize()
+    e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
+                   num_partitions)
+    deg = _coalesced(_edge_degrees(e, nd), num_partitions)
     deg_schema = pa.schema([("node", nd), ("deg", pa.int64())])
     e_schema = pa.schema([("a", nd), ("b", nd)])
 
@@ -703,7 +720,8 @@ def triangle_counts(edges: rd.Dataset,
                          "deg_v": pc.if_else(first, db, da)})
 
     o_schema = pa.schema([("u", nd), ("v", nd), ("deg_v", pa.int64())])
-    oriented = jb.map_batches(orient, batch_format="pyarrow").materialize()
+    oriented = _coalesced(jb.map_batches(orient, batch_format="pyarrow"),
+                          num_partitions)
 
     # wedge generation: self-join on the pivot u; both neighbors sit
     # ABOVE u in rank order, the candidate closing edge is oriented by
@@ -781,7 +799,8 @@ def clustering_coefficients(edges: rd.Dataset,
 
     nd = node_dtype or pa.string()
     num_partitions = _resolve_partitions(num_partitions)
-    e = undirected_edges(edges, pair_cols, nd, num_partitions).materialize()
+    e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
+                   num_partitions)
     tri = triangle_counts(e, ("a", "b"), nd, num_partitions)
     deg = _edge_degrees(e, nd)
     out = hash_join(
@@ -838,7 +857,8 @@ def adamic_adar(edges: rd.Dataset,
 
     nd = node_dtype or pa.string()
     num_partitions = _resolve_partitions(num_partitions)
-    e = undirected_edges(edges, pair_cols, nd, num_partitions).materialize()
+    e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
+                   num_partitions)
     deg = _edge_degrees(e, nd)
     if max_pivot_degree is not None:
         cap = max_pivot_degree
@@ -864,7 +884,8 @@ def adamic_adar(edges: rd.Dataset,
         left_schema=pa.schema([("pivot", nd), ("leaf", nd)]),
         right_schema=pa.schema([("pivot", nd),
                                 ("inv_ln_deg", pa.float64())]),
-        num_partitions=num_partitions).materialize()
+        num_partitions=num_partitions)
+    adj = _coalesced(adj, num_partitions)
 
     def rename(m: dict[str, str]):
         def f(t: pa.Table) -> pa.Table:
@@ -915,3 +936,135 @@ def adamic_adar(edges: rd.Dataset,
                                ("adamic_adar", pa.float64())]),
         right_schema=pa.schema([("node_a", nd), ("node_b", nd)]),
         num_partitions=num_partitions)
+
+
+def degree_assortativity(edges: rd.Dataset,
+                         pair_cols: tuple[str, str] = ("src", "dst"),
+                         node_dtype: "pa.DataType | None" = None,
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED undirected
+    edge list (each edge contributes (da,db) and (db,da), so the x and
+    y marginals coincide). Computed from EXACT int64 moments — n, Σx,
+    Σxy, Σx² — accumulated as per-batch partials + one tiny aggregate;
+    only the final division is float, so engine and SQL agree bitwise
+    before the quantize. Requires 2m·max_deg² < 2^63 (at 10^12 edges
+    that still allows ~million-degree hubs; beyond that, pre-bucket
+    degrees). Output: one row (n_edges, assortativity); degenerate
+    graphs (zero degree variance) yield assortativity = 0.0."""
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401 (kept for parity w/ siblings)
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
+                   num_partitions)
+    deg = _coalesced(_edge_degrees(e, nd), num_partitions)
+    e_schema = pa.schema([("a", nd), ("b", nd)])
+    n_edges = e.count()
+
+    def rename(m: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+        return f
+
+    ja = hash_join(
+        e, deg.map_batches(rename({"node": "a", "deg": "deg_a"}),
+                           batch_format="pyarrow"),
+        on="a", left_schema=e_schema,
+        right_schema=pa.schema([("a", nd), ("deg_a", pa.int64())]),
+        num_partitions=num_partitions)
+    jb = hash_join(
+        ja, deg.map_batches(rename({"node": "b", "deg": "deg_b"}),
+                            batch_format="pyarrow"),
+        on="b",
+        left_schema=pa.schema([("a", nd), ("b", nd),
+                               ("deg_a", pa.int64())]),
+        right_schema=pa.schema([("b", nd), ("deg_b", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def moments(t: pa.Table) -> pa.Table:
+        da = _flat(t.column("deg_a")).to_numpy().astype(np.int64)
+        db = _flat(t.column("deg_b")).to_numpy().astype(np.int64)
+        # symmetrized: x runs over both endpoints of every edge
+        sx = int((da + db).sum())
+        sxy = int(2 * (da * db).sum())
+        sxx = int((da * da + db * db).sum())
+        return pa.table({"n": pa.array([2 * len(da)], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64()),
+                         "sxx": pa.array([sxx], pa.int64())})
+
+    agg = jb.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sxy", alias_name="sxy"), Sum("sxx", alias_name="sxx"))
+    n = int(agg["n"] or 0) if isinstance(agg, dict) else 0
+    if n == 0:
+        return rd.from_items([{"n_edges": 0, "assortativity": 0.0}])
+    sx, sxy, sxx = int(agg["sx"]), int(agg["sxy"]), int(agg["sxx"])
+    denom = n * sxx - sx * sx
+    r = float(n * sxy - sx * sx) / float(denom) if denom != 0 else 0.0
+    return rd.from_items([{"n_edges": int(n_edges),
+                           "assortativity": round(r, 9)}])
+
+
+def kcore_nodes(edges: rd.Dataset, k: int,
+                pair_cols: tuple[str, str] = ("src", "dst"),
+                node_dtype: "pa.DataType | None" = None,
+                max_rounds: "int | None" = None,
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """The k-CORE of an undirected graph: the maximal subgraph where
+    every node has degree >= k, by iterative peeling — each round
+    recomputes degrees over the surviving edge set and drops nodes
+    below k (one count aggregate + one semi/semi edge filter per
+    round; converges in at most |V| rounds, in practice a handful —
+    peeling is the classic link-farm/core extraction primitive).
+
+    ``max_rounds`` caps the rounds for a FIXED-DEPTH contract (the
+    unrolled-SQL-oracle pattern used by pagerank/HITS); None runs to
+    the fixpoint. Round state is one distributed edge set — nothing
+    driver-side but the convergence scalar. Output: (node, deg) of
+    surviving nodes with their in-core degree."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    cur = _coalesced(undirected_edges(edges, pair_cols, nd,
+                                      num_partitions), num_partitions)
+    e_schema = pa.schema([("a", nd), ("b", nd)])
+    deg_schema = pa.schema([("node", nd), ("deg", pa.int64())])
+    rounds = 0
+    while True:
+        rounds += 1
+        deg = _coalesced(_edge_degrees(cur, nd), num_partitions)
+        keep = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("deg"),
+                                                pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow").materialize()
+        if keep.count() == deg.count():
+            return keep
+        if max_rounds is not None and rounds >= max_rounds:
+            return keep
+
+        def rn(col: str):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({col: _flat(t.column("node"))})
+            return f
+
+        cur = hash_join(
+            hash_join(cur, keep.map_batches(rn("a"),
+                                            batch_format="pyarrow"),
+                      on="a", how="semi", left_schema=e_schema,
+                      right_schema=pa.schema([("a", nd)]),
+                      num_partitions=num_partitions),
+            keep.map_batches(rn("b"), batch_format="pyarrow"),
+            on="b", how="semi", left_schema=e_schema,
+            right_schema=pa.schema([("b", nd)]),
+            num_partitions=num_partitions)
+        cur = _coalesced(cur, num_partitions)

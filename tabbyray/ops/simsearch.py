@@ -320,3 +320,66 @@ def embedding_norms(embs: rd.Dataset, id_col: str = "vec_id",
                                           pa.float64())})
     return embs.select_columns([id_col, vec_col]).map_batches(
         f, batch_format="pyarrow")
+
+
+def embedding_quantize(embs: rd.Dataset, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_levels: int = 256) -> rd.Dataset:
+    """Per-dimension scalar quantization (the int8 compression step an
+    ANN index build runs before sharding): dimension d's global
+    [min, max] maps values to integer levels
+
+        q = floor((v - min_d) * (n_levels - 1) / (max_d - min_d) + 0.5)
+
+    (round-half-up via floor — deterministic and bitwise-identical
+    between numpy and SQL given identical double inputs, unlike
+    banker's-vs-away rounding). Constant dimensions quantize to 0.
+
+    Plan: pass 1 accumulates per-batch per-dim min/max partials (dim
+    rows per batch — bounded by the embedding width, never the corpus)
+    into one tiny aggregate; the (dim,) arrays broadcast via
+    ``ray.put``; pass 2 is a stateless vectorized map. Output LONG
+    format (vec_id, dim, q) — int64s, exact to hash.
+    """
+    from ray.data.aggregate import Max, Min
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        m = np.array([np.asarray(e, dtype=np.float64)
+                      for e in t.column(vec_col).to_pylist()])
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"dim": pa.array(np.arange(m.shape[1]), pa.int64()),
+                         "lo": pa.array(m.min(axis=0), pa.float64()),
+                         "hi": pa.array(m.max(axis=0), pa.float64())})
+
+    mm = (embs.map_batches(mm_partial, batch_format="pyarrow")
+          .groupby("dim").aggregate(Min("lo", alias_name="lo"),
+                                    Max("hi", alias_name="hi"))
+          .to_pandas().sort_values("dim"))   # bounded: one row per dim
+    lo = mm["lo"].to_numpy()
+    hi = mm["hi"].to_numpy()
+    span = hi - lo
+    scale = np.where(span > 0, (n_levels - 1) / np.where(span > 0, span, 1.0),
+                     0.0)
+    ref = ray.put((lo, scale))
+
+    def quant(t: pa.Table) -> pa.Table:
+        lo_, scale_ = ray.get(ref)
+        m = np.array([np.asarray(e, dtype=np.float64)
+                      for e in t.column(vec_col).to_pylist()])
+        if m.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        q = np.floor((m - lo_) * scale_ + 0.5).astype(np.int64)
+        n, d = m.shape
+        ids = np.repeat(np.asarray(t.column(id_col).to_pylist(),
+                                   dtype=np.int64), d)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "dim": pa.array(np.tile(np.arange(d), n),
+                                         pa.int64()),
+                         "q": pa.array(q.ravel(), pa.int64())})
+
+    return embs.map_batches(quant, batch_format="pyarrow")

@@ -1220,3 +1220,37 @@ def dsir_select_topk(docs: rd.Dataset, k: int = 200,
         key="_g", order_col="log_ratio", tie_col="doc_id",
         out_cols=["doc_id", "n_tokens", "log_ratio"], k=k,
         num_partitions=num_partitions)
+
+
+def ccnet_perplexity_buckets(docs: rd.Dataset,
+                             cuts: tuple[float, float] = (1 / 3, 2 / 3),
+                             num_partitions: "int | None" = None
+                             ) -> rd.Dataset:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    doc with the corpus unigram LM (mean NLL — the engine's stand-in
+    for the paper's KenLM perplexity) and split the corpus into
+    head / middle / tail at the exact ``cuts`` quantiles (low NLL =
+    fluent = head). Thresholds come from
+    ``exact_quantiles_multipass`` — bounded state at any corpus size,
+    bit-identical to quantile_cont — so the bucket edges need no
+    sampling. Two scalars cross to the driver; the labeling pass is
+    stateless. Output: (doc_id, n_tokens, nll, bucket)."""
+    import pyarrow.compute as pc
+
+    from .relational import exact_quantiles_multipass
+
+    scores = unigram_logprob_scores(
+        docs, num_partitions=num_partitions).materialize()
+    qdf = exact_quantiles_multipass(scores, "nll", list(cuts))
+    t1, t2 = (float(v) for v in qdf.sort_values("q")["value"])
+
+    def label(t: pa.Table) -> pa.Table:
+        nll = t.column("nll")
+        b = pc.if_else(
+            pc.less_equal(nll, pa.scalar(t1, pa.float64())),
+            pa.scalar("head"),
+            pc.if_else(pc.less_equal(nll, pa.scalar(t2, pa.float64())),
+                       pa.scalar("middle"), pa.scalar("tail")))
+        return t.append_column("bucket", pc.cast(b, pa.string()))
+
+    return scores.map_batches(label, batch_format="pyarrow")

@@ -1808,3 +1808,89 @@ def strip_template_blocks(pages: rd.Dataset, url_col: str = "url",
     return typed_groupby_map(
         kept.map_batches(part, batch_format="pandas"),
         "_part", reassemble, out_schema)
+
+
+def host_assortativity(pages: rd.Dataset, url_col: str = "url",
+                       html_col: str = "html",
+                       num_partitions: "int | None" = None
+                       ) -> rd.Dataset:
+    """Degree assortativity of the undirected inter-host graph — do
+    big hosts link to big hosts? (Web graphs are famously
+    DISassortative.) One row: (n_edges, assortativity)."""
+    from .graph import degree_assortativity
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    return degree_assortativity(edges, ("src_host", "dst_host"),
+                                node_dtype=pa.string(),
+                                num_partitions=num_partitions)
+
+
+def host_kcore(pages: rd.Dataset, k: int, url_col: str = "url",
+               html_col: str = "html",
+               max_rounds: "int | None" = None,
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """k-core of the undirected inter-host graph by iterative peeling
+    (the dense-nucleus / link-farm extraction primitive). Output:
+    (host, deg) of surviving hosts with in-core degree."""
+    from .graph import kcore_nodes
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    core = kcore_nodes(edges, k, ("src_host", "dst_host"),
+                       node_dtype=pa.string(), max_rounds=max_rounds,
+                       num_partitions=num_partitions)
+    return core.map_batches(
+        lambda t: t.rename_columns(
+            ["host" if c == "node" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def host_feature_table(pages: rd.Dataset, url_col: str = "url",
+                       html_col: str = "html", n_iter: int = 3,
+                       num_partitions: "int | None" = None
+                       ) -> rd.Dataset:
+    """Per-host web-graph FEATURE ASSEMBLY — the classifier-input
+    table a spam/quality model trains on, composed entirely from the
+    individually-oracled graph primitives: undirected degree, triangle
+    count, clustering coefficient, damped PageRank and HITS hub/
+    authority, stitched with two co-partitioned joins on host. Every
+    host with >= 1 inter-host edge gets one row:
+    (host, deg, n_triangles, clustering, pagerank, auth, hub)."""
+    from .relational import hash_join
+
+    cc = host_clustering(pages, url_col, html_col,
+                         num_partitions=num_partitions)
+    pr = host_pagerank(pages, url_col, html_col, n_iter=n_iter,
+                       num_partitions=num_partitions)
+    ht = host_hits(pages, url_col, html_col, n_iter=n_iter,
+                   num_partitions=num_partitions)
+
+    def rn(m: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+        return f
+
+    j1 = hash_join(
+        cc, pr.map_batches(rn({"node": "host", "r": "pagerank"}),
+                           batch_format="pyarrow"),
+        on="host",
+        left_schema=pa.schema([("host", pa.string()),
+                               ("deg", pa.int64()),
+                               ("n_triangles", pa.int64()),
+                               ("clustering", pa.float64())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("pagerank", pa.float64())]),
+        num_partitions=num_partitions)
+    return hash_join(
+        j1, ht.map_batches(rn({"node": "host"}), batch_format="pyarrow"),
+        on="host",
+        left_schema=pa.schema([("host", pa.string()),
+                               ("deg", pa.int64()),
+                               ("n_triangles", pa.int64()),
+                               ("clustering", pa.float64()),
+                               ("pagerank", pa.float64())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("auth", pa.float64()),
+                                ("hub", pa.float64())]),
+        num_partitions=num_partitions)

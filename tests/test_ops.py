@@ -858,3 +858,31 @@ def test_dsir_logratios_reference(ray_session):
     full = got.reset_index().sort_values(
         ["log_ratio", "doc_id"], ascending=[False, True]).head(3)
     assert sorted(top["doc_id"]) == sorted(full["doc_id"])
+
+
+def test_embedding_quantize_reference(ray_session):
+    """Scalar quantization vs a plain numpy reference; constant dims
+    quantize to 0; extremes land exactly on 0 / n_levels-1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from tabbyray.ops.simsearch import embedding_quantize
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(40, 6))
+    m[:, 3] = 7.25                      # constant dimension
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32()))})
+    got = (embedding_quantize(rd.from_arrow(t).repartition(4))
+           .to_pandas().pivot(index="vec_id", columns="dim", values="q")
+           .to_numpy())
+    m64 = m.astype(np.float32).astype(np.float64)
+    lo, hi = m64.min(axis=0), m64.max(axis=0)
+    span = hi - lo
+    scale = np.where(span > 0, 255 / np.where(span > 0, span, 1), 0)
+    want = np.floor((m64 - lo) * scale + 0.5).astype(np.int64)
+    assert (got == want).all()
+    assert set(got[:, 3]) == {0}                      # constant dim
+    assert got.min() == 0 and got.max() == 255

@@ -759,3 +759,42 @@ def test_strip_template_blocks_and_doc_line_dedup(ray_session):
     assert dd.loc[0, "text"] == "a\nb\nc"
     assert dd.loc[0, "n_kept"] == 3 and dd.loc[0, "n_dropped"] == 2
     assert dd.loc[1, "text"] == "x" and dd.loc[1, "n_dropped"] == 0
+
+
+def test_assortativity_and_kcore(ray_session):
+    """degree_assortativity against numpy's corrcoef on the
+    symmetrized endpoint-degree pairs; kcore_nodes against an
+    independent iterative peel on a graph with a clear 2-core."""
+    import numpy as np
+
+    from tabbyray.ops.graph import degree_assortativity, kcore_nodes
+    # triangle a-b-c (the 2-core) + pendant chain c-d, d-e
+    edges = rd.from_items([
+        {"src": "a", "dst": "b"}, {"src": "b", "dst": "c"},
+        {"src": "a", "dst": "c"}, {"src": "c", "dst": "d"},
+        {"src": "d", "dst": "e"},
+    ])
+    got = degree_assortativity(edges).to_pandas()
+    deg = {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+    xs, ys = [], []
+    for u, v in [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+                 ("d", "e")]:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert got.loc[0, "n_edges"] == 5
+    assert got.loc[0, "assortativity"] == pytest.approx(want, abs=1e-9)
+
+    core = kcore_nodes(edges, k=2).to_pandas().set_index("node")
+    # peel: e drops (deg 1) -> d drops (deg falls to 1) -> {a,b,c}
+    assert set(core.index) == {"a", "b", "c"}
+    assert core["deg"].tolist() == [2, 2, 2]
+
+    # fixed-depth contract: after ONE round only e is gone and d
+    # still shows its round-1 degree-2 survival
+    r1 = kcore_nodes(edges, k=2, max_rounds=1).to_pandas()
+    assert set(r1["node"]) == {"a", "b", "c", "d"}
+
+    # k larger than any degree -> empty core with a stable schema
+    empty = kcore_nodes(edges, k=99).to_pandas()
+    assert len(empty) == 0
