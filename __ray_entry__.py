@@ -129,6 +129,55 @@ def _q_sti_canonical_triples(sf_dir: str):
     return canonicalize_triples(pipeline.split_kind(results, "triple"))
 
 
+def _q_kg_predicate_stats(sf_dir: str):
+    """KG schema profiling over the triple stream (the induction step
+    before ontology mapping): per predicate — triple count, exact
+    distinct subject/object counts, literal-object count. Composition:
+    one count/sum combiner aggregate + two exact ``distinct_count``
+    exchanges + two co-partitioned joins; oracle = plain SQL GROUP BY
+    over the exported triples parquet."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray import pipeline
+    from tabbyray.ops.relational import (distinct_count, hash_join,
+                                         partial_agg_sum)
+    _sti_export_paths()
+    _fix, results = _sti_results()
+    tri = pipeline.split_kind(results, "triple")
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "obj": pc.cast(t.column("obj"), pa.string()),
+            "one": pa.array([1] * t.num_rows, pa.int64()),
+            "lit": pc.cast(t.column("obj_is_literal"), pa.int64())})
+
+    b = tri.map_batches(base, batch_format="pyarrow").materialize()
+    counts = partial_agg_sum(b, "pred",
+                             {"one": "n_triples", "lit": "n_literal"})
+    nsubj = distinct_count(b, "pred", "subj", alias="n_subjects",
+                           key_type=pa.string())
+    nobj = distinct_count(b, "pred", "obj", alias="n_objects",
+                          key_type=pa.string())
+    j = hash_join(
+        counts, nsubj, on="pred",
+        left_schema=pa.schema([("pred", pa.string()),
+                               ("n_triples", pa.int64()),
+                               ("n_literal", pa.int64())]),
+        right_schema=pa.schema([("pred", pa.string()),
+                                ("n_subjects", pa.int64())]))
+    return hash_join(
+        j, nobj, on="pred",
+        left_schema=pa.schema([("pred", pa.string()),
+                               ("n_triples", pa.int64()),
+                               ("n_literal", pa.int64()),
+                               ("n_subjects", pa.int64())]),
+        right_schema=pa.schema([("pred", pa.string()),
+                                ("n_objects", pa.int64())]))
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -2512,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_annotated_rows": _q_sti_rows,
         "sti_triples": _q_sti_triples,
         "sti_canonical_triples": _q_sti_canonical_triples,
+        "kg_predicate_stats": _q_kg_predicate_stats,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
         "sti_cea_agg": _q_sti_cea_agg,
@@ -3358,6 +3408,16 @@ def _sti_oracles() -> dict[str, str]:
     # canonicalization (tabbyray/canonicalize.py): winner = most
     # frequent subject per normalized key, ties lexicographic; obj
     # rewritten only when an entity
+    out["kg_predicate_stats"] = f"""
+        SELECT pred,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(sum(CASE WHEN obj_is_literal THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_literal,
+               CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+               CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+        FROM read_parquet('{triples}')
+        GROUP BY pred
+    """
     out["sti_canonical_triples"] = f"""
         WITH t AS (SELECT * FROM read_parquet('{triples}')),
         k AS (SELECT *,
