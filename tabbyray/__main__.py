@@ -12,6 +12,12 @@ calls ray.init.
 A second surface runs the training-data curation pipeline:
 
     python -m tabbyray curate --docs /data/documents.parquet --out /data/curated
+
+A third runs the end-to-end CRAWL curation pipeline (ops.crawlpipe):
+
+    python -m tabbyray crawl --pages /data/captures.parquet \
+        --robots /data/robots.parquet --blocklist /data/blocklist.parquet \
+        --out /data/curated_crawl
 """
 
 from __future__ import annotations
@@ -65,10 +71,61 @@ def curate_main(argv) -> int:
     return 0
 
 
+def crawl_main(argv) -> int:
+    """Crawl-curation surface: captures + robots + blocklist parquet in,
+    curated (clean_url, text, n_words) parquet out. Omitting --robots
+    or --blocklist runs with that gate open (typed empty table)."""
+    ap = argparse.ArgumentParser(prog="tabbyray crawl")
+    ap.add_argument("--pages", required=True,
+                    help="capture-log parquet (url, warc_ts, html)")
+    ap.add_argument("--robots", default=None,
+                    help="robots parquet (host, robots_txt)")
+    ap.add_argument("--blocklist", default=None,
+                    help="blocklist parquet (domain)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.crawlpipe import curate_crawl
+
+    pages = rd.read_parquet(args.pages,
+                            columns=["url", "warc_ts", "html"])
+    if args.robots:
+        robots = rd.read_parquet(args.robots,
+                                 columns=["host", "robots_txt"])
+    else:
+        robots = rd.from_arrow(pa.schema(
+            [("host", pa.string()),
+             ("robots_txt", pa.string())]).empty_table())
+    if args.blocklist:
+        blocklist = rd.read_parquet(args.blocklist, columns=["domain"])
+    else:
+        blocklist = rd.from_arrow(
+            pa.schema([("domain", pa.string())]).empty_table())
+
+    n_in = pages.count()
+    out = curate_crawl(pages, robots, blocklist)
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+    n_out = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(args.out, "*.parquet")))
+    print(json.dumps({"out": args.out, "captures_in": n_in,
+                      "curated_docs": n_out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
+    if argv and argv[0] == "crawl":
+        return crawl_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tabbyray")
     ap.add_argument("--pages", required=True, help="pages parquet file or directory")
     ap.add_argument("--kb", required=True, help="KB index parquet (FIXTURES.md F2)")

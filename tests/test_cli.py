@@ -141,3 +141,36 @@ def test_write_rdfxml_sharded(ray_session, tmp_path):
         root = ET.parse(f).getroot()   # every shard standalone-parses
         n += len(list(root))
     assert n == 10
+
+
+def test_cli_crawl(tmp_path):
+    """`python -m tabbyray crawl` over the deterministic crawl fixture:
+    the gated run matches the oracled crawl_curated count (89) and
+    opening the robots/blocklist gates strictly widens the output."""
+    from tabbyray.fixtures import (ensure_blocklist_fixture,
+                                   ensure_crawl_fixture,
+                                   ensure_robots_fixture)
+    pages = ensure_crawl_fixture()
+    robots = ensure_robots_fixture()
+    bl = ensure_blocklist_fixture()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local")
+
+    out1 = str(tmp_path / "gated")
+    r = subprocess.run(
+        [sys.executable, "-m", "tabbyray", "crawl", "--pages", pages,
+         "--robots", robots, "--blocklist", bl, "--out", out1,
+         "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s1 = json.loads(r.stdout[r.stdout.index("{"):])
+    assert s1["captures_in"] == 626 and s1["curated_docs"] == 89
+
+    out2 = str(tmp_path / "open")
+    r = subprocess.run(
+        [sys.executable, "-m", "tabbyray", "crawl", "--pages", pages,
+         "--out", out2, "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s2 = json.loads(r.stdout[r.stdout.index("{"):])
+    assert s2["curated_docs"] > s1["curated_docs"]
