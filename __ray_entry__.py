@@ -635,6 +635,15 @@ def _q_web_host_adamic_adar(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_web_host_pagerank_weighted(sf_dir: str):
+    """LINK-MULTIPLICITY-weighted PageRank over the inter-host graph:
+    per-edge contribution r·w/W_out evaluated in the oracle's exact
+    operation order; oracle = 3 unrolled iterations with weighted
+    edges/out-weights."""
+    from tabbyray.ops.web import host_pagerank
+    return host_pagerank(_link_pages(), weighted=True)
+
+
 def _q_web_host_features(sf_dir: str):
     """Per-host web-graph feature assembly (classifier input table):
     degree + triangles + clustering + PageRank + HITS stitched with
@@ -2584,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_resolved_links": _q_web_resolved_links,
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
+        "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "web_host_hits": _q_web_host_hits,
         "web_host_triangles": _q_web_host_triangles,
         "web_host_clustering": _q_web_host_clustering,
@@ -4902,6 +4912,7 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         FROM links GROUP BY src_host, dst_host
     """
     out["web_host_pagerank"] = _link_pagerank_oracle(chain)
+    out["web_host_pagerank_weighted"] = _link_pagerank_weighted_oracle(chain)
     out["web_host_hits"] = _link_hits_oracle(chain)
     chain_t = _link_chain(link_path, with_text=True)
     out["web_anchor_text_rollup"] = f"""
@@ -5233,6 +5244,48 @@ def _link_pagerank_oracle(chain: str) -> str:
                        + 0.85 * COALESCE(c2.s, 0) AS r
                 FROM nodes x LEFT JOIN c2 ON c2.node = x.node),
         c3 AS (SELECT e.dst AS node, sum(rr2.r / deg.outdeg) AS s
+               FROM edges e JOIN rr2 ON rr2.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr3 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * COALESCE(c3.s, 0) AS r
+                FROM nodes x LEFT JOIN c3 ON c3.node = x.node)
+        SELECT node, r FROM rr3
+    """
+
+
+def _link_pagerank_weighted_oracle(chain: str) -> str:
+    """Link-multiplicity-weighted PageRank: edges carry w = link count,
+    out-degree becomes out-weight, per-edge term r·w/W_out — the same
+    unrolled 3-iteration shape as the unweighted oracle."""
+    return f"""
+        WITH {chain},
+        edges AS MATERIALIZED (
+                  SELECT src_host AS src, dst_host AS dst,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM links WHERE src_host <> dst_host
+                  GROUP BY 1, 2),
+        nodes AS MATERIALIZED (
+                  SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS MATERIALIZED (
+                SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+                FROM edges GROUP BY src),
+        nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        c1 AS (SELECT e.dst AS node, sum(r0.r * e.w / deg.outw) AS s
+               FROM edges e JOIN r0 ON r0.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr1 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * COALESCE(c1.s, 0) AS r
+                FROM nodes x LEFT JOIN c1 ON c1.node = x.node),
+        c2 AS (SELECT e.dst AS node, sum(rr1.r * e.w / deg.outw) AS s
+               FROM edges e JOIN rr1 ON rr1.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr2 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * COALESCE(c2.s, 0) AS r
+                FROM nodes x LEFT JOIN c2 ON c2.node = x.node),
+        c3 AS (SELECT e.dst AS node, sum(rr2.r * e.w / deg.outw) AS s
                FROM edges e JOIN rr2 ON rr2.node = e.src
                JOIN deg ON deg.src = e.src GROUP BY e.dst),
         rr3 AS (SELECT x.node, (1 - 0.85) / (SELECT n FROM nn)

@@ -200,10 +200,20 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              num_partitions: "int | None" = None, mode: str = "auto",
              broadcast_max_nodes: int = 2_000_000,
-             node_dtype: "pa.DataType | None" = None) -> rd.Dataset:
+             node_dtype: "pa.DataType | None" = None,
+             weight_col: "str | None" = None) -> rd.Dataset:
     """Damped PageRank over a directed edge Dataset — the textbook
     no-dangling-redistribution variant: r0 = 1/N, then
     r_{k+1}(v) = (1−d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
+
+    ``weight_col`` switches to WEIGHTED PageRank: duplicate (src, dst)
+    rows' weights are summed in the same dedup aggregate, out-degree
+    becomes out-WEIGHT, and each edge contributes
+    ``r(u) · w(u,v) / W_out(u)`` — evaluated in exactly that operation
+    order on both plans so the SQL oracle (same expression) agrees
+    bitwise before the 9-dp hash rounding. ``weight_col=None`` keeps
+    every unweighted code path byte-identical to before the parameter
+    existed (verified queries stay verified).
 
     Two execution plans (same auto-switch pattern as minhash verify /
     canonicalize rewrite):
@@ -244,17 +254,26 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
 
     def as_edge_ones(t: pa.Table) -> pa.Table:
         n = len(t)
+        w = (pa.array([1] * n, pa.int64()) if weight_col is None
+             else _flat(t.column(weight_col)).cast(pa.int64()))
         return pa.table({"src": _flat(t.column(src_col)),
                          "dst": _flat(t.column(dst_col)),
-                         "one": pa.array([1] * n, pa.int64())})
+                         "one": w})
 
     ded = hash_aggregate(
         edges.map_batches(as_edge_ones, batch_format="pyarrow"),
         keys=["src", "dst"], sum_cols={"one": "n"},
         num_partitions=num_partitions,
         out_schema=pa.schema([("src", nd), ("dst", nd),
-                              ("n", pa.int64())])
-    ).select_columns(["src", "dst"]).materialize()
+                              ("n", pa.int64())]))
+    if weight_col is None:
+        ded = ded.select_columns(["src", "dst"])
+    else:
+        ded = ded.map_batches(
+            lambda t: t.rename_columns(
+                ["w" if c == "n" else c for c in t.column_names]),
+            batch_format="pyarrow")
+    ded = ded.materialize()
     n_edges = ded.count()
 
     def _iterate_broadcast(outdeg_pd: pd.Series,
@@ -265,8 +284,13 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         base = (1 - damping) / n_nodes
         r = pd.Series(1.0 / n_nodes, index=nodes_np)
         for _ in range(n_iter):
-            factor = (r.loc[outdeg_pd.index] / outdeg_pd).to_dict()
-            ref = ray.put(factor)
+            if weight_col is None:
+                ref = ray.put((r.loc[outdeg_pd.index]
+                               / outdeg_pd).to_dict())
+            else:
+                # ship r and W_out separately: the weighted edge term
+                # is r*w/W in THAT order (the oracle's expression)
+                ref = ray.put((r.to_dict(), outdeg_pd.to_dict()))
 
             def contrib_bc(t: pa.Table) -> pa.Table:
                 if t.num_rows == 0:
@@ -274,7 +298,12 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
                                      "c": pa.array([], pa.float64())})
                 m = ray.get(ref)
                 df = t.to_pandas()
-                df["c"] = df["src"].map(m)
+                if weight_col is None:
+                    df["c"] = df["src"].map(m)
+                else:
+                    rmap, wmap = m
+                    df["c"] = (df["src"].map(rmap) * df["w"]
+                               / df["src"].map(wmap))
                 g = df.groupby("dst", as_index=False)["c"].sum()
                 return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -289,10 +318,12 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         # the materialized count), so node set and out-degrees come
         # from per-batch partials — zero further exchanges; ded rows
         # are distinct, so summing per-batch src counts is exact
+        wcol = "dst" if weight_col is None else "w"
+        wagg = "size" if weight_col is None else "sum"
         deg_parts = ded.map_batches(
             lambda t: pa.Table.from_pandas(
                 t.to_pandas().groupby("src", as_index=False)
-                .agg(outdeg=("dst", "size")), preserve_index=False),
+                .agg(outdeg=(wcol, wagg)), preserve_index=False),
             batch_format="pyarrow").to_pandas()
         outdeg_pd = deg_parts.groupby("src")["outdeg"].sum()
         node_parts = ded.map_batches(
@@ -305,8 +336,9 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
 
     def ones(col, out):
         def f(t: pa.Table) -> pa.Table:
-            return pa.table({out: _flat(t.column(col)),
-                             "one": pa.array([1] * len(t), pa.int64())})
+            w = (pa.array([1] * len(t), pa.int64()) if weight_col is None
+                 else _flat(t.column("w")))
+            return pa.table({out: _flat(t.column(col)), "one": w})
         return f
 
     outdeg = partial_agg_sum(
@@ -330,10 +362,11 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         nodes_np = np.sort(nodes.to_pandas()["node"].to_numpy())
         return _iterate_broadcast(outdeg_pd, nodes_np)
 
+    ded_schema = ([("src", nd), ("dst", nd)]
+                  + ([("w", pa.int64())] if weight_col is not None else []))
     edges_deg = hash_join(
         ded, outdeg, on="src",
-        left_schema=pa.schema([("src", nd),
-                               ("dst", nd)]),
+        left_schema=pa.schema(ded_schema),
         right_schema=pa.schema([("src", nd),
                                 ("outdeg", pa.int64())])).materialize()
 
@@ -359,17 +392,21 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
             ranks.map_batches(rename("node", "src"),
                               batch_format="pyarrow"),
             on="src",
-            left_schema=pa.schema([("src", nd),
-                                   ("dst", nd),
-                                   ("outdeg", pa.int64())]),
+            left_schema=pa.schema(ded_schema + [("outdeg", pa.int64())]),
             right_schema=rank_schema)
 
         def contrib(t: pa.Table) -> pa.Table:
             r = _flat(t.column("r")).to_numpy(zero_copy_only=False)
             od = (_flat(t.column("outdeg"))
                   .to_numpy(zero_copy_only=False).astype(np.float64))
+            if weight_col is None:
+                c = r / od
+            else:
+                w = (_flat(t.column("w"))
+                     .to_numpy(zero_copy_only=False).astype(np.float64))
+                c = r * w / od
             return pa.table({"dst": _flat(t.column("dst")),
-                             "c": pa.array(r / od, pa.float64())})
+                             "c": pa.array(c, pa.float64())})
 
         sums = partial_agg_sum(
             per_edge.map_batches(contrib, batch_format="pyarrow"),

@@ -352,12 +352,15 @@ def host_edges(pages: rd.Dataset, url_col: str = "url",
 def host_pagerank(pages: rd.Dataset, url_col: str = "url",
                   html_col: str = "html", n_iter: int = 3,
                   num_partitions: "int | None" = None,
-                  mode: str = "auto") -> rd.Dataset:
+                  mode: str = "auto",
+                  weighted: bool = False) -> rd.Dataset:
     """Damped PageRank over the DISTINCT inter-host edge set
     (self-loops excluded — intra-host nav drowns the authority
     signal). Reuses ``ops.graph.pagerank`` and inherits its auto
     broadcast/join switch: at crawl scale the join path's per-round
-    exchange count is constant in graph size."""
+    exchange count is constant in graph size. ``weighted=True`` ranks
+    by LINK MULTIPLICITY (each edge votes n_links times —
+    r·w/W_out per edge) instead of the distinct edge set."""
     from .graph import pagerank
 
     edges = host_edges(pages, url_col, html_col,
@@ -366,12 +369,16 @@ def host_pagerank(pages: rd.Dataset, url_col: str = "url",
     def inter(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(pc.equal(t.column("src_host"),
                                         t.column("dst_host"))))
-        return pa.table({"src": t.column("src_host"),
-                         "dst": t.column("dst_host")})
+        out = {"src": t.column("src_host"),
+               "dst": t.column("dst_host")}
+        if weighted:
+            out["n_links"] = t.column("n_links")
+        return pa.table(out)
 
     return pagerank(edges.map_batches(inter, batch_format="pyarrow"),
                     n_iter=n_iter, num_partitions=num_partitions,
-                    mode=mode, node_dtype=pa.string())
+                    mode=mode, node_dtype=pa.string(),
+                    weight_col="n_links" if weighted else None)
 
 
 def capture_diff(pages: rd.Dataset, ts_split_us: int,

@@ -798,3 +798,30 @@ def test_assortativity_and_kcore(ray_session):
     # k larger than any degree -> empty core with a stable schema
     empty = kcore_nodes(edges, k=99).to_pandas()
     assert len(empty) == 0
+
+
+def test_weighted_pagerank_paths_and_semantics(ray_session):
+    """Weighted pagerank: broadcast and join paths agree; a node that
+    receives the heavier edge outranks the lighter target; weight 1
+    everywhere reduces to the unweighted result exactly."""
+    import pyarrow as pa
+    from tabbyray.ops.graph import pagerank
+    edges = rd.from_items(
+        # a sends 9 votes to b, 1 to c: b must outrank c
+        [{"src": "a", "dst": "b", "w": 9}, {"src": "a", "dst": "c", "w": 1},
+         {"src": "b", "dst": "a", "w": 1}, {"src": "c", "dst": "a", "w": 1}])
+    b = pagerank(edges, weight_col="w", mode="broadcast",
+                 node_dtype=pa.string()).to_pandas().set_index("node")["r"]
+    j = pagerank(edges, weight_col="w", mode="join",
+                 node_dtype=pa.string()).to_pandas().set_index("node")["r"]
+    assert (b.sort_index() - j.sort_index()).abs().max() < 1e-12
+    assert b["b"] > b["c"]
+
+    ones = rd.from_items(
+        [{"src": "a", "dst": "b", "w": 1}, {"src": "a", "dst": "c", "w": 1},
+         {"src": "b", "dst": "a", "w": 1}, {"src": "c", "dst": "a", "w": 1}])
+    wu = pagerank(ones, weight_col="w", node_dtype=pa.string()) \
+        .to_pandas().set_index("node")["r"].sort_index()
+    uw = pagerank(ones, node_dtype=pa.string()).to_pandas() \
+        .set_index("node")["r"].sort_index()
+    assert (wu - uw).abs().max() < 1e-12
