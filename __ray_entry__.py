@@ -2222,6 +2222,16 @@ def _q_doc_unigram_nll(sf_dir: str):
     return unigram_logprob_scores(_docs(sf_dir))
 
 
+def _q_simhash_neardup_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3 via 4x16-bit band
+    bucketing — a pair within distance 3 shares >= 1 band by
+    pigeonhole): band-bucket self-join + exact Hamming verify +
+    pair-hash dedup; oracle = the same banding over the SQL simhash
+    fragment with xor + bit_count."""
+    from tabbyray.ops.dedup import simhash_neardup_pairs
+    return simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing at exact NLL
     terciles via bounded-state multipass quantiles; oracle =
@@ -2673,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logratios": _q_dsir_logratios,
         "dsir_selected": _q_dsir_selected,
         "ccnet_buckets": _q_ccnet_buckets,
+        "simhash_neardup_pairs": _q_simhash_neardup_pairs,
         "tfidf_scores": _q_tfidf_scores,
         "doc_unigram_nll": _q_doc_unigram_nll,
         "term_doc_freq": _q_term_doc_freq,
@@ -4085,6 +4096,24 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{p}", _clustered_path),
         "minhash_signatures": _minhash_sig_sql(),
         "simhash_values": _SIMHASH_SQL,
+        "simhash_neardup_pairs": f"""
+            WITH sh AS MATERIALIZED ({_SIMHASH_SQL}),
+            bands AS (SELECT doc_id, simhash, b.band_id,
+                             (simhash >> (16 * band_id)) & 65535
+                                 AS band_key
+                      FROM sh CROSS JOIN
+                           (VALUES (0), (1), (2), (3)) b(band_id)),
+            cand AS (SELECT DISTINCT b1.doc_id AS doc_a,
+                            b2.doc_id AS doc_b,
+                            b1.simhash AS s1, b2.simhash AS s2
+                     FROM bands b1 JOIN bands b2
+                       ON b1.band_id = b2.band_id
+                      AND b1.band_key = b2.band_key
+                      AND b1.doc_id < b2.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
