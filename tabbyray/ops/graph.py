@@ -618,6 +618,20 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
     return out
 
 
+def _sized_partitions(n_rows: int, requested: int,
+                      rows_per_partition: int = 50_000) -> int:
+    """Bound an exchange's partition count by DATA size, capped at the
+    requested (cluster-derived) width: auto_partitions() picks 2x the
+    cluster CPUs, which is right for real data but makes a 1,700-edge
+    toy graph pay 64-task fixed costs at every one of a chain's 8
+    barriers (measured: host triangles 51s -> ~8s at 32 cpus from this
+    resize alone). At scale rows/50k exceeds the cap and the requested
+    width wins."""
+    import math
+    return max(1, min(requested, math.ceil(max(1, n_rows)
+                                           / rows_per_partition)))
+
+
 def _coalesced(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
     """Materialize and bound the BLOCK count at ``num_partitions`` with
     a shuffle-free repartition (local split/merge, no exchange).
@@ -720,6 +734,8 @@ def triangle_counts(edges: rd.Dataset,
     num_partitions = _resolve_partitions(num_partitions)
     e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
                    num_partitions)
+    num_partitions = _sized_partitions(e.count(), num_partitions)
+    e = _coalesced(e, num_partitions)
     deg = _coalesced(_edge_degrees(e, nd), num_partitions)
     deg_schema = pa.schema([("node", nd), ("deg", pa.int64())])
     e_schema = pa.schema([("a", nd), ("b", nd)])
@@ -838,6 +854,8 @@ def clustering_coefficients(edges: rd.Dataset,
     num_partitions = _resolve_partitions(num_partitions)
     e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
                    num_partitions)
+    num_partitions = _sized_partitions(e.count(), num_partitions)
+    e = _coalesced(e, num_partitions)
     tri = triangle_counts(e, ("a", "b"), nd, num_partitions)
     deg = _edge_degrees(e, nd)
     out = hash_join(
@@ -896,6 +914,8 @@ def adamic_adar(edges: rd.Dataset,
     num_partitions = _resolve_partitions(num_partitions)
     e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
                    num_partitions)
+    num_partitions = _sized_partitions(e.count(), num_partitions)
+    e = _coalesced(e, num_partitions)
     deg = _edge_degrees(e, nd)
     if max_pivot_degree is not None:
         cap = max_pivot_degree
@@ -1000,9 +1020,11 @@ def degree_assortativity(edges: rd.Dataset,
     num_partitions = _resolve_partitions(num_partitions)
     e = _coalesced(undirected_edges(edges, pair_cols, nd, num_partitions),
                    num_partitions)
+    n_edges = e.count()
+    num_partitions = _sized_partitions(n_edges, num_partitions)
+    e = _coalesced(e, num_partitions)
     deg = _coalesced(_edge_degrees(e, nd), num_partitions)
     e_schema = pa.schema([("a", nd), ("b", nd)])
-    n_edges = e.count()
 
     def rename(m: dict[str, str]):
         def f(t: pa.Table) -> pa.Table:
@@ -1074,6 +1096,8 @@ def kcore_nodes(edges: rd.Dataset, k: int,
     num_partitions = _resolve_partitions(num_partitions)
     cur = _coalesced(undirected_edges(edges, pair_cols, nd,
                                       num_partitions), num_partitions)
+    num_partitions = _sized_partitions(cur.count(), num_partitions)
+    cur = _coalesced(cur, num_partitions)
     e_schema = pa.schema([("a", nd), ("b", nd)])
     deg_schema = pa.schema([("node", nd), ("deg", pa.int64())])
     rounds = 0
