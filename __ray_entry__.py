@@ -1021,6 +1021,25 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages, labels, num_partitions=8)
 
 
+def _q_entity_triangles(sf_dir: str):
+    """Triangle counts over the ENTITY co-occurrence graph (relatedness
+    cliques — the KG-side composition of the degree-ordered triangle
+    path with the anchor-linking pipeline); oracle = the cooccurrence
+    CTE prefix + the lexicographic 3-way self-join."""
+    import pyarrow as pa
+
+    from tabbyray.ops.graph import triangle_counts
+    from tabbyray.ops.web import entity_cooccurrence
+    pages, labels = _anchor_entity_inputs()
+    cooc = entity_cooccurrence(pages, labels, num_partitions=8)
+    tri = triangle_counts(cooc, ("e1", "e2"), node_dtype=pa.string(),
+                          num_partitions=8)
+    return tri.map_batches(
+        lambda t: t.rename_columns(
+            ["entity" if c == "node" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher repetition-removal signals (dup lines / dup chars / top
     2-3-4-gram coverage, exact integer counters + composite passes);
@@ -2641,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_entity_candidates_join": _q_anchor_entity_candidates_join,
         "anchor_entity_top1": _q_anchor_entity_top1,
         "entity_cooccurrence": _q_entity_cooccurrence,
+        "entity_triangles": _q_entity_triangles,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -5696,11 +5716,13 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
               GROUP BY dst_canon, entity)
     """
     a_pat = '<a href="([^"]*)">([^<]*)</a>'
-    cooc = f"""
-        WITH raw AS (SELECT url,
-                            unnest(regexp_extract_all(html,
-                                '{a_pat}', 2)) AS atext
-                     FROM read_parquet('{pages_p}')),
+    # shared CTE prefix: anchor-norm mention sets -> co-mention pairs
+    # (reused by the PMI oracle and the entity-graph triangle oracle)
+    cooc_ctes = f"""
+        raw AS (SELECT url,
+                       unnest(regexp_extract_all(html,
+                           '{a_pat}', 2)) AS atext
+                FROM read_parquet('{pages_p}')),
         n AS (SELECT count(DISTINCT url) AS c
               FROM read_parquet('{pages_p}')),
         an AS (SELECT DISTINCT url,
@@ -5712,19 +5734,45 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
                        entity
                 FROM read_parquet('{labels_p}')),
         lab2 AS (SELECT * FROM lab WHERE norm <> ''),
-        m AS (SELECT DISTINCT url, entity FROM an2 JOIN lab2
+        m AS MATERIALIZED (
+              SELECT DISTINCT url, entity FROM an2 JOIN lab2
               USING (norm)),
         marg AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_e
                  FROM m GROUP BY entity),
-        p AS (SELECT a.entity AS e1, b.entity AS e2,
+        p AS MATERIALIZED (
+              SELECT a.entity AS e1, b.entity AS e2,
                      CAST(count(*) AS BIGINT) AS n_pair
               FROM m a JOIN m b ON a.url = b.url
                                 AND a.entity < b.entity
               GROUP BY a.entity, b.entity)
+    """
+    cooc = f"""
+        WITH {cooc_ctes}
         SELECT e1, e2, n_pair, m1.n_e AS n_e1, m2.n_e AS n_e2,
                ln((SELECT c FROM n) * n_pair / (m1.n_e * m2.n_e)) AS pmi
         FROM p JOIN marg m1 ON m1.entity = e1
                JOIN marg m2 ON m2.entity = e2
+    """
+    entity_tri = f"""
+        WITH {cooc_ctes},
+        deg2 AS MATERIALIZED (
+                 SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT e1 AS node FROM p
+                       UNION ALL SELECT e2 FROM p)
+                 GROUP BY node),
+        tri2 AS MATERIALIZED (
+                 SELECT x1.e1 AS x, x1.e2 AS y, x2.e2 AS z
+                 FROM p x1
+                 JOIN p x2 ON x2.e1 = x1.e2
+                 JOIN p x3 ON x3.e1 = x1.e1 AND x3.e2 = x2.e2),
+        tc2 AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT x AS node FROM tri2
+                      UNION ALL SELECT y FROM tri2
+                      UNION ALL SELECT z FROM tri2)
+                GROUP BY node)
+        SELECT d.node AS entity,
+               COALESCE(t.n_triangles, 0) AS n_triangles
+        FROM deg2 d LEFT JOIN tc2 t USING (node)
     """
     return {
         "anchor_entity_candidates":
@@ -5735,6 +5783,7 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
                 ORDER BY votes DESC, entity ASC) = 1
         """,
         "entity_cooccurrence": cooc,
+        "entity_triangles": entity_tri,
         "anchor_entity_candidates_join":
             votes + "SELECT dst_canon, entity, votes FROM v",
     }
