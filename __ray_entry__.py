@@ -597,6 +597,14 @@ def _q_web_host_hits(sf_dir: str):
     return host_hits(_link_pages())
 
 
+def _q_web_host_hits_weighted(sf_dir: str):
+    """LINK-MULTIPLICITY-weighted HITS: every push is score·n_links
+    per edge (x * w in the oracle's op order, both plans); oracle = 3
+    unrolled weighted half-round iterations."""
+    from tabbyray.ops.web import host_hits
+    return host_hits(_link_pages(), weighted=True)
+
+
 def _q_web_host_triangles(sf_dir: str):
     """Per-host triangle counts via degree-ordered orientation (wedge
     self-join + semi-join close, O(m^1.5) bound under hub skew);
@@ -2624,6 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "web_host_hits": _q_web_host_hits,
+        "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_triangles": _q_web_host_triangles,
         "web_host_clustering": _q_web_host_clustering,
         "web_host_adamic_adar": _q_web_host_adamic_adar,
@@ -4963,6 +4972,7 @@ def _link_oracles(link_path: str) -> dict[str, str]:
     out["web_host_pagerank"] = _link_pagerank_oracle(chain)
     out["web_host_pagerank_weighted"] = _link_pagerank_weighted_oracle(chain)
     out["web_host_hits"] = _link_hits_oracle(chain)
+    out["web_host_hits_weighted"] = _link_hits_oracle(chain, weighted=True)
     chain_t = _link_chain(link_path, with_text=True)
     out["web_anchor_text_rollup"] = f"""
         WITH {chain_t}
@@ -5789,7 +5799,8 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
     }
 
 
-def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
+def _link_hits_oracle(chain: str, n_iter: int = 3,
+                      weighted: bool = False) -> str:
     """HITS over the inter-host edge set: n_iter unrolled iterations of
     the documented half-rounds (authority from hubs, L1 normalize, hub
     from the NEW authorities, L1 normalize), zeros restored by LEFT
@@ -5798,10 +5809,11 @@ def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
     WITH-RECURSIVE parsing quirk documented at _host_components)."""
     its = []
     prev_h = "h0"
+    push_a = "p.x * e.w" if weighted else "p.x"
     for k in range(1, n_iter + 1):
         its.append(f"""
         a{k}raw AS MATERIALIZED (
-                    SELECT e.dst AS node, SUM(p.x) AS s
+                    SELECT e.dst AS node, SUM({push_a}) AS s
                     FROM edges e JOIN {prev_h} p ON p.node = e.src
                     GROUP BY e.dst),
         a{k} AS MATERIALIZED (
@@ -5810,7 +5822,7 @@ def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
                             AS x
                  FROM nodes n LEFT JOIN a{k}raw r ON r.node = n.node),
         h{k}raw AS MATERIALIZED (
-                    SELECT e.src AS node, SUM(p.x) AS s
+                    SELECT e.src AS node, SUM({push_a}) AS s
                     FROM edges e JOIN a{k} p ON p.node = e.dst
                     GROUP BY e.src),
         h{k} AS MATERIALIZED (
@@ -5820,11 +5832,15 @@ def _link_hits_oracle(chain: str, n_iter: int = 3) -> str:
                  FROM nodes n LEFT JOIN h{k}raw r ON r.node = n.node)""")
         prev_h = f"h{k}"
     body = ",".join(its)
+    edges_sql = ("""SELECT src_host AS src, dst_host AS dst,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM links WHERE src_host <> dst_host
+                  GROUP BY 1, 2""" if weighted else
+                 """SELECT DISTINCT src_host AS src, dst_host AS dst
+                  FROM links WHERE src_host <> dst_host""")
     return f"""
         WITH {chain},
-        edges AS MATERIALIZED (
-                  SELECT DISTINCT src_host AS src, dst_host AS dst
-                  FROM links WHERE src_host <> dst_host),
+        edges AS MATERIALIZED ({edges_sql}),
         nodes AS MATERIALIZED (
                   SELECT node FROM
                   (SELECT DISTINCT src AS node FROM edges

@@ -437,7 +437,8 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
          src_col: str = "src", dst_col: str = "dst",
          num_partitions: "int | None" = None, mode: str = "auto",
          broadcast_max_nodes: int = 2_000_000,
-         node_dtype: "pa.DataType | None" = None) -> rd.Dataset:
+         node_dtype: "pa.DataType | None" = None,
+         weight_col: "str | None" = None) -> rd.Dataset:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     Dataset. Documented iteration (the SQL oracle unrolls the exact
     same float expressions): edges dedupe first; h0 = 1/N over ALL
@@ -460,7 +461,12 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
       stream through stateless per-batch combiner sums.
 
     Sum order differs between paths/engines; agreement is to float
-    roundoff, absorbed by the oracle's 9-dp hashing."""
+    roundoff, absorbed by the oracle's 9-dp hashing.
+
+    ``weight_col`` switches to WEIGHTED HITS: duplicate-edge weights
+    sum in the dedup aggregate and every push becomes Σ score·w
+    (evaluated as ``x * w`` per edge — the oracle's op order — on both
+    plans); ``None`` keeps the unweighted paths byte-identical."""
     import numpy as np
 
     from .relational import hash_aggregate, hash_join, partial_agg_sum
@@ -468,17 +474,26 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
     nd = node_dtype if node_dtype is not None else pa.int64()
 
     def as_edge_ones(t: pa.Table) -> pa.Table:
+        w = (pa.array([1] * len(t), pa.int64()) if weight_col is None
+             else _flat(t.column(weight_col)).cast(pa.int64()))
         return pa.table({"src": _flat(t.column(src_col)),
                          "dst": _flat(t.column(dst_col)),
-                         "one": pa.array([1] * len(t), pa.int64())})
+                         "one": w})
 
     ded = hash_aggregate(
         edges.map_batches(as_edge_ones, batch_format="pyarrow"),
         keys=["src", "dst"], sum_cols={"one": "n"},
         num_partitions=num_partitions,
         out_schema=pa.schema([("src", nd), ("dst", nd),
-                              ("n", pa.int64())])
-    ).select_columns(["src", "dst"]).materialize()
+                              ("n", pa.int64())]))
+    if weight_col is None:
+        ded = ded.select_columns(["src", "dst"])
+    else:
+        ded = ded.map_batches(
+            lambda t: t.rename_columns(
+                ["w" if c == "n" else c for c in t.column_names]),
+            batch_format="pyarrow")
+    ded = ded.materialize()
     n_edges = ded.count()
     if n_edges == 0:
         return rd.from_arrow(pa.schema(
@@ -510,7 +525,10 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
                                      "s": pa.array([], pa.float64())})
                 m = ray.get(ref)
                 df = t.to_pandas()
-                df["s"] = df[key_in].map(m)
+                if weight_col is None:
+                    df["s"] = df[key_in].map(m)
+                else:
+                    df["s"] = df[key_in].map(m) * df["w"]
                 g = (df.groupby(key_out, as_index=False)["s"].sum()
                      .rename(columns={key_out: "node"}))
                 return pa.Table.from_pandas(g, preserve_index=False)
@@ -555,7 +573,9 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
 
     score_schema_src = pa.schema([("src", nd), ("x", pa.float64())])
     score_schema_dst = pa.schema([("dst", nd), ("x", pa.float64())])
-    edge_schema = pa.schema([("src", nd), ("dst", nd)])
+    edge_schema = pa.schema(
+        [("src", nd), ("dst", nd)]
+        + ([("w", pa.int64())] if weight_col is not None else []))
 
     def half_round(scores: rd.Dataset, key_in: str,
                    key_out: str) -> rd.Dataset:
@@ -570,11 +590,18 @@ def hits(edges: rd.Dataset, n_iter: int = 3,
             right_schema=(score_schema_src if key_in == "src"
                           else score_schema_dst),
             num_partitions=num_partitions)
+        def edge_s(t: pa.Table) -> pa.Table:
+            x = _flat(t.column("x"))
+            if weight_col is not None:
+                import pyarrow.compute as pc
+                x = pc.multiply(pc.cast(x, pa.float64()),
+                                pc.cast(_flat(t.column("w")),
+                                        pa.float64()))
+            return pa.table({key_out: _flat(t.column(key_out)),
+                             "s": x})
+
         raw = partial_agg_sum(
-            per_edge.map_batches(
-                lambda t: pa.table({key_out: _flat(t.column(key_out)),
-                                    "s": _flat(t.column("x"))}),
-                batch_format="pyarrow"),
+            per_edge.map_batches(edge_s, batch_format="pyarrow"),
             key_out, {"s": "s"}).materialize()
         tot = raw.sum("s") or 0.0
         joined = hash_join(

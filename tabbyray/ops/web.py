@@ -1035,13 +1035,15 @@ def anchor_entity_top1(pages: rd.Dataset, labels: rd.Dataset,
 def host_hits(pages: rd.Dataset, url_col: str = "url",
               html_col: str = "html", n_iter: int = 3,
               num_partitions: "int | None" = None,
-              mode: str = "auto") -> rd.Dataset:
+              mode: str = "auto", weighted: bool = False) -> rd.Dataset:
     """HITS hubs & authorities over the DISTINCT inter-host edge set
     (self-loops excluded, as in host_pagerank): authorities are the
     hosts good pages point AT, hubs the hosts that point at good
     authorities — the complementary centrality to PageRank for crawl
     seed selection. Reuses ``ops.graph.hits`` (same broadcast/join
-    auto-switch; constant exchanges per half-round at scale)."""
+    auto-switch; constant exchanges per half-round at scale).
+    ``weighted=True`` pushes scores by LINK MULTIPLICITY
+    (score·n_links per edge)."""
     from .graph import hits
 
     edges = host_edges(pages, url_col, html_col,
@@ -1050,12 +1052,16 @@ def host_hits(pages: rd.Dataset, url_col: str = "url",
     def inter(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(pc.equal(t.column("src_host"),
                                         t.column("dst_host"))))
-        return pa.table({"src": t.column("src_host"),
-                         "dst": t.column("dst_host")})
+        out = {"src": t.column("src_host"),
+               "dst": t.column("dst_host")}
+        if weighted:
+            out["n_links"] = t.column("n_links")
+        return pa.table(out)
 
     return hits(edges.map_batches(inter, batch_format="pyarrow"),
                 n_iter=n_iter, num_partitions=num_partitions,
-                mode=mode, node_dtype=pa.string())
+                mode=mode, node_dtype=pa.string(),
+                weight_col="n_links" if weighted else None)
 
 
 def entity_cooccurrence(pages: rd.Dataset, labels: rd.Dataset,

@@ -825,3 +825,26 @@ def test_weighted_pagerank_paths_and_semantics(ray_session):
     uw = pagerank(ones, node_dtype=pa.string()).to_pandas() \
         .set_index("node")["r"].sort_index()
     assert (wu - uw).abs().max() < 1e-12
+
+
+def test_weighted_hits_reduces_and_ranks(ray_session):
+    """Weighted HITS: weight-1 edges reduce to the unweighted result
+    exactly; a heavier edge pulls authority toward its target."""
+    import pyarrow as pa
+
+    from tabbyray.ops.graph import hits
+    ones = rd.from_items(
+        [{"src": "a", "dst": "b", "w": 1}, {"src": "a", "dst": "c", "w": 1},
+         {"src": "b", "dst": "c", "w": 1}])
+    wu = hits(ones, weight_col="w", node_dtype=pa.string()) \
+        .to_pandas().set_index("node").sort_index()
+    uw = hits(ones, node_dtype=pa.string()) \
+        .to_pandas().set_index("node").sort_index()
+    assert (wu["auth"] - uw["auth"]).abs().max() < 1e-12
+    assert (wu["hub"] - uw["hub"]).abs().max() < 1e-12
+
+    skew = rd.from_items(
+        [{"src": "a", "dst": "b", "w": 9}, {"src": "a", "dst": "c", "w": 1}])
+    w = hits(skew, weight_col="w", node_dtype=pa.string()) \
+        .to_pandas().set_index("node")
+    assert w.loc["b", "auth"] > w.loc["c", "auth"]
