@@ -680,6 +680,16 @@ def _q_web_host_kcore(sf_dir: str):
     return host_kcore(_link_pages(), k=16, max_rounds=4)
 
 
+def _q_web_host_ktruss(sf_dir: str):
+    """k-truss (k=10) edge peeling at the FIXED-DEPTH 3-round
+    contract: per round, per-edge triangle support via the
+    closed-wedge plan (each triangle charges its 3 lex-canonical
+    edges), drop support < 8, recompute; oracle = 3 unrolled SQL
+    rounds of the triangle/support/filter CTEs."""
+    from tabbyray.ops.web import host_ktruss
+    return host_ktruss(_link_pages(), k=10, max_rounds=3)
+
+
 def _q_web_strip_tracking(sf_dir: str):
     """Tracking-param removal + canonical rebuild ('&'-sentinel regex
     chain, surviving params keep order); oracle = the identical RE2
@@ -2638,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_adamic_adar": _q_web_host_adamic_adar,
         "web_host_assortativity": _q_web_host_assortativity,
         "web_host_kcore": _q_web_host_kcore,
+        "web_host_ktruss": _q_web_host_ktruss,
         "web_host_features": _q_web_host_features,
         "web_strip_tracking": _q_web_strip_tracking,
         "crawl_curated": _q_crawl_curated,
@@ -5108,6 +5119,37 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                                / CAST(n * sxx - sx * sx AS DOUBLE)
                      END, 9) AS assortativity
         FROM m
+    """
+    # 3-round unrolled k-truss peel (k=10, support >= 8): per round,
+    # triangles over the current lex-ordered edge set, each triangle
+    # charges its 3 edges (x<y<z so (x,y),(x,z),(y,z) are canonical),
+    # keep support >= 8 — matches the engine's max_rounds=3 contract
+    truss_rounds = []
+    prev_te = "und"
+    for i in range(1, 4):
+        truss_rounds.append(f"""
+        tri_t{i} AS MATERIALIZED (
+                 SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM {prev_te} e1
+                 JOIN {prev_te} e2 ON e2.a = e1.b
+                 JOIN {prev_te} e3 ON e3.a = e1.a AND e3.b = e2.b),
+        sup{i} AS MATERIALIZED (
+                 SELECT a, b, CAST(count(*) AS BIGINT) AS support
+                 FROM (SELECT x AS a, y AS b FROM tri_t{i}
+                       UNION ALL SELECT x, z FROM tri_t{i}
+                       UNION ALL SELECT y, z FROM tri_t{i})
+                 GROUP BY a, b),
+        kt{i} AS MATERIALIZED (
+                 SELECT a, b, support FROM sup{i}
+                 WHERE support >= 8)""")
+        if i < 3:
+            truss_rounds.append(f"""
+        te{i} AS MATERIALIZED (SELECT a, b FROM kt{i})""")
+            prev_te = f"te{i}"
+    out["web_host_ktruss"] = f"""
+        WITH {chain}, {tri_ctes},
+        {','.join(truss_rounds)}
+        SELECT a AS host_a, b AS host_b, support FROM kt3
     """
     # 4-round unrolled k-core peel (k=16): eN = edges among round-N
     # survivors, dN = degrees over e(N-1), kN = dN filtered at k —

@@ -728,6 +728,90 @@ def _edge_degrees(e: rd.Dataset, nd: "pa.DataType") -> rd.Dataset:
                            "node", {"one": "deg"})
 
 
+def _closed_wedges(e: rd.Dataset, deg: rd.Dataset, nd: "pa.DataType",
+                   num_partitions: int) -> rd.Dataset:
+    """(x, y, pivot) — one row per TRIANGLE of the undirected distinct
+    edge set ``e``, found exactly once via degree-ordered orientation
+    (see :func:`triangle_counts` for the plan narrative). ``deg`` is
+    the (node, deg) table over ``e``. Shared by triangle counting and
+    k-truss support."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join
+
+    e_schema = pa.schema([("a", nd), ("b", nd)])
+
+    def rename(m: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+        return f
+
+    ja = hash_join(
+        e, deg.map_batches(rename({"node": "a", "deg": "deg_a"}),
+                           batch_format="pyarrow"),
+        on="a", left_schema=e_schema,
+        right_schema=pa.schema([("a", nd), ("deg_a", pa.int64())]),
+        num_partitions=num_partitions)
+    jb = hash_join(
+        ja, deg.map_batches(rename({"node": "b", "deg": "deg_b"}),
+                            batch_format="pyarrow"),
+        on="b",
+        left_schema=pa.schema([("a", nd), ("b", nd),
+                               ("deg_a", pa.int64())]),
+        right_schema=pa.schema([("b", nd), ("deg_b", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = _flat(t.column("a")), _flat(t.column("b"))
+        da = _flat(t.column("deg_a"))
+        db = _flat(t.column("deg_b"))
+        # a-first iff (deg_a, a) < (deg_b, b); a != b so the tuple
+        # order is total
+        first = pc.or_(pc.less(da, db),
+                       pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({"u": pc.if_else(first, a, b),
+                         "v": pc.if_else(first, b, a),
+                         "deg_v": pc.if_else(first, db, da)})
+
+    oriented = _coalesced(jb.map_batches(orient, batch_format="pyarrow"),
+                          num_partitions)
+
+    # wedge generation: self-join on the pivot u; both neighbors sit
+    # ABOVE u in rank order, the candidate closing edge is oriented by
+    # THEIR (deg, id) rank — same total order, so one filter suffices
+    wedges = hash_join(
+        oriented.map_batches(rename({"v": "x", "deg_v": "deg_x"}),
+                             batch_format="pyarrow"),
+        oriented.map_batches(rename({"v": "y", "deg_v": "deg_y"}),
+                             batch_format="pyarrow"),
+        on="u",
+        left_schema=pa.schema([("u", nd), ("x", nd),
+                               ("deg_x", pa.int64())]),
+        right_schema=pa.schema([("u", nd), ("y", nd),
+                                ("deg_y", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def rank_filter(t: pa.Table) -> pa.Table:
+        dx, dy = _flat(t.column("deg_x")), _flat(t.column("deg_y"))
+        x, y = _flat(t.column("x")), _flat(t.column("y"))
+        keep = pc.or_(pc.less(dx, dy),
+                      pc.and_(pc.equal(dx, dy), pc.less(x, y)))
+        return pa.table({"x": x.filter(keep), "y": y.filter(keep),
+                         "pivot": _flat(t.column("u")).filter(keep)})
+
+    cand = wedges.map_batches(rank_filter, batch_format="pyarrow")
+    return hash_join(
+        cand,
+        oriented.map_batches(
+            lambda t: pa.table({"x": _flat(t.column("u")),
+                                "y": _flat(t.column("v"))}),
+            batch_format="pyarrow"),
+        on=["x", "y"], how="semi",
+        left_schema=pa.schema([("x", nd), ("y", nd), ("pivot", nd)]),
+        right_schema=pa.schema([("x", nd), ("y", nd)]),
+        num_partitions=num_partitions)
+
+
 def triangle_counts(edges: rd.Dataset,
                     pair_cols: tuple[str, str] = ("src", "dst"),
                     node_dtype: "pa.DataType | None" = None,
@@ -767,76 +851,7 @@ def triangle_counts(edges: rd.Dataset,
     deg_schema = pa.schema([("node", nd), ("deg", pa.int64())])
     e_schema = pa.schema([("a", nd), ("b", nd)])
 
-    def rename(m: dict[str, str]):
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns([m.get(c, c) for c in t.column_names])
-        return f
-
-    ja = hash_join(
-        e, deg.map_batches(rename({"node": "a", "deg": "deg_a"}),
-                           batch_format="pyarrow"),
-        on="a", left_schema=e_schema,
-        right_schema=pa.schema([("a", nd), ("deg_a", pa.int64())]),
-        num_partitions=num_partitions)
-    jb = hash_join(
-        ja, deg.map_batches(rename({"node": "b", "deg": "deg_b"}),
-                            batch_format="pyarrow"),
-        on="b",
-        left_schema=pa.schema([("a", nd), ("b", nd),
-                               ("deg_a", pa.int64())]),
-        right_schema=pa.schema([("b", nd), ("deg_b", pa.int64())]),
-        num_partitions=num_partitions)
-
-    def orient(t: pa.Table) -> pa.Table:
-        a, b = _flat(t.column("a")), _flat(t.column("b"))
-        da = _flat(t.column("deg_a"))
-        db = _flat(t.column("deg_b"))
-        # a-first iff (deg_a, a) < (deg_b, b); a != b so the tuple
-        # order is total
-        first = pc.or_(pc.less(da, db),
-                       pc.and_(pc.equal(da, db), pc.less(a, b)))
-        return pa.table({"u": pc.if_else(first, a, b),
-                         "v": pc.if_else(first, b, a),
-                         "deg_v": pc.if_else(first, db, da)})
-
-    o_schema = pa.schema([("u", nd), ("v", nd), ("deg_v", pa.int64())])
-    oriented = _coalesced(jb.map_batches(orient, batch_format="pyarrow"),
-                          num_partitions)
-
-    # wedge generation: self-join on the pivot u; both neighbors sit
-    # ABOVE u in rank order, the candidate closing edge is oriented by
-    # THEIR (deg, id) rank — same total order, so one filter suffices
-    wedges = hash_join(
-        oriented.map_batches(rename({"v": "x", "deg_v": "deg_x"}),
-                             batch_format="pyarrow"),
-        oriented.map_batches(rename({"v": "y", "deg_v": "deg_y"}),
-                             batch_format="pyarrow"),
-        on="u",
-        left_schema=pa.schema([("u", nd), ("x", nd),
-                               ("deg_x", pa.int64())]),
-        right_schema=pa.schema([("u", nd), ("y", nd),
-                                ("deg_y", pa.int64())]),
-        num_partitions=num_partitions)
-
-    def rank_filter(t: pa.Table) -> pa.Table:
-        dx, dy = _flat(t.column("deg_x")), _flat(t.column("deg_y"))
-        x, y = _flat(t.column("x")), _flat(t.column("y"))
-        keep = pc.or_(pc.less(dx, dy),
-                      pc.and_(pc.equal(dx, dy), pc.less(x, y)))
-        return pa.table({"x": x.filter(keep), "y": y.filter(keep),
-                         "pivot": _flat(t.column("u")).filter(keep)})
-
-    cand = wedges.map_batches(rank_filter, batch_format="pyarrow")
-    closed = hash_join(
-        cand,
-        oriented.map_batches(
-            lambda t: pa.table({"x": _flat(t.column("u")),
-                                "y": _flat(t.column("v"))}),
-            batch_format="pyarrow"),
-        on=["x", "y"], how="semi",
-        left_schema=pa.schema([("x", nd), ("y", nd), ("pivot", nd)]),
-        right_schema=pa.schema([("x", nd), ("y", nd)]),
-        num_partitions=num_partitions)
+    closed = _closed_wedges(e, deg, nd, num_partitions)
 
     def corners(t: pa.Table) -> pa.Table:
         xs = _flat(t.column("x"))
@@ -1156,3 +1171,80 @@ def kcore_nodes(edges: rd.Dataset, k: int,
             right_schema=pa.schema([("b", nd)]),
             num_partitions=num_partitions)
         cur = _coalesced(cur, num_partitions)
+
+
+def ktruss_edges(edges: rd.Dataset, k: int,
+                 pair_cols: tuple[str, str] = ("src", "dst"),
+                 node_dtype: "pa.DataType | None" = None,
+                 max_rounds: "int | None" = None,
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    """The k-TRUSS of an undirected graph (Cohen 2008): the maximal
+    subgraph where every EDGE sits in >= k-2 triangles — the
+    edge-level cohesion measure (stricter than k-core; the standard
+    community-nucleus / link-farm-clique extractor). Iterative edge
+    peeling: each round computes per-edge triangle support via the
+    degree-ordered closed-wedge plan (each triangle charges its 3
+    edges, lex-canonical (a, b) identity), drops edges below k-2, and
+    repeats on the survivors — triangles through removed edges
+    dissolve, so support must be RECOMPUTED, not decremented
+    (decrement-based peeling needs per-edge mutable state; recompute
+    keeps every round a pure dataflow over the current edge set).
+
+    ``max_rounds`` caps rounds for the fixed-depth oracle contract
+    (pagerank/HITS/k-core pattern); None runs to the fixpoint. Output:
+    (a, b, support) of surviving edges with their in-truss support."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join, partial_agg_sum
+
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k=2 is the whole graph; "
+                         "support-less edges never enter the support "
+                         "aggregate, so thresh <= 0 would drop them)")
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    cur = _coalesced(undirected_edges(edges, pair_cols, nd,
+                                      num_partitions), num_partitions)
+    num_partitions = _sized_partitions(cur.count(), num_partitions)
+    cur = _coalesced(cur, num_partitions)
+    thresh = k - 2
+    rounds = 0
+    while True:
+        rounds += 1
+        deg = _coalesced(_edge_degrees(cur, nd), num_partitions)
+        closed = _closed_wedges(cur, deg, nd, num_partitions)
+
+        def tri_edges(t: pa.Table) -> pa.Table:
+            xs = _flat(t.column("x"))
+            ys = _flat(t.column("y"))
+            ps = _flat(t.column("pivot"))
+            # the 3 undirected edges of each triangle, lex-canonical
+            e1a, e1b = pc.min_element_wise(xs, ys), \
+                pc.max_element_wise(xs, ys)
+            e2a, e2b = pc.min_element_wise(xs, ps), \
+                pc.max_element_wise(xs, ps)
+            e3a, e3b = pc.min_element_wise(ys, ps), \
+                pc.max_element_wise(ys, ps)
+            return pa.table({
+                "a": pa.concat_arrays([pc.cast(e1a, nd),
+                                       pc.cast(e2a, nd),
+                                       pc.cast(e3a, nd)]),
+                "b": pa.concat_arrays([pc.cast(e1b, nd),
+                                       pc.cast(e2b, nd),
+                                       pc.cast(e3b, nd)]),
+                "one": pa.array([1] * (3 * t.num_rows), pa.int64())})
+
+        support = partial_agg_sum(
+            closed.map_batches(tri_edges, batch_format="pyarrow"),
+            ["a", "b"], {"one": "support"}).materialize()
+
+        keep = support.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("support"), pa.scalar(thresh, pa.int64()))),
+            batch_format="pyarrow").materialize()
+        if keep.count() == cur.count():
+            return keep
+        if max_rounds is not None and rounds >= max_rounds:
+            return keep
+        cur = _coalesced(keep.select_columns(["a", "b"]),
+                         num_partitions)

@@ -1907,3 +1907,26 @@ def host_feature_table(pages: rd.Dataset, url_col: str = "url",
                                 ("auth", pa.float64()),
                                 ("hub", pa.float64())]),
         num_partitions=num_partitions)
+
+
+def host_ktruss(pages: rd.Dataset, k: int, url_col: str = "url",
+                html_col: str = "html",
+                max_rounds: "int | None" = None,
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """k-truss of the undirected inter-host graph — the edge-cohesion
+    nucleus (every surviving host pair co-occurs in >= k-2 triangles;
+    stricter than k-core, the standard link-clique extractor). Output:
+    (host_a, host_b, support)."""
+    from .graph import ktruss_edges
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    tr = ktruss_edges(edges, k, ("src_host", "dst_host"),
+                      node_dtype=pa.string(), max_rounds=max_rounds,
+                      num_partitions=num_partitions)
+
+    def rn(t: pa.Table) -> pa.Table:
+        m = {"a": "host_a", "b": "host_b"}
+        return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+    return tr.map_batches(rn, batch_format="pyarrow")

@@ -848,3 +848,22 @@ def test_weighted_hits_reduces_and_ranks(ray_session):
     w = hits(skew, weight_col="w", node_dtype=pa.string()) \
         .to_pandas().set_index("node")
     assert w.loc["b", "auth"] > w.loc["c", "auth"]
+
+
+def test_ktruss_hand_graph(ray_session):
+    """ktruss_edges: two triangles sharing edge b-c + pendant d-e.
+    3-truss = the 5 triangle edges (shared edge support 2); 4-truss =
+    empty (dropping support-1 edges dissolves both triangles); k < 3
+    raises."""
+    from tabbyray.ops.graph import ktruss_edges
+    edges = rd.from_items([
+        {"src": "a", "dst": "b"}, {"src": "b", "dst": "c"},
+        {"src": "a", "dst": "c"}, {"src": "b", "dst": "d"},
+        {"src": "c", "dst": "d"}, {"src": "d", "dst": "e"}])
+    t3 = ktruss_edges(edges, k=3).to_pandas()
+    got = {(r.a, r.b): r.support for r in t3.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2,
+                   ("b", "d"): 1, ("c", "d"): 1}
+    assert len(ktruss_edges(edges, k=4).to_pandas()) == 0
+    with pytest.raises(ValueError):
+        ktruss_edges(edges, k=2)
