@@ -680,6 +680,20 @@ def _q_web_host_kcore(sf_dir: str):
     return host_kcore(_link_pages(), k=16, max_rounds=4)
 
 
+def _q_web_host_dup_stats(sf_dir: str):
+    """Per-host content-duplication profile over the crawl capture
+    log (recrawl-budget signal): md5 payload fingerprints, one count
+    combiner + one exact distinct_count exchange + one join; oracle =
+    GROUP BY host with count(DISTINCT md5(html))."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_crawl_fixture
+    from tabbyray.ops.web import host_dup_stats
+    pages = rd.read_parquet(ensure_crawl_fixture(),
+                            override_num_blocks=8)
+    return host_dup_stats(pages, num_partitions=8)
+
+
 def _q_web_host_ktruss(sf_dir: str):
     """k-truss (k=10) edge peeling at the FIXED-DEPTH 3-round
     contract: per round, per-edge triangle support via the
@@ -2649,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_assortativity": _q_web_host_assortativity,
         "web_host_kcore": _q_web_host_kcore,
         "web_host_ktruss": _q_web_host_ktruss,
+        "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
         "web_strip_tracking": _q_web_strip_tracking,
         "crawl_curated": _q_crawl_curated,
@@ -4764,6 +4779,18 @@ def oracle_sql() -> dict[str, str]:
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
     out["crawl_curated"] = _crawl_pipeline_oracle(
         _crawl_path, _robots_path, _bl_path, GOPHER_STOPWORDS)
+    _host_of_url = ("regexp_extract(lower(regexp_extract(url, "
+                    "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+                    "'^([^:]*)', 1)")
+    out["web_host_dup_stats"] = f"""
+        WITH f AS (SELECT {_host_of_url} AS host, md5(html) AS fp
+                   FROM read_parquet('{_crawl_path}'))
+        SELECT host, CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+               1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM f GROUP BY host
+    """
     _clean_expr = _tracking_oracle(_tracking_path)
     out["web_latest_clean"] = f"""
         WITH stripped AS ({_clean_expr}),

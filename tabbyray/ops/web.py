@@ -1930,3 +1930,52 @@ def host_ktruss(pages: rd.Dataset, k: int, url_col: str = "url",
         return t.rename_columns([m.get(c, c) for c in t.column_names])
 
     return tr.map_batches(rn, batch_format="pyarrow")
+
+
+def host_dup_stats(pages: rd.Dataset, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-host content-duplication profile — the crawl-health signal
+    that decides recrawl budgets (a host whose captures are mostly
+    byte-identical is wasting fetches): captures, DISTINCT payload
+    fingerprints (md5 of the raw html), and
+    ``dup_rate = 1 - n_distinct / n_captures``. One stateless
+    fingerprint map, one count combiner aggregate, one exact
+    ``distinct_count`` exchange, one co-partitioned join. Output:
+    (host, n_captures, n_distinct, dup_rate)."""
+    import hashlib
+
+    from .relational import distinct_count, hash_join, partial_agg_sum
+
+    def fp(t: pa.Table) -> pa.Table:
+        host = _parse_batch(t, url_col)["host"]
+        fps = [hashlib.md5((x or "").encode()).hexdigest()
+               for x in pc.cast(t.column(html_col),
+                                pa.string()).to_pylist()]
+        return pa.table({"host": host,
+                         "fp": pa.array(fps, pa.string()),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    base = pages.map_batches(fp, batch_format="pyarrow").materialize()
+    caps = partial_agg_sum(base, "host", {"one": "n_captures"})
+    dist = distinct_count(base, "host", "fp", alias="n_distinct",
+                          key_type=pa.string(),
+                          num_partitions=num_partitions)
+    j = hash_join(
+        caps, dist, on="host",
+        left_schema=pa.schema([("host", pa.string()),
+                               ("n_captures", pa.int64())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("n_distinct", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("n_captures"), pa.float64())
+        d = pc.cast(t.column("n_distinct"), pa.float64())
+        rate = pc.subtract(pa.scalar(1.0), pc.divide(d, c))
+        return pa.table({"host": t.column("host"),
+                         "n_captures": t.column("n_captures"),
+                         "n_distinct": t.column("n_distinct"),
+                         "dup_rate": pc.cast(rate, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
