@@ -83,6 +83,10 @@ def crawl_main(argv) -> int:
     ap.add_argument("--blocklist", default=None,
                     help="blocklist parquet (domain)")
     ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="hash-bucket partitions for the output layout "
+                         "(bucket=K dirs; a rerun can skip or repair "
+                         "buckets independently)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -110,12 +114,27 @@ def crawl_main(argv) -> int:
 
     n_in = pages.count()
     out = curate_crawl(pages, robots, blocklist)
-    out.write_parquet(args.out)
+
+    nb = args.buckets
+
+    def add_bucket(t):
+        import hashlib
+        b = [int.from_bytes(hashlib.md5(u.encode()).digest()[8:],
+                            "little") % nb
+             for u in t.column("clean_url").to_pylist()]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    # deterministic md5 buckets on the doc key: one directory per
+    # bucket, so a failed 100-TB run can re-verify/redo buckets
+    # independently instead of rewriting one giant output
+    out.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(args.out, partition_cols=["bucket"])
     import pyarrow.parquet as pq
     n_out = sum(pq.ParquetFile(f).metadata.num_rows
-                for f in glob.glob(os.path.join(args.out, "*.parquet")))
+                for f in glob.glob(os.path.join(args.out, "bucket=*",
+                                                "*.parquet")))
     print(json.dumps({"out": args.out, "captures_in": n_in,
-                      "curated_docs": n_out}))
+                      "curated_docs": n_out, "buckets": nb}))
     ray.shutdown()
     return 0
 
