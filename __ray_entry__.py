@@ -2665,6 +2665,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_ktruss": _q_web_host_ktruss,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
+        "dsir_logratios": _q_dsir_logratios,
+        "dsir_selected": _q_dsir_selected,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "simhash_neardup_pairs": _q_simhash_neardup_pairs,
+        "embedding_quantized": _q_embedding_quantized,
+        "entity_triangles": _q_entity_triangles,
         "web_strip_tracking": _q_web_strip_tracking,
         "crawl_curated": _q_crawl_curated,
         "web_latest_clean": _q_web_latest_clean,
@@ -2695,7 +2701,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_entity_candidates_join": _q_anchor_entity_candidates_join,
         "anchor_entity_top1": _q_anchor_entity_top1,
         "entity_cooccurrence": _q_entity_cooccurrence,
-        "entity_triangles": _q_entity_triangles,
         # deduplication family
         "exact_dedup_docs": _q_exact_dedup_docs,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
@@ -2735,10 +2740,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # must hold at 100 TB — then the auto/broadcast originals)
         "tfidf_scores_join": _q_tfidf_scores_join,
         "doc_unigram_nll_join": _q_doc_unigram_nll_join,
-        "dsir_logratios": _q_dsir_logratios,
-        "dsir_selected": _q_dsir_selected,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "simhash_neardup_pairs": _q_simhash_neardup_pairs,
         "tfidf_scores": _q_tfidf_scores,
         "doc_unigram_nll": _q_doc_unigram_nll,
         "term_doc_freq": _q_term_doc_freq,
@@ -2789,7 +2790,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_dense_counts": _q_hourly_dense_counts,
         "label_centroids": _q_label_centroids,
         "embedding_norms": _q_embedding_norms,
-        "embedding_quantized": _q_embedding_quantized,
         "inverted_index": _q_inverted_index,
         "bigram_topk": _q_bigram_topk,
         "lang_char_moments": _q_lang_char_moments,
