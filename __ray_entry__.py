@@ -680,6 +680,32 @@ def _q_web_host_kcore(sf_dir: str):
     return host_kcore(_link_pages(), k=16, max_rounds=4)
 
 
+def _q_web_host_bfs_depth(sf_dir: str):
+    """Multi-source BFS hop distance (depth <= 3) from the 2
+    lexicographically smallest hosts over the undirected inter-host
+    graph: 3 frontier-sized exchanges per round (semi-join x frontier,
+    distinct, anti-join x visited), all state distributed. Oracle =
+    depth-bounded recursive CTE with min(d) per host."""
+    from tabbyray.ops.web import host_bfs_depth
+    return host_bfs_depth(_link_pages(), max_depth=3, n_seeds=2)
+
+
+def _q_web_host_communities(sf_dir: str):
+    """Synchronous mode-label-propagation communities at the
+    FIXED-DEPTH 3-round contract (ties -> min label; isolated hosts
+    keep their own) over the 5-community link fixture. Per round: one
+    co-partitioned join + one (node,label) count combiner + one
+    grouped_argmax + one left join. Oracle = 3 unrolled vote/argmax
+    CTE rounds."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_link_fixture
+    from tabbyray.ops.web import host_communities
+    ds = rd.read_parquet(ensure_link_fixture(communities=5),
+                         override_num_blocks=4)
+    return host_communities(ds, n_rounds=3, num_partitions=8)
+
+
 def _q_web_host_dup_stats(sf_dir: str):
     """Per-host content-duplication profile over the crawl capture
     log (recrawl-budget signal): md5 payload fingerprints, one count
@@ -2663,6 +2689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_assortativity": _q_web_host_assortativity,
         "web_host_kcore": _q_web_host_kcore,
         "web_host_ktruss": _q_web_host_ktruss,
+        "web_host_bfs_depth": _q_web_host_bfs_depth,
+        "web_host_communities": _q_web_host_communities,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
         "dsir_logratios": _q_dsir_logratios,
@@ -4768,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_web_oracles(_web_fixture_path))
     out.update(_link_oracles(_link_fixture_path))
     out["web_host_components"] = _host_components_oracle(_link_c5_path)
+    out["web_host_communities"] = _host_communities_oracle(_link_c5_path)
     out.update(_linededup_oracles(_linedocs_path))
     out.update(_robots_oracles(_robots_path, _web_fixture_path))
     out["web_visible_text"] = _visible_text_oracle(_html_path)
@@ -5204,6 +5233,28 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         {','.join(kcore_rounds)}
         SELECT node AS host, deg FROM k4
     """
+    # depth-bounded recursive BFS from the 2 lexicographically
+    # smallest hosts; node universe INCLUDES self-loop-only hosts
+    # (he keeps a = b rows, matching the engine's _host_nodes), the
+    # traversal edge set excludes them
+    out["web_host_bfs_depth"] = f"""
+        WITH RECURSIVE {chain},
+        bhe AS (SELECT DISTINCT src_host AS a, dst_host AS b
+                FROM links),
+        bnodes AS (SELECT DISTINCT h FROM
+                   (SELECT a AS h FROM bhe UNION ALL SELECT b FROM bhe)),
+        bed AS (SELECT DISTINCT a, b FROM
+                (SELECT a, b FROM bhe UNION ALL SELECT b, a FROM bhe)
+                WHERE a <> b),
+        seeds AS (SELECT h FROM bnodes ORDER BY h LIMIT 2),
+        reach(h, d) AS (
+            SELECT h, 0 FROM seeds
+            UNION
+            SELECT e.b, r.d + 1 FROM reach r JOIN bed e ON e.a = r.h
+            WHERE r.d < 3)
+        SELECT h AS host, CAST(min(d) AS BIGINT) AS depth
+        FROM reach GROUP BY h
+    """
     frontier = f"""
         tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks
                 FROM links GROUP BY dst_canon),
@@ -5448,6 +5499,49 @@ def _host_components_oracle(link_c5_path: str) -> str:
                CASE WHEN m.mn IS NULL OR n.h < m.mn THEN n.h ELSE m.mn END
                    AS component
         FROM nodes n LEFT JOIN mins m ON m.a = n.h
+    """
+
+
+def _host_communities_oracle(link_c5_path: str) -> str:
+    """3 unrolled rounds of synchronous mode-label propagation over
+    the undirected inter-host edge set of the community link fixture:
+    per round each node takes the most frequent neighbor label (ties
+    -> min label, = row_number ORDER BY n DESC, lbl ASC), isolated /
+    self-loop-only hosts keep their label via the LEFT-join coalesce.
+    Every multi-referenced CTE is MATERIALIZED (DuckDB inlines CTE
+    references otherwise — exponential re-evaluation on unrolled
+    iteration chains)."""
+    chain = _link_chain(link_c5_path)
+    rounds = []
+    prev = "l0"
+    for i in (1, 2, 3):
+        rounds.append(f"""
+        m{i} AS MATERIALIZED (
+               SELECT e.b AS h, l.lbl, CAST(count(*) AS BIGINT) AS n
+               FROM ced e JOIN {prev} l ON l.h = e.a
+               GROUP BY e.b, l.lbl),
+        w{i} AS MATERIALIZED (
+               SELECT h, lbl FROM m{i}
+               QUALIFY row_number() OVER (PARTITION BY h
+                       ORDER BY n DESC, lbl ASC) = 1),
+        l{i} AS MATERIALIZED (
+               SELECT l.h, coalesce(w.lbl, l.lbl) AS lbl
+               FROM {prev} l LEFT JOIN w{i} w ON w.h = l.h)""")
+        prev = f"l{i}"
+    return f"""
+        WITH {chain},
+        che AS MATERIALIZED (
+              SELECT DISTINCT src_host AS a, dst_host AS b FROM links),
+        cnodes AS MATERIALIZED (
+              SELECT DISTINCT h FROM
+              (SELECT a AS h FROM che UNION ALL SELECT b FROM che)),
+        ced AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM
+              (SELECT a, b FROM che UNION ALL SELECT b, a FROM che)
+              WHERE a <> b),
+        l0 AS MATERIALIZED (SELECT h, h AS lbl FROM cnodes),
+        {','.join(rounds)}
+        SELECT h AS host, lbl AS community FROM l3
     """
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .relational import _resolve_partitions
@@ -1248,3 +1249,187 @@ def ktruss_edges(edges: rd.Dataset, k: int,
             return keep
         cur = _coalesced(keep.select_columns(["a", "b"]),
                          num_partitions)
+
+
+def bfs_layers(edges: rd.Dataset, seeds: rd.Dataset,
+               max_depth: int,
+               pair_cols: tuple[str, str] = ("src", "dst"),
+               node_dtype: "pa.DataType | None" = None,
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """Multi-source BFS over the UNDIRECTED simple graph of ``edges``:
+    (node, depth) for every node within ``max_depth`` hops of any seed,
+    depth = minimum hop count (seeds are depth 0). The crawl-ops /
+    KG-reachability primitive: "what can we reach from the seed hosts
+    in d hops" bounds a frontier expansion, and hop distance from a
+    trusted seed set is a classic spam-distance feature.
+
+    Plan: one distinct undirected edge set, symmetrized once; each
+    round is (edges SEMI-JOIN frontier) -> distinct neighbor set ->
+    ANTI-JOIN visited -> the new frontier, i.e. 3 co-partitioned
+    exchanges per round over frontier-sized data. Round state (visited,
+    frontier) is node-bounded and fully distributed; the driver sees
+    only the frontier-empty scalar. ``max_depth`` is a fixed-depth
+    contract so the SQL oracle is a bounded recursive CTE.
+
+    ``seeds``: Dataset with one ``node`` column (same dtype as the
+    edge endpoints). Seeds absent from the graph still emit depth 0
+    (they simply have no neighbors)."""
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+
+    from .relational import hash_aggregate, hash_join
+
+    und = undirected_edges(edges, pair_cols, nd, num_partitions)
+    und = _coalesced(und, num_partitions)
+    num_partitions = _sized_partitions(max(und.count(), 1) * 2,
+                                       num_partitions)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = _flat(t.column("a"))
+        b = _flat(t.column("b"))
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    ed = _coalesced(und.map_batches(sym, batch_format="pyarrow"),
+                    num_partitions)
+    ed_schema = pa.schema([("u", nd), ("v", nd)])
+    n_schema = pa.schema([("node", nd)])
+
+    def as_depth(d: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pc.cast(_flat(t.column("node")), nd),
+                "depth": pa.array([d] * t.num_rows, pa.int64())})
+        return f
+
+    frontier = seeds.select_columns(["node"]).materialize()
+    visited = frontier.map_batches(as_depth(0),
+                                   batch_format="pyarrow").materialize()
+    for d in range(1, max_depth + 1):
+        hops = hash_join(
+            ed, frontier.map_batches(
+                lambda t: pa.table({"u": pc.cast(_flat(t.column("node")),
+                                                 nd)}),
+                batch_format="pyarrow"),
+            on="u", how="semi", left_schema=ed_schema,
+            right_schema=pa.schema([("u", nd)]),
+            num_partitions=num_partitions)
+
+        def nbr(t: pa.Table) -> pa.Table:
+            v = _flat(t.column("v"))
+            return pa.table({"node": v,
+                             "one": pa.array([1] * len(v), pa.int64())})
+
+        cand = hash_aggregate(
+            hops.map_batches(nbr, batch_format="pyarrow"),
+            keys=["node"], sum_cols={"one": "_c"},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([("node", nd), ("_c", pa.int64())])
+        ).select_columns(["node"])
+        fresh = hash_join(
+            cand, visited.select_columns(["node"]),
+            on="node", how="anti", left_schema=n_schema,
+            right_schema=n_schema,
+            num_partitions=num_partitions).materialize()
+        if fresh.count() == 0:
+            break
+        frontier = fresh
+        visited = _coalesced(visited.union(
+            fresh.map_batches(as_depth(d), batch_format="pyarrow")),
+            num_partitions)
+    return visited
+
+
+def label_propagation(edges: rd.Dataset, nodes: rd.Dataset,
+                      n_rounds: int = 3,
+                      pair_cols: tuple[str, str] = ("src", "dst"),
+                      node_col: str = "node",
+                      node_dtype: "pa.DataType | None" = None,
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """SYNCHRONOUS label-propagation community detection at a
+    fixed-round contract: every node starts labeled with its own id;
+    each round every node adopts the MODE of its neighbors' previous-
+    round labels over the undirected simple graph (ties -> smallest
+    label; nodes with no neighbors keep their label). ``n_rounds`` is
+    fixed so the SQL oracle is the unrolled round chain — the same
+    contract pagerank / HITS / k-core use. Unlike hash-min connected
+    components (which converges to one label per component), mode
+    propagation finds DENSE regions: bridges between communities lose
+    the vote.
+
+    Per round: one co-partitioned join (edges x labels), one
+    combiner-backed (node, label) count aggregate, one grouped_argmax
+    (count desc, label asc), one left join back to the node set —
+    all label state stays distributed and node-bounded."""
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+
+    from .relational import grouped_argmax, hash_aggregate, hash_join
+
+    und = _coalesced(undirected_edges(edges, pair_cols, nd,
+                                      num_partitions), num_partitions)
+    num_partitions = _sized_partitions(max(und.count(), 1) * 2,
+                                       num_partitions)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = _flat(t.column("a"))
+        b = _flat(t.column("b"))
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    ed = _coalesced(und.map_batches(sym, batch_format="pyarrow"),
+                    num_partitions)
+    ed_schema = pa.schema([("u", nd), ("v", nd)])
+    lbl_schema = pa.schema([("node", nd), ("lbl", nd)])
+
+    def init(t: pa.Table) -> pa.Table:
+        n = pc.cast(_flat(t.column(node_col)), nd)
+        return pa.table({"node": n, "lbl": n})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(n_rounds):
+        msgs = hash_join(
+            ed, labels.map_batches(
+                lambda t: pa.table({"u": t.column("node"),
+                                    "u_lbl": t.column("lbl")}),
+                batch_format="pyarrow"),
+            on="u", left_schema=ed_schema,
+            right_schema=pa.schema([("u", nd), ("u_lbl", nd)]),
+            num_partitions=num_partitions)
+
+        def vote(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("v"),
+                             "lbl": t.column("u_lbl"),
+                             "one": pa.array([1] * t.num_rows,
+                                             pa.int64())})
+
+        counts = hash_aggregate(
+            msgs.map_batches(vote, batch_format="pyarrow"),
+            keys=["node", "lbl"], sum_cols={"one": "n"},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([("node", nd), ("lbl", nd),
+                                  ("n", pa.int64())]))
+        winners = grouped_argmax(
+            counts, key="node", order_col="n", tie_col="lbl",
+            out_cols=["node", "lbl"],
+            num_partitions=num_partitions).map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "new_lbl": t.column("lbl")}),
+                batch_format="pyarrow")
+        joined = hash_join(
+            labels, winners, on="node", how="left",
+            left_schema=lbl_schema,
+            right_schema=pa.schema([("node", nd), ("new_lbl", nd)]),
+            num_partitions=num_partitions)
+
+        def take_new(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "lbl": pc.coalesce(_flat(t.column("new_lbl")),
+                                   _flat(t.column("lbl")))})
+
+        labels = _coalesced(joined.map_batches(take_new,
+                                               batch_format="pyarrow"),
+                            num_partitions)
+    return labels

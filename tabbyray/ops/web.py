@@ -1979,3 +1979,84 @@ def host_dup_stats(pages: rd.Dataset, url_col: str = "url",
                          "dup_rate": pc.cast(rate, pa.float64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def _host_nodes(edges: rd.Dataset,
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """(host,) — every endpoint of the host_edges rollup INCLUDING
+    self-loop-only hosts (sites with only intra-host nav are still
+    nodes, matching host_components' node universe). One combiner-
+    backed distinct exchange."""
+    from .relational import hash_aggregate
+
+    def ends(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("host", pa.string()), ("one", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        hosts = pa.concat_arrays(
+            [t.column("src_host").combine_chunks(),
+             t.column("dst_host").combine_chunks()]).unique()
+        return pa.table({"host": hosts,
+                         "one": pa.array([1] * len(hosts), pa.int64())})
+
+    return hash_aggregate(
+        edges.map_batches(ends, batch_format="pyarrow"),
+        keys=["host"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("host", pa.string()),
+                              ("_c", pa.int64())])
+    ).select_columns(["host"])
+
+
+def host_bfs_depth(pages: rd.Dataset, max_depth: int = 3,
+                   n_seeds: int = 2, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Hop distance from the seed hosts over the undirected inter-host
+    link graph: (host, depth) for every host within ``max_depth`` hops,
+    depth = minimum hops (crawl-frontier / trust-distance primitive).
+    Seeds = the ``n_seeds`` lexicographically smallest hosts of the
+    node universe — a deterministic, fixture-independent choice the
+    SQL oracle reproduces with ORDER BY host LIMIT n. Plan:
+    ``ops.graph.bfs_layers`` (3 frontier-sized exchanges per round)."""
+    from .graph import bfs_layers
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions).materialize()
+    seeds = (_host_nodes(edges, num_partitions)
+             .map_batches(lambda t: pa.table({"node": t.column("host")}),
+                          batch_format="pyarrow")
+             .sort("node").limit(n_seeds))
+    out = bfs_layers(edges, seeds, max_depth,
+                     pair_cols=("src_host", "dst_host"),
+                     num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({"host": t.column("node"),
+                            "depth": t.column("depth")}),
+        batch_format="pyarrow")
+
+
+def host_communities(pages: rd.Dataset, n_rounds: int = 3,
+                     url_col: str = "url", html_col: str = "html",
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Community labels over the undirected inter-host link graph by
+    synchronous mode-label propagation at a fixed ``n_rounds`` contract
+    (ties -> smallest label; isolated / self-loop-only hosts keep their
+    own label): (host, community). Mode propagation separates DENSE
+    site clusters where hash-min components would merge anything
+    connected — the link-farm / mirror-cluster detector.
+    Plan: ``ops.graph.label_propagation``."""
+    from .graph import label_propagation
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions).materialize()
+    nodes = _host_nodes(edges, num_partitions).map_batches(
+        lambda t: pa.table({"node": t.column("host")}),
+        batch_format="pyarrow")
+    out = label_propagation(edges, nodes, n_rounds=n_rounds,
+                            pair_cols=("src_host", "dst_host"),
+                            num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({"host": t.column("node"),
+                            "community": t.column("lbl")}),
+        batch_format="pyarrow")

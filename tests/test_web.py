@@ -867,3 +867,89 @@ def test_ktruss_hand_graph(ray_session):
     assert len(ktruss_edges(edges, k=4).to_pandas()) == 0
     with pytest.raises(ValueError):
         ktruss_edges(edges, k=2)
+
+
+def test_bfs_layers_path_graph(ray_session):
+    """Min-hop depths on a path graph with a disconnected pair; depth
+    capped at max_depth; seeds absent from the graph emit depth 0."""
+    from tabbyray.ops.graph import bfs_layers
+    edges = rd.from_items(
+        [{"src": s, "dst": d} for s, d in
+         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+          ("f", "g"), ("b", "a")]])
+    seeds = rd.from_items([{"node": "a"}, {"node": "zz"}])
+    got = sorted((r["node"], r["depth"])
+                 for r in bfs_layers(edges, seeds, 2,
+                                     num_partitions=4).take_all())
+    assert got == [("a", 0), ("b", 1), ("c", 2), ("zz", 0)]
+
+
+def _lp_reference(edge_list, nodes, rounds):
+    """Pure-python synchronous mode-label propagation (ties -> min)."""
+    from collections import Counter
+    adj = {n: set() for n in nodes}
+    for a, b in edge_list:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nb in adj.items():
+            if not nb:
+                new[n] = lbl[n]
+                continue
+            c = Counter(lbl[m] for m in nb)
+            top = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == top)
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_two_triangles(ray_session):
+    """3-round sync LP on two triangles joined by a bridge matches the
+    pure-python reference; the isolated node keeps its own label."""
+    from tabbyray.ops.graph import label_propagation
+    el = [("a", "b"), ("b", "c"), ("a", "c"),
+          ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    edges = rd.from_items([{"src": s, "dst": d} for s, d in el])
+    nodes = rd.from_items([{"node": n} for n in "abcdefh"])
+    got = {r["node"]: r["lbl"]
+           for r in label_propagation(edges, nodes, n_rounds=3,
+                                      num_partitions=4).take_all()}
+    assert got == _lp_reference(el, list("abcdefh"), 3)
+
+
+def test_host_bfs_and_communities(ray_session):
+    """Host-graph wrappers against pure-python references computed
+    from the (already-oracled) host_edges rollup."""
+    from tabbyray.fixtures import ensure_link_fixture
+    from tabbyray.ops.web import (host_bfs_depth, host_communities,
+                                  host_edges)
+    ds = rd.read_parquet(ensure_link_fixture(), override_num_blocks=4)
+    he = host_edges(ds, num_partitions=8).to_pandas()
+    pairs = [(a, b) for a, b in zip(he.src_host, he.dst_host)]
+    nodes = sorted({h for p in pairs for h in p})
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    seeds = nodes[:2]
+    depth = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in (1, 2, 3):
+        frontier = sorted({m for n in frontier for m in adj[n]
+                           if m not in depth})
+        depth.update({m: d for m in frontier})
+    got = {r["host"]: r["depth"]
+           for r in host_bfs_depth(ds, max_depth=3,
+                                   num_partitions=8).take_all()}
+    assert got == depth
+
+    want = _lp_reference(pairs, nodes, 3)
+    gotc = {r["host"]: r["community"]
+            for r in host_communities(ds, n_rounds=3,
+                                      num_partitions=8).take_all()}
+    assert gotc == want
