@@ -73,16 +73,24 @@ def curate_main(argv) -> int:
 
 def crawl_main(argv) -> int:
     """Crawl-curation surface: captures + robots + blocklist parquet in,
-    curated (clean_url, text, n_words) parquet out. Omitting --robots
-    or --blocklist runs with that gate open (typed empty table)."""
+    curated (clean_url, text, n_words) parquet out — RESUMABLE: the
+    shard-associative stage checkpoints per input shard (lineage
+    manifests, atomic commits), the cross-shard finalize is keyed on
+    the committed flags fingerprint, so a re-submission after a kill
+    skips everything already done. Omitting --robots or --blocklist
+    runs with that gate open (typed empty table)."""
     ap = argparse.ArgumentParser(prog="tabbyray crawl")
     ap.add_argument("--pages", required=True,
-                    help="capture-log parquet (url, warc_ts, html)")
+                    help="capture-log parquet file or directory "
+                         "(url, warc_ts, html)")
     ap.add_argument("--robots", default=None,
                     help="robots parquet (host, robots_txt)")
     ap.add_argument("--blocklist", default=None,
                     help="blocklist parquet (domain)")
     ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--shards", type=int, default=8,
+                    help="input-file shards for the resumable flags "
+                         "stage (capped at the file count)")
     ap.add_argument("--buckets", type=int, default=16,
                     help="hash-bucket partitions for the output layout "
                          "(bucket=K dirs; a rerun can skip or repair "
@@ -92,49 +100,14 @@ def crawl_main(argv) -> int:
 
     import ray
     _init_ray(args.num_cpus)
-    import pyarrow as pa
-    import ray.data as rd
 
-    from tabbyray.ops.crawlpipe import curate_crawl
+    from tabbyray.lineage import run_crawl_resumable
 
-    pages = rd.read_parquet(args.pages,
-                            columns=["url", "warc_ts", "html"])
-    if args.robots:
-        robots = rd.read_parquet(args.robots,
-                                 columns=["host", "robots_txt"])
-    else:
-        robots = rd.from_arrow(pa.schema(
-            [("host", pa.string()),
-             ("robots_txt", pa.string())]).empty_table())
-    if args.blocklist:
-        blocklist = rd.read_parquet(args.blocklist, columns=["domain"])
-    else:
-        blocklist = rd.from_arrow(
-            pa.schema([("domain", pa.string())]).empty_table())
-
-    n_in = pages.count()
-    out = curate_crawl(pages, robots, blocklist)
-
-    nb = args.buckets
-
-    def add_bucket(t):
-        import hashlib
-        b = [int.from_bytes(hashlib.md5(u.encode()).digest()[8:],
-                            "little") % nb
-             for u in t.column("clean_url").to_pylist()]
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    # deterministic md5 buckets on the doc key: one directory per
-    # bucket, so a failed 100-TB run can re-verify/redo buckets
-    # independently instead of rewriting one giant output
-    out.map_batches(add_bucket, batch_format="pyarrow") \
-        .write_parquet(args.out, partition_cols=["bucket"])
-    import pyarrow.parquet as pq
-    n_out = sum(pq.ParquetFile(f).metadata.num_rows
-                for f in glob.glob(os.path.join(args.out, "bucket=*",
-                                                "*.parquet")))
-    print(json.dumps({"out": args.out, "captures_in": n_in,
-                      "curated_docs": n_out, "buckets": nb}))
+    summary = run_crawl_resumable(
+        args.pages, args.out, robots_path=args.robots,
+        blocklist_path=args.blocklist, num_shards=args.shards,
+        buckets=args.buckets)
+    print(json.dumps(summary))
     ray.shutdown()
     return 0
 

@@ -257,3 +257,155 @@ def summarize(out_dir: str) -> dict:
         for k, v in m["row_counts"].items():
             totals[k] = totals.get(k, 0) + v
     return {"shards_complete": shards, "row_counts": totals}
+
+
+def _crawl_flags_fingerprint(flags_dir: str) -> str:
+    """Content key of the committed flags stage (sorted manifest
+    tuples) — a changed input set or shard layout invalidates the
+    finalize stage's manifest downstream."""
+    import hashlib
+    parts = []
+    for mp in sorted(glob.glob(os.path.join(flags_dir, "shard=*",
+                                            "_MANIFEST.json"))):
+        with open(mp) as f:
+            m = json.load(f)
+        parts.append([m["shard"], m["input_files"], m["rows"]])
+    return hashlib.md5(json.dumps(parts, sort_keys=True).encode()).hexdigest()
+
+
+def run_crawl_resumable(pages_path: str, out_dir: str, *,
+                        robots_path: "str | None" = None,
+                        blocklist_path: "str | None" = None,
+                        num_shards: int = 8, buckets: int = 16) -> dict:
+    """Resumable crawl curation (ops.crawlpipe staged split).
+
+    Two checkpointed phases, both atomic (tmp dir + os.rename):
+
+    1. ``out/_flags/shard=<i>/`` — the shard-associative stage
+       (gates, shard-local recrawl collapse, extraction, quality
+       flags) over shard i's input files; embarrassingly parallel, so
+       a killed run skips every committed shard on re-submission.
+    2. ``out/curated/bucket=<k>/`` — the cross-shard finalize (global
+       latest-capture argmax, quality filter, exact-text dedup) over
+       ALL committed flags, written hash-bucket-partitioned on
+       clean_url; keyed on the flags fingerprint, so it recomputes
+       only when the flags stage changed. Deterministic: a rerun's
+       output is byte-identical row content.
+
+    The reference has no crawl surface at all — this is the
+    from-scratch ``ray job submit`` crawl-curation entrypoint the
+    north rule's resumability clause demands, mirroring
+    ``run_resumable``'s manifest contract."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ops.crawlpipe import (FLAGS_SCHEMA, crawl_stage_finalize,
+                                crawl_stage_flags)
+
+    def _side_tables():
+        if robots_path:
+            robots = rd.read_parquet(robots_path,
+                                     columns=["host", "robots_txt"])
+        else:
+            robots = rd.from_arrow(pa.schema(
+                [("host", pa.string()),
+                 ("robots_txt", pa.string())]).empty_table())
+        if blocklist_path:
+            bl = rd.read_parquet(blocklist_path, columns=["domain"])
+        else:
+            bl = rd.from_arrow(
+                pa.schema([("domain", pa.string())]).empty_table())
+        return robots, bl
+
+    os.makedirs(out_dir, exist_ok=True)
+    flags_dir = os.path.join(out_dir, "_flags")
+    os.makedirs(flags_dir, exist_ok=True)
+    shards = shard_inputs(pages_path, num_shards)
+    for stale in glob.glob(os.path.join(flags_dir, "shard=*")):
+        try:
+            idx = int(os.path.basename(stale).split("=", 1)[1])
+        except ValueError:
+            continue
+        if idx >= len(shards):
+            shutil.rmtree(stale)
+
+    captures_in = sum(pq.ParquetFile(f).metadata.num_rows
+                     for files in shards for f in files)
+    skipped, ran = [], []
+    for i, files in enumerate(shards):
+        final = os.path.join(flags_dir, f"shard={i}")
+        mp = os.path.join(final, "_MANIFEST.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("input_files") == files:
+                skipped.append(i)
+                continue
+        t0 = time.monotonic()
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        robots, bl = _side_tables()
+        pages = rd.read_parquet(files,
+                                columns=["url", "warc_ts", "html"])
+        crawl_stage_flags(pages, robots, bl).write_parquet(tmp)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(os.path.join(tmp, "*.parquet")))
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"shard": i, "input_files": files, "rows": rows,
+                       "wall_sec": round(time.monotonic() - t0, 3),
+                       "complete": True}, f, indent=1)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        ran.append(i)
+
+    # ---- phase 2: cross-shard finalize ------------------------------
+    fp = _crawl_flags_fingerprint(flags_dir)
+    cur_dir = os.path.join(out_dir, "curated")
+    cur_manifest = os.path.join(cur_dir, "_MANIFEST.json")
+    fresh = False
+    if os.path.exists(cur_manifest):
+        with open(cur_manifest) as f:
+            m = json.load(f)
+        fresh = m.get("complete") and m.get("fingerprint") == fp
+    if not fresh:
+        tmp = cur_dir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        flag_files = sorted(glob.glob(os.path.join(
+            flags_dir, "shard=*", "*.parquet")))
+        flagged = rd.read_parquet(flag_files,
+                                  columns=FLAGS_SCHEMA.names)
+        nb = buckets
+
+        def add_bucket(t):
+            b = [int.from_bytes(hashlib.md5(u.encode()).digest()[8:],
+                                "little") % nb
+                 for u in t.column("clean_url").to_pylist()]
+            return t.append_column("bucket", pa.array(b, pa.int64()))
+
+        # deterministic md5 buckets on the doc key: one directory per
+        # bucket, so a failed 100-TB run can re-verify/redo buckets
+        # independently instead of rewriting one giant output
+        crawl_stage_finalize(flagged) \
+            .map_batches(add_bucket, batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=["bucket"])
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(os.path.join(tmp, "bucket=*",
+                                                   "*.parquet")))
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"fingerprint": fp, "rows": rows,
+                       "buckets": nb, "complete": True}, f, indent=1)
+        if os.path.exists(cur_dir):
+            shutil.rmtree(cur_dir)
+        os.rename(tmp, cur_dir)
+    with open(cur_manifest) as f:
+        curated_docs = json.load(f).get("rows", 0)
+    return {"out": cur_dir, "captures_in": captures_in,
+            "curated_docs": curated_docs, "buckets": buckets,
+            "flags_shards_run": ran, "flags_shards_skipped": skipped,
+            "finalize_recomputed": not fresh}

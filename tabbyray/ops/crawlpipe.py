@@ -21,9 +21,29 @@ exact order (the SQL oracle mirrors it stage for stage):
 6. **Content dedup** — exact visible-text dedup, keep-FIRST by
    clean_url (constant order key + asc tie through grouped_argmax).
 
-Output: (clean_url, text, n_words) for every surviving document.
-Every exchange ships partials or doc-keyed rows; nothing collects to
-the driver."""
+The pipeline is factored into TWO composable stages so the resumable
+CLI runner (``tabbyray.lineage.run_crawl_resumable``) can checkpoint
+per input shard:
+
+* ``crawl_stage_flags`` — everything that is associative across input
+  shards: gates, SHARD-LOCAL recrawl collapse, extraction, quality
+  FLAGS (not yet filtered). Because the latest-capture argmax is a max,
+  the global winner per clean_url is the max over shard-local winners —
+  so each shard can collapse, extract and flag independently and the
+  finalize stage re-argmaxes across shards. Output one row per
+  shard-local winning capture: (clean_url, ts_us, url, text, n_words,
+  q_passes, r_passes, dominant).
+* ``crawl_stage_finalize`` — the cross-shard barrier: global
+  latest-capture argmax, THEN the quality filter (selecting before
+  filtering equals filtering the global winner — the flags travel with
+  the capture that produced them), then corpus-wide exact-text dedup.
+
+``curate_crawl`` = finalize(flags(...)) — one shard, same relation as
+the original single-stage plan (shared SQL oracle; the staged split is
+additionally oracled via the forced-2-shard ``crawl_curated_staged``
+query). Output: (clean_url, text, n_words) for every surviving
+document. Every exchange ships partials or doc-keyed rows; nothing
+collects to the driver."""
 
 from __future__ import annotations
 
@@ -31,15 +51,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .relational import grouped_argmax, hash_aggregate, hash_join
+from .relational import grouped_argmax, hash_join
 from .text import gopher_quality, gopher_repetition, script_profile
 from .web import (_canon_array, _clean_array, _parse_batch, robots_gate,
                   visible_text)
 
 
-def curate_crawl(pages: rd.Dataset, robots: rd.Dataset,
-                 blocklist: rd.Dataset,
-                 num_partitions: "int | None" = None) -> rd.Dataset:
+def crawl_stage_flags(pages: rd.Dataset, robots: rd.Dataset,
+                      blocklist: rd.Dataset,
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Shard-associative prefix of the crawl-curation pipeline: domain
+    + robots gates, SHARD-LOCAL latest-capture collapse, visible-text
+    extraction and quality flags — NO cross-shard decisions. See the
+    module docstring for why this composes across input shards."""
     def prep(t: pa.Table) -> pa.Table:
         comp = _parse_batch(t, "url")
         return pa.table({
@@ -90,17 +114,28 @@ def curate_crawl(pages: rd.Dataset, robots: rd.Dataset,
         right_schema=pa.schema([("canon_url", pa.string())]),
         num_partitions=num_partitions)
 
+    # materialized: winners feeds BOTH the extraction path and the
+    # (ts_us, url) reattach join below — without the barrier the whole
+    # upstream (parse, gates, collapse) lazily re-executes once per
+    # consumer. Doc-keyed collapsed state, bounded by docs-per-shard;
+    # Ray spills it to the object store at scale.
     winners = grouped_argmax(
         allowed, key="clean_url", order_col="ts_us", tie_col="url",
-        out_cols=["clean_url", "html"],
-        num_partitions=num_partitions)
+        out_cols=["clean_url", "ts_us", "url", "html"],
+        num_partitions=num_partitions).materialize()
 
-    # visible_text names its key column "url" regardless of url_col
-    docs = visible_text(winners, url_col="clean_url",
+    # visible_text names its key column "url" regardless of url_col;
+    # extract on (clean_url, html) alone, then one co-partitioned join
+    # reattaches the winning capture's (ts_us, url) identity
+    # materialized: docs feeds the three stateless gate maps AND the
+    # first gate join — four lazy consumers would re-run the regex
+    # strip chain (the pipeline's dominant CPU) once each otherwise
+    docs = visible_text(winners.select_columns(["clean_url", "html"]),
+                        url_col="clean_url",
                         html_col="html").map_batches(
         lambda t: pa.table({"doc_id": t.column("url"),
                             "text": t.column("text")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     q = gopher_quality(docs).map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id"),
@@ -144,6 +179,51 @@ def curate_crawl(pages: rd.Dataset, robots: rd.Dataset,
                                 ("dominant", pa.string())]),
         num_partitions=num_partitions)
 
+    def as_clean(t: pa.Table) -> pa.Table:
+        return pa.table({"clean_url": t.column("doc_id"),
+                         "text": t.column("text"),
+                         "n_words": t.column("n_words"),
+                         "q_passes": t.column("q_passes"),
+                         "r_passes": t.column("r_passes"),
+                         "dominant": t.column("dominant")})
+
+    flagged = js.map_batches(as_clean, batch_format="pyarrow")
+    return hash_join(
+        flagged, winners.select_columns(["clean_url", "ts_us", "url"]),
+        on=["clean_url"],
+        left_schema=pa.schema([("clean_url", pa.string()),
+                               ("text", pa.string()),
+                               ("n_words", pa.int64()),
+                               ("q_passes", pa.int64()),
+                               ("r_passes", pa.int64()),
+                               ("dominant", pa.string())]),
+        right_schema=pa.schema([("clean_url", pa.string()),
+                                ("ts_us", pa.int64()),
+                                ("url", pa.string())]),
+        num_partitions=num_partitions)
+
+
+FLAGS_SCHEMA = pa.schema([
+    ("clean_url", pa.string()), ("text", pa.string()),
+    ("n_words", pa.int64()), ("q_passes", pa.int64()),
+    ("r_passes", pa.int64()), ("dominant", pa.string()),
+    ("ts_us", pa.int64()), ("url", pa.string())])
+
+
+def crawl_stage_finalize(flagged: rd.Dataset,
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """Cross-shard suffix: global latest-capture argmax over the
+    shard-local winners, quality filter, corpus-wide exact-text
+    keep-first dedup. Input rows carry the flags their own html
+    produced, so argmax-then-filter equals the single-stage
+    filter-the-global-winner plan."""
+    winners = grouped_argmax(
+        flagged, key="clean_url", order_col="ts_us", tie_col="url",
+        out_cols=["clean_url", "text", "n_words", "q_passes",
+                  "r_passes", "dominant"],
+        num_partitions=num_partitions)
+
     def gate_quality(t: pa.Table) -> pa.Table:
         ok = pc.and_(
             pc.and_(pc.equal(t.column("q_passes"),
@@ -152,15 +232,24 @@ def curate_crawl(pages: rd.Dataset, robots: rd.Dataset,
                              pa.scalar(1, pa.int64()))),
             pc.equal(t.column("dominant"), "latin"))
         t = t.filter(ok)
-        return pa.table({"clean_url": t.column("doc_id"),
+        return pa.table({"clean_url": t.column("clean_url"),
                          "text": t.column("text"),
                          "n_words": t.column("n_words"),
                          "zero": pa.array([0] * t.num_rows,
                                           pa.int64())})
 
-    kept = js.map_batches(gate_quality, batch_format="pyarrow")
+    kept = winners.map_batches(gate_quality, batch_format="pyarrow")
 
     return grouped_argmax(
         kept, key="text", order_col="zero", tie_col="clean_url",
         out_cols=["clean_url", "text", "n_words"],
+        num_partitions=num_partitions)
+
+
+def curate_crawl(pages: rd.Dataset, robots: rd.Dataset,
+                 blocklist: rd.Dataset,
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    return crawl_stage_finalize(
+        crawl_stage_flags(pages, robots, blocklist,
+                          num_partitions=num_partitions),
         num_partitions=num_partitions)

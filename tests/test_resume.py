@@ -126,3 +126,113 @@ def test_canonicalize_resume_skips_and_identical(sharded_input, tmp_path_factory
     s4 = lineage.run_canonicalize_resumable(annotated, canon)
     assert s4["map_recomputed"] is True
     assert s4["canonicalize_shards_run"] == [0, 1, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def crawl_sharded(ray_session, tmp_path_factory):
+    """Split the crawl-capture fixture into 4 parquet files."""
+    import pyarrow.parquet as pq
+
+    from tabbyray.fixtures import ensure_crawl_fixture
+
+    src = ensure_crawl_fixture()
+    caps = pq.read_table(src)
+    d = str(tmp_path_factory.mktemp("crawl_sharded"))
+    n = 4
+    step = (caps.num_rows + n - 1) // n
+    for i in range(n):
+        pq.write_table(caps.slice(i * step, step),
+                       os.path.join(d, f"part-{i:03d}.parquet"))
+    return d
+
+
+def _read_curated(out_dir):
+    import ray.data as rd
+    files = sorted(glob.glob(os.path.join(out_dir, "curated", "bucket=*",
+                                          "*.parquet")))
+    df = rd.read_parquet(files).to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_crawl_staged_split_matches_single_stage(ray_session):
+    """flags->finalize composed over a FORCED 2-way input split equals
+    the one-shot curate_crawl relation (the associativity the
+    resumable runner depends on)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.fixtures import (ensure_blocklist_fixture,
+                                   ensure_crawl_fixture,
+                                   ensure_robots_fixture)
+    from tabbyray.ops.crawlpipe import (crawl_stage_finalize,
+                                        crawl_stage_flags, curate_crawl)
+
+    pages = rd.read_parquet(ensure_crawl_fixture(),
+                            override_num_blocks=8)
+    robots = rd.read_parquet(ensure_robots_fixture())
+    bl = rd.read_parquet(ensure_blocklist_fixture())
+
+    def half(parity):
+        def f(t):
+            import pyarrow as pa
+            ln = pc.cast(pc.utf8_length(t.column("url")), pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ln, 1),
+                                     pa.scalar(parity, pa.int64())))
+        return f
+
+    parts = [pages.map_batches(half(p), batch_format="pyarrow")
+             for p in (0, 1)]
+    flags = [crawl_stage_flags(p, robots, bl, num_partitions=8)
+             for p in parts]
+    staged = crawl_stage_finalize(flags[0].union(flags[1]),
+                                  num_partitions=8).to_pandas()
+    single = curate_crawl(pages, robots, bl,
+                          num_partitions=8).to_pandas()
+    cols = list(single.columns)
+    staged = staged.sort_values(cols).reset_index(drop=True)[cols]
+    single = single.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(staged, single)
+
+
+def test_crawl_resume_skips_and_identical(crawl_sharded, tmp_path_factory):
+    """run_crawl_resumable: a rerun skips every committed flags shard
+    and the finalize; deleting one shard re-runs ONLY it; final output
+    rows stay byte-identical throughout."""
+    from tabbyray.fixtures import (ensure_blocklist_fixture,
+                                   ensure_robots_fixture)
+    from tabbyray.lineage import run_crawl_resumable
+
+    out = str(tmp_path_factory.mktemp("crawl_out"))
+    kw = dict(robots_path=ensure_robots_fixture(),
+              blocklist_path=ensure_blocklist_fixture(),
+              num_shards=2, buckets=4)
+    s1 = run_crawl_resumable(crawl_sharded, out, **kw)
+    assert s1["flags_shards_run"] == [0, 1]
+    assert s1["finalize_recomputed"] is True
+    assert s1["curated_docs"] == 89     # the oracled crawl_curated count
+    first = _read_curated(out)
+
+    s2 = run_crawl_resumable(crawl_sharded, out, **kw)
+    assert s2["flags_shards_run"] == []
+    assert s2["flags_shards_skipped"] == [0, 1]
+    assert s2["finalize_recomputed"] is False
+    pd.testing.assert_frame_equal(_read_curated(out), first)
+
+    # simulate a kill that lost shard 1's commit
+    shutil.rmtree(os.path.join(out, "_flags", "shard=1"))
+    s3 = run_crawl_resumable(crawl_sharded, out, **kw)
+    assert s3["flags_shards_run"] == [1]
+    assert s3["flags_shards_skipped"] == [0]
+    # the shard recompute is deterministic, so the content fingerprint
+    # is reproduced and the committed finalize stays valid (no rework)
+    assert s3["finalize_recomputed"] is False
+    pd.testing.assert_frame_equal(_read_curated(out), first)
+
+    # a CHANGED shard layout (3 shards over the same files) invalidates
+    # the fingerprint and forces the finalize to recompute
+    s4 = run_crawl_resumable(crawl_sharded, out,
+                             robots_path=kw["robots_path"],
+                             blocklist_path=kw["blocklist_path"],
+                             num_shards=3, buckets=4)
+    assert s4["finalize_recomputed"] is True
+    pd.testing.assert_frame_equal(_read_curated(out), first)
