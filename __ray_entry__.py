@@ -178,6 +178,72 @@ def _q_kg_predicate_stats(sf_dir: str):
                                 ("n_objects", pa.int64())]))
 
 
+def _kg_snapshots():
+    """Two overlapping KG snapshots derived deterministically from the
+    exported triple stream: pages bucketed by the trailing page-number
+    digit-run (% 4); 'old' excludes bucket 0, 'new' excludes bucket 1 —
+    a sliding recrawl window with 75% page overlap. The SQL oracles
+    re-derive the same buckets with regexp_extract."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    paths = _sti_export_paths()
+    tri = rd.read_parquet(paths["triples"],
+                          columns=["url", "subj", "pred", "obj"],
+                          override_num_blocks=8)
+
+    def bucketed(excl: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = t.column("url").combine_chunks()
+            d = pc.struct_field(
+                pc.extract_regex(u, r"(?P<d>[0-9]+)$"), "d")
+            ids = np.asarray(pc.cast(d, pa.int64()).to_numpy(
+                zero_copy_only=False))
+            keep = pa.array((ids % 4) != excl)
+            return t.filter(keep).select(["subj", "pred", "obj"])
+        return f
+
+    old = tri.map_batches(bucketed(0), batch_format="pyarrow")
+    new = tri.map_batches(bucketed(1), batch_format="pyarrow")
+    return old, new
+
+
+def _q_kg_triple_delta(sf_dir: str):
+    """Incremental KG maintenance: set-delta between two overlapping
+    snapshot triple sets — which (subj, pred, obj) a recrawl added /
+    retired / kept. One combiner-backed distinct per side + ONE full
+    outer co-partitioned join (ops.relational.set_delta); oracle =
+    DISTINCT + FULL JOIN + CASE."""
+    from tabbyray.ops.relational import set_delta
+    old, new = _kg_snapshots()
+    return set_delta(old, new, ["subj", "pred", "obj"],
+                     num_partitions=8)
+
+
+def _q_kg_subject_churn(sf_dir: str):
+    """Per-subject churn rollup over the triple delta (which entities
+    a recrawl touched, and how): n_added / n_removed / n_kept via one
+    indicator-sum combiner aggregate downstream of set_delta."""
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.relational import partial_agg_sum, set_delta
+    old, new = _kg_snapshots()
+    delta = set_delta(old, new, ["subj", "pred", "obj"],
+                      num_partitions=8)
+
+    def ind(t: pa.Table) -> pa.Table:
+        st = t.column("status")
+        def eq(v):
+            return pc.cast(pc.equal(st, v), pa.int64())
+        return pa.table({"subj": t.column("subj"), "added": eq("added"),
+                         "removed": eq("removed"), "kept": eq("kept")})
+
+    return partial_agg_sum(
+        delta.map_batches(ind, batch_format="pyarrow"), "subj",
+        {"added": "n_added", "removed": "n_removed", "kept": "n_kept"})
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -523,6 +589,16 @@ def _web_captures(num_blocks: int = 8):
                            override_num_blocks=num_blocks)
 
 
+def _q_web_url_path_templates(sf_dir: str):
+    """URL path-template mining (digit runs -> 'N'): per-template
+    capture count + distinct-host spread — the crawl-trap / faceted-
+    explosion signal. One count-combiner exchange + one exact
+    distinct-pair exchange + one join; oracle = regexp_replace +
+    GROUP BY with count(DISTINCT host)."""
+    from tabbyray.ops.web import url_path_templates
+    return url_path_templates(_web_captures(), num_partitions=8)
+
+
 def _q_web_url_components(sf_dir: str):
     """Vectorized URL parsing over the capture-log fixture; the oracle
     re-derives every component with DuckDB regexp_extract/lower."""
@@ -662,6 +738,17 @@ def _q_web_host_features(sf_dir: str):
     return host_feature_table(_link_pages())
 
 
+def _q_web_host_outlink_jaccard(sf_dir: str):
+    """Outlink-set Jaccard between co-citing hosts (mirror-site /
+    coordinated-network signal): distinct directed edges -> out-degree
+    combiner -> target-pivot self-join -> pair count -> two degree
+    joins; |union| from the inclusion-exclusion identity, jaccard
+    quantized 9 dp on BOTH sides (float-tie rule). Oracle = the same
+    relation via count(DISTINCT)/GROUP BY and round(, 9)."""
+    from tabbyray.ops.web import host_outlink_jaccard
+    return host_outlink_jaccard(_link_pages())
+
+
 def _q_web_host_assortativity(sf_dir: str):
     """Degree assortativity over the undirected inter-host graph:
     exact int64 moments (n, Σx, Σxy, Σx²) via per-batch partials + one
@@ -763,6 +850,44 @@ def _q_crawl_curated(sf_dir: str):
     bl = rd.read_parquet(ensure_blocklist_fixture(),
                          override_num_blocks=1)
     return curate_crawl(pages, robots, bl, num_partitions=8)
+
+
+def _q_crawl_curated_staged(sf_dir: str):
+    """The crawl-curation composition through the RESUMABLE runner's
+    staged split, with a FORCED 2-way input partition (url-length
+    parity): each part runs the shard-associative flags stage (gates,
+    shard-local collapse, extraction, quality flags) independently,
+    the finalize stage re-argmaxes the latest capture across parts,
+    filters and dedups. Same relation as crawl_curated (shared
+    oracle) — the associativity the per-shard checkpoint/resume
+    contract rests on, verified under the external hash."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.fixtures import (ensure_blocklist_fixture,
+                                   ensure_crawl_fixture,
+                                   ensure_robots_fixture)
+    from tabbyray.ops.crawlpipe import (crawl_stage_finalize,
+                                        crawl_stage_flags)
+    pages = rd.read_parquet(ensure_crawl_fixture(),
+                            override_num_blocks=8)
+    robots = rd.read_parquet(ensure_robots_fixture(),
+                             override_num_blocks=2)
+    bl = rd.read_parquet(ensure_blocklist_fixture(),
+                         override_num_blocks=1)
+
+    def half(parity):
+        def f(t):
+            ln = pc.cast(pc.utf8_length(t.column("url")), pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ln, 1),
+                                     pa.scalar(parity, pa.int64())))
+        return f
+
+    flags = [crawl_stage_flags(
+        pages.map_batches(half(p), batch_format="pyarrow"),
+        robots, bl, num_partitions=8) for p in (0, 1)]
+    return crawl_stage_finalize(flags[0].union(flags[1]),
+                                num_partitions=8)
 
 
 def _q_web_latest_clean(sf_dir: str):
@@ -1095,6 +1220,46 @@ def _q_entity_triangles(sf_dir: str):
     return tri.map_batches(
         lambda t: t.rename_columns(
             ["entity" if c == "node" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def _q_entity_communities(sf_dir: str):
+    """Mode-label-propagation communities over the ENTITY
+    co-occurrence graph (relatedness clusters at the 3-round
+    fixed-depth contract) — the KG-side composition of
+    ops.graph.label_propagation with the anchor-linking pipeline;
+    oracle = the cooccurrence CTE prefix + the shared unrolled LP
+    round chain."""
+    import pyarrow as pa
+
+    from tabbyray.ops.graph import label_propagation
+    from tabbyray.ops.relational import hash_aggregate
+    from tabbyray.ops.web import entity_cooccurrence
+    pages, labels = _anchor_entity_inputs()
+    cooc = entity_cooccurrence(pages, labels,
+                               num_partitions=8).materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.string()),
+                            ("one", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        e = pa.concat_arrays([t.column("e1").combine_chunks(),
+                              t.column("e2").combine_chunks()]).unique()
+        return pa.table({"node": e,
+                         "one": pa.array([1] * len(e), pa.int64())})
+
+    nodes = hash_aggregate(
+        cooc.map_batches(ends, batch_format="pyarrow"),
+        keys=["node"], sum_cols={"one": "_c"}, num_partitions=8,
+        out_schema=pa.schema([("node", pa.string()),
+                              ("_c", pa.int64())])
+    ).select_columns(["node"])
+    lp = label_propagation(cooc, nodes, n_rounds=3,
+                           pair_cols=("e1", "e2"), num_partitions=8)
+    return lp.map_batches(
+        lambda t: pa.table({"entity": t.column("node"),
+                            "community": t.column("lbl")}),
         batch_format="pyarrow")
 
 
@@ -1522,6 +1687,15 @@ def _q_simhash(sf_dir: str):
 def _q_vocab_topk(sf_dir: str):
     from tabbyray.ops.text import term_counts_topk
     return term_counts_topk(_docs(sf_dir), k=500)
+
+
+def _q_vocab_zipf(sf_dir: str):
+    """Zipf rank-frequency fit (slope/intercept of ln n on ln rank,
+    top 500 terms) — corpus-health scalar; combiner-backed vocab
+    aggregate + one O(top_n)-bounded closed-form fit task. Oracle =
+    row_number rank + the identical sum expressions."""
+    from tabbyray.ops.text import vocab_zipf
+    return vocab_zipf(_docs(sf_dir), top_n=500)
 
 
 def _q_term_doc_freq(sf_dir: str):
@@ -2544,6 +2718,20 @@ def _q_embedding_norms(sf_dir: str):
         columns=["vec_id", "embedding"]))
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Population covariance matrix of the embedding table as a
+    distributed algebraic aggregate: per-batch float64 X^T X + column
+    sums (O(d^2) partial rows per batch, vectors never shuffle), one
+    pair-keyed sum exchange, two moment joins; cov = Sxy/n -
+    (Sx/n)(Sy/n) quantized 9 dp. Oracle = zipped-unnest self-join
+    computing the identical expression."""
+    import ray.data as rd
+    from tabbyray.ops.simsearch import embedding_covariance
+    return embedding_covariance(rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]), num_partitions=8)
+
+
 def _q_embedding_quantized(sf_dir: str):
     """Per-dimension int8-style scalar quantization (long format):
     bounded min/max aggregate (one row per dim) + broadcast scale
@@ -2658,6 +2846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_triples": _q_sti_triples,
         "sti_canonical_triples": _q_sti_canonical_triples,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        "kg_triple_delta": _q_kg_triple_delta,
+        "kg_subject_churn": _q_kg_subject_churn,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
         "sti_cea_agg": _q_sti_cea_agg,
@@ -2686,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_triangles": _q_web_host_triangles,
         "web_host_clustering": _q_web_host_clustering,
         "web_host_adamic_adar": _q_web_host_adamic_adar,
+        "web_host_outlink_jaccard": _q_web_host_outlink_jaccard,
         "web_host_assortativity": _q_web_host_assortativity,
         "web_host_kcore": _q_web_host_kcore,
         "web_host_ktruss": _q_web_host_ktruss,
@@ -2699,8 +2890,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": _q_simhash_neardup_pairs,
         "embedding_quantized": _q_embedding_quantized,
         "entity_triangles": _q_entity_triangles,
+        "entity_communities": _q_entity_communities,
         "web_strip_tracking": _q_web_strip_tracking,
         "crawl_curated": _q_crawl_curated,
+        "crawl_curated_staged": _q_crawl_curated_staged,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
         "web_page_blocks": _q_web_page_blocks,
@@ -2710,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_crawl_frontier": _q_web_crawl_frontier,
         "web_fetch_schedule": _q_web_fetch_schedule,
         "web_url_features": _q_web_url_features,
+        "web_url_path_templates": _q_web_url_path_templates,
         "web_blocklist_allowed": _q_web_blocklist_allowed,
         "web_blocklist_blocked": _q_web_blocklist_blocked,
         "script_profile": _q_script_profile,
@@ -2772,6 +2966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll": _q_doc_unigram_nll,
         "term_doc_freq": _q_term_doc_freq,
         "vocab_topk": _q_vocab_topk,
+        "vocab_zipf": _q_vocab_zipf,
         # core relational / streaming-shaped
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,
@@ -2818,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_dense_counts": _q_hourly_dense_counts,
         "label_centroids": _q_label_centroids,
         "embedding_norms": _q_embedding_norms,
+        "embedding_covariance": _q_embedding_covariance,
         "inverted_index": _q_inverted_index,
         "bigram_topk": _q_bigram_topk,
         "lang_char_moments": _q_lang_char_moments,
@@ -3522,6 +3718,40 @@ def _sti_oracles() -> dict[str, str]:
         FROM read_parquet('{triples}')
         GROUP BY pred
     """
+    _delta_ctes = f"""
+        t AS (SELECT *, CAST(regexp_extract(url, '([0-9]+)$', 1)
+                             AS BIGINT) % 4 AS b
+              FROM read_parquet('{triples}')),
+        o AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t
+                           WHERE b <> 0),
+        n AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t
+                           WHERE b <> 1),
+        d AS (SELECT coalesce(o.subj, n.subj) AS subj,
+                     coalesce(o.pred, n.pred) AS pred,
+                     coalesce(o.obj, n.obj) AS obj,
+                     CASE WHEN o.subj IS NOT NULL
+                               AND n.subj IS NOT NULL THEN 'kept'
+                          WHEN n.subj IS NOT NULL THEN 'added'
+                          ELSE 'removed' END AS status
+              FROM o FULL JOIN n ON o.subj = n.subj
+                                AND o.pred = n.pred
+                                AND o.obj = n.obj)
+    """
+    out["kg_triple_delta"] = f"""
+        WITH {_delta_ctes}
+        SELECT subj, pred, obj, status FROM d
+    """
+    out["kg_subject_churn"] = f"""
+        WITH {_delta_ctes}
+        SELECT subj,
+               CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM d GROUP BY subj
+    """
     out["sti_canonical_triples"] = f"""
         WITH t AS (SELECT * FROM read_parquet('{triples}')),
         k AS (SELECT *,
@@ -3754,6 +3984,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS n
             FROM tok GROUP BY term
             ORDER BY n DESC, term ASC LIMIT 500
+        """,
+        "vocab_zipf": """
+            WITH tok AS (SELECT unnest(string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS term
+                         FROM documents),
+            tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY term
+                   ORDER BY n DESC, term ASC LIMIT 500),
+            r AS (SELECT n,
+                         CAST(row_number() OVER (
+                             ORDER BY n DESC, term ASC) AS DOUBLE)
+                             AS rank
+                  FROM tc),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS cnt,
+                         sum(ln(rank)) AS sx, sum(ln(n)) AS sy,
+                         sum(ln(rank) * ln(n)) AS sxy,
+                         sum(ln(rank) * ln(rank)) AS sxx
+                  FROM r)
+            SELECT CAST(cnt AS BIGINT) AS n_terms,
+                   round((cnt * sxy - sx * sy)
+                         / (cnt * sxx - sx * sx), 9) AS slope,
+                   round((sy - ((cnt * sxy - sx * sy)
+                                / (cnt * sxx - sx * sx)) * sx)
+                         / cnt, 9) AS intercept
+            FROM s
         """,
         "term_doc_freq": """
             WITH tok AS (SELECT doc_id, unnest(string_split(
@@ -4471,6 +4727,31 @@ def oracle_sql() -> dict[str, str]:
                        AS norm
             FROM embeddings
         """,
+        "embedding_covariance": """
+            WITH e AS (SELECT vec_id, embedding AS v,
+                              len(embedding) AS d
+                       FROM embeddings),
+            u AS MATERIALIZED (
+                  SELECT vec_id,
+                         CAST(unnest(range(d)) AS BIGINT) AS i,
+                         CAST(unnest(v) AS DOUBLE) AS val
+                  FROM e),
+            n_t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+            p AS (SELECT a.i AS dim_i, b.i AS dim_j,
+                         sum(a.val * b.val) AS sxy
+                  FROM u a JOIN u b ON a.vec_id = b.vec_id
+                                   AND a.i <= b.i
+                  GROUP BY 1, 2),
+            m AS MATERIALIZED (
+                  SELECT i, sum(val) AS sx FROM u GROUP BY i)
+            SELECT p.dim_i, p.dim_j,
+                   round(p.sxy / n_t.n
+                         - (ma.sx / n_t.n) * (mb.sx / n_t.n), 9)
+                       AS cov
+            FROM p, n_t
+            JOIN m ma ON ma.i = p.dim_i
+            JOIN m mb ON mb.i = p.dim_j
+        """,
         "embedding_quantized": """
             WITH e AS (SELECT vec_id, embedding AS v,
                               len(embedding) AS d
@@ -4808,6 +5089,8 @@ def oracle_sql() -> dict[str, str]:
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
     out["crawl_curated"] = _crawl_pipeline_oracle(
         _crawl_path, _robots_path, _bl_path, GOPHER_STOPWORDS)
+    # the staged (resumable-runner) split computes the same relation
+    out["crawl_curated_staged"] = out["crawl_curated"]
     _host_of_url = ("regexp_extract(lower(regexp_extract(url, "
                     "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
                     "'^([^:]*)', 1)")
@@ -4909,6 +5192,14 @@ def _web_oracles(capture_path: str) -> dict[str, str]:
                      AS rn
               FROM canon)
         WHERE rn = 1
+    """
+    out["web_url_path_templates"] = f"""
+        WITH {comp}
+        SELECT regexp_replace(path, '[0-9]+', 'N', 'g')
+                   AS path_template,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM canon GROUP BY 1
     """
     out["web_host_stats"] = f"""
         WITH {comp}
@@ -5156,6 +5447,26 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         FROM cc
         JOIN pr ON pr.node = cc.host
         JOIN ht ON ht.node = cc.host
+    """
+    out["web_host_outlink_jaccard"] = f"""
+        WITH {chain},
+        de AS MATERIALIZED (
+              SELECT DISTINCT src_host AS s, dst_host AS d FROM links
+              WHERE src_host <> dst_host),
+        od AS MATERIALIZED (
+              SELECT s, CAST(count(*) AS BIGINT) AS deg
+              FROM de GROUP BY s),
+        p AS (SELECT e1.s AS host_a, e2.s AS host_b,
+                     CAST(count(*) AS BIGINT) AS common_targets
+              FROM de e1 JOIN de e2 ON e1.d = e2.d AND e1.s < e2.s
+              GROUP BY 1, 2)
+        SELECT p.host_a, p.host_b, p.common_targets,
+               round(CAST(p.common_targets AS DOUBLE)
+                     / (da.deg + db.deg - p.common_targets), 9)
+                   AS jaccard
+        FROM p
+        JOIN od da ON da.s = p.host_a
+        JOIN od db ON db.s = p.host_b
     """
     out["web_host_assortativity"] = f"""
         WITH {chain}, {tri_ctes},
@@ -5502,23 +5813,23 @@ def _host_components_oracle(link_c5_path: str) -> str:
     """
 
 
-def _host_communities_oracle(link_c5_path: str) -> str:
-    """3 unrolled rounds of synchronous mode-label propagation over
-    the undirected inter-host edge set of the community link fixture:
-    per round each node takes the most frequent neighbor label (ties
-    -> min label, = row_number ORDER BY n DESC, lbl ASC), isolated /
-    self-loop-only hosts keep their label via the LEFT-join coalesce.
-    Every multi-referenced CTE is MATERIALIZED (DuckDB inlines CTE
-    references otherwise — exponential re-evaluation on unrolled
-    iteration chains)."""
-    chain = _link_chain(link_c5_path)
+def _lp_round_ctes(ed: str, n_rounds: int = 3) -> str:
+    """Unrolled synchronous mode-label-propagation rounds over a
+    symmetric edge CTE ``ed(a, b)`` starting from ``l0(h, lbl)``: per
+    round each node takes the most frequent neighbor label (ties ->
+    min label, = row_number ORDER BY n DESC, lbl ASC); nodes with no
+    messages keep their label via the LEFT-join coalesce. Every CTE is
+    MATERIALIZED (DuckDB inlines CTE references otherwise —
+    exponential re-evaluation on unrolled iteration chains). The final
+    label table is ``l{n_rounds}``. Shared by the host- and
+    entity-graph community oracles."""
     rounds = []
     prev = "l0"
-    for i in (1, 2, 3):
+    for i in range(1, n_rounds + 1):
         rounds.append(f"""
         m{i} AS MATERIALIZED (
                SELECT e.b AS h, l.lbl, CAST(count(*) AS BIGINT) AS n
-               FROM ced e JOIN {prev} l ON l.h = e.a
+               FROM {ed} e JOIN {prev} l ON l.h = e.a
                GROUP BY e.b, l.lbl),
         w{i} AS MATERIALIZED (
                SELECT h, lbl FROM m{i}
@@ -5528,6 +5839,15 @@ def _host_communities_oracle(link_c5_path: str) -> str:
                SELECT l.h, coalesce(w.lbl, l.lbl) AS lbl
                FROM {prev} l LEFT JOIN w{i} w ON w.h = l.h)""")
         prev = f"l{i}"
+    return ",".join(rounds)
+
+
+def _host_communities_oracle(link_c5_path: str) -> str:
+    """Mode-label-propagation communities over the undirected
+    inter-host edge set of the community link fixture (3 unrolled
+    ``_lp_round_ctes`` rounds; node universe includes self-loop-only
+    hosts)."""
+    chain = _link_chain(link_c5_path)
     return f"""
         WITH {chain},
         che AS MATERIALIZED (
@@ -5540,7 +5860,7 @@ def _host_communities_oracle(link_c5_path: str) -> str:
               (SELECT a, b FROM che UNION ALL SELECT b, a FROM che)
               WHERE a <> b),
         l0 AS MATERIALIZED (SELECT h, h AS lbl FROM cnodes),
-        {','.join(rounds)}
+        {_lp_round_ctes('ced')}
         SELECT h AS host, lbl AS community FROM l3
     """
 
@@ -5947,6 +6267,18 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
                COALESCE(t.n_triangles, 0) AS n_triangles
         FROM deg2 d LEFT JOIN tc2 t USING (node)
     """
+    entity_comm = f"""
+        WITH {cooc_ctes},
+        cnodes AS MATERIALIZED (
+              SELECT DISTINCT h FROM
+              (SELECT e1 AS h FROM p UNION ALL SELECT e2 FROM p)),
+        ced AS MATERIALIZED (
+              SELECT e1 AS a, e2 AS b FROM p
+              UNION ALL SELECT e2, e1 FROM p),
+        l0 AS MATERIALIZED (SELECT h, h AS lbl FROM cnodes),
+        {_lp_round_ctes('ced')}
+        SELECT h AS entity, lbl AS community FROM l3
+    """
     return {
         "anchor_entity_candidates":
             votes + "SELECT dst_canon, entity, votes FROM v",
@@ -5957,6 +6289,7 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
         """,
         "entity_cooccurrence": cooc,
         "entity_triangles": entity_tri,
+        "entity_communities": entity_comm,
         "anchor_entity_candidates_join":
             votes + "SELECT dst_canon, entity, votes FROM v",
     }

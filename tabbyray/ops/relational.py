@@ -1749,3 +1749,62 @@ def exact_quantiles_multipass(ds: rd.Dataset, col: str, qs: list[float],
             v = v * (1 - frac) + frac * resolved[lo_r + 1]
         out.append({"q": float(q), "value": v})
     return pd.DataFrame(out)
+
+
+def set_delta(old: rd.Dataset, new: rd.Dataset, key_cols: list[str],
+              num_partitions: "int | None" = None) -> rd.Dataset:
+    """SET difference/intersection status between two snapshots of a
+    keyed relation: one row per DISTINCT key tuple present in either
+    side, with status 'added' (new only), 'removed' (old only) or
+    'kept' (both) — the incremental-maintenance primitive (for a KG:
+    which (subj, pred, obj) triples a re-crawl added/retired; for a
+    crawl: which URLs appeared/vanished between snapshots).
+
+    Plan: each side dedups through one combiner-backed marker
+    aggregate (the shuffle moves distinct tuples per batch), then ONE
+    co-partitioned FULL OUTER join on the composite key and a
+    stateless status map. No driver state; two snapshot scans total."""
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def marked(tag: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in key_cols}
+            cols[tag] = pa.array([1] * t.num_rows, pa.int64())
+            return pa.table(cols)
+        return f
+
+    def side(ds: rd.Dataset, tag: str) -> rd.Dataset:
+        schema = pa.schema([(c, pa.string()) for c in key_cols]
+                           + [(tag, pa.int64())])
+        return hash_aggregate(
+            ds.map_batches(marked(tag), batch_format="pyarrow"),
+            keys=key_cols, sum_cols={tag: tag},
+            num_partitions=num_partitions,
+            out_schema=schema).map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column(c) for c in key_cols]
+                    + [pa.array([1] * t.num_rows, pa.int64())],
+                    names=key_cols + [tag]),
+                batch_format="pyarrow")
+
+    o = side(old, "_o")
+    n = side(new, "_n")
+    j = hash_join(
+        o, n, on=list(key_cols), how="outer",
+        left_schema=pa.schema([(c, pa.string()) for c in key_cols]
+                              + [("_o", pa.int64())]),
+        right_schema=pa.schema([(c, pa.string()) for c in key_cols]
+                               + [("_n", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def status(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        has_o = pc.is_valid(t.column("_o"))
+        has_n = pc.is_valid(t.column("_n"))
+        st = pc.if_else(pc.and_(has_o, has_n), "kept",
+                        pc.if_else(has_n, "added", "removed"))
+        cols = {c: t.column(c) for c in key_cols}
+        cols["status"] = st
+        return pa.table(cols)
+
+    return j.map_batches(status, batch_format="pyarrow")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -383,3 +384,97 @@ def embedding_quantize(embs: rd.Dataset, id_col: str = "vec_id",
                          "q": pa.array(q.ravel(), pa.int64())})
 
     return embs.map_batches(quant, batch_format="pyarrow")
+
+
+def embedding_covariance(embs: rd.Dataset, vec_col: str = "embedding",
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """POPULATION covariance matrix of an embedding column as a
+    distributed algebraic aggregate: per batch one float64 X^T X
+    (d x d numpy matmul) + column sums — the shuffle moves
+    O(d^2) partial rows per batch, NEVER vectors — then one pair-keyed
+    sum exchange and two tiny moment joins. Output one row per
+    upper-triangle pair: (dim_i, dim_j, cov), cov quantized 9 dp
+    (float-tie rule), with cov = Sxy/n - (Sx/n)(Sy/n) evaluated in
+    exactly that order (the SQL oracle mirrors the expression; sum
+    ORDER differs, absorbed by the rounding). The d^2-bounded state is
+    constant in corpus size — the PCA/whitening precursor a 100-TB
+    embedding table needs."""
+    import numpy as np
+
+    from .relational import hash_aggregate, hash_join
+
+    n_rows = embs.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                            ("s", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        col = t.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                       dtype=np.float64).reshape(t.num_rows, -1)
+        d = X.shape[1]
+        P = X.T @ X
+        iu, ju = np.triu_indices(d)
+        sx = X.sum(axis=0)
+        return pa.table({
+            "i": pa.array(np.concatenate([iu, np.arange(d)]), pa.int64()),
+            "j": pa.array(np.concatenate([ju, np.full(d, -1)]), pa.int64()),
+            "s": pa.array(np.concatenate([P[iu, ju], sx]), pa.float64())})
+
+    agg = hash_aggregate(
+        embs.map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"], sum_cols={"s": "s"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                              ("s", pa.float64())])).materialize()
+
+    moments = agg.map_batches(
+        lambda t: pa.table({"i": t.filter(pc.equal(t.column("j"), -1))
+                            .column("i"),
+                            "sx": t.filter(pc.equal(t.column("j"), -1))
+                            .column("s")}),
+        batch_format="pyarrow")
+    pairs = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("j"), 0)),
+        batch_format="pyarrow")
+
+    j1 = hash_join(
+        pairs, moments, on="i",
+        left_schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                               ("s", pa.float64())]),
+        right_schema=pa.schema([("i", pa.int64()),
+                                ("sx", pa.float64())]),
+        num_partitions=num_partitions)
+    j2 = hash_join(
+        j1.map_batches(
+            lambda t: t.rename_columns(
+                ["i", "j", "s", "sx_i"]), batch_format="pyarrow"),
+        moments.map_batches(
+            lambda t: pa.table({"j": t.column("i"),
+                                "sx_j": t.column("sx")}),
+            batch_format="pyarrow"),
+        on="j",
+        left_schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                               ("s", pa.float64()),
+                               ("sx_i", pa.float64())]),
+        right_schema=pa.schema([("j", pa.int64()),
+                                ("sx_j", pa.float64())]),
+        num_partitions=num_partitions)
+
+    n = float(n_rows)
+
+    def finish(t: pa.Table) -> pa.Table:
+        sxy = pc.divide(t.column("s"), n)
+        mi = pc.divide(t.column("sx_i"), n)
+        mj = pc.divide(t.column("sx_j"), n)
+        cov = pc.round(pc.subtract(sxy, pc.multiply(mi, mj)),
+                       ndigits=9)
+        return pa.table({"dim_i": t.column("i"),
+                         "dim_j": t.column("j"),
+                         "cov": cov})
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -1254,3 +1254,42 @@ def ccnet_perplexity_buckets(docs: rd.Dataset,
         return t.append_column("bucket", pc.cast(b, pa.string()))
 
     return scores.map_batches(label, batch_format="pyarrow")
+
+
+def vocab_zipf(docs: rd.Dataset, top_n: int = 500,
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-
+    squares slope/intercept of ln(count) on ln(rank) for the top-N
+    terms (rank 1 = most frequent, ties n desc / term asc) — the
+    one-number corpus-health signal (natural text ~ -1; template spam
+    and boilerplate floods flatten or steepen it). Output ONE row:
+    (n_terms, slope, intercept), floats quantized 9 dp.
+
+    Plan: ``term_counts_topk`` (combiner-backed vocabulary aggregate;
+    the global sort only ever sees <= P*k pruned survivors), then the
+    closed-form fit over the N-row result in one bounded single-
+    partition task — state O(top_n), constant in corpus size. The SQL
+    oracle computes the identical sum expressions (summation order
+    differs; absorbed by the rounding)."""
+    import numpy as np
+
+    topk = term_counts_topk(docs, k=top_n,
+                            num_partitions=num_partitions)
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "term"], ascending=[False, True],
+                            kind="stable").reset_index(drop=True)
+        rank = np.arange(1, len(df) + 1, dtype=np.float64)
+        x = np.log(rank)
+        y = np.log(df["n"].to_numpy(dtype=np.float64))
+        cnt = float(len(df))
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+        slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+        intercept = (sy - slope * sx) / cnt
+        return pd.DataFrame({"n_terms": pd.array([len(df)],
+                                                 dtype="int64"),
+                             "slope": [round(slope, 9)],
+                             "intercept": [round(intercept, 9)]})
+
+    return topk.repartition(1).map_batches(fit, batch_format="pandas")

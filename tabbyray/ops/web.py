@@ -2060,3 +2060,62 @@ def host_communities(pages: rd.Dataset, n_rounds: int = 3,
         lambda t: pa.table({"host": t.column("node"),
                             "community": t.column("lbl")}),
         batch_format="pyarrow")
+
+
+def url_path_templates(pages: rd.Dataset, url_col: str = "url",
+                       num_partitions: "int | None" = None) -> rd.Dataset:
+    """Crawl-trap / faceted-explosion detector: collapse every URL
+    path to its TEMPLATE (digit runs -> 'N', so /post/123/page/4 and
+    /post/999/page/7 coincide) and profile each template with its
+    capture count and distinct-host spread. A template with huge
+    n_urls on few hosts is a calendar trap or pagination explosion —
+    the classic recrawl-budget sink; one with many hosts is a shared
+    CMS layout. Output (path_template, n_urls, n_hosts).
+
+    Plan: stateless vectorized parse+replace, then one count combiner
+    exchange + one exact distinct-pair exchange + one co-partitioned
+    join (the host_dup_stats shape keyed by template)."""
+    from .relational import distinct_count, hash_join, partial_agg_sum
+
+    def f(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        tmpl = pc.replace_substring_regex(comp["path"], "[0-9]+", "N")
+        return pa.table({"path_template": tmpl, "host": comp["host"],
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    base = pages.map_batches(f, batch_format="pyarrow").materialize()
+    counts = partial_agg_sum(base, "path_template", {"one": "n_urls"})
+    dist = distinct_count(base, "path_template", "host",
+                          alias="n_hosts", key_type=pa.string(),
+                          num_partitions=num_partitions)
+    return hash_join(
+        counts, dist, on="path_template",
+        left_schema=pa.schema([("path_template", pa.string()),
+                               ("n_urls", pa.int64())]),
+        right_schema=pa.schema([("path_template", pa.string()),
+                                ("n_hosts", pa.int64())]),
+        num_partitions=num_partitions)
+
+
+def host_outlink_jaccard(pages: rd.Dataset, url_col: str = "url",
+                         html_col: str = "html",
+                         max_target_indegree: "int | None" = None,
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """Outlink-set Jaccard between HOSTS of the directed inter-host
+    link graph — mirror / coordinated-network detection: (host_a,
+    host_b, common_targets, jaccard) for co-citing host pairs.
+    Plan: ``ops.graph.outlink_jaccard`` over the host_edges rollup."""
+    from .graph import outlink_jaccard
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions).materialize()
+    out = outlink_jaccard(edges, pair_cols=("src_host", "dst_host"),
+                          max_target_indegree=max_target_indegree,
+                          num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({"host_a": t.column("node_a"),
+                            "host_b": t.column("node_b"),
+                            "common_targets": t.column("common_targets"),
+                            "jaccard": t.column("jaccard")}),
+        batch_format="pyarrow")

@@ -886,3 +886,75 @@ def test_embedding_quantize_reference(ray_session):
     assert (got == want).all()
     assert set(got[:, 3]) == {0}                      # constant dim
     assert got.min() == 0 and got.max() == 255
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """Distributed X^T X sufficient-stats covariance == np.cov
+    (population) on a random float32 matrix, across many small
+    blocks."""
+    import numpy as np
+    import ray.data as rd
+
+    from tabbyray.ops.simsearch import embedding_covariance
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 8)).astype(np.float32)
+    ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, row))}
+                        for i, row in enumerate(X)]) \
+        .repartition(13)
+    got = embedding_covariance(ds, num_partitions=4).to_pandas()
+    assert len(got) == 8 * 9 // 2
+    C = np.cov(X.astype(np.float64).T, bias=True)
+    for _, r in got.iterrows():
+        assert abs(C[int(r.dim_i), int(r.dim_j)] - r["cov"]) < 1e-8
+
+
+def test_vocab_zipf_closed_form(ray_session):
+    """Slope/intercept equal the direct least-squares fit over the
+    exact top-k counts."""
+    import numpy as np
+    import ray.data as rd
+    from collections import Counter
+
+    from tabbyray.ops.text import vocab_zipf
+    docs = [("d%d" % i, " ".join(
+        ["alpha"] * (20 - i % 7) + ["beta"] * (i % 5) + ["g%d" % (i % 11)]))
+        for i in range(60)]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs])
+    got = vocab_zipf(ds, top_n=10).to_pandas()
+    c = Counter()
+    for _, t in docs:
+        c.update(t.split(" "))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(np.array([n for _, n in top], dtype=np.float64))
+    n = float(len(top))
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / \
+        (n * (x * x).sum() - x.sum() ** 2)
+    intercept = (y.sum() - slope * x.sum()) / n
+    assert got.n_terms[0] == 10
+    assert abs(got.slope[0] - slope) < 1e-8
+    assert abs(got.intercept[0] - intercept) < 1e-8
+
+
+def test_outlink_jaccard_hand_graph(ray_session):
+    """Directed outlink-set Jaccard on a hand graph, incl. the
+    supernode cap dropping a super-cited target."""
+    import ray.data as rd
+
+    from tabbyray.ops.graph import outlink_jaccard
+    # out(a)={x,y,z}, out(b)={x,y}, out(c)={z,q}; everyone cites h
+    el = [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y"),
+          ("c", "z"), ("c", "q"), ("a", "h"), ("b", "h"), ("c", "h"),
+          ("a", "x")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in el])
+    got = {(r["node_a"], r["node_b"]): (r["common_targets"], r["jaccard"])
+           for r in outlink_jaccard(ds, num_partitions=4).take_all()}
+    # with h: out sizes a=4 b=3 c=3
+    assert got[("a", "b")] == (3, round(3 / (4 + 3 - 3), 9))
+    assert got[("a", "c")] == (2, round(2 / (4 + 3 - 2), 9))
+    assert got[("b", "c")] == (1, round(1 / (3 + 3 - 1), 9))
+    capped = {(r["node_a"], r["node_b"]): r["common_targets"]
+              for r in outlink_jaccard(ds, max_target_indegree=2,
+                                       num_partitions=4).take_all()}
+    # h (indegree 3) is cut from pair generation
+    assert capped == {("a", "b"): 2, ("a", "c"): 1}

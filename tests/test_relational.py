@@ -1619,3 +1619,23 @@ def test_hits_matches_dense_iteration(ray_session):
     if dst_only:
         assert np.allclose(
             got.set_index("node").loc[dst_only, "hub"], 0.0)
+
+
+def test_set_delta_statuses(ray_session):
+    """Full-outer snapshot delta: added/removed/kept on composite keys,
+    bag duplicates collapse to set semantics."""
+    import ray.data as rd
+
+    from tabbyray.ops.relational import set_delta
+    old = rd.from_items([{"subj": s, "pred": p, "obj": o} for s, p, o in
+                         [("a", "t", "x"), ("a", "t", "x"),
+                          ("b", "t", "y"), ("c", "t", "z")]])
+    new = rd.from_items([{"subj": s, "pred": p, "obj": o} for s, p, o in
+                         [("a", "t", "x"), ("c", "t", "z2"),
+                          ("d", "t", "w")]])
+    got = sorted((r["subj"], r["obj"], r["status"])
+                 for r in set_delta(old, new, ["subj", "pred", "obj"],
+                                    num_partitions=4).take_all())
+    assert got == [("a", "x", "kept"), ("b", "y", "removed"),
+                   ("c", "z", "removed"), ("c", "z2", "added"),
+                   ("d", "w", "added")]
