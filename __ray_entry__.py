@@ -1698,6 +1698,17 @@ def _q_vocab_zipf(sf_dir: str):
     return vocab_zipf(_docs(sf_dir), top_n=500)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (3 rounds) over the documents
+    corpus: per round one pair-count combiner exchange over the
+    DISTINCT-word vocabulary + a single-row argmax collect; merge
+    application is the fixed one-pass left-to-right replace contract
+    shared bitwise with SQL replace. Oracle = 3 unrolled
+    count/argmax/replace CTE rounds."""
+    from tabbyray.ops.text import bpe_merges
+    return bpe_merges(_docs(sf_dir), n_merges=3)
+
+
 def _q_term_doc_freq(sf_dir: str):
     from tabbyray.ops.text import term_doc_freq
     return term_doc_freq(_docs(sf_dir), min_df=10)
@@ -2967,6 +2978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "vocab_topk": _q_vocab_topk,
         "vocab_zipf": _q_vocab_zipf,
+        "bpe_merges": _q_bpe_merges,
         # core relational / streaming-shaped
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,
@@ -5072,6 +5084,7 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_contamination_join"] = out["ngram_contamination"]
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")
+    out["bpe_merges"] = _bpe_oracle(3)
     # web-capture family: components / canonical form / host rollup
     # re-derived in DuckDB from the raw capture log alone
     out.update(_web_oracles(_web_fixture_path))
@@ -5810,6 +5823,61 @@ def _host_components_oracle(link_c5_path: str) -> str:
                CASE WHEN m.mn IS NULL OR n.h < m.mn THEN n.h ELSE m.mn END
                    AS component
         FROM nodes n LEFT JOIN mins m ON m.a = n.h
+    """
+
+
+def _bpe_oracle(n_rounds: int = 3) -> str:
+    """Unrolled BPE merge-learning rounds over the documents
+    vocabulary: char-spaced symbol sequences (regexp_replace backref),
+    adjacent pairs via list_extract over range(len-1), frequency-
+    weighted counts, argmax (cnt desc, a asc, b asc), and the
+    single-pass space-padded replace application — the exact contract
+    the engine implements with Python str.replace. All round CTEs
+    MATERIALIZED (unrolled-iteration rule)."""
+    ctes = ["""
+        btok AS (SELECT unnest(string_split(
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                     ' ')) AS word
+                 FROM documents),
+        bv AS MATERIALIZED (
+              SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM btok WHERE word <> '' GROUP BY word),
+        bs0 AS MATERIALIZED (
+              SELECT word, n,
+                     rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                         AS seq
+              FROM bv)"""]
+    for r in range(1, n_rounds + 1):
+        prev = f"bs{r - 1}"
+        ctes.append(f"""
+        bpp{r} AS (SELECT n,
+                          list_extract(ls, CAST(i AS INTEGER) + 1) AS a,
+                          list_extract(ls, CAST(i AS INTEGER) + 2) AS b
+                   FROM (SELECT n, ls, unnest(range(len(ls) - 1)) AS i
+                         FROM (SELECT n, string_split(seq, ' ') AS ls
+                               FROM {prev}))),
+        bp{r} AS MATERIALIZED (
+               SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+               FROM bpp{r} GROUP BY a, b),
+        bt{r} AS MATERIALIZED (
+               SELECT a, b, cnt FROM bp{r}
+               QUALIFY row_number() OVER (
+                   ORDER BY cnt DESC, a ASC, b ASC) = 1)""")
+        if r < n_rounds:
+            ctes.append(f"""
+        bs{r} AS MATERIALIZED (
+               SELECT s.word, s.n,
+                      trim(replace(' ' || s.seq || ' ',
+                                   ' ' || t.a || ' ' || t.b || ' ',
+                                   ' ' || t.a || t.b || ' ')) AS seq
+               FROM {prev} s, bt{r} t)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, "
+        f"b AS right_sym, cnt AS pair_count FROM bt{r}"
+        for r in range(1, n_rounds + 1))
+    return f"""
+        WITH {','.join(ctes)}
+        {finals}
     """
 
 

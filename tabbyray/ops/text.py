@@ -1293,3 +1293,106 @@ def vocab_zipf(docs: rd.Dataset, top_n: int = 500,
                              "intercept": [round(intercept, 9)]})
 
     return topk.repartition(1).map_batches(fit, batch_format="pandas")
+
+
+def bpe_merges(docs: rd.Dataset, n_merges: int = 3,
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """Byte-pair-encoding MERGE LEARNING over the corpus — the
+    tokenizer-training primitive: starting from character symbols,
+    each round counts adjacent symbol pairs across the whole corpus
+    (weighted by word frequency) and merges the most frequent pair
+    (ties: count desc, left asc, right asc). Output one row per
+    learned merge: (round, left_sym, right_sym, pair_count).
+
+    Merge application contract (FIXED so the SQL oracle is exact):
+    one left-to-right non-overlapping replace pass per round over the
+    space-delimited symbol sequence — identical semantics in Python
+    ``str.replace`` and SQL ``replace``. A chained repeat (\"a b a b\")
+    merges one pair this round and the rest in later rounds (the pair
+    stays frequent); canonical BPE differs only in that scheduling.
+
+    Plan: one vocabulary count aggregate (word-frequency combiner —
+    pair counting then runs over DISTINCT words, not tokens), then per
+    round ONE pair-count combiner exchange + a single-row argmax
+    collect (the only driver state: one merge rule per round,
+    broadcast back into the next stateless merge map). Vocabulary
+    state is one distributed (word, n, seq) table per round."""
+    from .relational import hash_aggregate
+
+    from collections import Counter
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def wcount(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(w for w in _WS.sub(" ", (text or ""))
+                     .strip().split(" ") if w)
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    vocab = hash_aggregate(
+        docs.map_batches(wcount, batch_format="pyarrow"),
+        keys=["word"], sum_cols={"n": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("word", pa.string()),
+                              ("n", pa.int64())]))
+
+    def init_seq(t: pa.Table) -> pa.Table:
+        words = t.column("word").to_pylist()
+        return pa.table({"word": t.column("word"), "n": t.column("n"),
+                         "seq": pa.array([" ".join(w) for w in words],
+                                         pa.string())})
+
+    state = vocab.map_batches(init_seq,
+                              batch_format="pyarrow").materialize()
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        def pair_partial(t: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            ns = t.column("n").to_pylist()
+            for seq, n in zip(t.column("seq").to_pylist(), ns):
+                syms = seq.split(" ")
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += n
+            ka = [k[0] for k in c]
+            kb = [k[1] for k in c]
+            return pa.table({"a": pa.array(ka, pa.string()),
+                             "b": pa.array(kb, pa.string()),
+                             "cnt": pa.array(list(c.values()),
+                                             pa.int64())})
+
+        pcounts = hash_aggregate(
+            state.map_batches(pair_partial, batch_format="pyarrow"),
+            keys=["a", "b"], sum_cols={"cnt": "cnt"},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([("a", pa.string()),
+                                  ("b", pa.string()),
+                                  ("cnt", pa.int64())]))
+        top = pcounts.sort(["cnt", "a", "b"],
+                           descending=[True, False, False]) \
+            .limit(1).take_all()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append({"round": rnd, "left_sym": a, "right_sym": b,
+                       "pair_count": cnt})
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply_merge(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            seqs = [(" " + s + " ").replace(pat, rep).strip()
+                    for s in t.column("seq").to_pylist()]
+            return pa.table({"word": t.column("word"),
+                             "n": t.column("n"),
+                             "seq": pa.array(seqs, pa.string())})
+
+        state = state.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    out_schema = pa.schema([("round", pa.int64()),
+                            ("left_sym", pa.string()),
+                            ("right_sym", pa.string()),
+                            ("pair_count", pa.int64())])
+    if not merges:
+        return rd.from_arrow(out_schema.empty_table())
+    return rd.from_arrow(pa.Table.from_pylist(merges, schema=out_schema))

@@ -958,3 +958,25 @@ def test_outlink_jaccard_hand_graph(ray_session):
                                        num_partitions=4).take_all()}
     # h (indegree 3) is cut from pair generation
     assert capped == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_bpe_merges_hand_corpus(ray_session):
+    """3 learned merges on a corpus where the winning pairs are
+    derivable by hand: 'low' x5 and 'lower' x2 make (l,o) then (lo,w)
+    the first two merges; frequency weighting (not distinct-word
+    counting) decides."""
+    import ray.data as rd
+
+    from tabbyray.ops.text import bpe_merges
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 3)
+    ds = rd.from_items([{"doc_id": "d0", "text": text}])
+    got = [(r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+           for r in bpe_merges(ds, n_merges=3).take_all()]
+    got.sort()
+    # pairs r1: (l,o)=7 (e,s)=3 (e,w)=5... recompute: low*5: l-o,o-w;
+    # lower*2: l-o,o-w,w-e,e-r; newest*3: n-e,e-w,w-e,e-s,s-t
+    # (l,o)=7 (o,w)=7 -> tie, lex: (l,o) wins
+    assert got[0] == (1, "l", "o", 7)
+    # r2: lo-w = 7 beats (w,e)=5, (e,w)=3, ...
+    assert got[1] == (2, "lo", "w", 7)
+    assert len(got) == 3
