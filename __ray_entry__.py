@@ -2893,6 +2893,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
         "web_host_communities": _q_web_host_communities,
+        # crawl flagship + tokenizer-training primitives inside the
+        # driver's ~50-entry sample window
+        "crawl_curated": _q_crawl_curated,
+        "crawl_curated_staged": _q_crawl_curated_staged,
+        "bpe_merges": _q_bpe_merges,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
         "dsir_logratios": _q_dsir_logratios,
@@ -2903,8 +2908,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_triangles": _q_entity_triangles,
         "entity_communities": _q_entity_communities,
         "web_strip_tracking": _q_web_strip_tracking,
-        "crawl_curated": _q_crawl_curated,
-        "crawl_curated_staged": _q_crawl_curated_staged,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
         "web_page_blocks": _q_web_page_blocks,
@@ -2978,7 +2981,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "vocab_topk": _q_vocab_topk,
         "vocab_zipf": _q_vocab_zipf,
-        "bpe_merges": _q_bpe_merges,
         # core relational / streaming-shaped
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,
