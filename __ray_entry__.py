@@ -1709,6 +1709,15 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(_docs(sf_dir), n_merges=3)
 
 
+def _q_bpe_vocab(sf_dir: str):
+    """BPE encoder table: every vocabulary word's post-merge symbol
+    sequence + symbol count after the 3 learned rules (same fixed
+    single-pass application contract); oracle = the unrolled merge
+    chain's final state CTE."""
+    from tabbyray.ops.text import bpe_vocab
+    return bpe_vocab(_docs(sf_dir), n_merges=3)
+
+
 def _q_term_doc_freq(sf_dir: str):
     from tabbyray.ops.text import term_doc_freq
     return term_doc_freq(_docs(sf_dir), min_df=10)
@@ -2898,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curated": _q_crawl_curated,
         "crawl_curated_staged": _q_crawl_curated_staged,
         "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
         "dsir_logratios": _q_dsir_logratios,
@@ -5087,6 +5097,7 @@ def oracle_sql() -> dict[str, str]:
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")
     out["bpe_merges"] = _bpe_oracle(3)
+    out["bpe_vocab"] = _bpe_oracle(3, final="vocab")
     # web-capture family: components / canonical form / host rollup
     # re-derived in DuckDB from the raw capture log alone
     out.update(_web_oracles(_web_fixture_path))
@@ -5828,7 +5839,7 @@ def _host_components_oracle(link_c5_path: str) -> str:
     """
 
 
-def _bpe_oracle(n_rounds: int = 3) -> str:
+def _bpe_oracle(n_rounds: int = 3, final: str = "merges") -> str:
     """Unrolled BPE merge-learning rounds over the documents
     vocabulary: char-spaced symbol sequences (regexp_replace backref),
     adjacent pairs via list_extract over range(len-1), frequency-
@@ -5865,18 +5876,21 @@ def _bpe_oracle(n_rounds: int = 3) -> str:
                SELECT a, b, cnt FROM bp{r}
                QUALIFY row_number() OVER (
                    ORDER BY cnt DESC, a ASC, b ASC) = 1)""")
-        if r < n_rounds:
-            ctes.append(f"""
+        ctes.append(f"""
         bs{r} AS MATERIALIZED (
                SELECT s.word, s.n,
                       trim(replace(' ' || s.seq || ' ',
                                    ' ' || t.a || ' ' || t.b || ' ',
                                    ' ' || t.a || t.b || ' ')) AS seq
                FROM {prev} s, bt{r} t)""")
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, "
-        f"b AS right_sym, cnt AS pair_count FROM bt{r}"
-        for r in range(1, n_rounds + 1))
+    if final == "vocab":
+        finals = (f"SELECT word, n, seq, CAST(len(string_split(seq, ' '))"
+                  f" AS BIGINT) AS n_symbols FROM bs{n_rounds}")
+    else:
+        finals = " UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, "
+            f"b AS right_sym, cnt AS pair_count FROM bt{r}"
+            for r in range(1, n_rounds + 1))
     return f"""
         WITH {','.join(ctes)}
         {finals}

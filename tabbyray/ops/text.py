@@ -1295,8 +1295,8 @@ def vocab_zipf(docs: rd.Dataset, top_n: int = 500,
     return topk.repartition(1).map_batches(fit, batch_format="pandas")
 
 
-def bpe_merges(docs: rd.Dataset, n_merges: int = 3,
-               num_partitions: "int | None" = None) -> rd.Dataset:
+def _bpe_state(docs: rd.Dataset, n_merges: int,
+               num_partitions: "int | None" = None):
     """Byte-pair-encoding MERGE LEARNING over the corpus — the
     tokenizer-training primitive: starting from character symbols,
     each round counts adjacent symbol pairs across the whole corpus
@@ -1388,7 +1388,14 @@ def bpe_merges(docs: rd.Dataset, n_merges: int = 3,
 
         state = state.map_batches(apply_merge,
                                   batch_format="pyarrow").materialize()
+    return state, merges
 
+
+def bpe_merges(docs: rd.Dataset, n_merges: int = 3,
+               num_partitions: "int | None" = None) -> rd.Dataset:
+    """The learned merge table (see ``_bpe_state``): one row per
+    round — (round, left_sym, right_sym, pair_count)."""
+    _state, merges = _bpe_state(docs, n_merges, num_partitions)
     out_schema = pa.schema([("round", pa.int64()),
                             ("left_sym", pa.string()),
                             ("right_sym", pa.string()),
@@ -1396,3 +1403,26 @@ def bpe_merges(docs: rd.Dataset, n_merges: int = 3,
     if not merges:
         return rd.from_arrow(out_schema.empty_table())
     return rd.from_arrow(pa.Table.from_pylist(merges, schema=out_schema))
+
+
+def bpe_vocab(docs: rd.Dataset, n_merges: int = 3,
+              num_partitions: "int | None" = None) -> rd.Dataset:
+    """The ENCODER side of BPE learning: every vocabulary word with
+    its post-merge symbol sequence and symbol count — (word, n, seq,
+    n_symbols) after applying the ``n_merges`` learned rules under the
+    same single-pass contract. n_symbols x word frequency is the
+    corpus token count under the learned tokenizer; the seq column is
+    the word's encoding. Distributed state identical to the learning
+    pass (the final round's vocabulary table, one stateless length
+    map)."""
+    state, _merges = _bpe_state(docs, n_merges, num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        seqs = t.column("seq").to_pylist()
+        return pa.table({
+            "word": t.column("word"), "n": t.column("n"),
+            "seq": t.column("seq"),
+            "n_symbols": pa.array([s.count(" ") + 1 for s in seqs],
+                                  pa.int64())})
+
+    return state.map_batches(finish, batch_format="pyarrow")
