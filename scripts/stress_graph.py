@@ -54,6 +54,36 @@ def main():
         "wall_sec": round(wall, 1),
         "num_cpus": num_cpus,
     }
+
+    # the session-3 iterative/pair ops on the same skewed graph: BFS
+    # from the 2 smallest ids, 3-round label propagation, and the
+    # outlink-Jaccard co-citation join (with the supernode cut at
+    # in-degree 1000 — the uncapped pair fan-out on the mega-hub is
+    # exactly the explosion the cap exists for)
+    from tabbyray.ops.graph import (bfs_layers, label_propagation,
+                                    outlink_jaccard)
+
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 1],
+                                                     pa.int64())}))
+    t0 = time.monotonic()
+    bfs = bfs_layers(edges, seeds, 3, node_dtype=pa.int64()).materialize()
+    out["bfs_wall_sec"] = round(time.monotonic() - t0, 1)
+    out["bfs_reached"] = int(bfs.count())
+
+    node_t = rd.from_arrow(pa.table({"node": pa.array(
+        np.arange(n_nodes, dtype=np.int64), pa.int64())}))
+    t0 = time.monotonic()
+    lp = label_propagation(edges, node_t, n_rounds=3,
+                           node_dtype=pa.int64()).materialize()
+    out["lp_wall_sec"] = round(time.monotonic() - t0, 1)
+    out["lp_communities"] = int(lp.to_pandas()["lbl"].nunique())
+
+    t0 = time.monotonic()
+    oj = outlink_jaccard(edges, node_dtype=pa.int64(),
+                         max_target_indegree=1000).materialize()
+    out["jaccard_wall_sec"] = round(time.monotonic() - t0, 1)
+    out["jaccard_pairs"] = int(oj.count())
+
     print(json.dumps(out))
     ray.shutdown()
 
