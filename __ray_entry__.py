@@ -793,6 +793,31 @@ def _q_web_host_communities(sf_dir: str):
     return host_communities(ds, n_rounds=3, num_partitions=8)
 
 
+def _q_web_host_bfs_directed(sf_dir: str):
+    """DIRECTED BFS reachability (depth <= 3, edges followed src ->
+    dst only — crawl-frontier semantics) from the same deterministic
+    seeds; oracle = the recursive CTE over the directed distinct edge
+    set."""
+    from tabbyray.ops.web import host_bfs_depth
+    return host_bfs_depth(_link_pages(), max_depth=3, n_seeds=2,
+                          directed=True)
+
+
+def _q_web_host_communities_weighted(sf_dir: str):
+    """Weighted-vote label propagation (summed link multiplicity per
+    undirected host pair decides contested nodes) at the same 3-round
+    contract; unweighted path byte-untouched. Oracle = the weighted
+    unrolled round chain (sum(w) votes)."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_link_fixture
+    from tabbyray.ops.web import host_communities
+    ds = rd.read_parquet(ensure_link_fixture(communities=5),
+                         override_num_blocks=4)
+    return host_communities(ds, n_rounds=3, weighted=True,
+                            num_partitions=8)
+
+
 def _q_web_host_dup_stats(sf_dir: str):
     """Per-host content-duplication profile over the crawl capture
     log (recrawl-budget signal): md5 payload fingerprints, one count
@@ -2901,7 +2926,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_kcore": _q_web_host_kcore,
         "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
+        "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_communities": _q_web_host_communities,
+        "web_host_communities_weighted": _q_web_host_communities_weighted,
         # crawl flagship + tokenizer-training primitives inside the
         # driver's ~50-entry sample window
         "crawl_curated": _q_crawl_curated,
@@ -5104,6 +5131,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_link_oracles(_link_fixture_path))
     out["web_host_components"] = _host_components_oracle(_link_c5_path)
     out["web_host_communities"] = _host_communities_oracle(_link_c5_path)
+    out["web_host_communities_weighted"] = _host_communities_oracle(
+        _link_c5_path, weighted=True)
     out.update(_linededup_oracles(_linedocs_path))
     out.update(_robots_oracles(_robots_path, _web_fixture_path))
     out["web_visible_text"] = _visible_text_oracle(_html_path)
@@ -5592,6 +5621,24 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         SELECT h AS host, CAST(min(d) AS BIGINT) AS depth
         FROM reach GROUP BY h
     """
+    # directed variant: edges followed src -> dst only; same seeds
+    # (they come from the full endpoint universe either way)
+    out["web_host_bfs_directed"] = f"""
+        WITH RECURSIVE {chain},
+        bhe AS (SELECT DISTINCT src_host AS a, dst_host AS b
+                FROM links),
+        bnodes AS (SELECT DISTINCT h FROM
+                   (SELECT a AS h FROM bhe UNION ALL SELECT b FROM bhe)),
+        bde AS (SELECT DISTINCT a, b FROM bhe WHERE a <> b),
+        seeds AS (SELECT h FROM bnodes ORDER BY h LIMIT 2),
+        reach(h, d) AS (
+            SELECT h, 0 FROM seeds
+            UNION
+            SELECT e.b, r.d + 1 FROM reach r JOIN bde e ON e.a = r.h
+            WHERE r.d < 3)
+        SELECT h AS host, CAST(min(d) AS BIGINT) AS depth
+        FROM reach GROUP BY h
+    """
     frontier = f"""
         tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks
                 FROM links GROUP BY dst_canon),
@@ -5897,7 +5944,8 @@ def _bpe_oracle(n_rounds: int = 3, final: str = "merges") -> str:
     """
 
 
-def _lp_round_ctes(ed: str, n_rounds: int = 3) -> str:
+def _lp_round_ctes(ed: str, n_rounds: int = 3,
+                   weighted: bool = False) -> str:
     """Unrolled synchronous mode-label-propagation rounds over a
     symmetric edge CTE ``ed(a, b)`` starting from ``l0(h, lbl)``: per
     round each node takes the most frequent neighbor label (ties ->
@@ -5907,12 +5955,14 @@ def _lp_round_ctes(ed: str, n_rounds: int = 3) -> str:
     exponential re-evaluation on unrolled iteration chains). The final
     label table is ``l{n_rounds}``. Shared by the host- and
     entity-graph community oracles."""
+    vote = ("CAST(sum(e.w) AS BIGINT)" if weighted
+            else "CAST(count(*) AS BIGINT)")
     rounds = []
     prev = "l0"
     for i in range(1, n_rounds + 1):
         rounds.append(f"""
         m{i} AS MATERIALIZED (
-               SELECT e.b AS h, l.lbl, CAST(count(*) AS BIGINT) AS n
+               SELECT e.b AS h, l.lbl, {vote} AS n
                FROM {ed} e JOIN {prev} l ON l.h = e.a
                GROUP BY e.b, l.lbl),
         w{i} AS MATERIALIZED (
@@ -5926,12 +5976,33 @@ def _lp_round_ctes(ed: str, n_rounds: int = 3) -> str:
     return ",".join(rounds)
 
 
-def _host_communities_oracle(link_c5_path: str) -> str:
+def _host_communities_oracle(link_c5_path: str,
+                             weighted: bool = False) -> str:
     """Mode-label-propagation communities over the undirected
     inter-host edge set of the community link fixture (3 unrolled
     ``_lp_round_ctes`` rounds; node universe includes self-loop-only
-    hosts)."""
+    hosts). ``weighted=True`` votes with the summed link multiplicity
+    of each undirected host pair instead of 1."""
     chain = _link_chain(link_c5_path)
+    if weighted:
+        ced = """
+        whe AS MATERIALIZED (
+              SELECT CASE WHEN src_host < dst_host THEN src_host
+                          ELSE dst_host END AS a,
+                     CASE WHEN src_host < dst_host THEN dst_host
+                          ELSE src_host END AS b,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM links WHERE src_host <> dst_host
+              GROUP BY 1, 2),
+        ced AS MATERIALIZED (
+              SELECT a, b, w FROM whe
+              UNION ALL SELECT b, a, w FROM whe)"""
+    else:
+        ced = """
+        ced AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM
+              (SELECT a, b FROM che UNION ALL SELECT b, a FROM che)
+              WHERE a <> b)"""
     return f"""
         WITH {chain},
         che AS MATERIALIZED (
@@ -5939,12 +6010,9 @@ def _host_communities_oracle(link_c5_path: str) -> str:
         cnodes AS MATERIALIZED (
               SELECT DISTINCT h FROM
               (SELECT a AS h FROM che UNION ALL SELECT b FROM che)),
-        ced AS MATERIALIZED (
-              SELECT DISTINCT a, b FROM
-              (SELECT a, b FROM che UNION ALL SELECT b, a FROM che)
-              WHERE a <> b),
+        {ced},
         l0 AS MATERIALIZED (SELECT h, h AS lbl FROM cnodes),
-        {_lp_round_ctes('ced')}
+        {_lp_round_ctes('ced', weighted=weighted)}
         SELECT h AS host, lbl AS community FROM l3
     """
 

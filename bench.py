@@ -6,10 +6,12 @@ deterministic Common-Crawl-style pages fixture sized to the scale
 factor of ``$GRAFT_SF_DIR`` (sf0.1 -> 20,000 pages), plus per-operator
 timings over the sf tables. Prints ONE JSON line.
 
-``--scaling``: runs the headline twice in fresh processes at
-``num_cpus=8`` and ``num_cpus=32`` on the same input (the sandbox
-stand-in for N vs 4N nodes) and reports throughput at both plus the
-scaling efficiency = (T8/T32)/4.
+``--scaling``: runs the headline in fresh processes at two parallelism
+levels on the same input (the sandbox stand-in for N vs 4N nodes) and
+reports throughput at both plus the efficiency (T_lo/T_hi)/(hi/lo).
+Default levels 2 vs 8 cpus (GRAFT_SCALING_CPUS overrides) — see
+``run_scaling`` for why 8 vs 32 would measure this host's SMT
+contention knee, not the pipeline.
 """
 
 from __future__ import annotations

@@ -1255,17 +1255,20 @@ def bfs_layers(edges: rd.Dataset, seeds: rd.Dataset,
                max_depth: int,
                pair_cols: tuple[str, str] = ("src", "dst"),
                node_dtype: "pa.DataType | None" = None,
+               directed: bool = False,
                num_partitions: "int | None" = None) -> rd.Dataset:
-    """Multi-source BFS over the UNDIRECTED simple graph of ``edges``:
+    """Multi-source BFS over the simple graph of ``edges`` (UNDIRECTED
+    by default; ``directed=True`` follows edges src -> dst only):
     (node, depth) for every node within ``max_depth`` hops of any seed,
     depth = minimum hop count (seeds are depth 0). The crawl-ops /
     KG-reachability primitive: "what can we reach from the seed hosts
-    in d hops" bounds a frontier expansion, and hop distance from a
-    trusted seed set is a classic spam-distance feature.
+    in d hops" bounds a frontier expansion, hop distance from a
+    trusted seed set is a classic spam-distance feature, and the
+    directed form is crawl-frontier reachability itself.
 
-    Plan: one distinct undirected edge set, symmetrized once; each
-    round is (edges SEMI-JOIN frontier) -> distinct neighbor set ->
-    ANTI-JOIN visited -> the new frontier, i.e. 3 co-partitioned
+    Plan: one distinct edge set, symmetrized once (undirected mode);
+    each round is (edges SEMI-JOIN frontier) -> distinct neighbor set
+    -> ANTI-JOIN visited -> the new frontier, i.e. 3 co-partitioned
     exchanges per round over frontier-sized data. Round state (visited,
     frontier) is node-bounded and fully distributed; the driver sees
     only the frontier-empty scalar. ``max_depth`` is a fixed-depth
@@ -1279,19 +1282,47 @@ def bfs_layers(edges: rd.Dataset, seeds: rd.Dataset,
 
     from .relational import hash_aggregate, hash_join
 
-    und = undirected_edges(edges, pair_cols, nd, num_partitions)
-    und = _coalesced(und, num_partitions)
-    num_partitions = _sized_partitions(max(und.count(), 1) * 2,
-                                       num_partitions)
+    if directed:
+        # distinct directed pairs, self-loops dropped — same combiner
+        # shape as undirected_edges without the endpoint ordering
+        cs, cd = pair_cols
 
-    def sym(t: pa.Table) -> pa.Table:
-        a = _flat(t.column("a"))
-        b = _flat(t.column("b"))
-        return pa.table({"u": pa.concat_arrays([a, b]),
-                         "v": pa.concat_arrays([b, a])})
+        def canon(t: pa.Table) -> pa.Table:
+            s = pc.cast(_flat(t.column(cs)), nd)
+            d = pc.cast(_flat(t.column(cd)), nd)
+            keep = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)),
+                           pc.not_equal(s, d))
+            s, d = s.filter(keep), d.filter(keep)
+            out = pa.table({"u": s, "v": d,
+                            "one": pa.array([1] * len(s), pa.int64())})
+            return out.group_by(["u", "v"]).aggregate([("one", "min")]) \
+                      .rename_columns(["u", "v", "one"])
 
-    ed = _coalesced(und.map_batches(sym, batch_format="pyarrow"),
-                    num_partitions)
+        ded = hash_aggregate(
+            edges.map_batches(canon, batch_format="pyarrow"),
+            keys=["u", "v"], sum_cols={"one": "_c"},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([("u", nd), ("v", nd),
+                                  ("_c", pa.int64())])
+        ).select_columns(["u", "v"])
+        ed = _coalesced(ded, num_partitions)
+        num_partitions = _sized_partitions(max(ed.count(), 1),
+                                           num_partitions)
+        ed = _coalesced(ed, num_partitions)
+    else:
+        und = undirected_edges(edges, pair_cols, nd, num_partitions)
+        und = _coalesced(und, num_partitions)
+        num_partitions = _sized_partitions(max(und.count(), 1) * 2,
+                                           num_partitions)
+
+        def sym(t: pa.Table) -> pa.Table:
+            a = _flat(t.column("a"))
+            b = _flat(t.column("b"))
+            return pa.table({"u": pa.concat_arrays([a, b]),
+                             "v": pa.concat_arrays([b, a])})
+
+        ed = _coalesced(und.map_batches(sym, batch_format="pyarrow"),
+                        num_partitions)
     ed_schema = pa.schema([("u", nd), ("v", nd)])
     n_schema = pa.schema([("node", nd)])
 
@@ -1345,6 +1376,7 @@ def label_propagation(edges: rd.Dataset, nodes: rd.Dataset,
                       pair_cols: tuple[str, str] = ("src", "dst"),
                       node_col: str = "node",
                       node_dtype: "pa.DataType | None" = None,
+                      weight_col: "str | None" = None,
                       num_partitions: "int | None" = None) -> rd.Dataset:
     """SYNCHRONOUS label-propagation community detection at a
     fixed-round contract: every node starts labeled with its own id;
@@ -1357,6 +1389,13 @@ def label_propagation(edges: rd.Dataset, nodes: rd.Dataset,
     propagation finds DENSE regions: bridges between communities lose
     the vote.
 
+    ``weight_col`` switches to WEIGHTED votes: duplicate / reciprocal
+    (a, b) rows' integer weights sum into one undirected edge weight,
+    and each neighbor contributes its edge weight instead of 1 —
+    link multiplicity decides contested nodes. ``None`` keeps every
+    unweighted code path byte-identical to before the parameter
+    existed (the pagerank/HITS weighted-variant pattern).
+
     Per round: one co-partitioned join (edges x labels), one
     combiner-backed (node, label) count aggregate, one grouped_argmax
     (count desc, label asc), one left join back to the node set —
@@ -1366,20 +1405,58 @@ def label_propagation(edges: rd.Dataset, nodes: rd.Dataset,
 
     from .relational import grouped_argmax, hash_aggregate, hash_join
 
-    und = _coalesced(undirected_edges(edges, pair_cols, nd,
-                                      num_partitions), num_partitions)
-    num_partitions = _sized_partitions(max(und.count(), 1) * 2,
-                                       num_partitions)
+    if weight_col is not None:
+        ca, cb = pair_cols
 
-    def sym(t: pa.Table) -> pa.Table:
-        a = _flat(t.column("a"))
-        b = _flat(t.column("b"))
-        return pa.table({"u": pa.concat_arrays([a, b]),
-                         "v": pa.concat_arrays([b, a])})
+        def canonw(t: pa.Table) -> pa.Table:
+            a = pc.cast(_flat(t.column(ca)), nd)
+            b = pc.cast(_flat(t.column(cb)), nd)
+            w = pc.cast(_flat(t.column(weight_col)), pa.int64())
+            keep = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                           pc.not_equal(a, b))
+            a, b, w = a.filter(keep), b.filter(keep), w.filter(keep)
+            lo = pc.min_element_wise(a, b)
+            hi = pc.max_element_wise(a, b)
+            out = pa.table({"a": lo, "b": hi, "w": w})
+            return out.group_by(["a", "b"]).aggregate([("w", "sum")]) \
+                      .rename_columns(["a", "b", "w"])
 
-    ed = _coalesced(und.map_batches(sym, batch_format="pyarrow"),
-                    num_partitions)
-    ed_schema = pa.schema([("u", nd), ("v", nd)])
+        und = hash_aggregate(
+            edges.map_batches(canonw, batch_format="pyarrow"),
+            keys=["a", "b"], sum_cols={"w": "w"},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([("a", nd), ("b", nd),
+                                  ("w", pa.int64())]))
+        und = _coalesced(und, num_partitions)
+        num_partitions = _sized_partitions(max(und.count(), 1) * 2,
+                                           num_partitions)
+
+        def symw(t: pa.Table) -> pa.Table:
+            a = _flat(t.column("a"))
+            b = _flat(t.column("b"))
+            w = _flat(t.column("w"))
+            return pa.table({"u": pa.concat_arrays([a, b]),
+                             "v": pa.concat_arrays([b, a]),
+                             "w": pa.concat_arrays([w, w])})
+
+        ed = _coalesced(und.map_batches(symw, batch_format="pyarrow"),
+                        num_partitions)
+        ed_schema = pa.schema([("u", nd), ("v", nd), ("w", pa.int64())])
+    else:
+        und = _coalesced(undirected_edges(edges, pair_cols, nd,
+                                          num_partitions), num_partitions)
+        num_partitions = _sized_partitions(max(und.count(), 1) * 2,
+                                           num_partitions)
+
+        def sym(t: pa.Table) -> pa.Table:
+            a = _flat(t.column("a"))
+            b = _flat(t.column("b"))
+            return pa.table({"u": pa.concat_arrays([a, b]),
+                             "v": pa.concat_arrays([b, a])})
+
+        ed = _coalesced(und.map_batches(sym, batch_format="pyarrow"),
+                        num_partitions)
+        ed_schema = pa.schema([("u", nd), ("v", nd)])
     lbl_schema = pa.schema([("node", nd), ("lbl", nd)])
 
     def init(t: pa.Table) -> pa.Table:
@@ -1399,10 +1476,11 @@ def label_propagation(edges: rd.Dataset, nodes: rd.Dataset,
             num_partitions=num_partitions)
 
         def vote(t: pa.Table) -> pa.Table:
+            w = (t.column("w") if weight_col is not None
+                 else pa.array([1] * t.num_rows, pa.int64()))
             return pa.table({"node": t.column("v"),
                              "lbl": t.column("u_lbl"),
-                             "one": pa.array([1] * t.num_rows,
-                                             pa.int64())})
+                             "one": w})
 
         counts = hash_aggregate(
             msgs.map_batches(vote, batch_format="pyarrow"),

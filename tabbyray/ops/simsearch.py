@@ -399,7 +399,10 @@ def embedding_covariance(embs: rd.Dataset, vec_col: str = "embedding",
     exactly that order (the SQL oracle mirrors the expression; sum
     ORDER differs, absorbed by the rounding). The d^2-bounded state is
     constant in corpus size — the PCA/whitening precursor a 100-TB
-    embedding table needs."""
+    embedding table needs. Partial volume is d(d+1)/2 rows per BATCH
+    (not per row): at d=64 that's 2k rows/batch; at d >= ~2000 raise
+    ``batch_size`` so the matmul amortizes the fixed partial, or tile
+    the dimension pairs."""
     import numpy as np
 
     from .relational import hash_aggregate, hash_join

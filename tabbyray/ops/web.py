@@ -2010,14 +2010,17 @@ def _host_nodes(edges: rd.Dataset,
 
 def host_bfs_depth(pages: rd.Dataset, max_depth: int = 3,
                    n_seeds: int = 2, url_col: str = "url",
-                   html_col: str = "html",
+                   html_col: str = "html", directed: bool = False,
                    num_partitions: "int | None" = None) -> rd.Dataset:
     """Hop distance from the seed hosts over the undirected inter-host
     link graph: (host, depth) for every host within ``max_depth`` hops,
     depth = minimum hops (crawl-frontier / trust-distance primitive).
     Seeds = the ``n_seeds`` lexicographically smallest hosts of the
     node universe — a deterministic, fixture-independent choice the
-    SQL oracle reproduces with ORDER BY host LIMIT n. Plan:
+    SQL oracle reproduces with ORDER BY host LIMIT n (the sort runs
+    over the HOST set, already aggregate-collapsed and tiny relative
+    to the crawl; a production caller passes its own trusted seed
+    Dataset straight to ``bfs_layers`` and skips it). Plan:
     ``ops.graph.bfs_layers`` (3 frontier-sized exchanges per round)."""
     from .graph import bfs_layers
 
@@ -2029,6 +2032,7 @@ def host_bfs_depth(pages: rd.Dataset, max_depth: int = 3,
              .sort("node").limit(n_seeds))
     out = bfs_layers(edges, seeds, max_depth,
                      pair_cols=("src_host", "dst_host"),
+                     directed=directed,
                      num_partitions=num_partitions)
     return out.map_batches(
         lambda t: pa.table({"host": t.column("node"),
@@ -2038,6 +2042,7 @@ def host_bfs_depth(pages: rd.Dataset, max_depth: int = 3,
 
 def host_communities(pages: rd.Dataset, n_rounds: int = 3,
                      url_col: str = "url", html_col: str = "html",
+                     weighted: bool = False,
                      num_partitions: "int | None" = None) -> rd.Dataset:
     """Community labels over the undirected inter-host link graph by
     synchronous mode-label propagation at a fixed ``n_rounds`` contract
@@ -2055,6 +2060,7 @@ def host_communities(pages: rd.Dataset, n_rounds: int = 3,
         batch_format="pyarrow")
     out = label_propagation(edges, nodes, n_rounds=n_rounds,
                             pair_cols=("src_host", "dst_host"),
+                            weight_col="n_links" if weighted else None,
                             num_partitions=num_partitions)
     return out.map_batches(
         lambda t: pa.table({"host": t.column("node"),
