@@ -1129,6 +1129,29 @@ def _q_web_robots_gate(sf_dir: str):
     return robots_gate(_web_captures(), robots, num_partitions=8)
 
 
+def _q_web_robots_block_rate(sf_dir: str):
+    """Per-host robots pressure (share of the distinct canonical URL
+    surface the host's own rules block): one indicator-sum combiner
+    over the robots_gate relation; block_rate quantized 9 dp both
+    sides. Oracle = the gate oracle wrapped in GROUP BY host."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_robots_fixture
+    from tabbyray.ops.web import host_robots_profile
+    robots = rd.read_parquet(ensure_robots_fixture(),
+                             override_num_blocks=2)
+    return host_robots_profile(_web_captures(), robots,
+                               num_partitions=8)
+
+
+def _q_web_host_path_depth(sf_dir: str):
+    """Per-host path-depth profile (n_captures, max, avg '/'-count) —
+    the crawl-trap depth prior; one combiner exchange + one
+    grouped_argmax + a join; avg quantized 9 dp."""
+    from tabbyray.ops.web import host_path_depth
+    return host_path_depth(_web_captures(), num_partitions=8)
+
+
 def _q_web_visible_text(sf_dir: str):
     """Visible-text extraction (boilerplate strip): script/style/comment
     bodies dropped, tags stripped, entities decoded (&amp; last),
@@ -1732,6 +1755,16 @@ def _q_bpe_merges(sf_dir: str):
     count/argmax/replace CTE rounds."""
     from tabbyray.ops.text import bpe_merges
     return bpe_merges(_docs(sf_dir), n_merges=3)
+
+
+def _q_bpe_doc_tokens(sf_dir: str):
+    """Per-document token counts under the 3 learned BPE merges (the
+    tokenizer-budget number): per-doc word-count combiner + one join
+    vs the learned (word -> n_symbols) vocabulary + per-doc sum;
+    oracle = the unrolled merge chain's final state joined to the
+    doc-word explode."""
+    from tabbyray.ops.text import bpe_doc_tokens
+    return bpe_doc_tokens(_docs(sf_dir), n_merges=3)
 
 
 def _q_bpe_vocab(sf_dir: str):
@@ -2935,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curated_staged": _q_crawl_curated_staged,
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
+        "bpe_doc_tokens": _q_bpe_doc_tokens,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
         "dsir_logratios": _q_dsir_logratios,
@@ -2955,6 +2989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_fetch_schedule": _q_web_fetch_schedule,
         "web_url_features": _q_web_url_features,
         "web_url_path_templates": _q_web_url_path_templates,
+        "web_robots_block_rate": _q_web_robots_block_rate,
+        "web_host_path_depth": _q_web_host_path_depth,
         "web_blocklist_allowed": _q_web_blocklist_allowed,
         "web_blocklist_blocked": _q_web_blocklist_blocked,
         "script_profile": _q_script_profile,
@@ -5125,6 +5161,7 @@ def oracle_sql() -> dict[str, str]:
         "lang", "source")
     out["bpe_merges"] = _bpe_oracle(3)
     out["bpe_vocab"] = _bpe_oracle(3, final="vocab")
+    out["bpe_doc_tokens"] = _bpe_oracle(3, final="doc_tokens")
     # web-capture family: components / canonical form / host rollup
     # re-derived in DuckDB from the raw capture log alone
     out.update(_web_oracles(_web_fixture_path))
@@ -5135,6 +5172,14 @@ def oracle_sql() -> dict[str, str]:
         _link_c5_path, weighted=True)
     out.update(_linededup_oracles(_linedocs_path))
     out.update(_robots_oracles(_robots_path, _web_fixture_path))
+    out["web_robots_block_rate"] = f"""
+        WITH g AS ({out["web_robots_gate"]})
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(1 - allowed) AS BIGINT) AS n_blocked,
+               round(CAST(sum(1 - allowed) AS DOUBLE) / count(*), 9)
+                   AS block_rate
+        FROM g GROUP BY host
+    """
     out["web_visible_text"] = _visible_text_oracle(_html_path)
     out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
@@ -5255,6 +5300,17 @@ def _web_oracles(capture_path: str) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_urls,
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         FROM canon GROUP BY 1
+    """
+    out["web_host_path_depth"] = f"""
+        WITH {comp}
+        SELECT host, CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(max(length(path)
+                        - length(replace(path, '/', ''))) AS BIGINT)
+                   AS max_depth,
+               round(avg(length(path)
+                         - length(replace(path, '/', ''))), 9)
+                   AS avg_depth
+        FROM canon GROUP BY host
     """
     out["web_host_stats"] = f"""
         WITH {comp}
@@ -5933,6 +5989,19 @@ def _bpe_oracle(n_rounds: int = 3, final: str = "merges") -> str:
     if final == "vocab":
         finals = (f"SELECT word, n, seq, CAST(len(string_split(seq, ' '))"
                   f" AS BIGINT) AS n_symbols FROM bs{n_rounds}")
+    elif final == "doc_tokens":
+        ctes.append(f"""
+        bdt AS (SELECT doc_id, unnest(string_split(
+                    trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                    ' ')) AS word
+                FROM documents),
+        bdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k
+                FROM bdt WHERE word <> '' GROUP BY 1, 2),
+        bvs AS (SELECT word, CAST(len(string_split(seq, ' '))
+                               AS BIGINT) AS m
+                FROM bs{n_rounds})""")
+        finals = ("SELECT doc_id, CAST(sum(k * m) AS BIGINT) AS n_tokens "
+                  "FROM bdw JOIN bvs USING (word) GROUP BY doc_id")
     else:
         finals = " UNION ALL ".join(
             f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, "

@@ -1426,3 +1426,61 @@ def bpe_vocab(docs: rd.Dataset, n_merges: int = 3,
                                   pa.int64())})
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def bpe_doc_tokens(docs: rd.Dataset, n_merges: int = 3,
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-document token counts UNDER the learned BPE merges — the
+    budgeting number a tokenizer change actually moves: learn
+    ``n_merges`` rules (``_bpe_state``), then one per-doc word-count
+    combiner, one co-partitioned join against the (word -> n_symbols)
+    vocabulary, one per-doc sum. Output (doc_id, n_tokens); documents
+    with no words emit no row (matching the SQL join)."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join, partial_agg_sum
+
+    from collections import Counter
+
+    state, _merges = _bpe_state(docs, n_merges, num_partitions)
+    vs = state.map_batches(
+        lambda t: pa.table({
+            "word": t.column("word"),
+            "m": pa.array([s.count(" ") + 1
+                           for s in t.column("seq").to_pylist()],
+                          pa.int64())}),
+        batch_format="pyarrow")
+
+    def dwc(t: pa.Table) -> pa.Table:
+        d_out, w_out, k_out = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            c: Counter = Counter(
+                w for w in _WS.sub(" ", (text or "")).strip().split(" ")
+                if w)
+            for w, k in c.items():
+                d_out.append(doc_id)
+                w_out.append(w)
+                k_out.append(k)
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "word": pa.array(w_out, pa.string()),
+                         "k": pa.array(k_out, pa.int64())})
+
+    dw = docs.map_batches(dwc, batch_format="pyarrow")
+    j = hash_join(
+        dw, vs, on="word",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("word", pa.string()),
+                               ("k", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string()),
+                                ("m", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def mul(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "km": pc.multiply(t.column("k"),
+                                           t.column("m"))})
+
+    return partial_agg_sum(
+        j.map_batches(mul, batch_format="pyarrow"), "doc_id",
+        {"km": "n_tokens"})

@@ -2125,3 +2125,90 @@ def host_outlink_jaccard(pages: rd.Dataset, url_col: str = "url",
                             "common_targets": t.column("common_targets"),
                             "jaccard": t.column("jaccard")}),
         batch_format="pyarrow")
+
+
+def host_robots_profile(pages: rd.Dataset, robots: rd.Dataset,
+                        url_col: str = "url",
+                        num_partitions: "int | None" = None
+                        ) -> rd.Dataset:
+    """Per-host robots.txt pressure: how much of a host's distinct
+    canonical URL surface its own robots rules BLOCK — (host, n_urls,
+    n_blocked, block_rate). High block rates flag hosts whose crawl
+    budget is being burned on fetches that then get gated (or whose
+    robots changed under a recrawl). One indicator-sum combiner
+    aggregate over the robots_gate relation; block_rate quantized 9 dp
+    (float-tie rule)."""
+    from .relational import partial_agg_sum
+
+    gate = robots_gate(pages, robots, url_col=url_col,
+                       num_partitions=num_partitions)
+
+    def ind(t: pa.Table) -> pa.Table:
+        blocked = pc.subtract(pa.scalar(1, pa.int64()),
+                              pc.cast(t.column("allowed"), pa.int64()))
+        return pa.table({"host": t.column("host"),
+                         "one": pa.array([1] * t.num_rows, pa.int64()),
+                         "blocked": blocked})
+
+    agg = partial_agg_sum(
+        gate.map_batches(ind, batch_format="pyarrow"), "host",
+        {"one": "n_urls", "blocked": "n_blocked"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_urls"), pa.float64())
+        b = pc.cast(t.column("n_blocked"), pa.float64())
+        return pa.table({"host": t.column("host"),
+                         "n_urls": t.column("n_urls"),
+                         "n_blocked": t.column("n_blocked"),
+                         "block_rate": pc.round(pc.divide(b, n),
+                                                ndigits=9)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def host_path_depth(pages: rd.Dataset, url_col: str = "url",
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-host URL path-depth profile over the capture log: depth =
+    number of '/' characters in the parsed path ('/' root = 1). Deep
+    tails are the classic trap signal (calendars, faceted nav) and the
+    politeness scheduler's queue-depth prior. Output (host,
+    n_captures, max_depth, avg_depth) with avg quantized 9 dp.
+    One count/sum combiner exchange + one grouped_argmax + a join."""
+    from .relational import grouped_argmax, hash_join, partial_agg_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        comp = _parse_batch(t, url_col)
+        depth = pc.cast(pc.count_substring(comp["path"], "/"),
+                        pa.int64())
+        return pa.table({"host": comp["host"], "depth": depth,
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    base = pages.map_batches(prep, batch_format="pyarrow").materialize()
+    sums = partial_agg_sum(base, "host",
+                           {"one": "n_captures", "depth": "sum_depth"})
+    mx = grouped_argmax(
+        base, key="host", order_col="depth", tie_col="depth",
+        out_cols=["host", "depth"],
+        num_partitions=num_partitions).map_batches(
+            lambda t: pa.table({"host": t.column("host"),
+                                "max_depth": t.column("depth")}),
+            batch_format="pyarrow")
+    j = hash_join(
+        sums, mx, on="host",
+        left_schema=pa.schema([("host", pa.string()),
+                               ("n_captures", pa.int64()),
+                               ("sum_depth", pa.int64())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("max_depth", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("sum_depth"), pa.float64())
+        n = pc.cast(t.column("n_captures"), pa.float64())
+        return pa.table({"host": t.column("host"),
+                         "n_captures": t.column("n_captures"),
+                         "max_depth": t.column("max_depth"),
+                         "avg_depth": pc.round(pc.divide(s, n),
+                                               ndigits=9)})
+
+    return j.map_batches(finish, batch_format="pyarrow")
