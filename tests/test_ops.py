@@ -980,3 +980,22 @@ def test_bpe_merges_hand_corpus(ray_session):
     # r2: lo-w = 7 beats (w,e)=5, (e,w)=3, ...
     assert got[1] == (2, "lo", "w", 7)
     assert len(got) == 3
+
+
+def test_bpe_doc_tokens_hand_corpus(ray_session):
+    """Per-doc token counts under 1 learned merge on a 2-doc corpus,
+    checked against hand-applied merges."""
+    import ray.data as rd
+
+    from tabbyray.ops.text import bpe_doc_tokens, bpe_merges
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "aa aa ab"},
+        {"doc_id": 2, "text": "aa b"}])
+    m = bpe_merges(ds, n_merges=1).take_all()
+    # pairs: (a,a) from 'aa' x3 and 'ab'? 'ab' gives (a,b); so (a,a)=3
+    assert (m[0]["left_sym"], m[0]["right_sym"],
+            m[0]["pair_count"]) == ("a", "a", 3)
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_doc_tokens(ds, n_merges=1).take_all()}
+    # after merge (a,a): 'aa'->1 symbol, 'ab'->2, 'b'->1
+    assert got == {1: 1 + 1 + 2, 2: 1 + 1}

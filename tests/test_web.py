@@ -953,3 +953,40 @@ def test_host_bfs_and_communities(ray_session):
             for r in host_communities(ds, n_rounds=3,
                                       num_partitions=8).take_all()}
     assert gotc == want
+
+
+def test_bfs_directed_vs_undirected(ray_session):
+    """directed=True follows src->dst only: on a directed path a->b->c
+    plus c->d, seeds {c} reach {c,d} directed but {a,b,c,d} undirected."""
+    from tabbyray.ops.graph import bfs_layers
+    edges = rd.from_items([{"src": s, "dst": d} for s, d in
+                           [("a", "b"), ("b", "c"), ("c", "d")]])
+    seeds = rd.from_items([{"node": "c"}])
+    got_d = sorted((r["node"], r["depth"])
+                   for r in bfs_layers(edges, seeds, 3, directed=True,
+                                       num_partitions=4).take_all())
+    assert got_d == [("c", 0), ("d", 1)]
+    got_u = sorted((r["node"], r["depth"])
+                   for r in bfs_layers(edges, seeds, 3,
+                                       num_partitions=4).take_all())
+    assert got_u == [("a", 2), ("b", 1), ("c", 0), ("d", 1)]
+
+
+def test_label_propagation_weighted_votes(ray_session):
+    """A contested node whose neighbor labels tie unweighted (min
+    label wins) flips to the heavy edge's label when weights count."""
+    from tabbyray.ops.graph import label_propagation
+    # round-1 vote at x over initial labels: a1=1, a2=1, b=1 (or w=3)
+    el = [("x", "a1", 1), ("x", "a2", 1), ("x", "b", 3)]
+    edges = rd.from_items([{"src": s, "dst": d, "w": w}
+                           for s, d, w in el])
+    nodes = rd.from_items([{"node": n} for n in ("x", "a1", "a2", "b")])
+    unw = {r["node"]: r["lbl"]
+           for r in label_propagation(edges, nodes, n_rounds=1,
+                                      num_partitions=4).take_all()}
+    assert unw["x"] == "a1"          # 3-way tie -> min label
+    w = {r["node"]: r["lbl"]
+         for r in label_propagation(edges, nodes, n_rounds=1,
+                                    weight_col="w",
+                                    num_partitions=4).take_all()}
+    assert w["x"] == "b"             # weight 3 outvotes the 1s
