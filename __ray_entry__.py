@@ -665,6 +665,17 @@ def _q_web_host_pagerank(sf_dir: str):
 _WEB_TS_SPLIT_US = 1_735_689_600_000_000 + 1_125 * 1_000_000
 
 
+def _q_web_host_trustrank(sf_dir: str):
+    """TrustRank (seed-personalized PageRank, Gyongyi et al. VLDB'04)
+    from the 2 lexicographically smallest hosts: teleport mass lands
+    only on the seeds, trust decays with link distance — the
+    spam-mass complement to web_host_pagerank. Same two execution
+    plans; unweighted/global paths byte-untouched. Oracle = the
+    pagerank unrolled chain with the seed-indicator base."""
+    from tabbyray.ops.web import host_trustrank
+    return host_trustrank(_link_pages(), n_seeds=2)
+
+
 def _q_web_host_hits(sf_dir: str):
     """HITS hubs & authorities over the distinct inter-host edge set
     (L1-normalized half-rounds, authorities first); oracle = 3
@@ -2949,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
+        "web_host_trustrank": _q_web_host_trustrank,
         "web_host_hits": _q_web_host_hits,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_triangles": _q_web_host_triangles,
@@ -5440,6 +5452,7 @@ def _link_oracles(link_path: str) -> dict[str, str]:
     """
     out["web_host_pagerank"] = _link_pagerank_oracle(chain)
     out["web_host_pagerank_weighted"] = _link_pagerank_weighted_oracle(chain)
+    out["web_host_trustrank"] = _link_trustrank_oracle(chain)
     out["web_host_hits"] = _link_hits_oracle(chain)
     out["web_host_hits_weighted"] = _link_hits_oracle(chain, weighted=True)
     chain_t = _link_chain(link_path, with_text=True)
@@ -5869,6 +5882,54 @@ def _link_pagerank_oracle(chain: str) -> str:
                        + 0.85 * COALESCE(c3.s, 0) AS r
                 FROM nodes x LEFT JOIN c3 ON c3.node = x.node)
         SELECT node, r FROM rr3
+    """
+
+
+def _link_trustrank_oracle(chain: str, n_seeds: int = 2,
+                           n_iter: int = 3) -> str:
+    """Seed-personalized PageRank (TrustRank): the pagerank unrolled
+    chain with teleport/init mass only on the ``n_seeds``
+    lexicographically smallest nodes — base(v) = (1-d)/|S| * [v in S],
+    r0 = [v in S]/|S|; same per-edge float expression and operation
+    order as the engine."""
+    ctes = [f"""
+        edges AS MATERIALIZED (
+                  SELECT DISTINCT src_host AS src, dst_host AS dst
+                  FROM links WHERE src_host <> dst_host),
+        nodes AS MATERIALIZED (
+                  SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS MATERIALIZED (
+                SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        sds AS MATERIALIZED (
+                SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+        ks AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS k FROM sds),
+        r0 AS (SELECT n.node,
+                      CASE WHEN s.node IS NOT NULL
+                           THEN 1.0 / (SELECT k FROM ks)
+                           ELSE 0.0 END AS r
+               FROM nodes n LEFT JOIN sds s ON s.node = n.node)"""]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT e.dst AS node, sum({prev}.r / deg.outdeg) AS s
+               FROM edges e JOIN {prev} ON {prev}.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+        rr{i} AS (SELECT x.node,
+                       CASE WHEN s.node IS NOT NULL
+                            THEN (1 - 0.85) / (SELECT k FROM ks)
+                            ELSE 0.0 END
+                       + 0.85 * COALESCE(c{i}.s, 0) AS r
+                FROM nodes x
+                LEFT JOIN sds s ON s.node = x.node
+                LEFT JOIN c{i} ON c{i}.node = x.node)""")
+        prev = f"rr{i}"
+    return f"""
+        WITH {chain},
+        {','.join(ctes)}
+        SELECT node, r FROM rr{n_iter}
     """
 
 

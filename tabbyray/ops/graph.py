@@ -202,10 +202,21 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
              num_partitions: "int | None" = None, mode: str = "auto",
              broadcast_max_nodes: int = 2_000_000,
              node_dtype: "pa.DataType | None" = None,
-             weight_col: "str | None" = None) -> rd.Dataset:
+             weight_col: "str | None" = None,
+             seeds: "list | None" = None) -> rd.Dataset:
     """Damped PageRank over a directed edge Dataset — the textbook
     no-dangling-redistribution variant: r0 = 1/N, then
     r_{k+1}(v) = (1−d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
+
+    ``seeds`` switches to PERSONALIZED PageRank / TrustRank (Gyöngyi
+    et al., VLDB'04): the teleport mass lands only on the seed set —
+    p(v) = 1/|S| for v in seeds else 0, r0 = p, and the per-round
+    base becomes (1−d)·p(v). Trust flows outward from the seeds, so
+    low-rank nodes are link-distance-suspect (the spam-mass signal).
+    ``seeds=None`` keeps every code path byte-identical to before the
+    parameter existed; seeds absent from the graph's node set carry
+    no rows (their teleport share vanishes — documented contract,
+    matching the SQL oracle's nodes-join).
 
     ``weight_col`` switches to WEIGHTED PageRank: duplicate (src, dst)
     rows' weights are summed in the same dedup aggregate, out-degree
@@ -277,13 +288,23 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
     ded = ded.materialize()
     n_edges = ded.count()
 
+    seed_vals = sorted(set(seeds)) if seeds is not None else None
+
     def _iterate_broadcast(outdeg_pd: pd.Series,
                            nodes_np: np.ndarray) -> rd.Dataset:
         import ray
 
         n_nodes = len(nodes_np)
-        base = (1 - damping) / n_nodes
-        r = pd.Series(1.0 / n_nodes, index=nodes_np)
+        if seed_vals is None:
+            base = (1 - damping) / n_nodes
+            r = pd.Series(1.0 / n_nodes, index=nodes_np)
+        else:
+            k = len(seed_vals)
+            is_seed = pd.Index(nodes_np).isin(seed_vals)
+            base = pd.Series(np.where(is_seed, (1 - damping) / k, 0.0),
+                             index=nodes_np)
+            r = pd.Series(np.where(is_seed, 1.0 / k, 0.0),
+                          index=nodes_np)
         for _ in range(n_iter):
             if weight_col is None:
                 ref = ray.put((r.loc[outdeg_pd.index]
@@ -372,11 +393,18 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
                                 ("outdeg", pa.int64())])).materialize()
 
     base = (1 - damping) / n_nodes
+    seed_arr = (pa.array(seed_vals, nd) if seed_vals is not None
+                else None)
 
     def init(t: pa.Table) -> pa.Table:
-        return pa.table({"node": _flat(t.column("node")),
-                         "r": pa.array([1.0 / n_nodes] * len(t),
-                                       pa.float64())})
+        if seed_vals is None:
+            r = pa.array([1.0 / n_nodes] * len(t), pa.float64())
+        else:
+            import pyarrow.compute as _pc
+            m = _pc.is_in(_flat(t.column("node")), value_set=seed_arr)                 .to_numpy(zero_copy_only=False)
+            r = pa.array(np.where(m, 1.0 / len(seed_vals), 0.0),
+                         pa.float64())
+        return pa.table({"node": _flat(t.column("node")), "r": r})
 
     ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
     rank_schema = pa.schema([("src", nd), ("r", pa.float64())])
@@ -424,8 +452,15 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, damping: float = 0.85,
         def apply(t: pa.Table) -> pa.Table:
             s = _flat(t.column("s")).to_numpy(zero_copy_only=False)
             s = np.nan_to_num(s, nan=0.0)
+            if seed_vals is None:
+                b = base
+            else:
+                import pyarrow.compute as _pc
+                m = _pc.is_in(_flat(t.column("node")),
+                              value_set=seed_arr)                     .to_numpy(zero_copy_only=False)
+                b = np.where(m, (1 - damping) / len(seed_vals), 0.0)
             return pa.table({"node": _flat(t.column("node")),
-                             "r": pa.array(base + damping * s,
+                             "r": pa.array(b + damping * s,
                                            pa.float64())})
 
         ranks = joined.map_batches(apply,
@@ -1517,6 +1552,7 @@ def outlink_jaccard(edges: rd.Dataset,
                     pair_cols: tuple[str, str] = ("src", "dst"),
                     node_dtype: "pa.DataType | None" = None,
                     max_target_indegree: "int | None" = None,
+                    min_common: int = 1,
                     num_partitions: "int | None" = None) -> rd.Dataset:
     """OUTLINK-set Jaccard similarity between source nodes of a
     DIRECTED graph: for every source pair (a, b), a < b, sharing at
@@ -1625,6 +1661,15 @@ def outlink_jaccard(edges: rd.Dataset,
         num_partitions=num_partitions,
         out_schema=pa.schema([("node_a", nd), ("node_b", nd),
                               ("common_targets", pa.int64())]))
+    if min_common > 1:
+        # output-volume knob: on dense co-citation graphs the pair set
+        # is the cost (35M pairs at the 1M-edge stress); dropping
+        # low-overlap pairs BEFORE the two degree joins bounds it
+        pairs = pairs.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("common_targets"),
+                pa.scalar(min_common, pa.int64()))),
+            batch_format="pyarrow")
 
     j1 = hash_join(
         pairs,

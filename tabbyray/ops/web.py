@@ -2212,3 +2212,52 @@ def host_path_depth(pages: rd.Dataset, url_col: str = "url",
                                                ndigits=9)})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def host_trustrank(pages: rd.Dataset, n_seeds: int = 2,
+                   url_col: str = "url", html_col: str = "html",
+                   n_iter: int = 3, mode: str = "auto",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """TrustRank over the distinct inter-host edge set: personalized
+    PageRank whose teleport mass lands only on the trusted seed hosts
+    — trust decays with link distance from the seeds, so a host's gap
+    between PageRank and TrustRank is the classic spam-mass signal.
+    Seeds = the ``n_seeds`` lexicographically smallest hosts of the
+    edge-endpoint universe (deterministic; the SQL oracle reproduces
+    it with ORDER BY LIMIT n — production passes a real whitelist via
+    ``ops.graph.pagerank(seeds=...)`` directly). Output (node, r)."""
+    from .graph import pagerank
+    from .relational import hash_aggregate
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions).materialize()
+
+    def inter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                        t.column("dst_host"))))
+        return pa.table({"src": t.column("src_host"),
+                         "dst": t.column("dst_host")})
+
+    inter_e = edges.map_batches(inter,
+                                batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.string()), ("one", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        h = pa.concat_arrays([t.column("src").combine_chunks(),
+                              t.column("dst").combine_chunks()]).unique()
+        return pa.table({"node": h,
+                         "one": pa.array([1] * len(h), pa.int64())})
+
+    seeds = [r["node"] for r in hash_aggregate(
+        inter_e.map_batches(ends, batch_format="pyarrow"),
+        keys=["node"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node", pa.string()),
+                              ("_c", pa.int64())])
+    ).select_columns(["node"]).sort("node").limit(n_seeds).take_all()]
+
+    return pagerank(inter_e, n_iter=n_iter,
+                    num_partitions=num_partitions, mode=mode,
+                    node_dtype=pa.string(), seeds=seeds)

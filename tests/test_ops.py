@@ -958,6 +958,11 @@ def test_outlink_jaccard_hand_graph(ray_session):
                                        num_partitions=4).take_all()}
     # h (indegree 3) is cut from pair generation
     assert capped == {("a", "b"): 2, ("a", "c"): 1}
+    # min_common prefilter drops low-overlap pairs before the joins
+    pruned = {(r["node_a"], r["node_b"])
+              for r in outlink_jaccard(ds, min_common=2,
+                                       num_partitions=4).take_all()}
+    assert pruned == {("a", "b"), ("a", "c")}
 
 
 def test_bpe_merges_hand_corpus(ray_session):

@@ -990,3 +990,25 @@ def test_label_propagation_weighted_votes(ray_session):
                                     weight_col="w",
                                     num_partitions=4).take_all()}
     assert w["x"] == "b"             # weight 3 outvotes the 1s
+
+
+def test_trustrank_modes_agree_and_decay(ray_session):
+    """Seeded (TrustRank) ranks: broadcast and join plans agree to fp
+    roundoff; seeds carry the teleport mass and a node with no inbound
+    path from the seeds scores 0."""
+    import numpy as np
+    from tabbyray.ops.graph import pagerank
+    el = [("s", "a"), ("a", "b"), ("b", "s"), ("z", "a")]
+    edges = rd.from_items([{"src": x, "dst": y} for x, y in el])
+    kw = dict(n_iter=3, node_dtype=__import__("pyarrow").string(),
+              seeds=["s"], num_partitions=4)
+    bc = {r["node"]: r["r"]
+          for r in pagerank(edges, mode="broadcast", **kw).take_all()}
+    jn = {r["node"]: r["r"]
+          for r in pagerank(edges, mode="join", **kw).take_all()}
+    assert set(bc) == set(jn) == {"s", "a", "b", "z"}
+    for n in bc:
+        assert abs(bc[n] - jn[n]) < 1e-12
+    # z has no inbound edge and is not a seed -> zero trust
+    assert bc["z"] == 0.0
+    assert bc["s"] > bc["a"] > bc["b"] > 0
