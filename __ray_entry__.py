@@ -676,6 +676,16 @@ def _q_web_host_trustrank(sf_dir: str):
     return host_trustrank(_link_pages(), n_seeds=2)
 
 
+def _q_web_host_spam_mass(sf_dir: str):
+    """Estimated spam mass per host: (pagerank - trustrank)/pagerank
+    over the same inter-host edge set — the untrusted-rank-share
+    detector; one join of the two rank relations, all three floats
+    quantized 9 dp. Oracle = the two unrolled rank chains joined as
+    nested-CTE subqueries."""
+    from tabbyray.ops.web import host_spam_mass
+    return host_spam_mass(_link_pages(), n_seeds=2)
+
+
 def _q_web_host_hits(sf_dir: str):
     """HITS hubs & authorities over the distinct inter-host edge set
     (L1-normalized half-rounds, authorities first); oracle = 3
@@ -2961,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _q_web_host_pagerank,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "web_host_trustrank": _q_web_host_trustrank,
+        "web_host_spam_mass": _q_web_host_spam_mass,
         "web_host_hits": _q_web_host_hits,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_triangles": _q_web_host_triangles,
@@ -5453,6 +5464,15 @@ def _link_oracles(link_path: str) -> dict[str, str]:
     out["web_host_pagerank"] = _link_pagerank_oracle(chain)
     out["web_host_pagerank_weighted"] = _link_pagerank_weighted_oracle(chain)
     out["web_host_trustrank"] = _link_trustrank_oracle(chain)
+    out["web_host_spam_mass"] = f"""
+        WITH pr AS ({_link_pagerank_oracle(chain)}),
+             tr AS ({_link_trustrank_oracle(chain)})
+        SELECT pr.node AS host,
+               round(pr.r, 9) AS pagerank,
+               round(tr.r, 9) AS trustrank,
+               round((pr.r - tr.r) / pr.r, 9) AS spam_mass
+        FROM pr JOIN tr ON tr.node = pr.node
+    """
     out["web_host_hits"] = _link_hits_oracle(chain)
     out["web_host_hits_weighted"] = _link_hits_oracle(chain, weighted=True)
     chain_t = _link_chain(link_path, with_text=True)
