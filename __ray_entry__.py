@@ -1758,6 +1758,24 @@ def _q_vocab_topk(sf_dir: str):
     return term_counts_topk(_docs(sf_dir), k=500)
 
 
+def _q_doc_bigram_nll(sf_dir: str):
+    """Add-one-smoothed bigram LM quality score per doc (mean -ln
+    P(w2|w1), P = (cb+1)/(c1+V)) — the word-salad detector one order
+    above doc_unigram_nll; broadcast plan (vocab maps shipped once).
+    Oracle = zipped-unnest bigram explode + the identical smoothed
+    expression, both sides quantized 9 dp."""
+    from tabbyray.ops.text import bigram_logprob_scores
+    return bigram_logprob_scores(_docs(sf_dir))
+
+
+def _q_doc_bigram_nll_join(sf_dir: str):
+    """The FORCED fully-distributed plan of doc_bigram_nll (composite
+    (w1,w2) co-partitioned join + unigram join; no driver/worker map)
+    under the same oracle — the 100-TB path verified at toy scale."""
+    from tabbyray.ops.text import bigram_logprob_scores
+    return bigram_logprob_scores(_docs(sf_dir), mode="join")
+
+
 def _q_vocab_zipf(sf_dir: str):
     """Zipf rank-frequency fit (slope/intercept of ln n on ln rank,
     top 500 terms) — corpus-health scalar; combiner-backed vocab
@@ -3077,6 +3095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "vocab_topk": _q_vocab_topk,
         "vocab_zipf": _q_vocab_zipf,
+        "doc_bigram_nll": _q_doc_bigram_nll,
+        "doc_bigram_nll_join": _q_doc_bigram_nll_join,
         # core relational / streaming-shaped
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,
@@ -4094,6 +4114,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS n
             FROM tok GROUP BY term
             ORDER BY n DESC, term ASC LIMIT 500
+        """,
+        "doc_bigram_nll": """
+            WITH tok AS (SELECT doc_id, string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ') AS ls
+                         FROM documents),
+            u AS (SELECT doc_id, unnest(ls) AS w FROM tok),
+            uc AS MATERIALIZED (
+                  SELECT w, CAST(count(*) AS BIGINT) AS c1
+                  FROM u GROUP BY w),
+            vv AS MATERIALIZED (
+                  SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+            bg AS MATERIALIZED (
+                  SELECT doc_id,
+                         list_extract(ls, CAST(i AS INTEGER) + 1) AS w1,
+                         list_extract(ls, CAST(i AS INTEGER) + 2) AS w2
+                  FROM (SELECT doc_id, ls,
+                               unnest(range(len(ls) - 1)) AS i
+                        FROM tok)),
+            bc AS MATERIALIZED (
+                  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                  FROM bg GROUP BY 1, 2),
+            sc AS (SELECT g.doc_id,
+                          -ln((bc.cb + 1) / (uc.c1 + (SELECT v FROM vv)))
+                              AS s
+                   FROM bg g
+                   JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                   JOIN uc ON uc.w = g.w1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(s) / count(*), 9) AS nll
+            FROM sc GROUP BY doc_id
         """,
         "vocab_zipf": """
             WITH tok AS (SELECT unnest(string_split(
@@ -5179,6 +5230,7 @@ def oracle_sql() -> dict[str, str]:
     # forced scale-path variants compute the same relations
     out["value_band_range_join_bucketed"] = out["value_band_range_join"]
     out["doc_length_zscore_join"] = out["doc_length_zscore"]
+    out["doc_bigram_nll_join"] = out["doc_bigram_nll"]
     out["ngram_contamination_join"] = out["ngram_contamination"]
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")

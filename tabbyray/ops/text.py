@@ -1484,3 +1484,159 @@ def bpe_doc_tokens(docs: rd.Dataset, n_merges: int = 3,
     return partial_agg_sum(
         j.map_batches(mul, batch_format="pyarrow"), "doc_id",
         {"km": "n_tokens"})
+
+
+def bigram_logprob_scores(docs: rd.Dataset,
+                          num_partitions: "int | None" = None,
+                          mode: str = "auto",
+                          broadcast_max_bigrams: int = 2_000_000
+                          ) -> rd.Dataset:
+    """Bigram language-model quality score per document: mean negative
+    log-likelihood of the doc's adjacent word pairs under the corpus's
+    OWN add-one-smoothed bigram model,
+
+        P(w2 | w1) = (c(w1, w2) + 1) / (c1(w1) + V)
+
+    (V = corpus vocabulary size) — the next-order fluency signal after
+    ``unigram_logprob_scores``: word-salad that passes a unigram filter
+    (common words, wrong order) scores high here. Docs with fewer than
+    2 tokens emit no row. Output (doc_id, n_bigrams, nll), nll
+    quantized 9 dp (summation order differs from SQL).
+
+    Same two plans as the unigram op behind an auto-switch on the
+    DISTRIBUTED bigram-count cardinality: ``broadcast`` ships the
+    (-ln p) maps once via ray.put; ``join`` co-partitions the per-doc
+    bigram stream against the counts table on the composite (w1, w2)
+    key, then against the unigram counts on w1 — neither table ever
+    lands on the driver."""
+    import ray
+
+    from collections import Counter
+
+    from .relational import hash_aggregate, hash_join
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    uni = corpus_term_counts(docs, num_partitions).materialize()
+    v_size = float(uni.count())
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([k[0] for k in c], pa.string()),
+            "w2": pa.array([k[1] for k in c], pa.string()),
+            "cb": pa.array(list(c.values()), pa.int64())})
+
+    big = hash_aggregate(
+        docs.map_batches(big_partial, batch_format="pyarrow"),
+        keys=["w1", "w2"], sum_cols={"cb": "cb"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                              ("cb", pa.int64())])).materialize()
+    if mode == "auto":
+        mode = ("broadcast" if big.count() <= broadcast_max_bigrams
+                else "join")
+
+    if mode == "broadcast":
+        bdf = big.to_pandas()
+        udf = uni.to_pandas()
+        c1 = dict(zip(udf["term"], udf["n"]))
+        cb = {(a, b): n for a, b, n in zip(bdf["w1"], bdf["w2"],
+                                           bdf["cb"])}
+        ref = ray.put((cb, c1))
+
+        def score(t: pa.Table) -> pa.Table:
+            cbm, c1m = ray.get(ref)
+            ids, nb, nll = [], [], []
+            for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist()):
+                toks = _WS.sub(" ", (text or "")).strip().split(" ")
+                if len(toks) < 2:
+                    continue
+                s = 0.0
+                for a, b in zip(toks, toks[1:]):
+                    s += -np.log((cbm[(a, b)] + 1.0)
+                                 / (c1m[a] + v_size))
+                ids.append(doc_id)
+                nb.append(len(toks) - 1)
+                nll.append(round(s / (len(toks) - 1), 9))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_bigrams": pa.array(nb, pa.int64()),
+                             "nll": pa.array(nll, pa.float64())})
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def bg_explode(t: pa.Table) -> pa.Table:
+        ids, w1s, w2s, tfs = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            c: Counter = Counter(zip(toks, toks[1:]))
+            for (a, b), k in c.items():
+                ids.append(doc_id)
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(k)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    stream = docs.map_batches(bg_explode, batch_format="pyarrow")
+    j1 = hash_join(
+        stream, big, on=["w1", "w2"],
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("w1", pa.string()),
+                               ("w2", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("w1", pa.string()),
+                                ("w2", pa.string()),
+                                ("cb", pa.int64())]),
+        num_partitions=num_partitions)
+    j2 = hash_join(
+        j1, uni.map_batches(
+            lambda t: pa.table({"w1": t.column("term"),
+                                "c1": t.column("n")}),
+            batch_format="pyarrow"),
+        on="w1",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("w1", pa.string()),
+                               ("w2", pa.string()),
+                               ("tf", pa.int64()),
+                               ("cb", pa.int64())]),
+        right_schema=pa.schema([("w1", pa.string()),
+                                ("c1", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        cb = t.column("cb").to_numpy().astype(np.float64)
+        c1 = t.column("c1").to_numpy().astype(np.float64)
+        s = tf * -np.log((cb + 1.0) / (c1 + v_size))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tf": t.column("tf"),
+                         "_c": pa.array(s, pa.float64())})
+
+    agg = hash_aggregate(
+        j2.map_batches(contrib, batch_format="pyarrow"),
+        keys=["doc_id"], sum_cols={"_c": "sum_nll", "tf": "n_bigrams"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("sum_nll", pa.float64()),
+                              ("n_bigrams", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum_nll").to_numpy()
+        n = t.column("n_bigrams").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bigrams": t.column("n_bigrams"),
+                         "nll": pa.array(np.round(s / n, 9),
+                                         pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
