@@ -1004,3 +1004,53 @@ def test_bpe_doc_tokens_hand_corpus(ray_session):
            for r in bpe_doc_tokens(ds, n_merges=1).take_all()}
     # after merge (a,a): 'aa'->1 symbol, 'ab'->2, 'b'->1
     assert got == {1: 1 + 1 + 2, 2: 1 + 1}
+
+
+def test_bigram_nll_hand_corpus(ray_session):
+    """Broadcast and forced-join bigram NLL equal the hand-computed
+    add-one-smoothed model on a 2-doc corpus."""
+    import math
+    import ray.data as rd
+    from collections import Counter
+
+    from tabbyray.ops.text import bigram_logprob_scores
+    texts = {1: "a b a b c", 2: "c c"}
+    ds = rd.from_items([{"doc_id": k, "text": v}
+                        for k, v in texts.items()])
+    toks = {k: v.split(" ") for k, v in texts.items()}
+    uni = Counter(w for t in toks.values() for w in t)
+    big = Counter((a, b) for t in toks.values()
+                  for a, b in zip(t, t[1:]))
+    V = float(len(uni))
+
+    def ref(t):
+        pairs = list(zip(t, t[1:]))
+        s = sum(-math.log((big[p] + 1.0) / (uni[p[0]] + V))
+                for p in pairs)
+        return round(s / len(pairs), 9)
+
+    want = {k: (len(t) - 1, ref(t)) for k, t in toks.items()}
+    for mode in ("broadcast", "join"):
+        got = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+               for r in bigram_logprob_scores(
+                   ds, mode=mode, num_partitions=4).take_all()}
+        assert got == want, mode
+
+
+def test_spam_mass_shape(ray_session):
+    """Spam mass: the seed host's trust share is high (low spam mass),
+    a host only reachable through untrusted links scores ~1."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_link_fixture
+    from tabbyray.ops.web import host_spam_mass
+    ds = rd.read_parquet(ensure_link_fixture(), override_num_blocks=4)
+    got = host_spam_mass(ds, n_seeds=2, num_partitions=8).to_pandas()
+    assert set(got.columns) == {"host", "pagerank", "trustrank",
+                                "spam_mass"}
+    assert (got.pagerank > 0).all()
+    seeds = sorted(got.host)[:2]
+    srows = got[got.host.isin(seeds)]
+    others = got[~got.host.isin(seeds)]
+    # seeds hold concentrated teleport mass -> lowest spam mass around
+    assert srows.spam_mass.max() < others.spam_mass.median()
