@@ -1012,3 +1012,25 @@ def test_trustrank_modes_agree_and_decay(ray_session):
     # z has no inbound edge and is not a seed -> zero trust
     assert bc["z"] == 0.0
     assert bc["s"] > bc["a"] > bc["b"] > 0
+
+
+def test_graph_ops_degenerate_inputs(ray_session):
+    """Empty edge sets and self-loop-only graphs: seeds still emit
+    depth 0, nodes keep their own labels, the pair join is empty —
+    nothing raises."""
+    import pyarrow as pa
+
+    from tabbyray.ops.graph import (bfs_layers, label_propagation,
+                                    outlink_jaccard)
+    empty = rd.from_arrow(pa.schema([("src", pa.string()),
+                                     ("dst", pa.string())]).empty_table())
+    seeds = rd.from_items([{"node": "a"}])
+    assert bfs_layers(empty, seeds, 2, num_partitions=2).take_all() == \
+        [{"node": "a", "depth": 0}]
+    assert label_propagation(empty, seeds, n_rounds=2,
+                             num_partitions=2).take_all() == \
+        [{"node": "a", "lbl": "a"}]
+    assert outlink_jaccard(empty, num_partitions=2).take_all() == []
+    loops = rd.from_items([{"src": "x", "dst": "x"}])
+    assert bfs_layers(loops, seeds, 2, num_partitions=2).take_all() == \
+        [{"node": "a", "depth": 0}]
