@@ -117,7 +117,12 @@ def run_bench() -> dict:
                  "price_quantiles", "weighted_doc_sample",
                  # round-4 representative: RE2 script counting over the
                  # sf documents table
-                 "script_profile"):
+                 "script_profile",
+                 # round-4 session-3 representatives: tokenizer-training
+                 # (BPE merge learning), the X^T X covariance aggregate,
+                 # bigram LM scoring, and KG snapshot maintenance
+                 "bpe_merges", "embedding_covariance",
+                 "doc_bigram_nll", "kg_triple_delta"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):
