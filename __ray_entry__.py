@@ -1776,6 +1776,25 @@ def _q_doc_bigram_nll_join(sf_dir: str):
     return bigram_logprob_scores(_docs(sf_dir), mode="join")
 
 
+def _q_doc_trigram_backoff(sf_dir: str):
+    """Trigram stupid-backoff LM quality score per doc (Brants et al.
+    2007): model trained on the doc_id%2==0 held-in split, every doc
+    scored, so held-out docs genuinely exercise the 3-level backoff
+    chain (level counts are part of the output and the oracle).
+    Broadcast plan (count dicts shipped once via ray.put)."""
+    from tabbyray.ops.text import trigram_backoff_scores
+    return trigram_backoff_scores(_docs(sf_dir))
+
+
+def _q_doc_trigram_backoff_join(sf_dir: str):
+    """The FORCED fully-distributed plan of doc_trigram_backoff: five
+    LEFT co-partitioned joins (trigram, prefix-bigram, suffix-bigram,
+    two unigram probes) — no count table ever lands on the driver;
+    the 10^12-doc plan verified under the identical oracle."""
+    from tabbyray.ops.text import trigram_backoff_scores
+    return trigram_backoff_scores(_docs(sf_dir), mode="join")
+
+
 def _q_vocab_zipf(sf_dir: str):
     """Zipf rank-frequency fit (slope/intercept of ln n on ln rank,
     top 500 terms) — corpus-health scalar; combiner-backed vocab
@@ -3010,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
+        "doc_trigram_backoff": _q_doc_trigram_backoff,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
         "dsir_logratios": _q_dsir_logratios,
@@ -3097,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_zipf": _q_vocab_zipf,
         "doc_bigram_nll": _q_doc_bigram_nll,
         "doc_bigram_nll_join": _q_doc_bigram_nll_join,
+        "doc_trigram_backoff_join": _q_doc_trigram_backoff_join,
         # core relational / streaming-shaped
         "lineitem_agg": _q_lineitem_agg,
         "top_event_per_user": _q_top_event_per_user,
@@ -4143,6 +4164,69 @@ def oracle_sql() -> dict[str, str]:
                    JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
                    JOIN uc ON uc.w = g.w1)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(s) / count(*), 9) AS nll
+            FROM sc GROUP BY doc_id
+        """,
+        "doc_trigram_backoff": """
+            WITH tok AS (SELECT doc_id, string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ') AS ls
+                         FROM documents),
+            tr AS MATERIALIZED (SELECT ls FROM tok WHERE doc_id % 2 = 0),
+            uc AS MATERIALIZED (
+                  SELECT w, CAST(count(*) AS BIGINT) AS c1
+                  FROM (SELECT unnest(ls) AS w FROM tr) GROUP BY w),
+            nv AS MATERIALIZED (
+                  SELECT CAST(sum(c1) AS DOUBLE) AS n,
+                         CAST(count(*) AS DOUBLE) AS v FROM uc),
+            bc AS MATERIALIZED (
+                  SELECT a, b, CAST(count(*) AS BIGINT) AS cb
+                  FROM (SELECT list_extract(ls, CAST(i AS INTEGER) + 1) AS a,
+                               list_extract(ls, CAST(i AS INTEGER) + 2) AS b
+                        FROM (SELECT ls, unnest(range(len(ls) - 1)) AS i
+                              FROM tr))
+                  GROUP BY 1, 2),
+            tc AS MATERIALIZED (
+                  SELECT a, b, c, CAST(count(*) AS BIGINT) AS ct
+                  FROM (SELECT list_extract(ls, CAST(i AS INTEGER) + 1) AS a,
+                               list_extract(ls, CAST(i AS INTEGER) + 2) AS b,
+                               list_extract(ls, CAST(i AS INTEGER) + 3) AS c
+                        FROM (SELECT ls, unnest(range(len(ls) - 2)) AS i
+                              FROM tr))
+                  GROUP BY 1, 2, 3),
+            tg AS MATERIALIZED (
+                  SELECT doc_id,
+                         list_extract(ls, CAST(i AS INTEGER) + 1) AS w1,
+                         list_extract(ls, CAST(i AS INTEGER) + 2) AS w2,
+                         list_extract(ls, CAST(i AS INTEGER) + 3) AS w3
+                  FROM (SELECT doc_id, ls,
+                               unnest(range(len(ls) - 2)) AS i
+                        FROM tok)),
+            sc AS (SELECT g.doc_id,
+                          CASE WHEN COALESCE(tc.ct, 0) > 0 THEN 1
+                               WHEN COALESCE(b2.cb, 0) > 0 THEN 2
+                               ELSE 3 END AS lvl,
+                          CASE WHEN COALESCE(tc.ct, 0) > 0
+                                   THEN -ln(CAST(tc.ct AS DOUBLE) / b1.cb)
+                               WHEN COALESCE(b2.cb, 0) > 0
+                                   THEN -ln(0.4 * CAST(b2.cb AS DOUBLE)
+                                            / u2.c1)
+                               ELSE -ln(0.4 * 0.4
+                                        * (COALESCE(u3.c1, 0) + 1.0)
+                                        / ((SELECT n FROM nv)
+                                           + (SELECT v FROM nv)))
+                               END AS s
+                   FROM tg g
+                   LEFT JOIN tc ON tc.a = g.w1 AND tc.b = g.w2
+                                AND tc.c = g.w3
+                   LEFT JOIN bc b1 ON b1.a = g.w1 AND b1.b = g.w2
+                   LEFT JOIN bc b2 ON b2.a = g.w2 AND b2.b = g.w3
+                   LEFT JOIN uc u2 ON u2.w = g.w2
+                   LEFT JOIN uc u3 ON u3.w = g.w3)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(count(*) FILTER (WHERE lvl = 1) AS BIGINT) AS n_l1,
+                   CAST(count(*) FILTER (WHERE lvl = 2) AS BIGINT) AS n_l2,
+                   CAST(count(*) FILTER (WHERE lvl = 3) AS BIGINT) AS n_l3,
                    round(sum(s) / count(*), 9) AS nll
             FROM sc GROUP BY doc_id
         """,
@@ -5231,6 +5315,7 @@ def oracle_sql() -> dict[str, str]:
     out["value_band_range_join_bucketed"] = out["value_band_range_join"]
     out["doc_length_zscore_join"] = out["doc_length_zscore"]
     out["doc_bigram_nll_join"] = out["doc_bigram_nll"]
+    out["doc_trigram_backoff_join"] = out["doc_trigram_backoff"]
     out["ngram_contamination_join"] = out["ngram_contamination"]
     out["source_char_moments"] = out["lang_char_moments"].replace(
         "lang", "source")

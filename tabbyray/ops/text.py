@@ -1640,3 +1640,251 @@ def bigram_logprob_scores(docs: rd.Dataset,
                                          pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def trigram_backoff_scores(docs: rd.Dataset,
+                           alpha: float = 0.4,
+                           train_mod: int = 2,
+                           num_partitions: "int | None" = None,
+                           mode: str = "auto",
+                           broadcast_max_trigrams: int = 2_000_000
+                           ) -> rd.Dataset:
+    """Trigram stupid-backoff LM quality score per document (Brants et
+    al. 2007, "Large Language Models in Machine Translation"): the
+    model is TRAINED on the deterministic held-in split (docs with
+    ``doc_id % train_mod == 0``) and scores EVERY doc, so held-out docs
+    genuinely exercise the backoff chain (a same-corpus model would
+    never back off). Per trigram position (w1, w2, w3):
+
+        S = ct(w1,w2,w3) / cb(w1,w2)                   if ct > 0
+          = alpha * cb(w2,w3) / c1(w2)                 elif cb(w2,w3) > 0
+          = alpha*alpha * (c1(w3) + 1) / (N + V)       otherwise
+
+    (N = train token count, V = train vocab size; the level-3 add-one
+    keeps out-of-vocabulary words finite). Output per doc with >= 3
+    tokens: (doc_id, n_trigrams, n_l1, n_l2, n_l3, nll) — the level
+    counts are the backoff-pressure observables (a doc scoring mostly
+    at level 3 is out-of-domain), nll = mean(-ln S) quantized 9 dp.
+
+    Two plans behind an auto-switch on the DISTRIBUTED trigram-type
+    count: ``broadcast`` ships the count dicts once via ray.put;
+    ``join`` LEFT-co-partitions the per-doc trigram stream against the
+    trigram / bigram(prefix) / bigram(suffix) / unigram count tables —
+    five composite-key exchanges, no corpus-sized driver state (the
+    10^12-doc plan)."""
+    import ray
+
+    from collections import Counter
+
+    from .relational import hash_aggregate, hash_join
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def _keep_train(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % train_mod == 0))
+
+    train = (docs.map_batches(_keep_train, batch_format="pyarrow")
+             if train_mod else docs)
+
+    uni = corpus_term_counts(train, num_partitions).materialize()
+    v_size = float(uni.count())
+    n_total = float(uni.sum("n"))
+
+    def _ngram_partial(n: int, cols: list[str], out: str):
+        def f(t: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for text in t.column("text").to_pylist():
+                toks = _WS.sub(" ", (text or "")).strip().split(" ")
+                c.update(zip(*(toks[i:] for i in range(n))))
+            data = {cols[i]: pa.array([k[i] for k in c], pa.string())
+                    for i in range(n)}
+            data[out] = pa.array(list(c.values()), pa.int64())
+            return pa.table(data)
+        return f
+
+    def _ngram_counts(n: int, cols: list[str], out: str) -> rd.Dataset:
+        return hash_aggregate(
+            train.map_batches(_ngram_partial(n, cols, out),
+                              batch_format="pyarrow"),
+            keys=cols, sum_cols={out: out},
+            num_partitions=num_partitions,
+            out_schema=pa.schema([(c, pa.string()) for c in cols]
+                                 + [(out, pa.int64())])).materialize()
+
+    big = _ngram_counts(2, ["a", "b"], "cb")
+    tri = _ngram_counts(3, ["a", "b", "c"], "ct")
+    if mode == "auto":
+        mode = ("broadcast" if tri.count() <= broadcast_max_trigrams
+                else "join")
+
+    a2 = alpha * alpha
+
+    if mode == "broadcast":
+        udf = uni.to_pandas()
+        bdf = big.to_pandas()
+        tdf = tri.to_pandas()
+        c1 = dict(zip(udf["term"], udf["n"]))
+        cb = {(a, b): n for a, b, n in zip(bdf["a"], bdf["b"], bdf["cb"])}
+        ct = {(a, b, c): n
+              for a, b, c, n in zip(tdf["a"], tdf["b"], tdf["c"],
+                                    tdf["ct"])}
+        ref = ray.put((ct, cb, c1))
+
+        def score(t: pa.Table) -> pa.Table:
+            ctm, cbm, c1m = ray.get(ref)
+            ids, nt, l1, l2, l3, nll = [], [], [], [], [], []
+            for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist()):
+                toks = _WS.sub(" ", (text or "")).strip().split(" ")
+                if len(toks) < 3:
+                    continue
+                s = 0.0
+                k1 = k2 = k3 = 0
+                for w1, w2, w3 in zip(toks, toks[1:], toks[2:]):
+                    ctn = ctm.get((w1, w2, w3), 0)
+                    if ctn > 0:
+                        s += -np.log(ctn / cbm[(w1, w2)])
+                        k1 += 1
+                        continue
+                    cbn = cbm.get((w2, w3), 0)
+                    if cbn > 0:
+                        s += -np.log(alpha * cbn / c1m[w2])
+                        k2 += 1
+                    else:
+                        s += -np.log(a2 * (c1m.get(w3, 0) + 1.0)
+                                     / (n_total + v_size))
+                        k3 += 1
+                ids.append(doc_id)
+                nt.append(len(toks) - 2)
+                l1.append(k1)
+                l2.append(k2)
+                l3.append(k3)
+                nll.append(round(s / (len(toks) - 2), 9))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_trigrams": pa.array(nt, pa.int64()),
+                             "n_l1": pa.array(l1, pa.int64()),
+                             "n_l2": pa.array(l2, pa.int64()),
+                             "n_l3": pa.array(l3, pa.int64()),
+                             "nll": pa.array(nll, pa.float64())})
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def tg_explode(t: pa.Table) -> pa.Table:
+        ids, w1s, w2s, w3s, tfs = [], [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            c: Counter = Counter(zip(toks, toks[1:], toks[2:]))
+            for (w1, w2, w3), k in c.items():
+                ids.append(doc_id)
+                w1s.append(w1)
+                w2s.append(w2)
+                w3s.append(w3)
+                tfs.append(k)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "w3": pa.array(w3s, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([mapping.get(n, n)
+                                     for n in t.column_names])
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    stream = docs.map_batches(tg_explode, batch_format="pyarrow")
+    sch = [("doc_id", pa.int64()), ("w1", pa.string()),
+           ("w2", pa.string()), ("w3", pa.string()), ("tf", pa.int64())]
+    j = hash_join(
+        stream, _rename(tri, {"a": "w1", "b": "w2", "c": "w3"}),
+        on=["w1", "w2", "w3"], how="left",
+        left_schema=pa.schema(sch),
+        right_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("w3", pa.string()), ("ct", pa.int64())]),
+        num_partitions=num_partitions)
+    sch.append(("ct", pa.int64()))
+    j = hash_join(
+        j, _rename(big, {"a": "w1", "b": "w2", "cb": "cb12"}),
+        on=["w1", "w2"], how="left", left_schema=pa.schema(sch),
+        right_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("cb12", pa.int64())]),
+        num_partitions=num_partitions)
+    sch.append(("cb12", pa.int64()))
+    j = hash_join(
+        j, _rename(big, {"a": "w2", "b": "w3", "cb": "cb23"}),
+        on=["w2", "w3"], how="left", left_schema=pa.schema(sch),
+        right_schema=pa.schema([("w2", pa.string()), ("w3", pa.string()),
+                                ("cb23", pa.int64())]),
+        num_partitions=num_partitions)
+    sch.append(("cb23", pa.int64()))
+    j = hash_join(
+        j, _rename(uni, {"term": "w2", "n": "c1w2"}),
+        on="w2", how="left", left_schema=pa.schema(sch),
+        right_schema=pa.schema([("w2", pa.string()),
+                                ("c1w2", pa.int64())]),
+        num_partitions=num_partitions)
+    sch.append(("c1w2", pa.int64()))
+    j = hash_join(
+        j, _rename(uni, {"term": "w3", "n": "c1w3"}),
+        on="w3", how="left", left_schema=pa.schema(sch),
+        right_schema=pa.schema([("w3", pa.string()),
+                                ("c1w3", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        def col(name):
+            return np.nan_to_num(t.column(name).to_numpy(
+                zero_copy_only=False).astype(np.float64))
+        tf = col("tf")
+        ct = col("ct")
+        cb12 = col("cb12")
+        cb23 = col("cb23")
+        c1w2 = col("c1w2")
+        c1w3 = col("c1w3")
+        lvl1 = ct > 0
+        lvl2 = ~lvl1 & (cb23 > 0)
+        lvl3 = ~lvl1 & ~lvl2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(
+                lvl1, -np.log(ct / cb12),
+                np.where(lvl2, -np.log(alpha * cb23 / c1w2),
+                         -np.log(a2 * (c1w3 + 1.0)
+                                 / (n_total + v_size))))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "tf": t.column("tf"),
+            "_c": pa.array(s * tf, pa.float64()),
+            "_l1": pa.array((lvl1 * tf).astype(np.int64), pa.int64()),
+            "_l2": pa.array((lvl2 * tf).astype(np.int64), pa.int64()),
+            "_l3": pa.array((lvl3 * tf).astype(np.int64), pa.int64())})
+
+    agg = hash_aggregate(
+        j.map_batches(contrib, batch_format="pyarrow"),
+        keys=["doc_id"],
+        sum_cols={"_c": "sum_nll", "tf": "n_trigrams",
+                  "_l1": "n_l1", "_l2": "n_l2", "_l3": "n_l3"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("sum_nll", pa.float64()),
+                              ("n_trigrams", pa.int64()),
+                              ("n_l1", pa.int64()),
+                              ("n_l2", pa.int64()),
+                              ("n_l3", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum_nll").to_numpy()
+        n = t.column("n_trigrams").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_trigrams": t.column("n_trigrams"),
+                         "n_l1": t.column("n_l1"),
+                         "n_l2": t.column("n_l2"),
+                         "n_l3": t.column("n_l3"),
+                         "nll": pa.array(np.round(s / n, 9),
+                                         pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1054,3 +1054,41 @@ def test_spam_mass_shape(ray_session):
     others = got[~got.host.isin(seeds)]
     # seeds hold concentrated teleport mass -> lowest spam mass around
     assert srows.spam_mass.max() < others.spam_mass.median()
+
+
+def test_trigram_backoff_hand_corpus(ray_session):
+    """Broadcast and forced-join trigram stupid-backoff NLL equal the
+    hand-computed 3-level model: train = doc_id%2==0, so held-out docs
+    hit every backoff level (lvl1 seen trigram, lvl2 suffix-bigram
+    backoff, lvl3 add-one unigram floor incl. OOV)."""
+    import math
+    import ray.data as rd
+
+    from tabbyray.ops.text import trigram_backoff_scores
+    texts = {0: "a b c a b c",   # train
+             2: "a b d",         # train
+             1: "a b c x",       # held out: lvl1 (a,b,c) + lvl3 (b,c,x)
+             5: "d a b"}         # held out: lvl2 (d,a,b)
+    ds = rd.from_items([{"doc_id": k, "text": v}
+                        for k, v in texts.items()])
+    # train counts by hand: c1 a=3 b=3 c=2 d=1 (N=9, V=4);
+    # cb ab=3 bc=2 ca=1 bd=1; ct abc=2 bca=1 cab=1 abd=1
+    al = 0.4
+    want = {
+        0: (4, 4, 0, 0, round((-math.log(2 / 3) - math.log(1 / 2)
+                               - math.log(1 / 1) - math.log(2 / 3)) / 4,
+                              9)),
+        # (a,b,d): ct=1, cb(ab)=3 -> lvl1
+        2: (1, 1, 0, 0, round(-math.log(1 / 3), 9)),
+        # (a,b,c) lvl1 2/3; (b,c,x): no ct, no cb(c,x) -> lvl3 OOV
+        1: (2, 1, 0, 1, round((-math.log(2 / 3)
+                               - math.log(al * al * 1.0 / 13.0)) / 2, 9)),
+        # (d,a,b): no ct(dab); cb(a,b)=3>0 -> lvl2 alpha*3/c1(a)=3
+        5: (1, 0, 1, 0, round(-math.log(al * 3 / 3), 9)),
+    }
+    for mode in ("broadcast", "join"):
+        got = {r["doc_id"]: (r["n_trigrams"], r["n_l1"], r["n_l2"],
+                             r["n_l3"], r["nll"])
+               for r in trigram_backoff_scores(
+                   ds, mode=mode, num_partitions=4).take_all()}
+        assert got == want, mode
