@@ -798,6 +798,17 @@ def _q_web_host_bfs_depth(sf_dir: str):
     return host_bfs_depth(_link_pages(), max_depth=3, n_seeds=2)
 
 
+def _q_web_host_bfs_weighted(sf_dir: str):
+    """Weighted BFS (bounded-round Bellman-Ford, 3 rounds) from the 2
+    lexicographically smallest hosts over the DIRECTED inter-host
+    graph with edge cost 1/n_links — min link-cost crawl distance.
+    2 node-bounded exchanges per round (join + min-aggregate), no
+    driver state. Oracle = 3 unrolled min-plus CTE rounds (identical
+    left-to-right float additions -> exact parity, quantized 9 dp)."""
+    from tabbyray.ops.web import host_bfs_weighted
+    return host_bfs_weighted(_link_pages(), n_rounds=3, n_seeds=2)
+
+
 def _q_web_host_communities(sf_dir: str):
     """Synchronous mode-label-propagation communities at the
     FIXED-DEPTH 3-round contract (ties -> min label; isolated hosts
@@ -3020,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
         "web_host_bfs_directed": _q_web_host_bfs_directed,
+        "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_communities": _q_web_host_communities,
         "web_host_communities_weighted": _q_web_host_communities_weighted,
         # crawl flagship + tokenizer-training primitives inside the
@@ -5864,6 +5876,36 @@ def _link_oracles(link_path: str) -> dict[str, str]:
             WHERE r.d < 3)
         SELECT h AS host, CAST(min(d) AS BIGINT) AS depth
         FROM reach GROUP BY h
+    """
+    # weighted BFS: 3 unrolled min-plus rounds over the DIRECTED host
+    # graph, edge cost 1/n_links; same seed rule as the BFS pair
+    bf_rounds = []
+    for i in range(1, 4):
+        bf_rounds.append(f"""
+        bw{i} AS MATERIALIZED (
+                 SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM bw{i - 1}
+                     UNION ALL
+                     SELECT e.b AS node, d.dist + e.w AS dist
+                     FROM bw{i - 1} d JOIN bwe e ON e.a = d.node)
+                 GROUP BY node)""")
+    out["web_host_bfs_weighted"] = f"""
+        WITH {chain},
+        bhe AS MATERIALIZED (
+                 SELECT src_host AS a, dst_host AS b,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM links GROUP BY 1, 2),
+        bnodes AS MATERIALIZED (
+                 SELECT DISTINCT h FROM
+                 (SELECT a AS h FROM bhe UNION ALL SELECT b FROM bhe)),
+        bwe AS MATERIALIZED (
+                 SELECT a, b, 1.0 / CAST(n AS DOUBLE) AS w
+                 FROM bhe WHERE a <> b),
+        bw0 AS MATERIALIZED (
+                 SELECT h AS node, CAST(0 AS DOUBLE) AS dist
+                 FROM (SELECT h FROM bnodes ORDER BY h LIMIT 2)),
+        {','.join(bf_rounds)}
+        SELECT node AS host, round(dist, 9) AS dist FROM bw3
     """
     frontier = f"""
         tot AS (SELECT dst_canon, CAST(count(*) AS BIGINT) AS n_inlinks

@@ -1406,6 +1406,94 @@ def bfs_layers(edges: rd.Dataset, seeds: rd.Dataset,
     return visited
 
 
+def bellman_ford(edges: rd.Dataset, seeds: rd.Dataset,
+                 n_rounds: int = 3,
+                 pair_cols: tuple[str, str] = ("src", "dst"),
+                 weight_col: str = "w",
+                 node_dtype: "pa.DataType | None" = None,
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    """Bounded-round distributed Bellman-Ford — the WEIGHTED BFS:
+    (node, dist) where dist = minimum path cost from any seed over
+    paths of at most ``n_rounds`` edges (seeds are dist 0.0). The
+    crawl / trust-distance generalization of ``bfs_layers`` when
+    edges carry a traversal cost (1/link-count, latency, toll).
+
+    Contract: ``edges`` is a DIRECTED edge list with DISTINCT (src,
+    dst) pairs, positive double weights, no self-loops (symmetrize /
+    dedup upstream — ``web.host_bfs_weighted`` shows the rollup).
+    Each round is ONE co-partitioned hash join (edges x frontier
+    dists) plus ONE min-aggregate over (old dists UNION candidate
+    dists) — round state is node-bounded and fully distributed; the
+    driver never sees a row. Fixed ``n_rounds`` keeps the SQL oracle
+    a bounded min-plus unroll (the pagerank/LP contract shape).
+    Output dist is the raw accumulated double (callers quantize at
+    the edge; min-plus path sums are identical left-to-right
+    additions in any engine, so parity is exact)."""
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+
+    from .relational import hash_join, typed_groupby_map
+
+    cs, cd = pair_cols
+    ed_schema = pa.schema([("u", nd), ("v", nd), ("w", pa.float64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(_flat(t.column(cs)), nd),
+                         "v": pc.cast(_flat(t.column(cd)), nd),
+                         "w": pc.cast(_flat(t.column(weight_col)),
+                                      pa.float64())})
+
+    ed = _coalesced(edges.map_batches(canon, batch_format="pyarrow"),
+                    num_partitions)
+    num_partitions = _sized_partitions(max(ed.count(), 1),
+                                       num_partitions)
+    ed = _coalesced(ed, num_partitions)
+
+    d_schema = pa.schema([("node", nd), ("dist", pa.float64())])
+
+    def _min_by_node(ds: rd.Dataset) -> rd.Dataset:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", as_index=False)["dist"].min()
+            h = pd.util.hash_pandas_object(g["node"].astype(str),
+                                           index=False)
+            g["part"] = (h % num_partitions).astype("int64")
+            return g
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["dist"].min()
+
+        return typed_groupby_map(
+            ds.map_batches(partial, batch_format="pandas"),
+            "part", final, d_schema)
+
+    def as_dist0(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(_flat(t.column("node")), nd),
+            "dist": pa.array([0.0] * t.num_rows, pa.float64())})
+
+    dist = seeds.select_columns(["node"]).map_batches(
+        as_dist0, batch_format="pyarrow").materialize()
+    for _ in range(n_rounds):
+        hop = hash_join(
+            ed, dist.map_batches(
+                lambda t: pa.table({"u": t.column("node"),
+                                    "dist": t.column("dist")}),
+                batch_format="pyarrow"),
+            on="u", how="inner", left_schema=ed_schema,
+            right_schema=pa.schema([("u", nd), ("dist", pa.float64())]),
+            num_partitions=num_partitions)
+
+        def cand(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("v"),
+                "dist": pc.add(t.column("dist"), t.column("w"))})
+
+        dist = _min_by_node(
+            dist.union(hop.map_batches(cand, batch_format="pyarrow"))
+        ).materialize()
+    return dist
+
+
 def label_propagation(edges: rd.Dataset, nodes: rd.Dataset,
                       n_rounds: int = 3,
                       pair_cols: tuple[str, str] = ("src", "dst"),

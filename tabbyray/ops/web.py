@@ -2040,6 +2040,52 @@ def host_bfs_depth(pages: rd.Dataset, max_depth: int = 3,
         batch_format="pyarrow")
 
 
+def host_bfs_weighted(pages: rd.Dataset, n_rounds: int = 3,
+                      n_seeds: int = 2, url_col: str = "url",
+                      html_col: str = "html",
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Minimum link-COST distance from the seed hosts over the
+    DIRECTED inter-host link graph with per-edge cost 1/n_links —
+    heavily-linked host pairs are cheap to traverse, so dist is a
+    crawl-priority / trust-propagation distance rather than a hop
+    count (the weighted generalization of ``host_bfs_depth``; paths
+    of at most ``n_rounds`` edges, the bounded-unroll contract).
+    Seeds = the ``n_seeds`` lexicographically smallest hosts of the
+    node universe (self-loop-only hosts included, as in BFS; the
+    traversal edge set drops self-loops). Output (host, dist), dist
+    quantized 9 dp. Plan: ``ops.graph.bellman_ford`` — 2 exchanges
+    per round over node-bounded state."""
+    import numpy as np
+
+    from .graph import bellman_ford
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions).materialize()
+    seeds = (_host_nodes(edges, num_partitions)
+             .map_batches(lambda t: pa.table({"node": t.column("host")}),
+                          batch_format="pyarrow")
+             .sort("node").limit(n_seeds))
+
+    def weight(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("src_host"), t.column("dst_host"))
+        t = t.filter(keep)
+        n = t.column("n_links").to_numpy().astype(np.float64)
+        return pa.table({"src_host": t.column("src_host"),
+                         "dst_host": t.column("dst_host"),
+                         "w": pa.array(1.0 / n, pa.float64())})
+
+    out = bellman_ford(edges.map_batches(weight, batch_format="pyarrow"),
+                       seeds, n_rounds,
+                       pair_cols=("src_host", "dst_host"),
+                       num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({
+            "host": t.column("node"),
+            "dist": pa.array(np.round(t.column("dist").to_numpy(), 9),
+                             pa.float64())}),
+        batch_format="pyarrow")
+
+
 def host_communities(pages: rd.Dataset, n_rounds: int = 3,
                      url_col: str = "url", html_col: str = "html",
                      weighted: bool = False,

@@ -1092,3 +1092,26 @@ def test_trigram_backoff_hand_corpus(ray_session):
                for r in trigram_backoff_scores(
                    ds, mode=mode, num_partitions=4).take_all()}
         assert got == want, mode
+
+
+def test_bellman_ford_hand_graph(ray_session):
+    """Bounded-round Bellman-Ford: the 2-hop path beats the direct
+    expensive edge once rounds allow it; at n_rounds=1 only the
+    direct edge is reachable (the fixed-round contract)."""
+    import ray.data as rd
+
+    from tabbyray.ops.graph import bellman_ford
+    edges = rd.from_items([
+        {"src": "a", "dst": "b", "w": 1.0},
+        {"src": "b", "dst": "c", "w": 1.0},
+        {"src": "a", "dst": "c", "w": 3.0},
+        {"src": "c", "dst": "d", "w": 0.5}])
+    seeds = rd.from_items([{"node": "a"}])
+
+    def run(k):
+        return {r["node"]: r["dist"]
+                for r in bellman_ford(edges, seeds, n_rounds=k,
+                                      num_partitions=4).take_all()}
+
+    assert run(1) == {"a": 0.0, "b": 1.0, "c": 3.0}
+    assert run(3) == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 2.5}
