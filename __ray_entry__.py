@@ -1343,6 +1343,56 @@ def _q_entity_communities(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_entity_ppr(sf_dir: str):
+    """Personalized PageRank over the ENTITY co-occurrence graph
+    (teleport mass pinned to the 2 lexicographically smallest
+    entities): relatedness-to-anchor-set scoring, the KG-side
+    composition of ops.graph.pagerank(seeds=...) with the
+    anchor-linking pipeline. Symmetrized co-mention pairs form the
+    directed edge set; oracle = the cooccurrence CTE prefix + the
+    seeded unrolled 3-iteration pagerank chain."""
+    import pyarrow as pa
+
+    from tabbyray.ops.graph import pagerank
+    from tabbyray.ops.relational import hash_aggregate
+    from tabbyray.ops.web import entity_cooccurrence
+    pages, labels = _anchor_entity_inputs()
+    cooc = entity_cooccurrence(pages, labels,
+                               num_partitions=8).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        a = t.column("e1").combine_chunks()
+        b = t.column("e2").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = cooc.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.string()), ("one", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        e = t.column("src").combine_chunks().unique()
+        return pa.table({"node": e,
+                         "one": pa.array([1] * len(e), pa.int64())})
+
+    seeds = [r["node"] for r in hash_aggregate(
+        edges.map_batches(ends, batch_format="pyarrow"),
+        keys=["node"], sum_cols={"one": "_c"}, num_partitions=8,
+        out_schema=pa.schema([("node", pa.string()),
+                              ("_c", pa.int64())])
+    ).select_columns(["node"]).sort("node").limit(2).take_all()]
+    pr = pagerank(edges, n_iter=3, node_dtype=pa.string(),
+                  num_partitions=8, seeds=seeds)
+    return pr.map_batches(
+        lambda t: pa.table({"entity": t.column("node"),
+                            "r": t.column("r")}),
+        batch_format="pyarrow")
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher repetition-removal signals (dup lines / dup chars / top
     2-3-4-gram coverage, exact integer counters + composite passes);
@@ -3051,6 +3101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantized": _q_embedding_quantized,
         "entity_triangles": _q_entity_triangles,
         "entity_communities": _q_entity_communities,
+        "entity_ppr": _q_entity_ppr,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -6760,9 +6811,51 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
         {_lp_round_ctes('ced')}
         SELECT h AS entity, lbl AS community FROM l3
     """
+    # seeded (personalized) pagerank unroll over the symmetrized
+    # co-mention pairs — same expression/order as the engine's
+    # pagerank(seeds=...), teleport mass on the 2 smallest entities
+    ppr_ctes = ["""
+        pedges AS MATERIALIZED (
+              SELECT e1 AS src, e2 AS dst FROM p
+              UNION ALL SELECT e2, e1 FROM p),
+        pnodes AS MATERIALIZED (
+              SELECT DISTINCT src AS node FROM pedges),
+        pdeg AS MATERIALIZED (
+              SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM pedges GROUP BY src),
+        psds AS MATERIALIZED (
+              SELECT node FROM pnodes ORDER BY node LIMIT 2),
+        pks AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS k FROM psds),
+        pr0 AS (SELECT n.node,
+                       CASE WHEN s.node IS NOT NULL
+                            THEN 1.0 / (SELECT k FROM pks)
+                            ELSE 0.0 END AS r
+                FROM pnodes n LEFT JOIN psds s ON s.node = n.node)"""]
+    prev = "pr0"
+    for i in range(1, 4):
+        ppr_ctes.append(f"""
+        pc{i} AS (SELECT e.dst AS node, sum({prev}.r / pdeg.outdeg) AS s
+               FROM pedges e JOIN {prev} ON {prev}.node = e.src
+               JOIN pdeg ON pdeg.src = e.src GROUP BY e.dst),
+        prr{i} AS (SELECT x.node,
+                        CASE WHEN s.node IS NOT NULL
+                             THEN (1 - 0.85) / (SELECT k FROM pks)
+                             ELSE 0.0 END
+                        + 0.85 * COALESCE(pc{i}.s, 0) AS r
+                 FROM pnodes x
+                 LEFT JOIN psds s ON s.node = x.node
+                 LEFT JOIN pc{i} ON pc{i}.node = x.node)""")
+        prev = f"prr{i}"
+    entity_ppr = f"""
+        WITH {cooc_ctes},
+        {','.join(ppr_ctes)}
+        SELECT node AS entity, r FROM prr3
+    """
     return {
         "anchor_entity_candidates":
             votes + "SELECT dst_canon, entity, votes FROM v",
+        "entity_ppr": entity_ppr,
         "anchor_entity_top1": votes + """
             SELECT dst_canon, entity, votes FROM v
             QUALIFY row_number() OVER (PARTITION BY dst_canon
