@@ -1273,6 +1273,54 @@ def _q_anchor_entity_top1(sf_dir: str):
     return anchor_entity_top1(pages, labels, num_partitions=8)
 
 
+def _fuzzy_linkage_inputs():
+    import os
+
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_fuzzy_linkage_fixture
+    fix = ensure_fuzzy_linkage_fixture()
+    mentions = rd.read_parquet(os.path.join(fix, "mentions.parquet"),
+                               override_num_blocks=4)
+    labels = rd.read_parquet(os.path.join(fix, "labels.parquet"),
+                             override_num_blocks=2)
+    return mentions, labels
+
+
+def _q_fuzzy_entity_match(sf_dir: str):
+    """Fuzzy entity linking (typo-tolerant A1): mention->entity pairs
+    within byte-Levenshtein 1 of a label norm via symmetric-deletion
+    blocking (perfect recall at the key join, banded verify on blocked
+    candidates only — never all-pairs).  Oracle = the DuckDB norm
+    chain + brute-force levenshtein() cross join at fixture scale."""
+    from tabbyray.ops.linkage import fuzzy_label_match
+    mentions, labels = _fuzzy_linkage_inputs()
+    return fuzzy_label_match(mentions, labels, num_partitions=8)
+
+
+def _q_fuzzy_entity_match_top1(sf_dir: str):
+    """Winning entity per mention (dist asc, entity asc) — the C8
+    argmax rule on fuzzy-linkage output; oracle = QUALIFY
+    row_number."""
+    from tabbyray.ops.linkage import fuzzy_label_match, fuzzy_match_top1
+    mentions, labels = _fuzzy_linkage_inputs()
+    return fuzzy_match_top1(
+        fuzzy_label_match(mentions, labels, num_partitions=8),
+        num_partitions=8)
+
+
+def _q_entity_resolution(sf_dir: str):
+    """Duplicate-entity merge: connected components over the
+    label-level fuzzy-match graph (deletion-key self-join + verify),
+    canonical = lexicographic min entity.  Fixture plants distance-1
+    pairs, 3-chains (merged only transitively) and distance-0 twins;
+    oracle = brute-force levenshtein pairs + 8 unrolled MATERIALIZED
+    min-label rounds (cluster diameter <= 2 by construction)."""
+    from tabbyray.ops.linkage import entity_resolution
+    _, labels = _fuzzy_linkage_inputs()
+    return entity_resolution(labels, num_partitions=8)
+
+
 def _q_entity_cooccurrence(sf_dir: str):
     """Entity co-occurrence graph with PMI over co-mentions (a page
     mentions an entity when any anchor text normalizes to one of its
@@ -3045,6 +3093,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_triple_delta": _q_kg_triple_delta,
         "kg_subject_churn": _q_kg_subject_churn,
+        # entity linkage / resolution (the KG entity-merge stage)
+        "fuzzy_entity_match": _q_fuzzy_entity_match,
+        "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
+        "entity_resolution": _q_entity_resolution,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
         "sti_cea_agg": _q_sti_cea_agg,
@@ -3067,11 +3119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_resolved_links": _q_web_resolved_links,
         "web_host_edges": _q_web_host_edges,
         "web_host_pagerank": _q_web_host_pagerank,
-        "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "web_host_trustrank": _q_web_host_trustrank,
         "web_host_spam_mass": _q_web_host_spam_mass,
         "web_host_hits": _q_web_host_hits,
-        "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_triangles": _q_web_host_triangles,
         "web_host_clustering": _q_web_host_clustering,
         "web_host_adamic_adar": _q_web_host_adamic_adar,
@@ -3083,7 +3133,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_communities": _q_web_host_communities,
-        "web_host_communities_weighted": _q_web_host_communities_weighted,
         # crawl flagship + tokenizer-training primitives inside the
         # driver's ~50-entry sample window
         "crawl_curated": _q_crawl_curated,
@@ -3091,6 +3140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
+        # weighted-edge variants of in-window graph flagships (same
+        # families, sampled past the window)
+        "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
+        "web_host_hits_weighted": _q_web_host_hits_weighted,
+        "web_host_communities_weighted": _q_web_host_communities_weighted,
         "doc_trigram_backoff": _q_doc_trigram_backoff,
         "web_host_dup_stats": _q_web_host_dup_stats,
         "web_host_features": _q_web_host_features,
@@ -3998,6 +4052,7 @@ def oracle_sql() -> dict[str, str]:
     # PII patterns come straight from the operator's compiled regexes
     # (RE2-compatible by construction) so the SQL can never drift
     from tabbyray.fixtures import (ensure_anchor_entity_fixture,
+                                   ensure_fuzzy_linkage_fixture,
                                    ensure_blocklist_fixture,
                                    ensure_clustered_embeddings,
                                    ensure_crawl_fixture,
@@ -4021,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
     _quality_path = ensure_quality_docs()             # idempotent, ~ms
     _rep_path = ensure_repetition_docs()              # idempotent, ~ms
     _anchor_fix = ensure_anchor_entity_fixture()      # idempotent, ~ms
+    _fuzzy_fix = ensure_fuzzy_linkage_fixture()       # idempotent, ~ms
     _bl_path = ensure_blocklist_fixture()             # idempotent, ~ms
     _template_path = ensure_template_fixture()        # idempotent, ~ms
     _tracking_path = ensure_tracking_fixture()        # idempotent, ~ms
@@ -5407,6 +5463,7 @@ def oracle_sql() -> dict[str, str]:
     out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
     out.update(_anchor_entity_oracles(_anchor_fix))
+    out.update(_fuzzy_linkage_oracles(_fuzzy_fix))
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
@@ -6709,6 +6766,77 @@ def _gopher_repetition_sql(src: str) -> str:
         LEFT JOIN t3 USING (doc_id)
         LEFT JOIN t4 USING (doc_id)
     """
+
+
+def _fuzzy_linkage_oracles(fix: str) -> dict[str, str]:
+    """Brute-force DuckDB re-derivations of the fuzzy-linkage family.
+    The fixture is pure ASCII, so DuckDB's byte-level levenshtein()
+    equals the engine's php-semantics byte DP exactly, and the
+    ASCII-only _NORM_SQL chain is the full M1 normalization.  The
+    engine blocks with symmetric-deletion keys; the oracle proves the
+    blocking lost nothing by comparing against the UNBLOCKED cross
+    join.  entity_resolution: 8 unrolled MATERIALIZED min-label rounds
+    (fixture cluster diameter <= 2 by construction)."""
+    mnorm = _NORM_SQL.format(col="surface")
+    lnorm = _NORM_SQL.format(col="label")
+    base = f"""
+        m AS MATERIALIZED (
+            SELECT mention_id, {mnorm} AS mnorm
+            FROM read_parquet('{fix}/mentions.parquet')
+            WHERE {mnorm} != ''),
+        l AS MATERIALIZED (
+            SELECT DISTINCT entity, {lnorm} AS lnorm
+            FROM read_parquet('{fix}/labels.parquet')
+            WHERE {lnorm} != ''),
+        p AS MATERIALIZED (
+            SELECT mention_id, mnorm, entity, lnorm,
+                   CAST(levenshtein(mnorm, lnorm) AS BIGINT) AS dist
+            FROM m, l
+            WHERE levenshtein(mnorm, lnorm) <= 1
+            QUALIFY row_number() OVER (PARTITION BY mention_id, entity
+                ORDER BY dist ASC, lnorm ASC) = 1)
+    """
+    rounds, prev = [], "l0"
+    for i in range(1, 9):
+        rounds.append(f"""
+        lr{i} AS MATERIALIZED (
+            SELECT n.node,
+                   least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+            FROM rnodes n
+            JOIN {prev} p ON p.node = n.node
+            LEFT JOIN sym s ON s.a = n.node
+            LEFT JOIN {prev} q ON q.node = s.b
+            GROUP BY n.node, p.lbl)""")
+        prev = f"lr{i}"
+    resolution = f"""
+        WITH l AS MATERIALIZED (
+            SELECT DISTINCT entity, {lnorm} AS lnorm
+            FROM read_parquet('{fix}/labels.parquet')
+            WHERE {lnorm} != ''),
+        ed AS MATERIALIZED (
+            SELECT a.entity AS e1, b.entity AS e2 FROM l a, l b
+            WHERE a.entity < b.entity
+              AND levenshtein(a.lnorm, b.lnorm) <= 1),
+        rnodes AS MATERIALIZED (SELECT DISTINCT entity AS node FROM l),
+        sym AS MATERIALIZED (
+            SELECT e1 AS a, e2 AS b FROM ed UNION SELECT e2, e1 FROM ed),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM rnodes),
+        {','.join(rounds)}
+        SELECT node AS entity, lbl AS canonical FROM {prev}
+    """
+    return {
+        "fuzzy_entity_match": f"""
+            WITH {base}
+            SELECT mention_id, mnorm, entity, lnorm, dist FROM p
+        """,
+        "fuzzy_entity_match_top1": f"""
+            WITH {base}
+            SELECT mention_id, mnorm, entity, dist FROM p
+            QUALIFY row_number() OVER (PARTITION BY mention_id
+                ORDER BY dist ASC, entity ASC) = 1
+        """,
+        "entity_resolution": resolution,
+    }
 
 
 def _anchor_entity_oracles(fix: str) -> dict[str, str]:

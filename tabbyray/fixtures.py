@@ -1284,3 +1284,111 @@ def ensure_crawl_fixture(n_resources: int = 300, seed: int = 79,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_fuzzy_linkage_fixture(n_entities: int = 80,
+                                 n_mentions: int = 400, seed: int = 73,
+                                 root: str = "/tmp/tabbyray_fixtures"
+                                 ) -> str:
+    """Deterministic fixture for fuzzy entity linkage / resolution: a
+    dir with ``labels.parquet`` (entity, label) and
+    ``mentions.parquet`` (mention_id, surface).  ASCII-only on purpose
+    (byte-level == char-level Levenshtein, and the pure-ASCII DuckDB
+    norm chain applies exactly).  Shapes exercised:
+
+    * duplicate-entity PAIRS: a ``_v2`` twin whose label is one
+      mid-word edit (sub/ins/del of a letter) from the original;
+    * duplicate CHAINS of three (A-B and B-C at distance 1, A-C at
+      distance 2 — only transitive closure merges them);
+    * distance-0 twins: a sibling whose label differs only by case /
+      doubled spaces (same norm, different entity);
+    * labels that normalize to '' (``***``) — a ``_ghost`` entity
+      carrying ONLY such labels must vanish from every output;
+    * multi-label entities (a far-away alias that matches nothing);
+    * mention surfaces: decorated (case flips, wrapping punctuation,
+      edge spaces) entity labels with 0 or 1 extra mid-word edit, plus
+      random-word noise mentions.
+    """
+    key = f"fuzzylink-v1-s{seed}-e{n_entities}-m{n_mentions}"
+    path = os.path.join(root, key)
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    rng = random.Random(seed)
+    first = ["Santa", "Grand", "North", "Delta", "Omega", "Royal",
+             "Union", "Vista", "Echo", "Halcyon", "Iron", "Cedar"]
+    second = ["Fe", "Rapids", "Harbor", "Corp", "Labs", "Point",
+              "Works", "Mills", "Ridge", "Gate", "Forge", "Fields"]
+
+    def edit1(s: str, rng: random.Random) -> str:
+        """One mid-word lowercase-letter edit that survives the norm
+        chain (never touches position 0, spaces, or punctuation)."""
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        idxs = [i for i, ch in enumerate(s) if i > 0 and ch.isalpha()]
+        i = rng.choice(idxs)
+        op = rng.randrange(3)
+        if op == 0:                                     # substitute
+            repl = rng.choice([c for c in alpha if c != s[i].lower()])
+            return s[:i] + repl + s[i + 1:]
+        if op == 1:                                     # insert
+            return s[:i] + rng.choice(alpha) + s[i:]
+        return s[:i] + s[i + 1:]                        # delete
+
+    ents: list[tuple[str, str]] = []
+    base_labels: list[str] = []
+    for i in range(n_entities):
+        base = f"{rng.choice(first)} {rng.choice(second)}{i}"
+        uri = "http://kb.example/resource/" + base.replace(" ", "_")
+        kind = i % 10
+        ents.append((uri, base))
+        base_labels.append(base)
+        if kind == 6:            # duplicate pair at distance 1
+            ents.append((uri + "_v2", edit1(base, rng)))
+        elif kind == 7:          # chain of three: A-B-C
+            b = edit1(base, rng)
+            ents.append((uri + "_v2", b))
+            ents.append((uri + "_v3", edit1(b, rng)))
+        elif kind == 8:          # distance-0 twin (same norm)
+            ents.append(("http://kb.example/resource/sib_"
+                         + base.replace(" ", "_"),
+                         base.upper().replace(" ", "  ")))
+        elif kind == 9:          # far-away alias + an all-'' ghost
+            ents.append((uri, "Zephyr Quills" + str(i) + "x"))
+            ents.append((uri + "_ghost", "***"))
+    mentions = []
+    for m in range(n_mentions):
+        r = rng.random()
+        if r < 0.55:
+            s = rng.choice(base_labels)
+        elif r < 0.8:
+            s = edit1(rng.choice(base_labels), rng)
+        else:
+            s = (f"{rng.choice(['blue', 'crimson', 'velvet', 'quartz'])} "
+                 f"{rng.choice(['falcon', 'meadow', 'anchor', 'lantern'])}"
+                 f"{rng.randrange(50)}")
+        style = rng.randrange(5)
+        if style == 1:
+            s = s.upper()
+        elif style == 2:
+            s = f"  {s}! "
+        elif style == 3:
+            s = "*" + s.lower() + "*"
+        elif style == 4:
+            s = s + "..."
+        mentions.append((m, s))
+
+    os.makedirs(path, exist_ok=True)
+    labels_t = pa.table({
+        "entity": pa.array([e for e, _l in ents], pa.string()),
+        "label": pa.array([l for _e, l in ents], pa.string())})
+    mentions_t = pa.table({
+        "mention_id": pa.array([i for i, _s in mentions], pa.int64()),
+        "surface": pa.array([s for _i, s in mentions], pa.string())})
+    for name, t in (("labels.parquet", labels_t),
+                    ("mentions.parquet", mentions_t)):
+        tmp = os.path.join(path, name + ".tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(path, name))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
