@@ -1885,6 +1885,23 @@ def _q_doc_bigram_nll_join(sf_dir: str):
     return bigram_logprob_scores(_docs(sf_dir), mode="join")
 
 
+def _q_tfidf_doc_similarity(sf_dir: str):
+    """Sparse TF-IDF cosine doc-pair similarity via the inverted-index
+    self-join (term-shared pairs only; max-df cap bounds the worst
+    posting list).  Runs on the topical-docs fixture — the sf corpus
+    has one shared 30-word vocabulary, so the df cap leaves only exact
+    duplicates there; the fixture has per-topic vocabularies that
+    exercise intermediate cosines.  Oracle = the same inverted-index
+    relation brute-forced in SQL, 9-dp quantized on BOTH sides."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_topic_docs
+    from tabbyray.ops.text import tfidf_doc_similarity
+    docs = rd.read_parquet(ensure_topic_docs(), override_num_blocks=8)
+    return tfidf_doc_similarity(docs, min_df=2, max_df_ratio=0.5,
+                                sim_threshold=0.2, num_partitions=8)
+
+
 def _q_doc_trigram_backoff(sf_dir: str):
     """Trigram stupid-backoff LM quality score per doc (Brants et al.
     2007): model trained on the doc_id%2==0 held-in split, every doc
@@ -3130,7 +3147,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_kcore": _q_web_host_kcore,
         "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
-        "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_communities": _q_web_host_communities,
         # crawl flagship + tokenizer-training primitives inside the
@@ -3140,8 +3156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
-        # weighted-edge variants of in-window graph flagships (same
-        # families, sampled past the window)
+        "tfidf_doc_similarity": _q_tfidf_doc_similarity,
+        # directed/weighted-edge variants of in-window graph flagships
+        # (same families, sampled past the window)
+        "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_communities_weighted": _q_web_host_communities_weighted,
@@ -4063,6 +4081,7 @@ def oracle_sql() -> dict[str, str]:
                                    ensure_repetition_docs,
                                    ensure_robots_fixture,
                                    ensure_template_fixture,
+                                   ensure_topic_docs,
                                    ensure_tracking_fixture,
                                    ensure_web_fixture)
     from tabbyray.ops.text import _EMAIL, _PHONE, GOPHER_STOPWORDS
@@ -5464,6 +5483,37 @@ def oracle_sql() -> dict[str, str]:
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
     out.update(_anchor_entity_oracles(_anchor_fix))
     out.update(_fuzzy_linkage_oracles(_fuzzy_fix))
+    _topic_path = ensure_topic_docs()                 # idempotent, ~ms
+    out["tfidf_doc_similarity"] = f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                         ' ')) AS term
+                     FROM read_parquet('{_topic_path}')),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, term),
+        n AS (SELECT count(*) AS n
+              FROM read_parquet('{_topic_path}')),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY term
+               HAVING count(DISTINCT doc_id) >= 2
+                  AND count(DISTINCT doc_id)
+                      <= (SELECT floor(0.5 * n) FROM n)),
+        w AS MATERIALIZED (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+        nr AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+               FROM w GROUP BY doc_id),
+        wn AS MATERIALIZED (
+            SELECT w.doc_id, w.term, w.w / nr.nrm AS wn
+            FROM w JOIN nr USING (doc_id)),
+        s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(sum(a.wn * b.wn), 9) AS sim
+              FROM wn a JOIN wn b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, sim FROM s WHERE sim >= 0.2
+    """
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)

@@ -1392,3 +1392,43 @@ def ensure_fuzzy_linkage_fixture(n_entities: int = 80,
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+def ensure_topic_docs(n_docs: int = 400, n_topics: int = 3, seed: int = 91,
+                      root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic topical corpus for TF-IDF cosine similarity:
+    ``(doc_id, text)`` where each doc draws most tokens from its
+    topic's private vocabulary plus a few corpus-wide stopword-like
+    tokens.  Same-topic pairs land at intermediate cosine (0.2-0.8),
+    cross-topic pairs near 0 once the max-df cap drops the shared
+    tokens — the shape the sf tables can't produce (their vocabulary
+    is one shared 30-word pool, so only exact duplicates survive the
+    cap)."""
+    path = os.path.join(root, f"topicdocs-v1-s{seed}-d{n_docs}-t{n_topics}"
+                              ".parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    topics = [[f"t{k}w{i}" for i in range(60)] for k in range(n_topics)]
+    shared = [f"common{i}" for i in range(12)]
+    ids, texts = [], []
+    for d in range(n_docs):
+        k = d % n_topics
+        n_tok = rng.randint(40, 80)
+        toks = []
+        for _ in range(n_tok):
+            if rng.random() < 0.25:
+                toks.append(rng.choice(shared))
+            else:
+                # zipf-ish: favor the front of the topic vocabulary
+                i = min(int(rng.expovariate(1 / 12.0)), 59)
+                toks.append(topics[k][i])
+        ids.append(d)
+        texts.append(" ".join(toks))
+    table = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

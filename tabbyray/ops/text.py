@@ -321,6 +321,135 @@ def tfidf_scores(docs: rd.Dataset, min_df: int = 10,
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+def tfidf_doc_similarity(docs: rd.Dataset, min_df: int = 2,
+                         max_df_ratio: float = 0.5,
+                         sim_threshold: float = 0.3,
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """Sparse TF-IDF cosine similarity between documents: (doc_a,
+    doc_b, sim) for unordered pairs whose cosine over L2-normalized
+    TF-IDF vectors reaches ``sim_threshold`` (applied to the 9-dp
+    quantized value so engine and oracle never disagree at the float
+    boundary; `doc_a < doc_b`).
+
+    The inverted-index plan — never a dense doc×doc product:
+    tf explode -> df join (terms with ``min_df <= df <=
+    floor(max_df_ratio · N)``) -> per-doc L2 norms (one doc-hash
+    aggregate) -> term-hash SELF-join emits only pairs that SHARE a
+    surviving term -> pair-hash sum.
+
+    Scale contract: the self-join fans out df² pairs per term, so the
+    ``max_df`` cap is the knob that bounds the worst posting list —
+    stopword-like terms (the quadratic risk) are exactly the high-df
+    terms the cap drops, and they carry near-zero IDF weight anyway.
+    All exchanges are hash-partitioned; nothing corpus-sized is
+    collected (N is one scalar count)."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate, hash_join
+
+    n_docs = docs.count()
+    max_df = int(max_df_ratio * n_docs)
+
+    df_tbl = term_doc_freq(docs, min_df=min_df,
+                           num_partitions=num_partitions)
+    df_tbl = df_tbl.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("df"), max_df)),
+        batch_format="pyarrow").materialize()
+
+    tf_stream = docs.map_batches(_tf_explode, batch_format="pyarrow")
+    joined = hash_join(
+        tf_stream, df_tbl, on="term", num_partitions=num_partitions,
+        left_schema=_TF_SCHEMA,
+        right_schema=pa.schema([("term", pa.string()),
+                                ("df", pa.int64())]))
+
+    def weight(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        df_ = t.column("df").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "w": pa.array(tf * np.log(float(n_docs) / df_),
+                                       pa.float64())})
+
+    w = joined.map_batches(weight,
+                           batch_format="pyarrow").materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        ww = t.column("w").to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "w2": pa.array(ww * ww, pa.float64())})
+
+    norms = hash_aggregate(
+        w.map_batches(sq, batch_format="pyarrow"),
+        keys=["doc_id"], sum_cols={"w2": "ss"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("ss", pa.float64())]))
+
+    wn = hash_join(
+        w, norms, on="doc_id", num_partitions=num_partitions,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("term", pa.string()),
+                               ("w", pa.float64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("ss", pa.float64())]))
+
+    def unit(t: pa.Table) -> pa.Table:
+        ww = t.column("w").to_numpy()
+        ss = t.column("ss").to_numpy()
+        return pa.table({"term": t.column("term"),
+                         "doc_id": t.column("doc_id"),
+                         "wn": pa.array(ww / np.sqrt(ss), pa.float64())})
+
+    wn = wn.map_batches(unit, batch_format="pyarrow").materialize()
+
+    left = wn.map_batches(
+        lambda t: pa.table({"term": t.column("term"),
+                            "doc_a": t.column("doc_id"),
+                            "wa": t.column("wn")}),
+        batch_format="pyarrow")
+    right = wn.map_batches(
+        lambda t: pa.table({"term": t.column("term"),
+                            "doc_b": t.column("doc_id"),
+                            "wb": t.column("wn")}),
+        batch_format="pyarrow")
+
+    pairs = hash_join(
+        left, right, on="term", num_partitions=num_partitions,
+        left_schema=pa.schema([("term", pa.string()),
+                               ("doc_a", pa.int64()),
+                               ("wa", pa.float64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("doc_b", pa.int64()),
+                                ("wb", pa.float64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_a"), t.column("doc_b")))
+        wa = t.column("wa").to_numpy()
+        wb = t.column("wb").to_numpy()
+        return pa.table({"doc_a": t.column("doc_a"),
+                         "doc_b": t.column("doc_b"),
+                         "prod": pa.array(wa * wb, pa.float64())})
+
+    sims = hash_aggregate(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        keys=["doc_a", "doc_b"], sum_cols={"prod": "sim"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_a", pa.int64()),
+                              ("doc_b", pa.int64()),
+                              ("sim", pa.float64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.round(t.column("sim"), ndigits=9)
+        t = pa.table({"doc_a": t.column("doc_a"),
+                      "doc_b": t.column("doc_b"), "sim": s})
+        return t.filter(pc.greater_equal(t.column("sim"),
+                                         sim_threshold))
+
+    return sims.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # cleaning / safety / quality-signal operators
 # ---------------------------------------------------------------------------

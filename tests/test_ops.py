@@ -1115,3 +1115,54 @@ def test_bellman_ford_hand_graph(ray_session):
 
     assert run(1) == {"a": 0.0, "b": 1.0, "c": 3.0}
     assert run(3) == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 2.5}
+
+
+def test_tfidf_doc_similarity_dense_parity(ray_session):
+    """Inverted-index cosine == dense numpy cosine on a hand corpus
+    (df cap drops the everywhere-token; disjoint docs never pair)."""
+    import numpy as np
+    import ray.data as rd
+    from tabbyray.ops.text import tfidf_doc_similarity
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["apple banana cherry", "apple banana date",
+                 "fig grape melon", "every every every"],
+    })
+    # "every" appears in 1 doc (df < min_df); with max_df_ratio=1.0
+    # nothing is capped away among shared terms
+    got = (tfidf_doc_similarity(rd.from_pandas(df), min_df=2,
+                                max_df_ratio=1.0, sim_threshold=0.01,
+                                num_partitions=4)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    # only docs 0 and 1 share >= min_df terms (apple, banana)
+    assert list(got.doc_a) == [0] and list(got.doc_b) == [1]
+    # dense recompute: vocab = {apple, banana} with df=2, idf=ln(4/2)
+    w = np.log(4 / 2)
+    v0 = np.array([w, w]); v1 = np.array([w, w])
+    exp = v0 @ v1 / (np.linalg.norm(v0) * np.linalg.norm(v1))
+    assert abs(got.sim[0] - round(exp, 9)) < 1e-12
+
+
+def test_tfidf_doc_similarity_threshold_and_cap(ray_session):
+    """max_df cap removes stopword-like terms from pairing; the
+    threshold applies to the 9-dp ROUNDED similarity."""
+    import ray.data as rd
+    from tabbyray.ops.text import tfidf_doc_similarity
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the alpha beta", "the alpha beta", "the gamma delta",
+                 "the gamma delta"],
+    })
+    # "the" has df=4 > floor(0.5*4)=2 -> capped; pairs (0,1) and (2,3)
+    # are identical on their surviving terms -> sim exactly 1.0
+    got = (tfidf_doc_similarity(rd.from_pandas(df), min_df=2,
+                                max_df_ratio=0.5, sim_threshold=0.999,
+                                num_partitions=4)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    assert [(a, b) for a, b in zip(got.doc_a, got.doc_b)] == [(0, 1),
+                                                              (2, 3)]
+    assert (got.sim == 1.0).all()
