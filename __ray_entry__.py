@@ -1519,6 +1519,16 @@ def _q_norm_part_names(sf_dir: str):
     return normalized_key_counts(part, "p_name", "p_partkey")
 
 
+def _q_novelty_ratio(sf_dir: str):
+    """Per-doc corpus-novelty: share of the doc's distinct 3-gram
+    shingles first seen (min doc_id) in this doc — the streaming-dedup
+    admission metric in batch form.  One grouped argmin over shingles,
+    one join back, one per-doc aggregate; oracle re-derives the
+    shingle sets and min-doc firsts in SQL."""
+    from tabbyray.ops.dedup import novelty_ratio
+    return novelty_ratio(_docs(sf_dir), num_partitions=8)
+
+
 def _q_exact_dedup_docs(sf_dir: str):
     from tabbyray.ops.dedup import exact_dedup_summary
     return exact_dedup_summary(_docs(sf_dir))
@@ -3147,7 +3157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_kcore": _q_web_host_kcore,
         "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
-        "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_communities": _q_web_host_communities,
         # crawl flagship + tokenizer-training primitives inside the
         # driver's ~50-entry sample window
@@ -3157,9 +3166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": _q_bpe_vocab,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
         "tfidf_doc_similarity": _q_tfidf_doc_similarity,
+        "novelty_ratio": _q_novelty_ratio,
         # directed/weighted-edge variants of in-window graph flagships
         # (same families, sampled past the window)
         "web_host_bfs_directed": _q_web_host_bfs_directed,
+        "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_communities_weighted": _q_web_host_communities_weighted,
@@ -5513,6 +5524,29 @@ def oracle_sql() -> dict[str, str]:
                 ON a.term = b.term AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
         SELECT doc_a, doc_b, sim FROM s WHERE sim >= 0.2
+    """
+    out["novelty_ratio"] = """
+        WITH toks AS (SELECT doc_id,
+                             string_split(trim(regexp_replace(
+                                 text, '\\s+', ' ', 'g')), ' ') AS l
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(CASE WHEN len(l) < 3
+                             THEN [array_to_string(l, ' ')]
+                             ELSE list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i+1] || ' '
+                                       || l[i+2])
+                             END) AS s
+               FROM toks),
+        fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN fs.first_doc = sh.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN fs.first_doc = sh.doc_id
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 9) AS novelty
+        FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
     """
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))

@@ -577,6 +577,82 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
         finalize, _pair_schema(["doc_a", "doc_b", "jaccard"]))
 
 
+def novelty_ratio(docs: rd.Dataset, n: int = 3,
+                  num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-document corpus-novelty signal for incremental ingestion:
+    ``(doc_id, n_shingles, n_novel, novelty)`` where ``novelty`` is the
+    share of the doc's DISTINCT n-gram shingles whose globally FIRST
+    occurrence (min doc_id — arrival order) is this document.  Late
+    recrawls / boilerplate copies score near 0, genuinely new content
+    near 1 — the streaming-dedup admission metric computed in batch.
+
+    Plan: distinct-shingle explode (same ``_shingles`` contract as the
+    Jaccard family) -> first-seen per shingle via one shingle-hash
+    grouped argmin (state: one row per distinct shingle, partitioned)
+    -> shingle-hash join back -> per-doc count aggregate.  Two key
+    exchanges + one join; nothing corpus-sized on the driver."""
+    import pyarrow.compute as pc
+
+    from .relational import grouped_argmax, hash_aggregate, hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            for s in _shingles(text, n):
+                ids.append(doc_id)
+                shs.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingle": pa.array(shs, pa.string())})
+
+    rows = docs.map_batches(explode,
+                            batch_format="pyarrow").materialize()
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("_negid",
+                               pc.multiply(t.column("doc_id"), -1))
+
+    first_seen = grouped_argmax(
+        rows.map_batches(neg, batch_format="pyarrow"),
+        key="shingle", order_col="_negid", tie_col="doc_id",
+        out_cols=["shingle", "doc_id"],
+        num_partitions=num_partitions).map_batches(
+            lambda t: pa.table({"shingle": t.column("shingle"),
+                                "first_doc": t.column("doc_id")}),
+            batch_format="pyarrow")
+
+    joined = hash_join(
+        rows, first_seen, on="shingle", num_partitions=num_partitions,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("shingle", pa.string())]),
+        right_schema=pa.schema([("shingle", pa.string()),
+                                ("first_doc", pa.int64())]))
+
+    def flags(t: pa.Table) -> pa.Table:
+        nov = pc.cast(pc.equal(t.column("first_doc"),
+                               t.column("doc_id")), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "one": pa.array([1] * t.num_rows, pa.int64()),
+                         "nov": nov})
+
+    agg = hash_aggregate(
+        joined.map_batches(flags, batch_format="pyarrow"),
+        keys=["doc_id"], sum_cols={"one": "n_shingles",
+                                   "nov": "n_novel"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_shingles", pa.int64()),
+                              ("n_novel", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = pc.round(pc.divide(
+            pc.cast(t.column("n_novel"), pa.float64()),
+            pc.cast(t.column("n_shingles"), pa.float64())), ndigits=9)
+        return t.append_column("novelty", r)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------------
 # embedding cosine near-dup (exact)
 # -------------------------------------------------------------------------

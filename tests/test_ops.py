@@ -1166,3 +1166,24 @@ def test_tfidf_doc_similarity_threshold_and_cap(ray_session):
     assert [(a, b) for a, b in zip(got.doc_a, got.doc_b)] == [(0, 1),
                                                               (2, 3)]
     assert (got.sim == 1.0).all()
+
+
+def test_novelty_ratio_hand(ray_session):
+    """First-seen attribution by min doc_id: doc 0 owns its shingles,
+    an exact later copy scores 0, a half-new doc scores its new
+    share, and a short doc collapses to one whole-text shingle."""
+    import ray.data as rd
+    from tabbyray.ops.dedup import novelty_ratio
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d",            # shingles {a b c, b c d}
+                 "a b c d",            # exact copy -> 0 novel
+                 "a b c x",            # {a b c, b c x}: 1 of 2 novel
+                 "tiny"],              # < 3 tokens -> shingle "tiny"
+    })
+    got = (novelty_ratio(rd.from_pandas(df), num_partitions=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(got.n_shingles) == [2, 2, 2, 1]
+    assert list(got.n_novel) == [2, 0, 1, 1]
+    assert list(got.novelty) == [1.0, 0.0, 0.5, 1.0]
