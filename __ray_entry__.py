@@ -712,6 +712,21 @@ def _q_web_host_triangles(sf_dir: str):
     return host_triangles(_link_pages())
 
 
+def _q_web_host_ball2(sf_dir: str):
+    """Hop-2 ball size per host (distinct nodes within distance <= 2,
+    excluding self) over the undirected inter-host graph: one
+    mid-node-hash join emits 2-paths, union with direct neighbors,
+    distinct + count.  Oracle = the same reach relation in SQL over
+    the re-derived undirected edge set."""
+    from tabbyray.ops.graph import ball_sizes
+    from tabbyray.ops.web import host_edges
+    edges = host_edges(_link_pages(), num_partitions=8)
+    return ball_sizes(edges, pair_cols=("src_host", "dst_host"),
+                      num_partitions=8).map_batches(
+        lambda t: t.rename_columns(["host", "ball2"]),
+        batch_format="pyarrow")
+
+
 def _q_web_host_clustering(sf_dir: str):
     """Local clustering coefficient per host (2T / d(d-1), 0 at
     deg < 2); oracle re-derives the same float expression over the SQL
@@ -1517,6 +1532,15 @@ def _q_norm_part_names(sf_dir: str):
     part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_name"])
     return normalized_key_counts(part, "p_name", "p_partkey")
+
+
+def _q_lang_unigram_kl(sf_dir: str):
+    """KL(P_lang || P_corpus) over unigram distributions per language
+    slice — slice-level domain shift.  Corpus totals derive from the
+    (lang, term) partials (one corpus pass); oracle re-derives both
+    distributions and the divergence sum in SQL."""
+    from tabbyray.ops.text import lang_unigram_kl
+    return lang_unigram_kl(_docs(sf_dir), num_partitions=8)
 
 
 def _q_novelty_ratio(sf_dir: str):
@@ -3172,6 +3196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
+        "lang_unigram_kl": _q_lang_unigram_kl,
+        "web_host_ball2": _q_web_host_ball2,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_communities_weighted": _q_web_host_communities_weighted,
         "doc_trigram_backoff": _q_doc_trigram_backoff,
@@ -5548,6 +5574,24 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 9) AS novelty
         FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
     """
+    out["lang_unigram_kl"] = """
+        WITH tok AS (SELECT lang, unnest(string_split(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                         ' ')) AS term
+                     FROM documents),
+        gt AS MATERIALIZED (
+            SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY lang, term),
+        ct AS (SELECT term, sum(c) AS tc FROM gt GROUP BY term),
+        gn AS (SELECT lang, sum(c) AS n FROM gt GROUP BY lang),
+        cn AS (SELECT sum(c) AS n FROM gt)
+        SELECT gt.lang, CAST(count(*) AS BIGINT) AS n_terms,
+               round(sum((CAST(c AS DOUBLE) / gn.n)
+                         * ln((CAST(c AS DOUBLE) / gn.n)
+                              / (CAST(tc AS DOUBLE) / cn.n))), 9) AS kl
+        FROM gt JOIN ct USING (term) JOIN gn USING (lang) CROSS JOIN cn
+        GROUP BY gt.lang
+    """
     out.update(_blocklist_oracles(_web_fixture_path, _bl_path))
     out.update(_template_oracles(_template_path))
     out["web_strip_tracking"] = _tracking_oracle(_tracking_path)
@@ -5910,6 +5954,27 @@ def _link_oracles(link_path: str) -> dict[str, str]:
                aa.adamic_adar
         FROM aa ANTI JOIN und e
           ON aa.host_a = e.a AND aa.host_b = e.b
+    """
+    out["web_host_ball2"] = f"""
+        WITH {chain},
+        und AS MATERIALIZED (
+                SELECT DISTINCT
+                  CASE WHEN src_host < dst_host THEN src_host
+                       ELSE dst_host END AS a,
+                  CASE WHEN src_host < dst_host THEN dst_host
+                       ELSE src_host END AS b
+                FROM links WHERE src_host <> dst_host),
+        bsym AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+        reach AS (SELECT DISTINCT u, v FROM (
+                  SELECT u, v FROM bsym
+                  UNION ALL
+                  SELECT s1.u, s2.v FROM bsym s1
+                  JOIN bsym s2 ON s2.u = s1.v
+                  WHERE s2.v <> s1.u))
+        SELECT u AS host, CAST(count(*) AS BIGINT) AS ball2
+        FROM reach GROUP BY u
     """
     # feature assembly: the verified fragment oracles as nested-CTE
     # subqueries (DuckDB allows WITH inside a parenthesized subquery),

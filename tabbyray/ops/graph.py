@@ -1796,3 +1796,98 @@ def outlink_jaccard(edges: rd.Dataset,
                          "jaccard": j})
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def ball_sizes(edges: rd.Dataset,
+               pair_cols: tuple = ("src", "dst"),
+               node_dtype: "pa.DataType | None" = None,
+               num_partitions: "int | None" = None,
+               max_mid_degree: "int | None" = None) -> rd.Dataset:
+    """Hop-2 ball size per node over the UNDIRECTED distinct graph:
+    ``(node, ball2)`` = how many OTHER nodes sit within distance <= 2
+    — the local-reach signal (crawl-frontier influence, supernode
+    detection) between plain degree and full BFS.
+
+    Plan: canonical undirected edges -> symmetric (u, v) stream
+    (materialized once, joined against itself) -> one mid-node-hash
+    join emits 2-paths -> union with direct neighbors -> distinct
+    (u, v) hash-aggregate -> per-node count.  Three exchanges.
+
+    Scale: a middle node of degree d fans out d^2 two-paths — the
+    classic 2-hop blowup.  ``max_mid_degree`` drops higher-degree
+    PIVOTS from the expansion (documented approximation: balls that
+    pass through dropped hubs undercount); the default ``None`` is
+    exact and is what the SQL oracle checks."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate, hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    e = undirected_edges(edges, pair_cols, nd,
+                         num_partitions=num_partitions)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = _flat(t.column("a"))
+        b = _flat(t.column("b"))
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    s = _coalesced(e.map_batches(sym, batch_format="pyarrow"),
+                   num_partitions)
+
+    mids = s.map_batches(
+        lambda t: pa.table({"m": t.column("v"), "u": t.column("u")}),
+        batch_format="pyarrow")
+    outs = s.map_batches(
+        lambda t: pa.table({"m": t.column("u"), "v": t.column("v")}),
+        batch_format="pyarrow")
+    if max_mid_degree is not None:
+        deg = _edge_degrees(e, nd).materialize()
+        mids = hash_join(
+            mids, deg.map_batches(
+                lambda t: t.rename_columns(["m", "deg"]),
+                batch_format="pyarrow"),
+            on="m", num_partitions=num_partitions,
+            left_schema=pa.schema([("m", nd), ("u", nd)]),
+            right_schema=pa.schema([("m", nd), ("deg", pa.int64())]))
+        mids = mids.map_batches(
+            lambda t: t.filter(pc.less_equal(t.column("deg"),
+                                             max_mid_degree))
+                       .select(["m", "u"]),
+            batch_format="pyarrow")
+
+    two = hash_join(
+        mids, outs, on="m", num_partitions=num_partitions,
+        left_schema=pa.schema([("m", nd), ("u", nd)]),
+        right_schema=pa.schema([("m", nd), ("v", nd)]))
+
+    def paths(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("u"), t.column("v"))))
+        return pa.table({"u": t.column("u"), "v": t.column("v"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    reach = two.map_batches(paths, batch_format="pyarrow").union(
+        s.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow"))
+
+    distinct = hash_aggregate(
+        reach, keys=["u", "v"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("u", nd), ("v", nd),
+                              ("_c", pa.int64())]))
+
+    return hash_aggregate(
+        distinct.map_batches(
+            lambda t: pa.table({"u": t.column("u"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["u"], sum_cols={"one": "ball2"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("u", nd), ("ball2", pa.int64())])
+    ).map_batches(
+        lambda t: t.rename_columns(["node", "ball2"]),
+        batch_format="pyarrow")

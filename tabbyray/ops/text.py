@@ -450,6 +450,102 @@ def tfidf_doc_similarity(docs: rd.Dataset, min_df: int = 2,
     return sims.map_batches(finish, batch_format="pyarrow")
 
 
+def lang_unigram_kl(docs: rd.Dataset, group_col: str = "lang",
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """Domain-shift measurement per corpus slice: ``(group, n_terms,
+    kl)`` where ``kl = KL(P_group || P_corpus)`` over unigram
+    distributions — how far each language/source slice's token mix
+    sits from the pooled corpus (the DSIR-style importance signal
+    aggregated to slice level).  Every group term exists in the corpus
+    by construction, so the divergence is always finite.
+
+    Plan: one (group, term)-hash count aggregate (Counter combiner
+    inside each batch first), corpus term totals DERIVED from those
+    partials by a second term-hash aggregate (the corpus pass is never
+    repeated), group/corpus totals as tiny aggregates, one term-hash
+    join, one group-hash sum.  State everywhere is bounded by the
+    vocabulary partition, never the corpus."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate, hash_join
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        gs, terms, cs = [], [], []
+        for g, text in zip(t.column(group_col).to_pylist(),
+                           t.column("text").to_pylist()):
+            for term, c in Counter(
+                    _WS.sub(" ", (text or "")).strip()
+                    .split(" ")).items():
+                gs.append(g)
+                terms.append(term)
+                cs.append(c)
+        return pa.table({group_col: pa.array(gs, pa.string()),
+                         "term": pa.array(terms, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    gt = hash_aggregate(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        keys=[group_col, "term"], sum_cols={"c": "c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(group_col, pa.string()),
+                              ("term", pa.string()),
+                              ("c", pa.int64())])).materialize()
+
+    corpus_t = hash_aggregate(
+        gt, keys=["term"], sum_cols={"c": "tc"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("term", pa.string()),
+                              ("tc", pa.int64())]))
+
+    # totals: a handful of rows — safe to collect
+    g_tot = {r[group_col]: r["n"] for r in hash_aggregate(
+        gt, keys=[group_col], sum_cols={"c": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(group_col, pa.string()),
+                              ("n", pa.int64())])).take_all()}
+    corpus_n = float(sum(g_tot.values()))
+
+    joined = hash_join(
+        gt, corpus_t, on="term", num_partitions=num_partitions,
+        left_schema=pa.schema([(group_col, pa.string()),
+                               ("term", pa.string()),
+                               ("c", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("tc", pa.int64())]))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import numpy as np
+        g = t.column(group_col).to_pylist()
+        c = t.column("c").to_numpy().astype(np.float64)
+        tc = t.column("tc").to_numpy().astype(np.float64)
+        gn = np.array([g_tot[x] for x in g], dtype=np.float64)
+        p = c / gn
+        q = tc / corpus_n
+        return pa.table({group_col: t.column(group_col),
+                         "one": pa.array([1] * t.num_rows, pa.int64()),
+                         "kl_part": pa.array(p * np.log(p / q),
+                                             pa.float64())})
+
+    agg = hash_aggregate(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        keys=[group_col], sum_cols={"one": "n_terms",
+                                    "kl_part": "kl"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(group_col, pa.string()),
+                              ("n_terms", pa.int64()),
+                              ("kl", pa.float64())]))
+
+    return agg.map_batches(
+        lambda t: pa.table({group_col: t.column(group_col),
+                            "n_terms": t.column("n_terms"),
+                            "kl": pc.round(t.column("kl"),
+                                           ndigits=9)}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # cleaning / safety / quality-signal operators
 # ---------------------------------------------------------------------------

@@ -1187,3 +1187,47 @@ def test_novelty_ratio_hand(ray_session):
     assert list(got.n_shingles) == [2, 2, 2, 1]
     assert list(got.n_novel) == [2, 0, 1, 1]
     assert list(got.novelty) == [1.0, 0.0, 0.5, 1.0]
+
+
+def test_lang_unigram_kl_hand(ray_session):
+    """Two-slice hand corpus: engine KL matches the closed form."""
+    import math
+
+    import ray.data as rd
+    from tabbyray.ops.text import lang_unigram_kl
+
+    df = pd.DataFrame({"doc_id": [0, 1], "lang": ["a", "b"],
+                       "text": ["x x y", "y z"]})
+    got = (lang_unigram_kl(rd.from_pandas(df), num_partitions=4)
+           .to_pandas().set_index("lang").sort_index())
+    # corpus: x:2 y:2 z:1, N=5; a: x:2 y:1 n=3; b: y:1 z:1 n=2
+    kl_a = (2/3) * math.log((2/3) / (2/5)) + (1/3) * math.log((1/3) / (2/5))
+    kl_b = (1/2) * math.log((1/2) / (2/5)) + (1/2) * math.log((1/2) / (1/5))
+    assert list(got.n_terms) == [2, 2]
+    assert abs(got.kl["a"] - round(kl_a, 9)) < 1e-12
+    assert abs(got.kl["b"] - round(kl_b, 9)) < 1e-12
+
+
+def test_ball_sizes_path_and_star(ray_session):
+    """Hand graphs: a 5-path's hop-2 balls, a star's, and the
+    max_mid_degree cap dropping the hub as pivot."""
+    import ray.data as rd
+    from tabbyray.ops.graph import ball_sizes
+
+    path = pd.DataFrame({"src": ["1", "2", "3", "4"],
+                         "dst": ["2", "3", "4", "5"]})
+    got = (ball_sizes(rd.from_pandas(path), num_partitions=4)
+           .to_pandas().set_index("node").ball2.to_dict())
+    assert got == {"1": 2, "2": 3, "3": 4, "4": 3, "5": 2}
+
+    star = pd.DataFrame({"src": ["h", "h", "h"],
+                         "dst": ["l1", "l2", "l3"]})
+    got = (ball_sizes(rd.from_pandas(star), num_partitions=4)
+           .to_pandas().set_index("node").ball2.to_dict())
+    assert got == {"h": 3, "l1": 3, "l2": 3, "l3": 3}
+
+    capped = (ball_sizes(rd.from_pandas(star), num_partitions=4,
+                         max_mid_degree=2)
+              .to_pandas().set_index("node").ball2.to_dict())
+    # hub (deg 3) dropped as pivot: leaves see only the hub
+    assert capped == {"h": 3, "l1": 1, "l2": 1, "l3": 1}
