@@ -1288,6 +1288,66 @@ def _q_anchor_entity_top1(sf_dir: str):
     return anchor_entity_top1(pages, labels, num_partitions=8)
 
 
+_DBR_PREFIX = "http://dbpedia.org/resource/"
+
+
+def _q_kg_resolved_triples(sf_dir: str):
+    """KG entity-merge applied to the flagship's own triple stream:
+    subjects whose URI local names sit within byte-Levenshtein 1 merge
+    into one canonical subject (connected components over the fuzzy
+    label graph, canonical = min URI), and every triple is rewritten
+    through the resolution map — the dedup step between triple
+    materialization and graph load.  Resolution runs on RAW local
+    names (``normalize=False``: identifiers, not surface text).
+    Oracle = brute-force levenshtein pairs + 8 unrolled min-label
+    rounds + the rewrite join, over the exported triples parquet."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.linkage import entity_resolution
+    from tabbyray.ops.relational import hash_join
+
+    paths = _sti_export_paths()
+    tri = rd.read_parquet(paths["triples"], override_num_blocks=4)
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        s = t.column("subj")
+        return pa.table({"entity": s,
+                         "label": pc.replace_substring(
+                             s, pattern=_DBR_PREFIX, replacement="")})
+
+    res = entity_resolution(tri.map_batches(to_labels,
+                                            batch_format="pyarrow"),
+                            normalize=False, num_partitions=8)
+
+    out = hash_join(
+        tri.map_batches(
+            lambda t: t.select(["url", "table_idx", "row_idx", "subj",
+                                "pred", "obj"]).rename_columns(
+                ["url", "table_idx", "row_idx", "entity", "pred",
+                 "obj"]),
+            batch_format="pyarrow"),
+        res, on="entity", num_partitions=8,
+        left_schema=pa.schema([("url", pa.string()),
+                               ("table_idx", pa.int32()),
+                               ("row_idx", pa.int32()),
+                               ("entity", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string())]),
+        right_schema=pa.schema([("entity", pa.string()),
+                                ("canonical", pa.string())]))
+    return out.map_batches(
+        lambda t: pa.table({"url": t.column("url"),
+                            "table_idx": t.column("table_idx"),
+                            "row_idx": t.column("row_idx"),
+                            "subj": t.column("canonical"),
+                            "subj_raw": t.column("entity"),
+                            "pred": t.column("pred"),
+                            "obj": t.column("obj")}),
+        batch_format="pyarrow")
+
+
 def _fuzzy_linkage_inputs():
     import os
 
@@ -3148,6 +3208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
         "entity_resolution": _q_entity_resolution,
+        "kg_resolved_triples": _q_kg_resolved_triples,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
         "sti_cea_agg": _q_sti_cea_agg,
@@ -3174,12 +3235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_spam_mass": _q_web_host_spam_mass,
         "web_host_hits": _q_web_host_hits,
         "web_host_triangles": _q_web_host_triangles,
-        "web_host_clustering": _q_web_host_clustering,
         "web_host_adamic_adar": _q_web_host_adamic_adar,
         "web_host_outlink_jaccard": _q_web_host_outlink_jaccard,
         "web_host_assortativity": _q_web_host_assortativity,
         "web_host_kcore": _q_web_host_kcore,
-        "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
         "web_host_communities": _q_web_host_communities,
         # crawl flagship + tokenizer-training primitives inside the
@@ -3193,6 +3252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_ratio": _q_novelty_ratio,
         # directed/weighted-edge variants of in-window graph flagships
         # (same families, sampled past the window)
+        "web_host_clustering": _q_web_host_clustering,
+        "web_host_ktruss": _q_web_host_ktruss,
         "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
@@ -5639,6 +5700,42 @@ def oracle_sql() -> dict[str, str]:
     # STI flagship family: oracled over the fixed-path intermediate
     # export + generator gold + fixture KB (see _sti_oracles)
     out.update(_sti_oracles())
+    _tri_path = _sti_export_paths()["triples"]
+    _res_rounds, _res_prev = [], "l0"
+    for _i in range(1, 9):
+        _res_rounds.append(f"""
+        lr{_i} AS MATERIALIZED (
+            SELECT n.node,
+                   least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+            FROM rnodes n
+            JOIN {_res_prev} p ON p.node = n.node
+            LEFT JOIN sym s ON s.a = n.node
+            LEFT JOIN {_res_prev} q ON q.node = s.b
+            GROUP BY n.node, p.lbl)""")
+        _res_prev = f"lr{_i}"
+    out["kg_resolved_triples"] = f"""
+        WITH t AS MATERIALIZED (
+            SELECT * FROM read_parquet('{_tri_path}')),
+        l AS MATERIALIZED (
+            SELECT DISTINCT subj AS entity,
+                   replace(subj, '{_DBR_PREFIX}', '') AS lnorm
+            FROM t
+            WHERE replace(subj, '{_DBR_PREFIX}', '') != ''),
+        ed AS MATERIALIZED (
+            SELECT a.entity AS e1, b.entity AS e2 FROM l a, l b
+            WHERE a.entity < b.entity
+              AND levenshtein(a.lnorm, b.lnorm) <= 1),
+        rnodes AS MATERIALIZED (SELECT DISTINCT entity AS node FROM l),
+        sym AS MATERIALIZED (
+            SELECT e1 AS a, e2 AS b FROM ed UNION SELECT e2, e1 FROM ed),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM rnodes),
+        {','.join(_res_rounds)},
+        res AS (SELECT node AS entity, lbl AS canonical FROM {_res_prev})
+        SELECT t.url, t.table_idx, t.row_idx,
+               res.canonical AS subj, t.subj AS subj_raw,
+               t.pred, t.obj
+        FROM t JOIN res ON res.entity = t.subj
+    """
     return out
 
 

@@ -365,7 +365,8 @@ def entity_resolution(labels: rd.Dataset,
                       label_col: str = "label",
                       max_dist: int = 1,
                       num_partitions: "int | None" = None,
-                      skew_threshold: "int | None" = None) -> rd.Dataset:
+                      skew_threshold: "int | None" = None,
+                      normalize: bool = True) -> rd.Dataset:
     """Duplicate-entity merge: (entity, canonical) for every entity
     with at least one non-empty label norm; canonical = lexicographic
     min entity of the duplicate cluster (singletons map to
@@ -377,10 +378,23 @@ def entity_resolution(labels: rd.Dataset,
     Plan: label norms -> deletion-key explode -> key-hash SELF-join ->
     entity-pair dedup -> banded verify -> string connected components
     (:func:`string_components`).  Per-round component state is one row
-    per entity — the entity catalog, not the corpus, bounds it."""
+    per entity — the entity catalog, not the corpus, bounds it.
+
+    ``normalize=False`` matches on the RAW label bytes (empty labels
+    still dropped) — for identifier-like labels (URI local names)
+    where the M1 surface-text chain would be wrong."""
     num_partitions = num_partitions or auto_partitions()
 
-    lab = _normed(labels, label_col, [entity_col], "lnorm")
+    if normalize:
+        lab = _normed(labels, label_col, [entity_col], "lnorm")
+    else:
+        def raw(t: pa.Table) -> pa.Table:
+            out = pa.table({entity_col: pc.cast(t.column(entity_col),
+                                                pa.string()),
+                            "lnorm": pc.cast(t.column(label_col),
+                                             pa.string())})
+            return out.filter(pc.not_equal(out.column("lnorm"), ""))
+        lab = labels.map_batches(raw, batch_format="pyarrow")
     lab = hash_aggregate(
         lab.map_batches(
             lambda t: t.append_column(

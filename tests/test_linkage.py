@@ -138,3 +138,22 @@ def test_fuzzy_match_top1_deterministic(linkage_fix):
     merged = top1.merge(exp, on="mention_id", suffixes=("_g", "_e"))
     assert (merged.entity_g == merged.entity_e).all()
     assert (merged.dist_g == merged.dist_e).all()
+
+
+def test_entity_resolution_raw_labels(ray_session):
+    """normalize=False matches on raw bytes: case difference is a
+    real edit, and punctuation is NOT stripped."""
+    import ray.data as rd
+    from tabbyray.ops.linkage import entity_resolution
+
+    df = pd.DataFrame({
+        "entity": ["e1", "e2", "e3", "e4", "e5"],
+        "label": ["Node", "Nods", "node", "N.ode", ""],
+    })
+    got = (entity_resolution(rd.from_pandas(df), normalize=False,
+                             num_partitions=4)
+           .to_pandas().set_index("entity").canonical.to_dict())
+    # Node-Nods dist 1; Node-node dist 1 (byte case flip); N.ode is
+    # dist 1 from Node via the '.' insert -> all one cluster; e5
+    # (empty label) is dropped entirely
+    assert got == {"e1": "e1", "e2": "e1", "e3": "e1", "e4": "e1"}
