@@ -1396,6 +1396,18 @@ def _q_entity_resolution(sf_dir: str):
     return entity_resolution(labels, num_partitions=8)
 
 
+def _q_entity_resolution_join(sf_dir: str):
+    """The FORCED fully-distributed components plan (md5 bridge +
+    label propagation; the at-scale path) under the identical oracle —
+    the auto gate picks the local union-find at catalog scale, this
+    query keeps the join path verified (pagerank forced-mode
+    pattern)."""
+    from tabbyray.ops.linkage import entity_resolution
+    _, labels = _fuzzy_linkage_inputs()
+    return entity_resolution(labels, num_partitions=8,
+                             components_mode="join")
+
+
 def _q_entity_cooccurrence(sf_dir: str):
     """Entity co-occurrence graph with PMI over co-mentions (a page
     mentions an entity when any anchor text normalizes to one of its
@@ -1592,6 +1604,21 @@ def _q_norm_part_names(sf_dir: str):
     part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_name"])
     return normalized_key_counts(part, "p_name", "p_partkey")
+
+
+def _q_bm25_scores(sf_dir: str):
+    """Lucene-form BM25 of every sf document against the 8-query eval
+    fixture: query-term df via a filtered distinct-term aggregate
+    (vocabulary never materializes), avgdl/N scalar aggregates, one
+    stateless scoring pass.  Oracle re-derives tf/dl/df/avgdl and the
+    identical float expression in SQL, 9-dp quantized both sides."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_retrieval_queries
+    from tabbyray.ops.text import bm25_scores
+    qs = rd.read_parquet(ensure_retrieval_queries(),
+                         override_num_blocks=1)
+    return bm25_scores(_docs(sf_dir), qs, num_partitions=8)
 
 
 def _q_lang_unigram_kl(sf_dir: str):
@@ -3259,6 +3286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
         "lang_unigram_kl": _q_lang_unigram_kl,
         "web_host_ball2": _q_web_host_ball2,
+        "bm25_scores": _q_bm25_scores,
+        "entity_resolution_join": _q_entity_resolution_join,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_communities_weighted": _q_web_host_communities_weighted,
         "doc_trigram_backoff": _q_doc_trigram_backoff,
@@ -5635,6 +5664,43 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 9) AS novelty
         FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
     """
+    from tabbyray.fixtures import ensure_retrieval_queries
+    _rq_path = ensure_retrieval_queries()             # idempotent, ~ms
+    out["bm25_scores"] = f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                         ' ')) AS term
+                     FROM documents),
+        tf AS MATERIALIZED (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term),
+        dl AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        qt AS MATERIALIZED (
+            SELECT DISTINCT query_id, unnest(string_split(
+                trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                AS term
+            FROM read_parquet('{_rq_path}')),
+        df AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tf
+                  WHERE term IN (SELECT term FROM qt))
+            GROUP BY term)
+        SELECT qt.query_id, tf.doc_id,
+               round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * tf.tf * (1.2 + 1.0)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl.dl / st.avgdl))), 9) AS score
+        FROM qt
+        JOIN tf USING (term)
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN st
+        GROUP BY qt.query_id, tf.doc_id
+    """
     out["lang_unigram_kl"] = """
         WITH tok AS (SELECT lang, unnest(string_split(
                          trim(regexp_replace(text, '\\s+', ' ', 'g')),
@@ -7082,6 +7148,7 @@ def _fuzzy_linkage_oracles(fix: str) -> dict[str, str]:
                 ORDER BY dist ASC, entity ASC) = 1
         """,
         "entity_resolution": resolution,
+        "entity_resolution_join": resolution,
     }
 
 

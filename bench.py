@@ -166,6 +166,33 @@ def run_bench() -> dict:
                         override_num_blocks=8)).to_pandas()
     queries["anchor_entity_candidates"] = round(time.monotonic() - t0, 3)
 
+    # round-4 session-4 representatives: fuzzy linkage at headline
+    # scale (deletion-key blocking — the fixture regenerates the same
+    # shapes at n_pages mentions), entity-merge components, the
+    # inverted-index cosine, and first-seen novelty over sf documents
+    from tabbyray.fixtures import ensure_fuzzy_linkage_fixture
+    from tabbyray.ops.linkage import entity_resolution, fuzzy_label_match
+    flx = ensure_fuzzy_linkage_fixture(
+        n_entities=max(80, n_pages // 10), n_mentions=max(400, n_pages))
+    t0 = time.monotonic()
+    fuzzy_label_match(
+        rd.read_parquet(os.path.join(flx, "mentions.parquet"),
+                        override_num_blocks=64),
+        rd.read_parquet(os.path.join(flx, "labels.parquet"),
+                        override_num_blocks=8)).to_pandas()
+    queries["fuzzy_entity_match"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    entity_resolution(
+        rd.read_parquet(os.path.join(flx, "labels.parquet"),
+                        override_num_blocks=8)).to_pandas()
+    queries["entity_resolution"] = round(time.monotonic() - t0, 3)
+    for name in ("tfidf_doc_similarity", "novelty_ratio"):
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+
     out = {
         "metric": "kg_pipeline_wall_sec",
         "value": round(headline, 3),

@@ -1432,3 +1432,29 @@ def ensure_topic_docs(n_docs: int = 400, n_topics: int = 3, seed: int = 91,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_retrieval_queries(root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Static eval-query set for BM25 retrieval scoring over the sf
+    ``documents`` tables: terms drawn from the generator's shared
+    30-word vocabulary (so every query matches many docs at every
+    scale), plus one term that matches nothing and one empty-ish
+    query."""
+    path = os.path.join(root, "retrievalq-v1.parquet")
+    if os.path.exists(path):
+        return path
+    qs = ["table scan merge join",
+          "fast key sort",
+          "customer order line",
+          "window stream batch",
+          "group agg filter row",
+          "vector hash part",
+          "zzz-nomatch-term",
+          "slow big small query data"]
+    table = pa.table({"query_id": pa.array(range(len(qs)), pa.int64()),
+                      "text": pa.array(qs, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -276,16 +276,71 @@ def fuzzy_match_top1(matches: rd.Dataset,
 def string_components(edges: rd.Dataset, nodes: rd.Dataset,
                       edge_cols: tuple = ("a", "b"),
                       node_col: str = "node",
-                      num_partitions: "int | None" = None) -> rd.Dataset:
+                      num_partitions: "int | None" = None,
+                      mode: str = "auto",
+                      local_max_edges: int = 5_000_000,
+                      local_max_nodes: int = 2_000_000) -> rd.Dataset:
     """(node, component) over STRING node ids; component = the
     lexicographically smallest node in the connected component.
-    Same 63-bit-md5 bridge as ``tabbyray.ops.web.host_components``:
-    strings hash to int64 (collision odds ~n²/2^63), the int-keyed
-    label propagation runs unchanged, then one grouped min-string
-    remap + one co-partitioned join restore readable ids."""
-    from .graph import connected_components
+
+    Two plans (the pagerank count-gate pattern — both verified under
+    the same oracles via forced-mode queries):
+
+    - ``local`` (auto when the graph fits the gates): the edge/node
+      sets are CATALOG-sized relations (entity duplicates, not the
+      corpus) — one bounded collect + union-find beats paying the
+      per-round exchange overhead of label propagation times the
+      cluster diameter (measured 37 s -> <1 s at 3k edges; chains of
+      numeric-suffix labels make diameters of 10+ common).
+    - ``join``: the 63-bit-md5 bridge into the int-keyed distributed
+      label propagation (as ``tabbyray.ops.web.host_components``),
+      one grouped min-string remap + one co-partitioned join restore
+      readable ids.  The at-scale path: per-round state is one row
+      per node, all exchanges hash-partitioned."""
     num_partitions = num_partitions or auto_partitions()
     ca, cb = edge_cols
+
+    edges = edges.materialize()
+    nodes = nodes.materialize()
+    if mode == "auto":
+        mode = ("local" if edges.count() <= local_max_edges
+                and nodes.count() <= local_max_nodes else "join")
+
+    if mode == "local":
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:      # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in nodes.iter_rows():
+            parent.setdefault(r[node_col], r[node_col])
+        for r in edges.iter_rows():
+            a, b = r[ca], r[cb]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        # representative = lexicographic min member
+        rep: dict[str, str] = {}
+        for x in parent:
+            r = find(x)
+            if r not in rep or x < rep[r]:
+                rep[r] = x
+        out = pa.table({node_col: pa.array(list(parent), pa.string()),
+                        "component": pa.array(
+                            [rep[find(x)] for x in parent],
+                            pa.string())})
+        return rd.from_arrow(out)
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+    from .graph import connected_components
 
     def _h63(arr: pa.Array) -> pa.Array:
         uniq = pc.unique(arr)
@@ -366,7 +421,8 @@ def entity_resolution(labels: rd.Dataset,
                       max_dist: int = 1,
                       num_partitions: "int | None" = None,
                       skew_threshold: "int | None" = None,
-                      normalize: bool = True) -> rd.Dataset:
+                      normalize: bool = True,
+                      components_mode: str = "auto") -> rd.Dataset:
     """Duplicate-entity merge: (entity, canonical) for every entity
     with at least one non-empty label norm; canonical = lexicographic
     min entity of the duplicate cluster (singletons map to
@@ -480,7 +536,8 @@ def entity_resolution(labels: rd.Dataset,
         edges, lab.select_columns([entity_col]).map_batches(
             lambda t: t.rename_columns(["node"]), batch_format="pyarrow"),
         edge_cols=("e1", "e2"), node_col="node",
-        num_partitions=num_partitions).map_batches(
+        num_partitions=num_partitions,
+        mode=components_mode).map_batches(
             lambda t: pa.table({entity_col: t.column("node"),
                                 "canonical": t.column("component")}),
             batch_format="pyarrow")

@@ -546,6 +546,107 @@ def lang_unigram_kl(docs: rd.Dataset, group_col: str = "lang",
         batch_format="pyarrow")
 
 
+def bm25_scores(docs: rd.Dataset, queries: rd.Dataset,
+                k1: float = 1.2, b: float = 0.75,
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """Batch retrieval scoring: ``(query_id, doc_id, score)`` —
+    Lucene-form BM25 of every document against every query that shares
+    at least one term::
+
+        score = sum_t ln((N - df + 0.5)/(df + 0.5) + 1)
+                      * tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))
+
+    over the query's DISTINCT terms.  The benchmark-decontamination /
+    eval-retrieval shape: queries are a SMALL side (an eval set), docs
+    are the corpus.
+
+    Plan: the query table collects to the driver ONCE (bounded by the
+    eval set, asserted small by contract), df is computed for QUERY
+    TERMS ONLY by filtering the distinct-term stream before its hash
+    aggregate (the vocabulary never materializes), avgdl/N are two
+    scalar aggregates, and scoring is one stateless pass over the
+    corpus with the query-term dict broadcast via the closure.  Output
+    is 9-dp quantized (the oracle applies the identical rounding)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate
+
+    q_terms: dict[int, set] = {}
+    for r in queries.take_all():
+        toks = set(_WS.sub(" ", (r["text"] or "")).strip().split(" "))
+        q_terms[r["query_id"]] = toks
+    all_q_terms = frozenset().union(*q_terms.values()) if q_terms \
+        else frozenset()
+
+    def distinct_terms(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = set(_WS.sub(" ", (text or "")).strip().split(" "))
+            for tok in toks & all_q_terms:
+                ids.append(doc_id)
+                terms.append(tok)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "one": pa.array([1] * len(terms), pa.int64())})
+
+    df_map = {r["term"]: r["df"] for r in hash_aggregate(
+        docs.map_batches(distinct_terms, batch_format="pyarrow"),
+        keys=["term"], sum_cols={"one": "df"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("term", pa.string()),
+                              ("df", pa.int64())])).take_all()}
+
+    def lens(t: pa.Table) -> pa.Table:
+        dls = [len(_WS.sub(" ", (x or "")).strip().split(" "))
+               for x in t.column("text").to_pylist()]
+        return pa.table({"dl": pa.array([sum(dls)], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    tot = docs.map_batches(lens, batch_format="pyarrow") \
+        .sum(["dl", "n"])
+    n_docs = float(tot["sum(n)"])
+    avgdl = float(tot["sum(dl)"]) / n_docs
+
+    idf = {t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           for t, df in df_map.items()}
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("score", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, dids, scores = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            tf = Counter(toks)
+            dl = len(toks)
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            for qid, terms in q_terms.items():
+                s = 0.0
+                hit = False
+                for term in terms:
+                    f = tf.get(term)
+                    if f:
+                        hit = True
+                        s += idf[term] * f * (k1 + 1.0) / (f + norm)
+                if hit:
+                    qids.append(qid)
+                    dids.append(doc_id)
+                    scores.append(s)
+        out = pa.table({"query_id": pa.array(qids, pa.int64()),
+                        "doc_id": pa.array(dids, pa.int64()),
+                        "score": pa.array(scores, pa.float64())},
+                       schema=out_schema)
+        return out.set_column(2, "score",
+                              pc.round(out.column("score"), ndigits=9))
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # cleaning / safety / quality-signal operators
 # ---------------------------------------------------------------------------

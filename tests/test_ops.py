@@ -1231,3 +1231,27 @@ def test_ball_sizes_path_and_star(ray_session):
               .to_pandas().set_index("node").ball2.to_dict())
     # hub (deg 3) dropped as pivot: leaves see only the hub
     assert capped == {"h": 3, "l1": 1, "l2": 1, "l3": 1}
+
+
+def test_bm25_scores_hand(ray_session):
+    """Closed-form BM25 on a 2-doc corpus; no-match queries emit no
+    rows."""
+    import math
+
+    import ray.data as rd
+    from tabbyray.ops.text import bm25_scores
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a a b", "b c"]})
+    qs = pd.DataFrame({"query_id": [0, 1], "text": ["a c", "zzz"]})
+    got = (bm25_scores(rd.from_pandas(docs), rd.from_pandas(qs),
+                       num_partitions=4)
+           .to_pandas().sort_values(["query_id", "doc_id"])
+           .reset_index(drop=True))
+    idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)        # ln 2
+    avgdl = 2.5
+    s0 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    s1 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / avgdl))
+    assert list(got.query_id) == [0, 0]
+    assert list(got.doc_id) == [0, 1]
+    assert abs(got.score[0] - round(s0, 9)) < 1e-12
+    assert abs(got.score[1] - round(s1, 9)) < 1e-12
