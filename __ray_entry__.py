@@ -1621,6 +1621,35 @@ def _q_bm25_scores(sf_dir: str):
     return bm25_scores(_docs(sf_dir), qs, num_partitions=8)
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Top-5 documents per eval query by BM25 (score desc, doc_id asc
+    on the 9-dp quantized score — both sides order on the identical
+    rounded value, so float ties cannot reorder); oracle = QUALIFY
+    row_number over the bm25 relation."""
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_retrieval_queries
+    from tabbyray.ops.relational import grouped_topk
+    from tabbyray.ops.text import bm25_scores
+    qs = rd.read_parquet(ensure_retrieval_queries(),
+                         override_num_blocks=1)
+    scored = bm25_scores(_docs(sf_dir), qs, num_partitions=8)
+    return grouped_topk(scored, "query_id", "score", "doc_id",
+                        out_cols=["query_id", "doc_id", "score"], k=5,
+                        num_partitions=8)
+
+
+def _q_fuzzy_entity_match_d2(sf_dir: str):
+    """The max_dist=2 budget: depth-2 deletion neighborhoods (the
+    SymSpell cover property holds at any depth — every pair within
+    distance d shares a depth-d deletion key), banded verify at k=2.
+    Same brute-force oracle at the wider budget."""
+    from tabbyray.ops.linkage import fuzzy_label_match
+    mentions, labels = _fuzzy_linkage_inputs()
+    return fuzzy_label_match(mentions, labels, max_dist=2,
+                             num_partitions=8)
+
+
 def _q_lang_unigram_kl(sf_dir: str):
     """KL(P_lang || P_corpus) over unigram distributions per language
     slice — slice-level domain shift.  Corpus totals derive from the
@@ -3287,7 +3316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_unigram_kl": _q_lang_unigram_kl,
         "web_host_ball2": _q_web_host_ball2,
         "bm25_scores": _q_bm25_scores,
+        "bm25_topk": _q_bm25_topk,
         "entity_resolution_join": _q_entity_resolution_join,
+        "fuzzy_entity_match_d2": _q_fuzzy_entity_match_d2,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
         "web_host_communities_weighted": _q_web_host_communities_weighted,
         "doc_trigram_backoff": _q_doc_trigram_backoff,
@@ -5701,6 +5732,12 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN st
         GROUP BY qt.query_id, tf.doc_id
     """
+    out["bm25_topk"] = f"""
+        WITH scored AS ({out["bm25_scores"]})
+        SELECT query_id, doc_id, score FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) <= 5
+    """
     out["lang_unigram_kl"] = """
         WITH tok AS (SELECT lang, unnest(string_split(
                          trim(regexp_replace(text, '\\s+', ' ', 'g')),
@@ -7091,7 +7128,8 @@ def _fuzzy_linkage_oracles(fix: str) -> dict[str, str]:
     (fixture cluster diameter <= 2 by construction)."""
     mnorm = _NORM_SQL.format(col="surface")
     lnorm = _NORM_SQL.format(col="label")
-    base = f"""
+    def base(d: int) -> str:
+        return f"""
         m AS MATERIALIZED (
             SELECT mention_id, {mnorm} AS mnorm
             FROM read_parquet('{fix}/mentions.parquet')
@@ -7104,7 +7142,7 @@ def _fuzzy_linkage_oracles(fix: str) -> dict[str, str]:
             SELECT mention_id, mnorm, entity, lnorm,
                    CAST(levenshtein(mnorm, lnorm) AS BIGINT) AS dist
             FROM m, l
-            WHERE levenshtein(mnorm, lnorm) <= 1
+            WHERE levenshtein(mnorm, lnorm) <= {d}
             QUALIFY row_number() OVER (PARTITION BY mention_id, entity
                 ORDER BY dist ASC, lnorm ASC) = 1)
     """
@@ -7138,11 +7176,15 @@ def _fuzzy_linkage_oracles(fix: str) -> dict[str, str]:
     """
     return {
         "fuzzy_entity_match": f"""
-            WITH {base}
+            WITH {base(1)}
+            SELECT mention_id, mnorm, entity, lnorm, dist FROM p
+        """,
+        "fuzzy_entity_match_d2": f"""
+            WITH {base(2)}
             SELECT mention_id, mnorm, entity, lnorm, dist FROM p
         """,
         "fuzzy_entity_match_top1": f"""
-            WITH {base}
+            WITH {base(1)}
             SELECT mention_id, mnorm, entity, dist FROM p
             QUALIFY row_number() OVER (PARTITION BY mention_id
                 ORDER BY dist ASC, entity ASC) = 1

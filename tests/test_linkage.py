@@ -157,3 +157,14 @@ def test_entity_resolution_raw_labels(ray_session):
     # dist 1 from Node via the '.' insert -> all one cluster; e5
     # (empty label) is dropped entirely
     assert got == {"e1": "e1", "e2": "e1", "e3": "e1", "e4": "e1"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab", min_size=1, max_size=7),
+       st.text(alphabet="ab", min_size=1, max_size=7))
+def test_deletion_blocking_perfect_recall_d2(a, b):
+    """The cover property at depth 2: lev <= 2 implies the depth-2
+    deletion neighborhoods intersect."""
+    ab, bb = a.encode(), b.encode()
+    if _naive_lev(ab, bb) <= 2:
+        assert deletion_keys(ab, 2) & deletion_keys(bb, 2)
