@@ -1621,6 +1621,15 @@ def _q_bm25_scores(sf_dir: str):
     return bm25_scores(_docs(sf_dir), qs, num_partitions=8)
 
 
+def _q_ngram_containment_pairs(sf_dir: str):
+    """Asymmetric near-subset pairs: |A∩B| / min(|A|,|B|) >= 0.8 over
+    distinct 3-gram shingles — catches quoted/truncated copies whose
+    Jaccard is low.  Same two-shuffle posting-list plan as the jaccard
+    query; oracle swaps the union denominator for least(|A|,|B|)."""
+    from tabbyray.ops.dedup import ngram_containment_pairs
+    return ngram_containment_pairs(_docs(sf_dir), threshold=0.8)
+
+
 def _q_bm25_topk(sf_dir: str):
     """Top-5 documents per eval query by BM25 (score desc, doc_id asc
     on the 9-dp quantized score — both sides order on the identical
@@ -3317,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_ball2": _q_web_host_ball2,
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
         "entity_resolution_join": _q_entity_resolution_join,
         "fuzzy_entity_match_d2": _q_fuzzy_entity_match_d2,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
@@ -5731,6 +5741,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN dl USING (doc_id)
         CROSS JOIN st
         GROUP BY qt.query_id, tf.doc_id
+    """
+    out["ngram_containment_pairs"] = """
+        WITH toks AS (SELECT doc_id,
+                             string_split(trim(regexp_replace(
+                                 text, '\\s+', ' ', 'g')), ' ') AS l
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(CASE WHEN len(l) < 3
+                             THEN [array_to_string(l, ' ')]
+                             ELSE list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i+1] || ' '
+                                       || l[i+2])
+                             END) AS s
+               FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS i
+                  FROM sh a JOIN sh b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8
     """
     out["bm25_topk"] = f"""
         WITH scored AS ({out["bm25_scores"]})

@@ -111,7 +111,8 @@ _EMPTY_PAIRS = {"doc_a": pa.int64(), "doc_b": pa.int64(),
 
 
 def _pair_schema(keep_cols: list[str]) -> pa.Schema:
-    types = {"jaccard": pa.float64(), "cosine": pa.float64()}
+    types = {"jaccard": pa.float64(), "cosine": pa.float64(),
+             "containment": pa.float64()}
     return pa.schema([(c, types.get(c, pa.int64())) for c in keep_cols])
 
 
@@ -521,6 +522,40 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
     intersections (sizes are constants per doc — merged with ``first``).
     Mirrors the DuckDB oracle's shingle self-join exactly.
     """
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), n_a=("n_a", "first"),
+            n_b=("n_b", "first"))
+        union = (out["n_a"] + out["n_b"] - out["inter"]).clip(lower=1)
+        out["jaccard"] = out["inter"] / union
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    return _ngram_pair_reduce(docs, n, finalize, "jaccard")
+
+
+def ngram_containment_pairs(docs: rd.Dataset, n: int = 3,
+                            threshold: float = 0.8) -> rd.Dataset:
+    """All pairs with DISTINCT-n-gram CONTAINMENT >= threshold:
+    ``containment = |A ∩ B| / min(|A|, |B|)`` — the asymmetric
+    near-SUBSET signal (a quoted or truncated copy of a long doc has
+    low Jaccard but containment ~1).  Same two-shuffle posting-list
+    plan as :func:`ngram_jaccard_pairs`; only the finisher differs."""
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), n_a=("n_a", "first"),
+            n_b=("n_b", "first"))
+        denom = out[["n_a", "n_b"]].min(axis=1).clip(lower=1)
+        out["containment"] = out["inter"] / denom
+        out = out[out["containment"] >= threshold]
+        return out[["doc_a", "doc_b", "containment"]]
+
+    return _ngram_pair_reduce(docs, n, finalize, "containment")
+
+
+def _ngram_pair_reduce(docs: rd.Dataset, n: int, finalize,
+                       value_col: str) -> rd.Dataset:
+    """Shared posting-list pair plan for the n-gram pair metrics."""
     def explode(t: pa.Table) -> pa.Table:
         ids, shs, ns = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
@@ -564,17 +599,9 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n: int = 3,
         df["_part"] = ((df["doc_a"] * 1_000_003 + df["doc_b"]) % P).astype("int64")
         return df
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            inter=("inter", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first"))
-        union = (out["n_a"] + out["n_b"] - out["inter"]).clip(lower=1)
-        out["jaccard"] = out["inter"] / union
-        out = out[out["jaccard"] >= threshold]
-        return out[["doc_a", "doc_b", "jaccard"]]
-
     return typed_groupby_map(
         partials.map_batches(add_pair_part, batch_format="pandas"), "_part",
-        finalize, _pair_schema(["doc_a", "doc_b", "jaccard"]))
+        finalize, _pair_schema(["doc_a", "doc_b", value_col]))
 
 
 def novelty_ratio(docs: rd.Dataset, n: int = 3,

@@ -1255,3 +1255,20 @@ def test_bm25_scores_hand(ray_session):
     assert list(got.doc_id) == [0, 1]
     assert abs(got.score[0] - round(s0, 9)) < 1e-12
     assert abs(got.score[1] - round(s1, 9)) < 1e-12
+
+
+def test_ngram_containment_vs_jaccard(ray_session):
+    """A truncated copy: high containment, low Jaccard — the pair the
+    containment metric exists to catch."""
+    import ray.data as rd
+    from tabbyray.ops.dedup import (ngram_containment_pairs,
+                                    ngram_jaccard_pairs)
+
+    long = " ".join(f"w{i}" for i in range(30))        # 28 shingles
+    short = " ".join(f"w{i}" for i in range(8))        # 6 shingles, all in long
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [long, short]})
+    cont = (ngram_containment_pairs(rd.from_pandas(df), threshold=0.9)
+            .to_pandas())
+    assert len(cont) == 1 and cont.containment[0] == 1.0
+    jac = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+    assert len(jac) == 0                               # 6/28 < 0.5
