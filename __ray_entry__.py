@@ -1621,6 +1621,32 @@ def _q_bm25_scores(sf_dir: str):
     return bm25_scores(_docs(sf_dir), qs, num_partitions=8)
 
 
+def _q_interval_overlap_join(sf_dir: str):
+    """Interval-x-interval overlap join (closed endpoints) via coarse
+    value buckets: each interval explodes to the buckets it spans
+    (amplification <= 2 at the auto width = widest interval), one
+    bucket-hash exchange, in-partition vectorized merge; a pair is
+    emitted only in the bucket holding max(lo_a, lo_b) so no dedup
+    exchange exists.  Oracle = the brute-force overlap cross join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_interval_fixture
+    from tabbyray.ops.relational import interval_overlap_join
+    ivs = rd.read_parquet(ensure_interval_fixture(),
+                          override_num_blocks=6)
+
+    def side(kind):
+        return ivs.filter(lambda r, k=kind: r["kind"] == k).map_batches(
+            lambda t: t.select(["iv_id", "lo", "hi"]),
+            batch_format="pyarrow")
+
+    sch = pa.schema([("iv_id", pa.int64()), ("lo", pa.int64()),
+                     ("hi", pa.int64())])
+    return interval_overlap_join(side("a"), side("b"), num_partitions=8,
+                                 left_schema=sch, right_schema=sch)
+
+
 def _q_ngram_containment_pairs(sf_dir: str):
     """Asymmetric near-subset pairs: |A∩B| / min(|A|,|B|) >= 0.8 over
     distinct 3-gram shingles — catches quoted/truncated copies whose
@@ -3327,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
+        "interval_overlap_join": _q_interval_overlap_join,
         "entity_resolution_join": _q_entity_resolution_join,
         "fuzzy_entity_match_d2": _q_fuzzy_entity_match_d2,
         "web_host_hits_weighted": _q_web_host_hits_weighted,
@@ -5741,6 +5768,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN dl USING (doc_id)
         CROSS JOIN st
         GROUP BY qt.query_id, tf.doc_id
+    """
+    from tabbyray.fixtures import ensure_interval_fixture
+    _iv_path = ensure_interval_fixture()              # idempotent, ~ms
+    out["interval_overlap_join"] = f"""
+        WITH t AS (SELECT * FROM read_parquet('{_iv_path}')),
+        a AS (SELECT iv_id, lo, hi FROM t WHERE kind = 'a'),
+        b AS (SELECT iv_id, lo, hi FROM t WHERE kind = 'b')
+        SELECT a.iv_id AS iv_id_a, a.lo AS lo_a, a.hi AS hi_a,
+               b.iv_id AS iv_id_b, b.lo AS lo_b, b.hi AS hi_b
+        FROM a, b WHERE a.lo <= b.hi AND b.lo <= a.hi
     """
     out["ngram_containment_pairs"] = """
         WITH toks AS (SELECT doc_id,

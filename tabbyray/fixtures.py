@@ -1458,3 +1458,48 @@ def ensure_retrieval_queries(root: str = "/tmp/tabbyray_fixtures") -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_interval_fixture(n_a: int = 300, n_b: int = 200, seed: int = 97,
+                            root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic interval tables for the overlap join: one parquet
+    with (iv_id, kind, lo, hi) — kind 'a' rows vs kind 'b' rows.
+    Mix of short intervals, a few giants (bucket-amplification path),
+    point intervals (lo == hi), and exact-touching endpoints (closed
+    semantics: touching counts)."""
+    path = os.path.join(root,
+                        f"intervals-v1-s{seed}-a{n_a}-b{n_b}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    ids, kinds, los, his = [], [], [], []
+    iv = 0
+    for kind, n in (("a", n_a), ("b", n_b)):
+        for _ in range(n):
+            lo = rng.randrange(0, 100_000)
+            r = rng.random()
+            if r < 0.70:
+                w = rng.randrange(0, 500)         # short (incl. points)
+            elif r < 0.95:
+                w = rng.randrange(500, 5_000)
+            else:
+                w = rng.randrange(5_000, 40_000)  # giants
+            ids.append(iv)
+            kinds.append(kind)
+            los.append(lo)
+            his.append(lo + w)
+            iv += 1
+    # planted exact-touch pair: [x, y] meets [y, z]
+    ids += [iv, iv + 1]
+    kinds += ["a", "b"]
+    los += [200_000, 200_500]
+    his += [200_500, 201_000]
+    table = pa.table({"iv_id": pa.array(ids, pa.int64()),
+                      "kind": pa.array(kinds, pa.string()),
+                      "lo": pa.array(los, pa.int64()),
+                      "hi": pa.array(his, pa.int64())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

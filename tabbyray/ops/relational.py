@@ -53,6 +53,18 @@ def _arrow_type(t) -> "pa.DataType":
     return pa.from_numpy_dtype(dt)
 
 
+def _nullable_dtype(t: "pa.DataType"):
+    # NULLABLE pandas dtypes: input columns may carry genuine nulls
+    # (e.g. union-padded parquet), which numpy int/bool astype cannot
+    # represent; the typed output schema converts them back to arrow
+    # nulls at the end
+    if pa.types.is_integer(t):
+        return str(t).capitalize().replace("Uint", "UInt")   # Int64 etc.
+    if pa.types.is_boolean(t):
+        return "boolean"
+    return t.to_pandas_dtype()
+
+
 def _pad_filler(n: int, dtype: "pa.DataType") -> pa.Array:
     """Cross-side filler column for the tagged-union join shape.
 
@@ -295,16 +307,6 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
             batch_format="pyarrow")
         r_other = []
 
-    def _nullable_dtype(t: "pa.DataType"):
-        # NULLABLE pandas dtypes: input columns may carry genuine nulls
-        # (e.g. union-padded parquet), which numpy int/bool astype cannot
-        # represent; the typed output schema converts them back to arrow
-        # nulls at the end
-        if pa.types.is_integer(t):
-            return str(t).capitalize().replace("Uint", "UInt")   # Int64 etc.
-        if pa.types.is_boolean(t):
-            return "boolean"
-        return t.to_pandas_dtype()
     overlap = set(l_other) & set(r_other)
     if overlap:
         raise ValueError(f"hash_join column overlap: {sorted(overlap)}")
@@ -1808,3 +1810,145 @@ def set_delta(old: rd.Dataset, new: rd.Dataset, key_cols: list[str],
         return pa.table(cols)
 
     return j.map_batches(status, batch_format="pyarrow")
+
+
+def interval_overlap_join(left: rd.Dataset, right: rd.Dataset,
+                          lo_col: str = "lo", hi_col: str = "hi",
+                          suffixes: tuple = ("_a", "_b"),
+                          bucket_width: "float | None" = None,
+                          num_partitions: "int | None" = None,
+                          left_schema=None,
+                          right_schema=None) -> rd.Dataset:
+    """Interval-x-interval OVERLAP join: one output row per pair of
+    intervals with ``[lo_a, hi_a] ∩ [lo_b, hi_b] != ∅`` (closed
+    endpoints: ``lo_a <= hi_b AND lo_b <= hi_a``).  The
+    session-vs-incident / capture-window alignment shape that
+    ``range_join`` (point-in-band) can't express.
+
+    Plan: both sides explode each interval to every coarse bucket it
+    overlaps (``bucket_width`` defaults to the WIDEST interval on
+    either side, so amplification <= 2 per row), ONE bucket-hash
+    exchange co-locates candidates, and an in-partition vectorized
+    merge applies the overlap predicate.  A qualifying pair shares
+    every bucket both intervals span — it is emitted ONLY in the
+    bucket containing ``max(lo_a, lo_b)`` (the overlap start), which
+    both intervals provably cover, so no post-join dedup exchange is
+    needed.  All columns come back suffixed.
+
+    Scale notes: amplification for an interval of width W is
+    ``W/bucket_width + 1`` — a few giant intervals with a small width
+    knob explode; leave ``bucket_width`` at the default (auto = widest
+    interval) unless the width histogram is known.  A bucket holding
+    k_a x k_b candidates does k_a*k_b comparisons — dense overlap
+    regions are inherently quadratic in OUTPUT, not in the plan."""
+    import numpy as np
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def _names_types(ds, given):
+        if given is not None:
+            return list(given.names), {n: given.field(n).type
+                                       for n in given.names}
+        s = ds.schema()
+        return list(s.names), {n: _arrow_type(t)
+                               for n, t in zip(s.names, s.types)}
+
+    l_names, l_types = _names_types(left, left_schema)
+    r_names, r_types = _names_types(right, right_schema)
+
+    if bucket_width is None:
+        from ray.data.aggregate import Max
+
+        def widths(t: pa.Table, out: str) -> pa.Table:
+            lo = t.column(lo_col).to_numpy().astype(np.float64)
+            hi = t.column(hi_col).to_numpy().astype(np.float64)
+            bad = ~(np.isfinite(lo) & np.isfinite(hi) & (hi >= lo))
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise ValueError(
+                    f"interval_overlap_join: invalid interval "
+                    f"[{lo[i]!r}, {hi[i]!r}] — need finite "
+                    f"{lo_col} <= {hi_col}")
+            return pa.table({out: pa.array(hi - lo, pa.float64())})
+
+        w_l = left.map_batches(lambda t: widths(t, "w"),
+                               batch_format="pyarrow").max("w")
+        w_r = right.map_batches(lambda t: widths(t, "w"),
+                                batch_format="pyarrow").max("w")
+        bucket_width = max(float(w_l), float(w_r), 1e-9)
+
+    a_cols = [c + suffixes[0] for c in l_names]
+    b_cols = [c + suffixes[1] for c in r_names]
+    # both exploded streams share ONE padded arrow schema (the
+    # hash_join union pattern): the other side's columns ride as
+    # typed nulls, so the union never NaN-degrades integer ids
+    pad_schema = pa.schema(
+        [("_bucket", pa.int64()), ("_part", pa.int64())]
+        + [(c + suffixes[0], l_types[c]) for c in l_names]
+        + [(c + suffixes[1], r_types[c]) for c in r_names]
+        + [("_side", pa.int8())])
+
+    def explode(side: int, names: list[str], sfx: str):
+        def f(t: pa.Table) -> pa.Table:
+            lo = t.column(lo_col).to_numpy().astype(np.float64)
+            hi = t.column(hi_col).to_numpy().astype(np.float64)
+            b0 = np.floor(lo / bucket_width).astype(np.int64)
+            b1 = np.floor(hi / bucket_width).astype(np.int64)
+            reps = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            reps)
+            bucket = np.concatenate(
+                [np.arange(a, b + 1, dtype=np.int64)
+                 for a, b in zip(b0, b1)]) if t.num_rows else \
+                np.empty(0, np.int64)
+            taken = t.take(pa.array(idx))
+            n = len(bucket)
+            own = {c + sfx: taken.column(c).cast(
+                pad_schema.field(c + sfx).type) for c in names}
+            arrays = []
+            for fld in pad_schema:
+                if fld.name == "_bucket":
+                    arrays.append(pa.array(bucket, pa.int64()))
+                elif fld.name == "_part":
+                    arrays.append(pa.array(bucket % num_partitions,
+                                           pa.int64()))
+                elif fld.name == "_side":
+                    arrays.append(pa.array(
+                        np.full(n, side, dtype=np.int8)))
+                elif fld.name in own:
+                    arrays.append(own[fld.name])
+                else:
+                    arrays.append(_pad_filler(n, fld.type))
+            return pa.Table.from_arrays(arrays, schema=pad_schema)
+        return f
+
+    la, ha = lo_col + suffixes[0], hi_col + suffixes[0]
+    lb, hb = lo_col + suffixes[1], hi_col + suffixes[1]
+    out_cols = a_cols + b_cols
+    out_schema = pa.schema(
+        [(c + suffixes[0], l_types[c]) for c in l_names]
+        + [(c + suffixes[1], r_types[c]) for c in r_names])
+    l_dtypes = {c + suffixes[0]: _nullable_dtype(l_types[c])
+                for c in l_names}
+    r_dtypes = {c + suffixes[1]: _nullable_dtype(r_types[c])
+                for c in r_names}
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][["_bucket"] + a_cols].astype(l_dtypes)
+        rg = g[g["_side"] == 1][["_bucket"] + b_cols].astype(r_dtypes)
+        m = lg.merge(rg, on="_bucket")
+        if m.empty:
+            return pd.DataFrame(columns=out_cols)
+        keep = ((m[la] <= m[hb]) & (m[lb] <= m[ha])
+                & (np.floor(
+                    np.maximum(m[la].to_numpy(np.float64),
+                               m[lb].to_numpy(np.float64))
+                    / bucket_width).astype("int64")
+                   == m["_bucket"]))
+        return m[keep.to_numpy(dtype=bool)][out_cols]
+
+    both = (left.map_batches(explode(0, l_names, suffixes[0]),
+                             batch_format="pyarrow")
+            .union(right.map_batches(explode(1, r_names, suffixes[1]),
+                                     batch_format="pyarrow")))
+    return typed_groupby_map(both, "_part", bucket_merge, out_schema)

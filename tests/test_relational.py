@@ -1639,3 +1639,44 @@ def test_set_delta_statuses(ray_session):
     assert got == [("a", "x", "kept"), ("b", "y", "removed"),
                    ("c", "z", "removed"), ("c", "z2", "added"),
                    ("d", "w", "added")]
+
+
+def test_interval_overlap_join_hand(ray_session):
+    """Closed-endpoint semantics, containment, disjoint, and the
+    giant-interval bucket-amplification path (tiny forced width)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from tabbyray.ops.relational import interval_overlap_join
+
+    a = pd.DataFrame({"iv_id": [0, 1, 2],
+                      "lo": [0, 100, 1000],
+                      "hi": [10, 200, 5000]})
+    b = pd.DataFrame({"iv_id": [10, 11, 12],
+                      "lo": [10, 300, 1500],
+                      "hi": [20, 400, 1600]})
+    sch = pa.schema([("iv_id", pa.int64()), ("lo", pa.int64()),
+                     ("hi", pa.int64())])
+
+    def run(**kw):
+        return (interval_overlap_join(
+            rd.from_pandas(a), rd.from_pandas(b), num_partitions=4,
+            left_schema=sch, right_schema=sch, **kw)
+            .to_pandas().sort_values(["iv_id_a", "iv_id_b"]))
+
+    got = run()
+    pairs = list(zip(got.iv_id_a, got.iv_id_b))
+    # 0-10 touch at 10 (closed: counts); 2 contains 12; 1 vs 11 gap
+    assert pairs == [(0, 10), (2, 12)]
+    # tiny width forces heavy bucket amplification; dedup rule must
+    # still emit each pair exactly once
+    got2 = run(bucket_width=7.0)
+    assert list(zip(got2.iv_id_a, got2.iv_id_b)) == pairs
+
+    bad = pd.DataFrame({"iv_id": [0], "lo": [5], "hi": [1]})
+    # the ValueError surfaces wrapped in Ray's task error
+    with pytest.raises(Exception, match="invalid interval"):
+        interval_overlap_join(rd.from_pandas(bad), rd.from_pandas(b),
+                              num_partitions=4, left_schema=sch,
+                              right_schema=sch).to_pandas()
