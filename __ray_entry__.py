@@ -1301,50 +1301,20 @@ def _q_kg_resolved_triples(sf_dir: str):
     names (``normalize=False``: identifiers, not surface text).
     Oracle = brute-force levenshtein pairs + 8 unrolled min-label
     rounds + the rewrite join, over the exported triples parquet."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data as rd
 
-    from tabbyray.ops.linkage import entity_resolution
-    from tabbyray.ops.relational import hash_join
+    from tabbyray.ops.linkage import resolve_triple_subjects
 
     paths = _sti_export_paths()
-    tri = rd.read_parquet(paths["triples"], override_num_blocks=4)
-
-    def to_labels(t: pa.Table) -> pa.Table:
-        s = t.column("subj")
-        return pa.table({"entity": s,
-                         "label": pc.replace_substring(
-                             s, pattern=_DBR_PREFIX, replacement="")})
-
-    res = entity_resolution(tri.map_batches(to_labels,
-                                            batch_format="pyarrow"),
-                            normalize=False, num_partitions=8)
-
-    out = hash_join(
-        tri.map_batches(
-            lambda t: t.select(["url", "table_idx", "row_idx", "subj",
-                                "pred", "obj"]).rename_columns(
-                ["url", "table_idx", "row_idx", "entity", "pred",
-                 "obj"]),
-            batch_format="pyarrow"),
-        res, on="entity", num_partitions=8,
-        left_schema=pa.schema([("url", pa.string()),
-                               ("table_idx", pa.int32()),
-                               ("row_idx", pa.int32()),
-                               ("entity", pa.string()),
-                               ("pred", pa.string()),
-                               ("obj", pa.string())]),
-        right_schema=pa.schema([("entity", pa.string()),
-                                ("canonical", pa.string())]))
+    tri = rd.read_parquet(
+        paths["triples"], override_num_blocks=4,
+        columns=["url", "table_idx", "row_idx", "subj", "pred", "obj"])
+    out = resolve_triple_subjects(tri, prefix=_DBR_PREFIX,
+                                  num_partitions=8)
+    # column order pinned for the oracle compare
     return out.map_batches(
-        lambda t: pa.table({"url": t.column("url"),
-                            "table_idx": t.column("table_idx"),
-                            "row_idx": t.column("row_idx"),
-                            "subj": t.column("canonical"),
-                            "subj_raw": t.column("entity"),
-                            "pred": t.column("pred"),
-                            "obj": t.column("obj")}),
+        lambda t: t.select(["url", "table_idx", "row_idx", "subj",
+                            "subj_raw", "pred", "obj"]),
         batch_format="pyarrow")
 
 
@@ -1417,6 +1387,35 @@ def _q_entity_cooccurrence(sf_dir: str):
     from tabbyray.ops.web import entity_cooccurrence
     pages, labels = _anchor_entity_inputs()
     return entity_cooccurrence(pages, labels, num_partitions=8)
+
+
+def _q_entity_related_topk(sf_dir: str):
+    """Top-3 most-related entities per entity by co-mention PMI
+    (symmetrized pairs, ordered on the 9-dp quantized PMI then the
+    neighbor id — both sides rank the identical rounded value, so
+    float near-ties cannot flip the top-k boundary); oracle = QUALIFY
+    row_number over the symmetrized cooccurrence CTE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray.ops.relational import grouped_topk
+    from tabbyray.ops.web import entity_cooccurrence
+    pages, labels = _anchor_entity_inputs()
+    cooc = entity_cooccurrence(pages, labels, num_partitions=8)
+
+    def sym(t: pa.Table) -> pa.Table:
+        e1 = t.column("e1").combine_chunks()
+        e2 = t.column("e2").combine_chunks()
+        pmi = pc.round(t.column("pmi"), ndigits=9).combine_chunks()
+        return pa.table({
+            "entity": pa.concat_arrays([e1, e2]),
+            "other": pa.concat_arrays([e2, e1]),
+            "pmi": pa.concat_arrays([pmi, pmi])})
+
+    return grouped_topk(
+        cooc.map_batches(sym, batch_format="pyarrow"),
+        "entity", "pmi", "other",
+        out_cols=["entity", "other", "pmi"], k=3, num_partitions=8)
 
 
 def _q_entity_triangles(sf_dir: str):
@@ -3367,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": _q_simhash_neardup_pairs,
         "embedding_quantized": _q_embedding_quantized,
         "entity_triangles": _q_entity_triangles,
+        "entity_related_topk": _q_entity_related_topk,
         "entity_communities": _q_entity_communities,
         "entity_ppr": _q_entity_ppr,
         "web_strip_tracking": _q_web_strip_tracking,
@@ -7334,6 +7334,20 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
         FROM p JOIN marg m1 ON m1.entity = e1
                JOIN marg m2 ON m2.entity = e2
     """
+    related = f"""
+        WITH {cooc_ctes},
+        pm AS MATERIALIZED (
+            SELECT e1, e2,
+                   round(ln((SELECT c FROM n) * n_pair
+                            / (m1.n_e * m2.n_e)), 9) AS pmi
+            FROM p JOIN marg m1 ON m1.entity = e1
+                   JOIN marg m2 ON m2.entity = e2),
+        symr AS (SELECT e1 AS entity, e2 AS other, pmi FROM pm
+                 UNION ALL SELECT e2, e1, pmi FROM pm)
+        SELECT entity, other, pmi FROM symr
+        QUALIFY row_number() OVER (PARTITION BY entity
+            ORDER BY pmi DESC, other ASC) <= 3
+    """
     entity_tri = f"""
         WITH {cooc_ctes},
         deg2 AS MATERIALIZED (
@@ -7418,6 +7432,7 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
                 ORDER BY votes DESC, entity ASC) = 1
         """,
         "entity_cooccurrence": cooc,
+        "entity_related_topk": related,
         "entity_triangles": entity_tri,
         "entity_communities": entity_comm,
         "anchor_entity_candidates_join":

@@ -133,6 +133,11 @@ def main(argv=None) -> int:
                          "rdfxml emits the reference's RDF/XML document "
                          "shape with its malformations fixed, and implies "
                          "the export even without --ntriples)")
+    ap.add_argument("--resolve-entities", action="store_true",
+                    help="merge near-duplicate canonical subjects "
+                         "(byte-Levenshtein 1 on URI local names, "
+                         "connected components) and rewrite triples "
+                         "through the resolution map before export")
     ap.add_argument("--gold", default=None,
                     help="gold annotations parquet for P/R evaluation")
     ap.add_argument("--kb-shards", type=int, default=0,
@@ -171,9 +176,24 @@ def main(argv=None) -> int:
         summary |= lineage.run_canonicalize_resumable(annotated_dir,
                                                       canon_dir)
         summary["canonical_triples_dir"] = canon_dir
-        if export:
+        if args.resolve_entities:
+            from tabbyray.ops.linkage import resolve_triple_subjects
             canon_ds = rd.read_parquet(sorted(glob.glob(
                 os.path.join(canon_dir, "shard=*", "*.parquet"))))
+            resolved = resolve_triple_subjects(canon_ds).materialize()
+            res_dir = os.path.join(args.out, "resolved_triples")
+            resolved.write_parquet(res_dir)
+            merged = resolved.filter(
+                lambda r: r["subj"] != r["subj_raw"]).count()
+            summary["resolved_triples_dir"] = res_dir
+            summary["resolved_subjects_rewritten"] = int(merged)
+        if export:
+            src_dir = (os.path.join(args.out, "resolved_triples")
+                       if args.resolve_entities else canon_dir)
+            pat = (os.path.join(src_dir, "*.parquet")
+                   if args.resolve_entities
+                   else os.path.join(src_dir, "shard=*", "*.parquet"))
+            canon_ds = rd.read_parquet(sorted(glob.glob(pat)))
             if args.format == "rdfxml":
                 from tabbyray.io import write_rdfxml
                 x_dir = os.path.join(args.out, "rdfxml")

@@ -541,3 +541,58 @@ def entity_resolution(labels: rd.Dataset,
             lambda t: pa.table({entity_col: t.column("node"),
                                 "canonical": t.column("component")}),
             batch_format="pyarrow")
+
+
+def resolve_triple_subjects(triples: rd.Dataset,
+                            prefix: str = "http://dbpedia.org/resource/",
+                            max_dist: int = 1,
+                            num_partitions: "int | None" = None,
+                            components_mode: str = "auto") -> rd.Dataset:
+    """KG entity-merge applied to a triple stream: subjects whose URI
+    local names (the ``prefix``-stripped tail) sit within
+    byte-Levenshtein ``max_dist`` merge into one canonical subject
+    (connected components, canonical = min URI), and every triple is
+    rewritten through the resolution map — ``subj`` becomes the
+    canonical URI, the original rides along as ``subj_raw``, all other
+    columns pass through.  Resolution runs on RAW local names
+    (identifiers, not surface text).
+
+    The dedup step between triple materialization and graph load —
+    wired into the CLI as ``--resolve-entities``."""
+    s = triples.schema()
+    names = list(s.names)
+    types = dict(zip(s.names, s.types))
+    carry = [c for c in names if c != "subj"]
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        subj = t.column("subj")
+        return pa.table({"entity": subj,
+                         "label": pc.replace_substring(
+                             subj, pattern=prefix, replacement="")})
+
+    res = entity_resolution(
+        triples.map_batches(to_labels, batch_format="pyarrow"),
+        normalize=False, max_dist=max_dist,
+        num_partitions=num_partitions,
+        components_mode=components_mode)
+
+    left_schema = pa.schema([("entity", pa.string())]
+                            + [(c, types[c]) for c in carry])
+    out = hash_join(
+        triples.map_batches(
+            lambda t: t.rename_columns(
+                ["entity" if c == "subj" else c for c in t.column_names]),
+            batch_format="pyarrow"),
+        res, on="entity", num_partitions=num_partitions,
+        left_schema=left_schema,
+        right_schema=pa.schema([("entity", pa.string()),
+                                ("canonical", pa.string())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"subj": t.column("canonical"),
+                "subj_raw": t.column("entity")}
+        for c in carry:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -174,3 +174,37 @@ def test_cli_crawl(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     s2 = json.loads(r.stdout[r.stdout.index("{"):])
     assert s2["curated_docs"] > s1["curated_docs"]
+
+
+def test_cli_resolve_entities(smoke_fixture, tmp_path):
+    """--resolve-entities: resolved_triples/ written, every rewritten
+    subject maps to a lexicographically smaller URI, and the exported
+    N-Triples use the CANONICAL subjects."""
+    import pandas as pd
+
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "tabbyray",
+         "--pages", os.path.join(smoke_fixture, "pages.parquet"),
+         "--kb", os.path.join(smoke_fixture, "kb.parquet"),
+         "--out", out, "--shards", "2", "--canonicalize", "--ntriples",
+         "--resolve-entities", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, RAY_ADDRESS="local"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout[r.stdout.index("{"):])
+    res = pd.read_parquet(summary["resolved_triples_dir"])
+    rew = res[res.subj != res.subj_raw]
+    assert len(rew) == summary["resolved_subjects_rewritten"]
+    assert (rew.subj < rew.subj_raw).all()
+    # canonical triple count preserved by the rewrite
+    canon = pd.read_parquet(glob.glob(os.path.join(
+        summary["canonical_triples_dir"], "shard=*", "*.parquet")))
+    assert len(res) == len(canon)
+    # the .nt export carries canonical subjects only
+    nt = ""
+    for f in glob.glob(os.path.join(summary["ntriples_dir"], "*.nt")):
+        nt += open(f).read()
+    for raw in rew.subj_raw.unique():
+        assert f"<{raw}>" not in nt
