@@ -1318,6 +1318,107 @@ def _q_kg_resolved_triples(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_resolved_triples_full(sf_dir: str):
+    """Full-triple entity merge: ONE resolution catalog over the union
+    of subjects and non-literal object URIs, then BOTH ends rewritten
+    (literal objects pass through untouched) — so a subject and the
+    object that cites its near-duplicate land on the same canonical
+    node.  Oracle = one min-label closure over the union catalog + a
+    subj join and a literal-guarded obj LEFT join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.linkage import entity_resolution
+    from tabbyray.ops.relational import hash_join
+
+    paths = _sti_export_paths()
+    cols = ["url", "table_idx", "row_idx", "subj", "pred", "obj",
+            "obj_is_literal"]
+    tri = rd.read_parquet(paths["triples"], override_num_blocks=4,
+                          columns=cols)
+
+    def to_ents(t: pa.Table) -> pa.Table:
+        uri_objs = t.filter(pc.invert(
+            t.column("obj_is_literal").combine_chunks()))
+        ents = pa.concat_arrays(
+            list(t.column("subj").chunks)
+            + list(uri_objs.column("obj").chunks))
+        return pa.table({"entity": ents,
+                         "label": pc.replace_substring(
+                             ents, pattern=_DBR_PREFIX,
+                             replacement="")})
+
+    res = entity_resolution(
+        tri.map_batches(to_ents, batch_format="pyarrow"),
+        normalize=False, num_partitions=8)
+
+    tri_schema = pa.schema([("url", pa.string()),
+                            ("table_idx", pa.int32()),
+                            ("row_idx", pa.int32()),
+                            ("entity", pa.string()),
+                            ("pred", pa.string()),
+                            ("obj", pa.string()),
+                            ("obj_is_literal", pa.bool_())])
+    j1 = hash_join(
+        tri.map_batches(
+            lambda t: t.rename_columns(
+                ["entity" if c == "subj" else c for c in t.column_names]),
+            batch_format="pyarrow"),
+        res, on="entity", num_partitions=8, left_schema=tri_schema,
+        right_schema=pa.schema([("entity", pa.string()),
+                                ("canonical", pa.string())]))
+
+    def subj_done(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"),
+                         "table_idx": t.column("table_idx"),
+                         "row_idx": t.column("row_idx"),
+                         "subj": t.column("canonical"),
+                         "subj_raw": t.column("entity"),
+                         "pred": t.column("pred"),
+                         "obj": t.column("obj"),
+                         "obj_is_literal": t.column("obj_is_literal")})
+
+    j1 = j1.map_batches(subj_done, batch_format="pyarrow").materialize()
+
+    lits = j1.filter(lambda r: r["obj_is_literal"]).map_batches(
+        lambda t: t.append_column("obj_raw", t.column("obj")),
+        batch_format="pyarrow")
+    j1_schema = pa.schema([("url", pa.string()),
+                           ("table_idx", pa.int32()),
+                           ("row_idx", pa.int32()),
+                           ("subj", pa.string()),
+                           ("subj_raw", pa.string()),
+                           ("pred", pa.string()),
+                           ("entity", pa.string()),
+                           ("obj_is_literal", pa.bool_())])
+    uris = hash_join(
+        j1.filter(lambda r: not r["obj_is_literal"]).map_batches(
+            lambda t: t.rename_columns(
+                ["entity" if c == "obj" else c for c in t.column_names]),
+            batch_format="pyarrow"),
+        res, on="entity", num_partitions=8, left_schema=j1_schema,
+        right_schema=pa.schema([("entity", pa.string()),
+                                ("canonical", pa.string())]))
+
+    def obj_done(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"),
+                         "table_idx": t.column("table_idx"),
+                         "row_idx": t.column("row_idx"),
+                         "subj": t.column("subj"),
+                         "subj_raw": t.column("subj_raw"),
+                         "pred": t.column("pred"),
+                         "obj": t.column("canonical"),
+                         "obj_is_literal": t.column("obj_is_literal"),
+                         "obj_raw": t.column("entity")})
+
+    order = ["url", "table_idx", "row_idx", "subj", "subj_raw", "pred",
+             "obj", "obj_raw", "obj_is_literal"]
+    return uris.map_batches(obj_done, batch_format="pyarrow").union(
+        lits).map_batches(lambda t: t.select(order),
+                          batch_format="pyarrow")
+
+
 def _fuzzy_linkage_inputs():
     import os
 
@@ -3299,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
         "entity_resolution": _q_entity_resolution,
         "kg_resolved_triples": _q_kg_resolved_triples,
+        "kg_resolved_triples_full": _q_kg_resolved_triples_full,
         "sti_cpa_triples": _q_sti_cpa_triples,
         "sti_annotations_sharded": _q_sti_annotations_sharded,
         "sti_cea_agg": _q_sti_cea_agg,
@@ -3327,7 +3429,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_triangles": _q_web_host_triangles,
         "web_host_adamic_adar": _q_web_host_adamic_adar,
         "web_host_outlink_jaccard": _q_web_host_outlink_jaccard,
-        "web_host_assortativity": _q_web_host_assortativity,
         "web_host_kcore": _q_web_host_kcore,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
         "web_host_communities": _q_web_host_communities,
@@ -3344,6 +3445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (same families, sampled past the window)
         "web_host_clustering": _q_web_host_clustering,
         "web_host_ktruss": _q_web_host_ktruss,
+        "web_host_assortativity": _q_web_host_assortativity,
         "web_host_bfs_directed": _q_web_host_bfs_directed,
         "web_host_bfs_weighted": _q_web_host_bfs_weighted,
         "web_host_pagerank_weighted": _q_web_host_pagerank_weighted,
@@ -5911,6 +6013,48 @@ def oracle_sql() -> dict[str, str]:
                res.canonical AS subj, t.subj AS subj_raw,
                t.pred, t.obj
         FROM t JOIN res ON res.entity = t.subj
+    """
+    _full_rounds, _full_prev = [], "l0"
+    for _i in range(1, 9):
+        _full_rounds.append(f"""
+        lr{_i} AS MATERIALIZED (
+            SELECT n.node,
+                   least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+            FROM rnodes n
+            JOIN {_full_prev} p ON p.node = n.node
+            LEFT JOIN sym s ON s.a = n.node
+            LEFT JOIN {_full_prev} q ON q.node = s.b
+            GROUP BY n.node, p.lbl)""")
+        _full_prev = f"lr{_i}"
+    out["kg_resolved_triples_full"] = f"""
+        WITH t AS MATERIALIZED (
+            SELECT * FROM read_parquet('{_tri_path}')),
+        l AS MATERIALIZED (
+            SELECT DISTINCT entity,
+                   replace(entity, '{_DBR_PREFIX}', '') AS lnorm
+            FROM (SELECT subj AS entity FROM t
+                  UNION SELECT obj FROM t WHERE NOT obj_is_literal)
+            WHERE replace(entity, '{_DBR_PREFIX}', '') != ''),
+        ed AS MATERIALIZED (
+            SELECT a.entity AS e1, b.entity AS e2 FROM l a, l b
+            WHERE a.entity < b.entity
+              AND levenshtein(a.lnorm, b.lnorm) <= 1),
+        rnodes AS MATERIALIZED (SELECT DISTINCT entity AS node FROM l),
+        sym AS MATERIALIZED (
+            SELECT e1 AS a, e2 AS b FROM ed UNION SELECT e2, e1 FROM ed),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM rnodes),
+        {','.join(_full_rounds)},
+        res AS (SELECT node AS entity, lbl AS canonical
+                FROM {_full_prev})
+        SELECT t.url, t.table_idx, t.row_idx,
+               rs.canonical AS subj, t.subj AS subj_raw, t.pred,
+               CASE WHEN t.obj_is_literal THEN t.obj
+                    ELSE ro.canonical END AS obj,
+               t.obj AS obj_raw, t.obj_is_literal
+        FROM t
+        JOIN res rs ON rs.entity = t.subj
+        LEFT JOIN res ro
+          ON NOT t.obj_is_literal AND ro.entity = t.obj
     """
     return out
 
