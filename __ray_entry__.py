@@ -727,6 +727,40 @@ def _q_web_host_ball2(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_web_host_harmonic2(sf_dir: str):
+    """Radius-2 harmonic centrality per host: deg * 1.0 + |dist==2| *
+    0.5 over the undirected inter-host graph — dist-2 nodes are the
+    2-path reach set ANTI-JOINED against direct neighbors (no min-dist
+    aggregate needed).  Oracle = the same deg / two-path / NOT EXISTS
+    composition in SQL; the 1.0/0.5 sums are binary-exact so the float
+    column hash-matches without quantization."""
+    from tabbyray.ops.web import host_harmonic2
+    return host_harmonic2(_link_pages(), num_partitions=8)
+
+
+def _q_web_host_walks(sf_dir: str):
+    """Deterministic hash-seeded random walks (DeepWalk corpus) over
+    the DIRECTED inter-host graph: from every host with an out-edge,
+    2 walks of <= 3 steps; step t moves to the out-neighbor minimizing
+    md5("seed|walk|t|v").  Oracle = 3 unrolled QUALIFY row_number
+    CTEs over DuckDB's own md5() — both engines replay the exact same
+    choice sequence."""
+    from tabbyray.ops.web import host_random_walks
+    return host_random_walks(_link_pages(), walk_len=3, n_walks=2,
+                             num_partitions=8)
+
+
+def _q_web_host_walk_skipgrams(sf_dir: str):
+    """Skip-gram (center, context, cnt) pairs from the host walk
+    corpus (forward window 2) — the word2vec-style training-pair table
+    for host embeddings.  One (seed, walk) hash exchange + vectorized
+    shift-by-k emission + one combiner count aggregate; oracle =
+    self-join of the unrolled walk CTEs on step distance."""
+    from tabbyray.ops.web import host_walk_skipgrams
+    return host_walk_skipgrams(_link_pages(), walk_len=3, n_walks=2,
+                               window=2, num_partitions=8)
+
+
 def _q_web_host_clustering(sf_dir: str):
     """Local clustering coefficient per host (2T / d(d-1), 0 at
     deg < 2); oracle re-derives the same float expression over the SQL
@@ -3432,6 +3466,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_kcore": _q_web_host_kcore,
         "web_host_bfs_depth": _q_web_host_bfs_depth,
         "web_host_communities": _q_web_host_communities,
+        # embedding-corpus flagships: hash-seeded DeepWalk walks +
+        # skip-gram pairs + truncated harmonic centrality (in-window)
+        "web_host_walks": _q_web_host_walks,
+        "web_host_walk_skipgrams": _q_web_host_walk_skipgrams,
+        "web_host_harmonic2": _q_web_host_harmonic2,
         # crawl flagship + tokenizer-training primitives inside the
         # driver's ~50-entry sample window
         "crawl_curated": _q_crawl_curated,
@@ -6393,6 +6432,51 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         SELECT u AS host, CAST(count(*) AS BIGINT) AS ball2
         FROM reach GROUP BY u
     """
+    out["web_host_harmonic2"] = f"""
+        WITH {chain},
+        und AS MATERIALIZED (
+                SELECT DISTINCT
+                  CASE WHEN src_host < dst_host THEN src_host
+                       ELSE dst_host END AS a,
+                  CASE WHEN src_host < dst_host THEN dst_host
+                       ELSE src_host END AS b
+                FROM links WHERE src_host <> dst_host),
+        bsym AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS c1
+                FROM bsym GROUP BY u),
+        two AS (SELECT DISTINCT s1.u, s2.v FROM bsym s1
+                JOIN bsym s2 ON s2.u = s1.v
+                WHERE s2.v <> s1.u),
+        d2 AS (SELECT t.u, CAST(count(*) AS BIGINT) AS c2 FROM two t
+               WHERE NOT EXISTS (SELECT 1 FROM bsym b
+                                 WHERE b.u = t.u AND b.v = t.v)
+               GROUP BY t.u)
+        SELECT deg.u AS host,
+               deg.c1 * 1.0 + COALESCE(d2.c2, 0) * 0.5 AS harmonic2
+        FROM deg LEFT JOIN d2 ON d2.u = deg.u
+    """
+    # hash-seeded walk CTEs shared by the walk corpus + skip-gram
+    # oracles: both engines pick argmin md5("seed|walk|t|v") per
+    # (seed, walk) per step, ties by v
+    wctes, wunion = _walk_ctes(n_walks=2, walk_len=3)
+    out["web_host_walks"] = f"""
+        WITH {chain},
+        {wctes}
+        {wunion}
+    """
+    out["web_host_walk_skipgrams"] = f"""
+        WITH {chain},
+        {wctes},
+        walks AS MATERIALIZED ({wunion})
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM walks a JOIN walks b
+          ON a.seed = b.seed AND a.walk = b.walk
+         AND b.step > a.step AND b.step <= a.step + 2
+        GROUP BY 1, 2
+    """
     # feature assembly: the verified fragment oracles as nested-CTE
     # subqueries (DuckDB allows WITH inside a parenthesized subquery),
     # joined on host — the composition mirrors the engine's two joins
@@ -6607,6 +6691,37 @@ def _link_oracles(link_path: str) -> dict[str, str]:
         FROM frontier
     """
     return out
+
+
+def _walk_ctes(n_walks: int, walk_len: int) -> tuple[str, str]:
+    """Unrolled hash-seeded random-walk CTEs over the ``links``
+    relation (requires ``_link_chain`` upstream): returns (cte_body,
+    union_select).  Step t keeps, per (seed, walk), the out-neighbor v
+    minimizing DuckDB ``md5(seed || '|' || walk || '|' || t || '|' ||
+    v)`` with ties by v — the exact choice rule of
+    ``tabbyray.ops.graph.random_walks``."""
+    walks_list = ", ".join(str(i) for i in range(n_walks))
+    parts = [f"""
+        de AS MATERIALIZED (
+            SELECT DISTINCT src_host AS u, dst_host AS v FROM links
+            WHERE src_host <> dst_host),
+        w0 AS MATERIALIZED (
+            SELECT seed, CAST(walk AS BIGINT) AS walk, seed AS node
+            FROM (SELECT DISTINCT u AS seed FROM de)
+            CROSS JOIN (SELECT unnest([{walks_list}]) AS walk))"""]
+    for t in range(1, walk_len + 1):
+        prev = f"w{t - 1}"
+        parts.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT seed, walk, v AS node
+            FROM {prev} JOIN de ON de.u = {prev}.node
+            QUALIFY row_number() OVER (PARTITION BY seed, walk
+                ORDER BY md5(seed || '|' || CAST(walk AS VARCHAR)
+                             || '|{t}|' || v), v) = 1)""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT seed, walk, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(walk_len + 1))
+    return ",".join(parts), union
 
 
 def _link_chain(link_path: str, with_text: bool = False) -> str:

@@ -1891,3 +1891,301 @@ def ball_sizes(edges: rd.Dataset,
     ).map_batches(
         lambda t: t.rename_columns(["node", "ball2"]),
         batch_format="pyarrow")
+
+
+def harmonic_centrality2(edges: rd.Dataset,
+                         pair_cols: tuple = ("src", "dst"),
+                         node_dtype: "pa.DataType | None" = None,
+                         num_partitions: "int | None" = None) -> rd.Dataset:
+    """Radius-2 harmonic centrality per node over the UNDIRECTED
+    distinct graph: ``(node, harmonic2)`` with
+    ``harmonic2 = |dist==1| * 1.0 + |dist==2| * 0.5`` — the truncated
+    form of harmonic centrality (sum of 1/d over reachable nodes),
+    the standard bounded-radius influence score for web-host graphs
+    where full all-pairs BFS is off the table.  Distance-1 count is
+    plain degree; distance-2 nodes are the 2-path reach set MINUS the
+    direct neighbors (an anti-join), so no min-dist aggregate is
+    needed.
+
+    Plan: canonical undirected edges (1 exchange) -> symmetric stream
+    -> mid-node-hash join emits 2-paths -> distinct -> ANTI-JOIN the
+    direct-neighbor pairs -> per-node count; degree from one combiner
+    aggregate; one final join.  Exact ``1.0/0.5`` sums are binary-
+    representable, so the float column is hash-stable without
+    quantization.
+
+    Scale: same d^2 mid-node fan-out bound as ``ball_sizes`` (hub
+    pivots dominate); at 100 TB you cap pivots the same way (see
+    ``ball_sizes(max_mid_degree=...)``) — kept exact here because the
+    SQL oracle checks the exact contract."""
+    from .relational import hash_aggregate, hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    e = undirected_edges(edges, pair_cols, nd,
+                         num_partitions=num_partitions)
+    e = e.materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = _flat(t.column("a"))
+        b = _flat(t.column("b"))
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    s = _coalesced(e.map_batches(sym, batch_format="pyarrow"),
+                   num_partitions)
+
+    deg = _edge_degrees(e, nd)
+
+    mids = s.map_batches(
+        lambda t: pa.table({"m": t.column("v"), "u": t.column("u")}),
+        batch_format="pyarrow")
+    outs = s.map_batches(
+        lambda t: pa.table({"m": t.column("u"), "v": t.column("v")}),
+        batch_format="pyarrow")
+    two = hash_join(
+        mids, outs, on="m", num_partitions=num_partitions,
+        left_schema=pa.schema([("m", nd), ("u", nd)]),
+        right_schema=pa.schema([("m", nd), ("v", nd)]))
+
+    def paths(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("u"), t.column("v"))))
+        return pa.table({"u": t.column("u"), "v": t.column("v"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    pair_schema = pa.schema([("u", nd), ("v", nd)])
+    two_distinct = hash_aggregate(
+        two.map_batches(paths, batch_format="pyarrow"),
+        keys=["u", "v"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("u", nd), ("v", nd), ("_c", pa.int64())])
+    ).select_columns(["u", "v"])
+
+    # nodes at EXACTLY distance 2: 2-path reach minus direct neighbors
+    d2_only = hash_join(
+        two_distinct, s, on=["u", "v"], how="anti",
+        left_schema=pair_schema, right_schema=pair_schema,
+        num_partitions=num_partitions)
+
+    c2 = hash_aggregate(
+        d2_only.map_batches(
+            lambda t: pa.table({"node": t.column("u"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["node"], sum_cols={"one": "c2"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node", nd), ("c2", pa.int64())]))
+
+    joined = hash_join(
+        deg, c2, on="node", how="left",
+        left_schema=pa.schema([("node", nd), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", nd), ("c2", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(_flat(t.column("deg")), pa.float64())
+        c = pc.cast(pc.coalesce(_flat(t.column("c2")),
+                                pa.scalar(0, pa.int64())), pa.float64())
+        h = pc.add(d, pc.multiply(c, pa.scalar(0.5, pa.float64())))
+        return pa.table({"node": t.column("node"), "harmonic2": h})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def random_walks(edges: rd.Dataset,
+                 walk_len: int = 3, n_walks: int = 2,
+                 pair_cols: tuple = ("src", "dst"),
+                 node_dtype: "pa.DataType | None" = None,
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    """Deterministic hash-seeded random walks over the DIRECTED
+    distinct graph — the node2vec/DeepWalk corpus generator re-done
+    as a bounded-round Dataset loop.  From every node with >= 1
+    out-neighbor, ``n_walks`` walks of up to ``walk_len`` steps; at
+    step t the walk at (seed, walk) on node u moves to the out-
+    neighbor v minimizing ``md5(f"{seed}|{walk}|{t}|{v}")`` (ties by
+    v — md5 collisions are the only tie source).  Hash-seeded instead
+    of RNG-seeded so a restarted/resumed run reproduces the same
+    corpus AND the DuckDB oracle can replay the exact choice with its
+    own ``md5()`` — the determinism-over-entropy trade every
+    large-scale walk corpus makes for lineage.
+
+    Output: ``(seed, walk, step, node)`` — step 0 is the seed itself;
+    a walk that reaches a sink (no out-neighbors) simply stops short.
+
+    Plan: distinct directed edges (1 exchange, materialized once);
+    each round is one co-partitioned hash join (frontier x adjacency)
+    + one two-phase argmin on (seed, walk) — frontier-sized traffic
+    (n_seeds x n_walks rows), never corpus-sized.  The per-candidate
+    md5 is a Python loop, but over the candidate stream only
+    (frontier x out-degree), bounded per round; numpy can't express
+    md5 and oracle parity pins the hash.
+
+    Scale: rounds are walk_len (fixed); per-round shuffle moves
+    O(active_walks * avg_outdeg) rows hash-partitioned on the walk
+    key, so hub fan-out spreads across partitions. 100-TB knob:
+    sample the seed set (any Dataset filter on seeds) — the loop is
+    indifferent to seed count."""
+    import hashlib
+
+    from .relational import hash_aggregate, hash_join
+
+    nd = node_dtype or pa.string()
+    num_partitions = _resolve_partitions(num_partitions)
+    cs, cd = pair_cols
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(_flat(t.column(cs)), nd)
+        d = pc.cast(_flat(t.column(cd)), nd)
+        keep = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)),
+                       pc.not_equal(s, d))
+        s, d = s.filter(keep), d.filter(keep)
+        out = pa.table({"u": s, "v": d,
+                        "one": pa.array([1] * len(s), pa.int64())})
+        return out.group_by(["u", "v"]).aggregate([("one", "min")]) \
+                  .rename_columns(["u", "v", "one"])
+
+    de = hash_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        keys=["u", "v"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("u", nd), ("v", nd), ("_c", pa.int64())])
+    ).select_columns(["u", "v"]).materialize()
+    de = _coalesced(de, num_partitions)
+
+    seeds = hash_aggregate(
+        de.map_batches(
+            lambda t: pa.table({"node": t.column("u"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["node"], sum_cols={"one": "_c"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node", nd), ("_c", pa.int64())])
+    ).select_columns(["node"])
+
+    import numpy as np
+
+    def expand(t: pa.Table) -> pa.Table:
+        s = _flat(t.column("node"))
+        idx = pa.array(np.repeat(np.arange(len(s)), n_walks))
+        rep = s.take(idx)
+        walk = pa.array(np.tile(np.arange(n_walks, dtype=np.int64),
+                                len(s)))
+        return pa.table({"seed": rep, "walk": walk, "node": rep})
+
+    frontier = seeds.map_batches(expand,
+                                 batch_format="pyarrow").materialize()
+
+    def with_step(d: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"seed": t.column("seed"),
+                             "walk": t.column("walk"),
+                             "step": pa.array([d] * t.num_rows,
+                                              pa.int64()),
+                             "node": t.column("node")})
+        return f
+
+    parts = [frontier.map_batches(with_step(0), batch_format="pyarrow")]
+    f_schema = pa.schema([("seed", nd), ("walk", pa.int64()),
+                          ("u", nd)])
+    e_schema = pa.schema([("u", nd), ("v", nd)])
+
+    for t_step in range(1, walk_len + 1):
+        cand = hash_join(
+            frontier.map_batches(
+                lambda t: pa.table({"seed": t.column("seed"),
+                                    "walk": t.column("walk"),
+                                    "u": t.column("node")}),
+                batch_format="pyarrow"),
+            de, on="u", left_schema=f_schema, right_schema=e_schema,
+            num_partitions=num_partitions)
+
+        ts = str(t_step)
+
+        def local_min(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["h"] = [hashlib.md5(f"{s}|{w}|{ts}|{v}".encode())
+                       .hexdigest()
+                       for s, w, v in zip(df["seed"], df["walk"],
+                                          df["v"])]
+            g = (df.sort_values(["h", "v"], kind="stable")
+                 .drop_duplicates(["seed", "walk"]))
+            hh = pd.util.hash_pandas_object(
+                g["seed"].astype(str) + "|" + g["walk"].astype(str),
+                index=False)
+            return g.assign(_part=(hh % num_partitions).astype("int64"))
+
+        def final_min(g: pd.DataFrame) -> pd.DataFrame:
+            w = (g.sort_values(["h", "v"], kind="stable")
+                 .drop_duplicates(["seed", "walk"]))
+            return w[["seed", "walk", "v"]].rename(columns={"v": "node"})
+
+        frontier = (cand.map_batches(local_min, batch_format="pandas")
+                    .groupby("_part").map_groups(final_min,
+                                                 batch_format="pandas")
+                    ).materialize()
+        if frontier.count() == 0:
+            break
+        parts.append(frontier.map_batches(with_step(t_step),
+                                          batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return _coalesced(out, num_partitions)
+
+
+def walk_skipgram_pairs(walks: rd.Dataset, window: int = 2,
+                        num_partitions: "int | None" = None
+                        ) -> rd.Dataset:
+    """Skip-gram co-visit pairs from a ``random_walks`` corpus:
+    ``(center, context, cnt)`` where context follows center on the
+    SAME (seed, walk) within ``window`` steps (directed,
+    forward-window — the asymmetric form; symmetrize downstream if a
+    model wants it).  This is the pair table a word2vec-style
+    embedding trains on.
+
+    Plan: one hash exchange on (seed, walk), per-partition vectorized
+    shift-by-k pair emission (no per-row loop), then one
+    combiner-backed count aggregate on (center, context)."""
+    from .relational import hash_aggregate, partial_agg_sum
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def part_key(df: pd.DataFrame) -> pd.DataFrame:
+        hh = pd.util.hash_pandas_object(
+            df["seed"].astype(str) + "|" + df["walk"].astype(str),
+            index=False)
+        return df.assign(_part=(hh % num_partitions).astype("int64"))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seed", "walk", "step"],
+                          kind="stable").reset_index(drop=True)
+        outs = []
+        same = (g["seed"].shift(-1) == g["seed"]) & \
+               (g["walk"].shift(-1) == g["walk"])
+        for k in range(1, window + 1):
+            same_k = pd.Series(True, index=g.index)
+            for j in range(1, k + 1):
+                same_k &= (g["seed"].shift(-j) == g["seed"]) & \
+                          (g["walk"].shift(-j) == g["walk"]) & \
+                          (g["step"].shift(-j) == g["step"] + j)
+            m = same_k.fillna(False)
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "center": g.loc[m, "node"].values,
+                    "context": g["node"].shift(-k)[m].values}))
+        del same
+        if not outs:
+            return pd.DataFrame({"center": pd.Series([], dtype=object),
+                                 "context": pd.Series([], dtype=object),
+                                 "one": pd.Series([], dtype="int64")})
+        res = pd.concat(outs, ignore_index=True)
+        res["one"] = 1
+        return res
+
+    pairs = (walks.map_batches(part_key, batch_format="pandas")
+             .groupby("_part").map_groups(emit_pairs,
+                                          batch_format="pandas"))
+    return partial_agg_sum(pairs, ["center", "context"], {"one": "cnt"})

@@ -2351,3 +2351,56 @@ def host_spam_mass(pages: rd.Dataset, n_seeds: int = 2,
                          "spam_mass": pc.round(sm, ndigits=9)})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def host_harmonic2(pages: rd.Dataset, url_col: str = "url",
+                   html_col: str = "html",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Radius-2 harmonic centrality per host over the undirected
+    inter-host graph: deg * 1.0 + |dist==2| * 0.5 — the bounded-radius
+    influence score (crawl-seed ranking signal) between degree and
+    full closeness. Output: (host, harmonic2)."""
+    from .graph import harmonic_centrality2
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    return harmonic_centrality2(
+        edges, pair_cols=("src_host", "dst_host"),
+        node_dtype=pa.string(), num_partitions=num_partitions
+    ).map_batches(
+        lambda t: t.rename_columns(["host", "harmonic2"]),
+        batch_format="pyarrow")
+
+
+def host_random_walks(pages: rd.Dataset, walk_len: int = 3,
+                      n_walks: int = 2, url_col: str = "url",
+                      html_col: str = "html",
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Deterministic hash-seeded random walks over the DIRECTED
+    inter-host link graph (the DeepWalk corpus for host embeddings).
+    Output: (seed, walk, step, node)."""
+    from .graph import random_walks
+
+    edges = host_edges(pages, url_col, html_col,
+                       num_partitions=num_partitions)
+    return random_walks(edges, walk_len=walk_len, n_walks=n_walks,
+                        pair_cols=("src_host", "dst_host"),
+                        node_dtype=pa.string(),
+                        num_partitions=num_partitions)
+
+
+def host_walk_skipgrams(pages: rd.Dataset, walk_len: int = 3,
+                        n_walks: int = 2, window: int = 2,
+                        url_col: str = "url", html_col: str = "html",
+                        num_partitions: "int | None" = None
+                        ) -> rd.Dataset:
+    """Skip-gram (center, context, cnt) pairs from the host random-walk
+    corpus — the training-pair table for a host-embedding model."""
+    from .graph import walk_skipgram_pairs
+
+    walks = host_random_walks(pages, walk_len=walk_len,
+                              n_walks=n_walks, url_col=url_col,
+                              html_col=html_col,
+                              num_partitions=num_partitions)
+    return walk_skipgram_pairs(walks, window=window,
+                               num_partitions=num_partitions)

@@ -1034,3 +1034,78 @@ def test_graph_ops_degenerate_inputs(ray_session):
     loops = rd.from_items([{"src": "x", "dst": "x"}])
     assert bfs_layers(loops, seeds, 2, num_partitions=2).take_all() == \
         [{"node": "a", "depth": 0}]
+
+
+def test_harmonic_centrality2_path_graph(ray_session):
+    """Path a-b-c-d: harmonic2 = deg*1.0 + |dist==2|*0.5 per node;
+    hand values 1.5 / 2.5 / 2.5 / 1.5. Isolated edge (f, g): 1.0."""
+    from tabbyray.ops.graph import harmonic_centrality2
+    edges = rd.from_items(
+        [{"src": s, "dst": d} for s, d in
+         [("a", "b"), ("b", "c"), ("c", "d"), ("f", "g"),
+          ("b", "a")]])
+    got = {r["node"]: r["harmonic2"]
+           for r in harmonic_centrality2(edges,
+                                         num_partitions=4).take_all()}
+    assert got == {"a": 1.5, "b": 2.5, "c": 2.5, "d": 1.5,
+                   "f": 1.0, "g": 1.0}
+
+
+def test_random_walks_hand_rule(ray_session):
+    """Every consecutive (seed, walk) pair follows a real directed
+    edge; the chosen neighbor is exactly argmin md5("seed|walk|t|v")
+    (hand-replayed); a sink stops the walk short; rerun is identical
+    (hash-seeded determinism)."""
+    import hashlib
+
+    from tabbyray.ops.graph import random_walks
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+                 ("c", "a"), ("c", "d")]  # d is a sink
+    edges = rd.from_items(
+        [{"src": s, "dst": d} for s, d in edge_list])
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+
+    def replay(seed, walk, walk_len=3):
+        path, cur = [(0, seed)], seed
+        for t in range(1, walk_len + 1):
+            if cur not in adj:
+                break
+            nxt = min(adj[cur], key=lambda v: (hashlib.md5(
+                f"{seed}|{walk}|{t}|{v}".encode()).hexdigest(), v))
+            path.append((t, nxt))
+            cur = nxt
+        return path
+
+    rows = random_walks(edges, walk_len=3, n_walks=2,
+                        num_partitions=4).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault((r["seed"], r["walk"]), []).append(
+            (r["step"], r["node"]))
+    # seeds = nodes with an out-edge (a, b, c), 2 walks each
+    assert set(got) == {(s, w) for s in ("a", "b", "c") for w in (0, 1)}
+    for (seed, walk), path in got.items():
+        assert sorted(path) == replay(seed, walk)
+    rows2 = random_walks(edges, walk_len=3, n_walks=2,
+                         num_partitions=4).take_all()
+    key = lambda r: (r["seed"], r["walk"], r["step"], r["node"])
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))
+
+
+def test_walk_skipgram_pairs_window(ray_session):
+    """Hand corpus: forward-window-2 pairs with counts; pairs never
+    cross (seed, walk) boundaries."""
+    from tabbyray.ops.graph import walk_skipgram_pairs
+    walks = rd.from_items([
+        {"seed": "a", "walk": 0, "step": 0, "node": "a"},
+        {"seed": "a", "walk": 0, "step": 1, "node": "b"},
+        {"seed": "a", "walk": 0, "step": 2, "node": "c"},
+        {"seed": "a", "walk": 1, "step": 0, "node": "a"},
+        {"seed": "a", "walk": 1, "step": 1, "node": "b"},
+    ])
+    got = sorted((r["center"], r["context"], r["cnt"])
+                 for r in walk_skipgram_pairs(
+                     walks, window=2, num_partitions=4).take_all())
+    assert got == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
