@@ -244,6 +244,55 @@ def _q_kg_subject_churn(sf_dir: str):
         {"added": "n_added", "removed": "n_removed", "kept": "n_kept"})
 
 
+def _q_kg_predicate_cardinality(sf_dir: str):
+    """KG schema induction over the flagship triple stream: per
+    predicate the distinct-pair fan-out profile, functional /
+    inverse-functional shares and a 1:1/1:N/N:1/N:M class — the
+    cardinality facts the reference hard-codes in its ontology map
+    (components/CanonicalTableAnnotator.php:382-415) measured from the
+    data. One distinct exchange + two fan-out hash aggregates + two
+    per-pred rollups + one join; oracle = DISTINCT + two GROUP BYs +
+    CASE arithmetic."""
+    import ray.data as rd
+
+    from tabbyray.ops.kgprofile import predicate_cardinality
+    paths = _sti_export_paths()
+    tri = rd.read_parquet(paths["triples"],
+                          columns=["subj", "pred", "obj"],
+                          override_num_blocks=8)
+    return predicate_cardinality(tri, num_partitions=8)
+
+
+def _kg_edges(num_blocks: int = 8):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_kg_edges_fixture
+    return rd.read_parquet(ensure_kg_edges_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_kg_inverse_predicates(sf_dir: str):
+    """Ontology-alignment step: inverse-predicate candidates by the
+    Jaccard of edge-set(p) vs REVERSED edge-set(q) over distinct
+    loop-free edges (p == q rows = the predicate's own symmetry
+    share). One composite-key self-join + one pair-count aggregate +
+    two per-pred-count joins; oracle = DISTINCT + reversed self-join +
+    GROUP BY. Fixture plants a true inverse pair (hasPart/partOf), a
+    symmetric predicate (marriedTo) and N:M noise."""
+    from tabbyray.ops.kgprofile import inverse_predicates
+    return inverse_predicates(_kg_edges(), num_partitions=8)
+
+
+def _q_kg_path2_profile(sf_dir: str):
+    """2-hop predicate-path profile (the join-plan statistics a KG
+    query optimizer / embedding negative-sampler needs): per (p1, p2)
+    path-instance count + distinct endpoint-pair count via ONE
+    mid-node co-partitioned self-join + a (p1,p2,s,o) combiner
+    aggregate + a small rollup; oracle = self-join + two GROUP BYs."""
+    from tabbyray.ops.kgprofile import path2_profile
+    return path2_profile(_kg_edges(), num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -1610,6 +1659,20 @@ def _q_entity_communities(sf_dir: str):
         lambda t: pa.table({"entity": t.column("node"),
                             "community": t.column("lbl")}),
         batch_format="pyarrow")
+
+
+def _q_entity_subsumption(sf_dir: str):
+    """Distributional taxonomy induction over the co-mention graph:
+    (broad, narrow) candidates where P(broad | narrow) >= 0.6 and
+    broad is strictly more frequent — the broader-concept signal a KG
+    derives when no ontology is given. Stateless map over the
+    cooccurrence output (no extra shuffle); oracle = the cooccurrence
+    CTE prefix + both orientations UNION ALL + the same integer
+    division gate."""
+    from tabbyray.ops.web import entity_cooccurrence, entity_subsumption
+    pages, labels = _anchor_entity_inputs()
+    cooc = entity_cooccurrence(pages, labels, num_partitions=8)
+    return entity_subsumption(cooc, threshold=0.6)
 
 
 def _q_entity_ppr(sf_dir: str):
@@ -3429,6 +3492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_triple_delta": _q_kg_triple_delta,
         "kg_subject_churn": _q_kg_subject_churn,
+        "kg_predicate_cardinality": _q_kg_predicate_cardinality,
+        "kg_inverse_predicates": _q_kg_inverse_predicates,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3510,6 +3575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_related_topk": _q_entity_related_topk,
         "entity_communities": _q_entity_communities,
         "entity_ppr": _q_entity_ppr,
+        "entity_subsumption": _q_entity_subsumption,
+        "kg_path2_profile": _q_kg_path2_profile,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -3810,6 +3877,8 @@ def _sti_oracles() -> dict[str, str]:
     triples = p["triples"]
     gold = os.path.join(fix, "gold_cells.parquet")
     kbp = os.path.join(fix, "kb.parquet")
+    from tabbyray.fixtures import ensure_kg_edges_fixture
+    kg_edges = ensure_kg_edges_fixture()
 
     # C8 winner argmax: first-inserted tie-break == min insertion ord
     # (`commands/SpreadsheetController.php:588-592`)
@@ -4373,6 +4442,67 @@ def _sti_oracles() -> dict[str, str]:
                CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept
         FROM d GROUP BY subj
+    """
+    out["kg_predicate_cardinality"] = f"""
+        WITH e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{triples}')),
+        ps AS (SELECT pred, subj, count(*) AS n_obj
+               FROM e GROUP BY 1, 2),
+        po AS (SELECT pred, obj, count(*) AS n_subj
+               FROM e GROUP BY 1, 2),
+        a AS (SELECT pred,
+                     CAST(count(*) AS BIGINT) AS n_subjects,
+                     CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_multi_subj,
+                     CAST(sum(n_obj) AS BIGINT) AS n_pairs
+              FROM ps GROUP BY pred),
+        b AS (SELECT pred,
+                     CAST(count(*) AS BIGINT) AS n_objects,
+                     CAST(sum(CASE WHEN n_subj > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_multi_obj
+              FROM po GROUP BY pred)
+        SELECT a.pred, n_pairs, n_subjects, n_objects,
+               n_multi_subj, n_multi_obj,
+               round((n_subjects - n_multi_subj) * 1.0 / n_subjects, 9)
+                   AS functional_share,
+               round((n_objects - n_multi_obj) * 1.0 / n_objects, 9)
+                   AS inv_functional_share,
+               CASE WHEN n_multi_obj > 0 AND n_multi_subj > 0 THEN 'N:M'
+                    WHEN n_multi_obj > 0 THEN 'N:1'
+                    WHEN n_multi_subj > 0 THEN '1:N'
+                    ELSE '1:1' END AS cardinality
+        FROM a JOIN b USING (pred)
+    """
+    out["kg_inverse_predicates"] = f"""
+        WITH e AS MATERIALIZED (
+              SELECT DISTINCT subj AS s, pred AS p, obj AS o
+              FROM read_parquet('{kg_edges}')
+              WHERE subj <> obj),
+        c AS (SELECT a.p AS p, b.p AS q,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM e a JOIN e b ON a.s = b.o AND a.o = b.s
+              GROUP BY 1, 2),
+        n AS MATERIALIZED (
+              SELECT p, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY p)
+        SELECT c.p, c.q, c.n_common, np.n AS n_p, nq.n AS n_q,
+               round(c.n_common * 1.0 / (np.n + nq.n - c.n_common), 9)
+                   AS jaccard
+        FROM c JOIN n np ON np.p = c.p JOIN n nq ON nq.p = c.q
+        WHERE c.n_common >= 1
+    """
+    out["kg_path2_profile"] = f"""
+        WITH e AS MATERIALIZED (
+              SELECT DISTINCT subj AS s, pred AS p, obj AS o
+              FROM read_parquet('{kg_edges}')),
+        j AS (SELECT a.p AS p1, b.p AS p2, a.s AS s, b.o AS o
+              FROM e a JOIN e b ON a.o = b.s),
+        g AS (SELECT p1, p2, s, o, CAST(count(*) AS BIGINT) AS n
+              FROM j GROUP BY 1, 2, 3, 4)
+        SELECT p1, p2, CAST(sum(n) AS BIGINT) AS n_paths,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM g GROUP BY 1, 2
     """
     out["sti_canonical_triples"] = f"""
         WITH t AS (SELECT * FROM read_parquet('{triples}')),
@@ -7681,7 +7811,22 @@ def _anchor_entity_oracles(fix: str) -> dict[str, str]:
         {','.join(ppr_ctes)}
         SELECT node AS entity, r FROM prr3
     """
+    subsumption = f"""
+        WITH {cooc_ctes},
+        d AS (SELECT e1 AS broad, e2 AS narrow, n_pair,
+                     m1.n_e AS nb, m2.n_e AS nn
+              FROM p JOIN marg m1 ON m1.entity = e1
+                     JOIN marg m2 ON m2.entity = e2
+              UNION ALL
+              SELECT e2, e1, n_pair, m2.n_e, m1.n_e
+              FROM p JOIN marg m1 ON m1.entity = e1
+                     JOIN marg m2 ON m2.entity = e2)
+        SELECT broad, narrow, n_pair, nb AS n_broad, nn AS n_narrow,
+               round(n_pair * 1.0 / nn, 9) AS confidence
+        FROM d WHERE nb > nn AND n_pair * 1.0 / nn >= 0.6
+    """
     return {
+        "entity_subsumption": subsumption,
         "anchor_entity_candidates":
             votes + "SELECT dst_canon, entity, votes FROM v",
         "entity_ppr": entity_ppr,

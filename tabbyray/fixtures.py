@@ -1503,3 +1503,72 @@ def ensure_interval_fixture(n_a: int = 300, n_b: int = 200, seed: int = 97,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_kg_edges_fixture(n_entities: int = 160, seed: int = 83,
+                            root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic KG edge list for the schema-profiling oracles
+    (predicate cardinality, inverse-predicate detection, 2-hop path
+    profile): one parquet with (subj, pred, obj) URIs and five
+    predicates of known character —
+
+    * ``bornIn``   — functional N:1 (every person exactly one place)
+    * ``ownsPet``  — 1:N inverse-functional (each pet owned once)
+    * ``hasPart`` / ``partOf`` — a true inverse pair (~85% reversed
+      coverage plus unpaired noise on both sides)
+    * ``marriedTo`` — symmetric (~80% of edges have their reverse)
+    * ``linksTo``  — asymmetric random noise (N:M)
+
+    Duplicated rows are emitted on purpose (the ops must distinct
+    first); self-loops are excluded at generation."""
+    path = os.path.join(root, f"kgedges-v1-s{seed}-e{n_entities}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    ent = [f"http://example.org/kg/e{i}" for i in range(n_entities)]
+    rows: list[tuple[str, str, str]] = []
+    pred = "http://example.org/kg/p/{}".format
+    # bornIn: entities 30.. each exactly one place among the first 10
+    for i in range(30, n_entities):
+        rows.append((ent[i], pred("bornIn"), ent[rng.randrange(10)]))
+    # ownsPet: owners 0..29, pets 100.. each owned exactly once
+    pets = list(range(100, n_entities))
+    rng.shuffle(pets)
+    p_i = 0
+    for i in range(30):
+        for _ in range(rng.randint(1, 3)):
+            if p_i >= len(pets):
+                break
+            rows.append((ent[i], pred("ownsPet"), ent[pets[p_i]]))
+            p_i += 1
+    # hasPart / partOf: inverse pair with noise
+    for _ in range(120):
+        a, b = rng.sample(range(n_entities), 2)
+        rows.append((ent[a], pred("hasPart"), ent[b]))
+        if rng.random() < 0.85:
+            rows.append((ent[b], pred("partOf"), ent[a]))
+    for _ in range(15):   # unpaired partOf noise
+        a, b = rng.sample(range(n_entities), 2)
+        rows.append((ent[a], pred("partOf"), ent[b]))
+    # marriedTo: symmetric ~80%
+    for _ in range(60):
+        a, b = rng.sample(range(n_entities), 2)
+        rows.append((ent[a], pred("marriedTo"), ent[b]))
+        if rng.random() < 0.8:
+            rows.append((ent[b], pred("marriedTo"), ent[a]))
+    # linksTo: N:M noise (drives the 2-hop path profile density)
+    for _ in range(250):
+        a, b = rng.sample(range(n_entities), 2)
+        rows.append((ent[a], pred("linksTo"), ent[b]))
+    # deliberate duplicates: re-emit a deterministic 10% sample
+    rows += [rows[i] for i in range(0, len(rows), 10)]
+    rng.shuffle(rows)
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

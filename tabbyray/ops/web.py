@@ -2404,3 +2404,47 @@ def host_walk_skipgrams(pages: rd.Dataset, walk_len: int = 3,
                               num_partitions=num_partitions)
     return walk_skipgram_pairs(walks, window=window,
                                num_partitions=num_partitions)
+
+
+def entity_subsumption(cooc: rd.Dataset,
+                       threshold: float = 0.6) -> rd.Dataset:
+    """Taxonomy-induction candidates from the co-mention graph
+    (Hearst-free distributional subsumption, the CTA-style "broader
+    concept" signal a KG builds when no ontology is given): from each
+    ``entity_cooccurrence`` pair, emit (broad, narrow) when the
+    conditional mention probability P(broad | narrow) = n_pair /
+    n_narrow reaches ``threshold`` AND broad is STRICTLY more frequent
+    (n_broad > n_narrow — strictness keeps ties from subsuming both
+    ways). Output: (broad, narrow, n_pair, n_broad, n_narrow,
+    confidence) with confidence quantized 9 dp via the exact
+    ``n_pair / n_narrow`` division the SQL oracle evaluates (integer
+    inputs -> IEEE-identical on both sides).
+
+    Stateless single map over the cooccurrence output — the pair graph
+    never re-shuffles; scale rides entirely on the upstream op."""
+    import numpy as np
+
+    def direct(t: pa.Table) -> pa.Table:
+        e1 = t.column("e1").to_numpy(zero_copy_only=False)
+        e2 = t.column("e2").to_numpy(zero_copy_only=False)
+        npair = t.column("n_pair").to_numpy(zero_copy_only=False)
+        n1 = t.column("n_e1").to_numpy(zero_copy_only=False)
+        n2 = t.column("n_e2").to_numpy(zero_copy_only=False)
+        # both orientations, then one vectorized gate
+        broad = np.concatenate([e1, e2])
+        narrow = np.concatenate([e2, e1])
+        nb = np.concatenate([n1, n2])
+        nn = np.concatenate([n2, n1])
+        np2 = np.concatenate([npair, npair])
+        conf = np2 * 1.0 / nn
+        keep = (nb > nn) & (conf >= threshold)
+        return pa.table({
+            "broad": pa.array(broad[keep], pa.string()),
+            "narrow": pa.array(narrow[keep], pa.string()),
+            "n_pair": pa.array(np2[keep], pa.int64()),
+            "n_broad": pa.array(nb[keep], pa.int64()),
+            "n_narrow": pa.array(nn[keep], pa.int64()),
+            "confidence": pa.array(np.round(conf[keep], 9),
+                                   pa.float64())})
+
+    return cooc.map_batches(direct, batch_format="pyarrow")
