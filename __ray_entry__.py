@@ -293,6 +293,71 @@ def _q_kg_path2_profile(sf_dir: str):
     return path2_profile(_kg_edges(), num_partitions=8)
 
 
+def _kg_literals(num_blocks: int = 8):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_kg_literals_fixture
+    return rd.read_parquet(ensure_kg_literals_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _kg_taxo(num_blocks: int = 8):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_kg_taxonomy_fixture
+    return rd.read_parquet(ensure_kg_taxonomy_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_kg_datatype_profile(sf_dir: str):
+    """Per-predicate lexical-datatype induction over raw extracted
+    literal forms (the reference hard-codes xsd types per ontology
+    property, components/CanonicalTableAnnotator.php:382-415; at
+    corpus scale the datatype must be measured): one vectorized
+    first-match regex classify + ONE (pred, datatype) combiner
+    aggregate + a small per-pred rollup join; oracle = the identical
+    anchored-regex CASE chain (regexp_full_match) + two GROUP BYs."""
+    from tabbyray.ops.kgprofile import datatype_profile
+    return datatype_profile(_kg_literals(), num_partitions=8)
+
+
+def _q_kg_type_closure(sf_dir: str):
+    """RDFS type entailment (rdfs9+rdfs11): every typed entity gains
+    all superclasses reachable through subClassOf chains, with MIN hop
+    depth. Broadcast plan (real-ontology shape): the distinct subclass
+    edge set is counted before collect, closed by driver BFS, shipped
+    once via ray.put; each batch explodes with one vectorized pandas
+    merge; one combiner min-aggregate dedupes. Oracle = unrolled
+    6-level MATERIALIZED self-join closure + min(depth) GROUP BYs."""
+    from tabbyray.ops.kgprofile import type_closure
+    return type_closure(_kg_taxo(), mode="broadcast", num_partitions=8)
+
+
+def _q_kg_type_closure_join(sf_dir: str):
+    """Same entailment FORCED through the zero-driver-state plan
+    (frontier hash_join rounds + hash_min each round) — the path an
+    at-scale instance-heavy hierarchy takes; oracle identical to
+    kg_type_closure."""
+    from tabbyray.ops.kgprofile import type_closure
+    return type_closure(_kg_taxo(), mode="join", num_partitions=8)
+
+
+def _q_kg_bgp_couples(sf_dir: str):
+    """SPARQL-style basic-graph-pattern query over the KG edge
+    fixture: couples born in the same place —
+    (?a marriedTo ?b)(?b bornIn ?place)(?a bornIn ?place). Per-pattern
+    pred-pruned scan + distinct, then co-partitioned hash joins on the
+    shared variables (the last join is composite-key on (a, place));
+    oracle = three DISTINCT pattern scans joined in SQL."""
+    from tabbyray.ops.kgprofile import bgp_match
+    p = "http://example.org/kg/p/{}".format
+    return bgp_match(_kg_edges(),
+                     [("?a", p("marriedTo"), "?b"),
+                      ("?b", p("bornIn"), "?place"),
+                      ("?a", p("bornIn"), "?place")],
+                     num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3494,6 +3559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subject_churn": _q_kg_subject_churn,
         "kg_predicate_cardinality": _q_kg_predicate_cardinality,
         "kg_inverse_predicates": _q_kg_inverse_predicates,
+        # KG schema induction + RDFS reasoning + BGP query (r4 s4)
+        "kg_datatype_profile": _q_kg_datatype_profile,
+        "kg_type_closure": _q_kg_type_closure,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3577,6 +3645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_ppr": _q_entity_ppr,
         "entity_subsumption": _q_entity_subsumption,
         "kg_path2_profile": _q_kg_path2_profile,
+        "kg_type_closure_join": _q_kg_type_closure_join,
+        "kg_bgp_couples": _q_kg_bgp_couples,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -3877,8 +3947,12 @@ def _sti_oracles() -> dict[str, str]:
     triples = p["triples"]
     gold = os.path.join(fix, "gold_cells.parquet")
     kbp = os.path.join(fix, "kb.parquet")
-    from tabbyray.fixtures import ensure_kg_edges_fixture
+    from tabbyray.fixtures import (ensure_kg_edges_fixture,
+                                   ensure_kg_literals_fixture,
+                                   ensure_kg_taxonomy_fixture)
     kg_edges = ensure_kg_edges_fixture()
+    kg_lits = ensure_kg_literals_fixture()
+    kg_taxo = ensure_kg_taxonomy_fixture()
 
     # C8 winner argmax: first-inserted tie-break == min insertion ord
     # (`commands/SpreadsheetController.php:588-592`)
@@ -4528,6 +4602,80 @@ def _sti_oracles() -> dict[str, str]:
                k.obj_is_literal, k.pred_source
         FROM k LEFT JOIN cwin ws ON ws.key = k.ks
                LEFT JOIN cwin wo ON wo.key = k.ko
+    """
+
+    # datatype CASE chain generated from the SAME precedence-ordered
+    # rule table the engine classifies with (anchored full-match on
+    # both engines).
+    from tabbyray.ops.kgprofile import DATATYPE_RULES
+    dt_case = "\n             ".join(
+        f"WHEN regexp_full_match(obj, '{pat}') THEN '{name}'"
+        for name, pat in DATATYPE_RULES)
+    out["kg_datatype_profile"] = f"""
+        WITH t AS (SELECT pred, coalesce(obj, '') AS obj
+                   FROM read_parquet('{kg_lits}')),
+        c AS (SELECT pred,
+                     CASE {dt_case}
+                          ELSE 'string' END AS datatype
+              FROM t),
+        g AS MATERIALIZED (
+              SELECT pred, datatype, CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY 1, 2),
+        tot AS (SELECT pred, sum(n) AS total FROM g GROUP BY pred)
+        SELECT g.pred, g.datatype, g.n,
+               round(g.n * 1.0 / tot.total, 9) AS share
+        FROM g JOIN tot USING (pred)
+    """
+
+    # RDFS closure: unrolled min-depth ancestor chain (6 = the op's
+    # max_depth default), every multi-referenced CTE MATERIALIZED.
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    anc_steps = "\n".join(
+        f"""        a{d} AS MATERIALIZED (
+              SELECT a{d-1}.sub, sc.sup AS anc, {d} AS depth
+              FROM a{d-1} JOIN sc ON sc.sub = a{d-1}.anc),"""
+        for d in range(2, 7))
+    anc_union = " UNION ALL ".join(
+        f"SELECT * FROM a{d}" for d in range(1, 7))
+    closure_sql = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_taxo}')),
+        sc AS MATERIALIZED (
+              SELECT DISTINCT subj AS sub, obj AS sup
+              FROM tri WHERE pred = '{rdfs_sub}'),
+        ty AS MATERIALIZED (
+              SELECT DISTINCT subj AS entity, obj AS cls
+              FROM tri WHERE pred = '{rdf_type}'),
+        a1 AS MATERIALIZED (
+              SELECT sub, sup AS anc, 1 AS depth FROM sc),
+{anc_steps}
+        anc AS MATERIALIZED (
+              SELECT sub, anc, min(depth) AS depth
+              FROM ({anc_union}) GROUP BY 1, 2)
+        SELECT entity, cls, CAST(min(depth) AS BIGINT) AS depth
+        FROM (SELECT entity, cls, 0 AS depth FROM ty
+              UNION ALL
+              SELECT ty.entity, anc.anc AS cls, anc.depth
+              FROM ty JOIN anc ON anc.sub = ty.cls)
+        GROUP BY 1, 2
+    """
+    out["kg_type_closure"] = closure_sql
+    out["kg_type_closure_join"] = closure_sql
+
+    pfx = "http://example.org/kg/p/"
+    out["kg_bgp_couples"] = f"""
+        WITH e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{kg_edges}')),
+        m AS (SELECT DISTINCT subj AS a, obj AS b FROM e
+              WHERE pred = '{pfx}marriedTo'),
+        b1 AS MATERIALIZED (
+              SELECT DISTINCT subj AS who, obj AS place FROM e
+              WHERE pred = '{pfx}bornIn')
+        SELECT m.a, m.b, b1.place
+        FROM m JOIN b1 ON b1.who = m.b
+               JOIN b1 b2 ON b2.who = m.a AND b2.place = b1.place
     """
     return out
 

@@ -1572,3 +1572,119 @@ def ensure_kg_edges_fixture(n_entities: int = 160, seed: int = 83,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_kg_literals_fixture(n_subjects: int = 220, seed: int = 89,
+                               root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic literal-bearing triple stream for the datatype-
+    inference oracle (``ops.kgprofile.datatype_profile``): one parquet
+    with (subj, pred, obj) where ``obj`` is the RAW LEXICAL FORM a
+    table/web extractor would emit — untyped strings whose datatype
+    must be INDUCED. Predicates with known mixes:
+
+    * ``population`` — integers, ~8% messy ("1,200", "unknown")
+    * ``height``     — decimals, some integers (a value like "180"
+      legitimately classifies integer — the profile shows the split)
+    * ``founded``    — ISO dates, ~10% bare years (integer lexical)
+    * ``homepage``   — http(s) URIs, a couple of malformed stragglers
+    * ``active``     — true/false plus Yes/No noise (string class)
+    * ``motto``      — free strings (some digit-leading, not numeric)
+
+    Duplicates re-emitted on purpose; empty strings sprinkled in (the
+    op must bucket them as 'string', never crash)."""
+    path = os.path.join(root,
+                        f"kgliterals-v1-s{seed}-n{n_subjects}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    subj = [f"http://example.org/kg/s{i}" for i in range(n_subjects)]
+    pred = "http://example.org/kg/p/{}".format
+    rows: list[tuple[str, str, str]] = []
+    mottos = ["per aspera ad astra", "4 winds rising", "semper fi",
+              "e pluribus unum", "", "citius altius fortius"]
+    for i in range(n_subjects):
+        r = rng.random()
+        pop = (f"{rng.randint(1, 900)},{rng.randint(100, 999)}"
+               if r < 0.05 else "unknown" if r < 0.08
+               else str(rng.randint(100, 5_000_000)))
+        rows.append((subj[i], pred("population"), pop))
+        h = (str(rng.randint(120, 210)) if rng.random() < 0.2
+             else f"{rng.uniform(1.2, 2.1):.2f}")
+        rows.append((subj[i], pred("height"), h))
+        f = (str(rng.randint(1200, 2020)) if rng.random() < 0.1
+             else f"{rng.randint(1200, 2020):04d}-"
+                  f"{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}")
+        rows.append((subj[i], pred("founded"), f))
+        if rng.random() < 0.7:
+            u = (f"http{'s' if rng.random() < 0.6 else ''}://"
+                 f"example{rng.randint(0, 99)}.org/page/{i}"
+                 if rng.random() > 0.04 else f"www.broken{i}.example")
+            rows.append((subj[i], pred("homepage"), u))
+        a = ("true" if rng.random() < 0.45 else
+             "false" if rng.random() < 0.8 else
+             rng.choice(["Yes", "No", "TRUE"]))
+        rows.append((subj[i], pred("active"), a))
+        if rng.random() < 0.5:
+            rows.append((subj[i], pred("motto"), rng.choice(mottos)))
+    rows += [rows[i] for i in range(0, len(rows), 9)]  # duplicates
+    rng.shuffle(rows)
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_kg_taxonomy_fixture(n_entities: int = 400, seed: int = 91,
+                               root: str = "/tmp/tabbyray_fixtures"
+                               ) -> str:
+    """Deterministic rdf:type + rdfs:subClassOf triple stream for the
+    RDFS type-closure oracle (``ops.kgprofile.type_closure``): ONE
+    parquet mixing both predicates (the op splits by predicate, as a
+    real ingest would). Class DAG: 30 classes in 4 levels with
+    multiple inheritance (some classes have 2 parents) and a couple of
+    redundant shortcut edges (so min-depth vs any-path matters);
+    max chain depth 4. Entities get 1-2 asserted types at any level.
+    Duplicate triples re-emitted on purpose."""
+    path = os.path.join(root,
+                        f"kgtaxo-v1-s{seed}-e{n_entities}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    cls = "http://example.org/kg/C{}".format
+    ent = "http://example.org/kg/e{}".format
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    subclass = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    # levels: 0 = roots (3), 1 = 6, 2 = 9, 3 = 12  (30 classes)
+    levels = [list(range(0, 3)), list(range(3, 9)),
+              list(range(9, 18)), list(range(18, 30))]
+    sc: list[tuple[int, int]] = []
+    for li in range(1, 4):
+        for c in levels[li]:
+            parents = rng.sample(levels[li - 1],
+                                 2 if rng.random() < 0.3 else 1)
+            sc += [(c, p) for p in parents]
+    # redundant shortcut edges: level-3 -> level-1 (min-depth tiebreak)
+    for c in rng.sample(levels[3], 3):
+        sc.append((c, rng.choice(levels[1])))
+    rows: list[tuple[str, str, str]] = [
+        (cls(a), subclass, cls(b)) for a, b in sc]
+    all_cls = [c for lv in levels for c in lv]
+    for i in range(n_entities):
+        for c in rng.sample(all_cls, 2 if rng.random() < 0.35 else 1):
+            rows.append((ent(i), rdf_type, cls(c)))
+    rows += [rows[i] for i in range(0, len(rows), 7)]  # duplicates
+    rng.shuffle(rows)
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

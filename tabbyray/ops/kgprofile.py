@@ -311,3 +311,389 @@ def path2_profile(triples: rd.Dataset,
     return partial_agg_sum(
         per_pair.map_batches(ind, batch_format="pyarrow"),
         ["p1", "p2"], {"n": "n_paths", "one": "n_pairs"})
+
+
+# Lexical-datatype classes in PRECEDENCE ORDER: a form is assigned the
+# FIRST matching class. The regexes are RE2-compatible and evaluated
+# with full-string anchoring on both engines (pyarrow match with ^$,
+# DuckDB regexp_full_match), so the oracle CASE chain is bit-identical.
+DATATYPE_RULES: list[tuple[str, str]] = [
+    ("uri", r"https?://\S+"),
+    ("boolean", r"true|false"),
+    ("date", r"[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+    ("integer", r"[+-]?[0-9]+"),
+    ("decimal", r"[+-]?[0-9]+\.[0-9]+"),
+]
+
+
+def classify_datatypes(obj: pa.Array) -> pa.Array:
+    """Vectorized first-match lexical-datatype classification of a
+    string array ('string' when nothing matches — incl. empty/null)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    obj = pc.fill_null(pc.cast(obj, pa.string()), "")
+    out = np.full(len(obj), "string", dtype=object)
+    unassigned = np.ones(len(obj), dtype=bool)
+    for name, pat in DATATYPE_RULES:
+        m = pc.match_substring_regex(obj, f"^(?:{pat})$").to_numpy(
+            zero_copy_only=False)
+        hit = unassigned & m
+        out[hit] = name
+        unassigned &= ~m
+    return pa.array(out, pa.string())
+
+
+def datatype_profile(triples: rd.Dataset,
+                     pred_col: str = "pred", obj_col: str = "obj",
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Per-predicate OBJECT lexical-datatype profile — the schema-
+    induction step that decides whether an extracted property is
+    numeric / temporal / a link (the reference hard-codes xsd types
+    per ontology property; at corpus scale the datatype must be
+    measured from the raw lexical forms). Counts every observed form
+    (no distinct — a profile of the stream as extracted).
+
+    Output: (pred, datatype, n, share) with share = n * 1.0 / per-pred
+    total, quantized 9 dp with the same expression the oracle uses.
+    Plan: one vectorized regex classify + ONE (pred, datatype)
+    combiner aggregate; the per-pred totals roll up from the (small)
+    profile itself — no second pass over the stream."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred": pc.cast(t.column(pred_col), pa.string()),
+            "datatype": classify_datatypes(
+                t.column(obj_col).combine_chunks()),
+            "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    prof = hash_aggregate(
+        triples.map_batches(base, batch_format="pyarrow"),
+        keys=["pred", "datatype"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("pred", pa.string()),
+                              ("datatype", pa.string()),
+                              ("n", pa.int64())])).materialize()
+
+    tot = partial_agg_sum(prof, "pred", {"n": "total"})
+    j = hash_join(
+        prof, tot, on="pred",
+        left_schema=pa.schema([("pred", pa.string()),
+                               ("datatype", pa.string()),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("pred", pa.string()),
+                                ("total", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        total = t.column("total").to_numpy(zero_copy_only=False)
+        s = np.round(n * 1.0 / total, 9)
+        return pa.table({"pred": t.column("pred"),
+                         "datatype": t.column("datatype"),
+                         "n": t.column("n"),
+                         "share": pa.array(s, pa.float64())})
+
+    return j.map_batches(share, batch_format="pyarrow")
+
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def type_closure(triples: rd.Dataset,
+                 max_depth: int = 6,
+                 type_pred: str = RDF_TYPE,
+                 subclass_pred: str = RDFS_SUBCLASS,
+                 mode: str = "auto",
+                 broadcast_max_classes: int = 2_000_000,
+                 num_partitions: "int | None" = None) -> rd.Dataset:
+    """RDFS type entailment (rdfs9 + rdfs11) over a mixed triple
+    stream: every entity gets its asserted classes PLUS all
+    superclasses reachable through ``subclass_pred`` chains of up to
+    ``max_depth`` hops. Output: (entity, class, depth) where depth is
+    the MINIMUM hop count (0 = asserted), one row per distinct
+    (entity, class).
+
+    Two plans, oracle-identical:
+
+    - ``broadcast`` — the real-ontology shape: the class hierarchy is
+      tiny next to the instance stream (10^4-10^6 classes vs 10^12
+      typed entities). The distinct subclass edge set is counted
+      BEFORE collecting (gated by ``broadcast_max_classes``), a
+      driver-side BFS produces the min-depth ancestor closure, and the
+      closure dict ships once via ray.put; the type stream explodes
+      per batch with zero joins. One combiner-backed min-aggregate
+      dedupes (entity, class) across an entity's multiple asserted
+      types.
+    - ``join`` — no driver state: ``max_depth`` rounds of frontier
+      hash_join over the subclass edges build the closure as a
+      Dataset (min-depth combined each round by :func:`hash_min`),
+      then ONE co-partitioned join against the type stream + the same
+      final min-aggregate.
+
+    The fixed round count keeps both engines' arithmetic identical;
+    cycles in the hierarchy are tolerated (min-depth caps growth) but
+    depths then read "shortest path", not "DAG level"."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_min
+
+    def split(pred: str, s_name: str, o_name: str):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.cast(t.column("pred"), pa.string()), pred)
+            ft = t.filter(keep)
+            return pa.table({
+                s_name: pc.cast(ft.column("subj"), pa.string()),
+                o_name: pc.cast(ft.column("obj"), pa.string()),
+                "one": pa.array([1] * ft.num_rows, pa.int64())})
+        return f
+
+    sc = hash_aggregate(
+        triples.map_batches(split(subclass_pred, "sub", "sup"),
+                            batch_format="pyarrow"),
+        keys=["sub", "sup"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("sub", pa.string()), ("sup", pa.string()),
+                              ("_n", pa.int64())])
+    ).drop_columns(["_n"]).materialize()
+    n_sc = sc.count()
+
+    types = triples.map_batches(split(type_pred, "entity", "cls"),
+                                batch_format="pyarrow") \
+        .drop_columns(["one"])
+
+    out_schema = pa.schema([("entity", pa.string()),
+                            ("cls", pa.string()),
+                            ("depth", pa.int64())])
+
+    if mode == "broadcast" or (mode == "auto"
+                               and n_sc <= broadcast_max_classes):
+        import ray
+
+        edges: dict[str, list[str]] = {}
+        for r in sc.take_all():
+            edges.setdefault(r["sub"], []).append(r["sup"])
+        closure: dict[str, list[tuple[str, int]]] = {}
+        for start in edges:
+            best = {start: 0}
+            frontier = [start]
+            for d in range(1, max_depth + 1):
+                nxt = []
+                for c in frontier:
+                    for p in edges.get(c, ()):
+                        if p not in best or best[p] > d:
+                            best[p] = d
+                            nxt.append(p)
+                if not nxt:
+                    break
+                frontier = nxt
+            closure[start] = [(a, d) for a, d in best.items() if d > 0]
+        # ship the closure once as a flat Arrow table; each batch does
+        # ONE vectorized pandas merge (asserted cls -> all ancestors),
+        # no per-row Python.
+        cl_tbl = pa.table({
+            "cls": pa.array([c for c, anc in closure.items()
+                             for _ in anc], pa.string()),
+            "_anc": pa.array([a for anc in closure.values()
+                              for a, _ in anc], pa.string()),
+            "_d": pa.array([d for anc in closure.values()
+                            for _, d in anc], pa.int64())})
+        ref = ray.put(cl_tbl)
+
+        def explode(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            cl = ray.get(ref).to_pandas()
+            df = t.select(["entity", "cls"]).to_pandas()
+            inh = df.merge(cl, on="cls", how="inner")
+            inh = pd.DataFrame({"entity": inh["entity"],
+                                "cls": inh["_anc"],
+                                "depth": inh["_d"]})
+            df["depth"] = 0
+            out = pd.concat([df, inh], ignore_index=True)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).cast(
+                pa.schema([("entity", pa.string()),
+                           ("cls", pa.string()),
+                           ("depth", pa.int64())]))
+
+        exploded = types.map_batches(explode, batch_format="pyarrow")
+        return hash_min(exploded, ["entity", "cls"], {"depth": "depth"},
+                        num_partitions=num_partitions,
+                        out_schema=out_schema)
+
+    if mode not in ("join", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # distributed closure: anc_k holds min-depth ancestors at <= k hops
+    sc_schema = pa.schema([("sub", pa.string()), ("sup", pa.string())])
+    closure_ds = sc.map_batches(
+        lambda t: pa.table({"sub": t.column("sub"),
+                            "anc": t.column("sup"),
+                            "depth": pa.array([1] * t.num_rows,
+                                              pa.int64())}),
+        batch_format="pyarrow").materialize()
+    anc_schema = pa.schema([("sub", pa.string()), ("anc", pa.string()),
+                            ("depth", pa.int64())])
+    frontier = closure_ds
+    for _ in range(1, max_depth):
+        step = hash_join(
+            frontier.map_batches(
+                lambda t: pa.table({"hop": t.column("anc"),
+                                    "sub": t.column("sub"),
+                                    "depth": t.column("depth")}),
+                batch_format="pyarrow"),
+            sc.map_batches(
+                lambda t: pa.table({"hop": t.column("sub"),
+                                    "anc": t.column("sup")}),
+                batch_format="pyarrow"),
+            on="hop",
+            left_schema=pa.schema([("hop", pa.string()),
+                                   ("sub", pa.string()),
+                                   ("depth", pa.int64())]),
+            right_schema=pa.schema([("hop", pa.string()),
+                                    ("anc", pa.string())]),
+            num_partitions=num_partitions)
+        step = step.map_batches(
+            lambda t: pa.table({
+                "sub": t.column("sub"), "anc": t.column("anc"),
+                "depth": pc.add(t.column("depth"),
+                                pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+        if step.count() == 0:
+            break
+        frontier = hash_min(step, ["sub", "anc"], {"depth": "depth"},
+                            num_partitions=num_partitions,
+                            out_schema=anc_schema).materialize()
+        closure_ds = closure_ds.union(frontier)
+    closure_min = hash_min(closure_ds, ["sub", "anc"],
+                           {"depth": "depth"},
+                           num_partitions=num_partitions,
+                           out_schema=anc_schema)
+
+    inherited = hash_join(
+        types.map_batches(
+            lambda t: pa.table({"cls": t.column("cls"),
+                                "entity": t.column("entity")}),
+            batch_format="pyarrow"),
+        closure_min.map_batches(
+            lambda t: pa.table({"cls": t.column("sub"),
+                                "anc": t.column("anc"),
+                                "depth": t.column("depth")}),
+            batch_format="pyarrow"),
+        on="cls",
+        left_schema=pa.schema([("cls", pa.string()),
+                               ("entity", pa.string())]),
+        right_schema=pa.schema([("cls", pa.string()),
+                                ("anc", pa.string()),
+                                ("depth", pa.int64())]),
+        num_partitions=num_partitions)
+    inherited = inherited.map_batches(
+        lambda t: pa.table({"entity": t.column("entity"),
+                            "cls": t.column("anc"),
+                            "depth": t.column("depth")}),
+        batch_format="pyarrow")
+    asserted = types.map_batches(
+        lambda t: pa.table({"entity": t.column("entity"),
+                            "cls": t.column("cls"),
+                            "depth": pa.array([0] * t.num_rows,
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    return hash_min(asserted.union(inherited), ["entity", "cls"],
+                    {"depth": "depth"},
+                    num_partitions=num_partitions, out_schema=out_schema)
+
+
+def bgp_match(triples: rd.Dataset,
+              patterns: "list[tuple[str, str, str]]",
+              project: "list[str] | None" = None,
+              num_partitions: "int | None" = None) -> rd.Dataset:
+    """SPARQL-style basic-graph-pattern matching over a (subj, pred,
+    obj) stream: each pattern is (s, p, o) with ``p`` a constant
+    predicate URI and ``s`` / ``o`` either a ``?var`` or a constant.
+    Triple SET semantics (each pattern's edge set is distinct-ed
+    first, the standard RDF-graph reading); the result is the bag of
+    variable bindings from joining the patterns left to right.
+
+    Plan: per pattern one pred-pruned scan + distinct; patterns join
+    via co-partitioned :func:`hash_join` on ALL shared variables
+    (composite keys) — the classic worst-case-optimal-join territory
+    is out of scope, so each pattern must share >= 1 variable with the
+    accumulated bindings (raises otherwise: an unconstrained cross
+    product is never what a KG query means at corpus scale). A
+    same-variable pattern (?x p ?x) becomes an in-scan filter.
+
+    ``project`` selects the output variables (default: all, in first-
+    appearance order)."""
+    import pyarrow.compute as pc
+
+    def scan(s: str, p: str, o: str) -> tuple[rd.Dataset, list[str]]:
+        s_var = s.startswith("?")
+        o_var = o.startswith("?")
+
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.cast(t.column("pred"), pa.string()), p)
+            ft = t.filter(keep)
+            subj = pc.cast(ft.column("subj"), pa.string())
+            obj = pc.cast(ft.column("obj"), pa.string())
+            mask = None
+            if not s_var:
+                mask = pc.equal(subj, s)
+            if not o_var:
+                m2 = pc.equal(obj, o)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            if s_var and o_var and s == o:
+                mask = pc.equal(subj, obj)
+            if mask is not None:
+                ft = pa.table({"subj": subj, "obj": obj}).filter(mask)
+            else:
+                ft = pa.table({"subj": subj, "obj": obj})
+            cols: dict[str, pa.Array] = {}
+            if s_var:
+                cols[s[1:]] = ft.column("subj")
+            if o_var and not (s_var and s == o):
+                cols[o[1:]] = ft.column("obj")
+            if not cols:
+                raise ValueError(f"pattern ({s}, {p}, {o}) binds no "
+                                 "variable")
+            cols["one"] = pa.array([1] * ft.num_rows, pa.int64())
+            return pa.table(cols)
+
+        out_vars = []
+        if s_var:
+            out_vars.append(s[1:])
+        if o_var and s != o:
+            out_vars.append(o[1:])
+        ds = triples.map_batches(f, batch_format="pyarrow")
+        ded = hash_aggregate(ds, keys=out_vars, sum_cols={"one": "_n"},
+                             num_partitions=num_partitions,
+                             out_schema=pa.schema(
+                                 [(v, pa.string()) for v in out_vars]
+                                 + [("_n", pa.int64())]))
+        return ded.drop_columns(["_n"]), out_vars
+
+    if not patterns:
+        raise ValueError("bgp_match: empty pattern list")
+    acc, bound = scan(*patterns[0])
+    for pat in patterns[1:]:
+        side, side_vars = scan(*pat)
+        shared = [v for v in side_vars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat} shares no variable with {bound} — "
+                "reorder the BGP or add a linking pattern")
+        acc = hash_join(
+            acc, side, on=shared,
+            left_schema=pa.schema([(v, pa.string()) for v in bound]),
+            right_schema=pa.schema([(v, pa.string())
+                                    for v in side_vars]),
+            num_partitions=num_partitions)
+        bound = bound + [v for v in side_vars if v not in bound]
+    if project:
+        missing = [v for v in project if v not in bound]
+        if missing:
+            raise ValueError(f"unbound projection vars: {missing}")
+        acc = acc.select_columns(project)
+    return acc

@@ -241,6 +241,35 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str], sum_cols: dict[str, str],
     return partials.groupby("part").map_groups(final, batch_format="pandas")
 
 
+def hash_min(ds: rd.Dataset, keys: list[str], min_cols: dict[str, str],
+             num_partitions: "int | None" = None,
+             out_schema: "pa.Schema | None" = None) -> rd.Dataset:
+    """:func:`hash_aggregate` with MIN combining instead of SUM — the
+    same combiner-backed two-level plan (per-batch local min, one
+    ``hash(keys) % P`` exchange, per-partition final min), so the
+    shuffle moves one row per (key, batch). Used by iterative
+    closure/shortest-path shapes where per-round dedup is min-depth,
+    not a count. ``min_cols``: {input_col: output_alias}."""
+    in_cols = list(min_cols)
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False)[in_cols].min()
+        h = pd.util.hash_pandas_object(
+            g[keys].astype(str).agg("|".join, axis=1), index=False)
+        g["part"] = (h % num_partitions).astype("int64")
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False)[in_cols].min()
+        return out.rename(columns=min_cols)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if out_schema is not None:
+        return typed_groupby_map(partials, "part", final, out_schema)
+    return partials.groupby("part").map_groups(final, batch_format="pandas")
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset,
               on: "str | list[str]",
               how: str = "inner", num_partitions: "int | None" = None,
