@@ -358,6 +358,93 @@ def _q_kg_bgp_couples(sf_dir: str):
                      num_partitions=8)
 
 
+def _kg_mixed(num_blocks: int = 8):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_kg_mixed_fixture
+    return rd.read_parquet(ensure_kg_mixed_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_kg_typed_literals(sf_dir: str):
+    """Literal typing pass: induce each predicate's majority lexical
+    datatype, stamp every triple with it + a row-level class + a
+    conforms flag + the parsed double for conforming numeric forms
+    (the typed-column materialization the reference hard-codes per
+    ontology property, components/CanonicalTableAnnotator.php:382-415).
+    One profile aggregate + one grouped argmax + one co-partitioned
+    stamp-back join; oracle = the identical regex CASE chain + QUALIFY
+    row_number + conditional CAST AS DOUBLE."""
+    from tabbyray.ops.kgconstruct import typed_literals
+    return typed_literals(_kg_literals(), num_partitions=8)
+
+
+def _q_kg_domain_range(sf_dir: str):
+    """rdfs:domain / rdfs:range induction from the typed instance
+    stream: per non-type predicate the class distribution of subject
+    (side='domain') and object (side='range') endpoints over the
+    distinct edge set, untyped endpoints bucketed. Two distinct
+    exchanges + two co-partitioned LEFT joins + one combiner aggregate
+    + a small rollup; oracle = DISTINCT + LEFT JOIN + GROUP BY."""
+    from tabbyray.ops.kgconstruct import domain_range_profile
+    return domain_range_profile(_kg_mixed(), num_partitions=8)
+
+
+def _q_kg_sameas_closure(sf_dir: str):
+    """owl:sameAs identity resolution over a mixed triple stream:
+    close the sameAs edges into connected components (count-gated
+    local union-find here), rewrite every fact through the
+    lexicographic-min canonical member, drop the sameAs triples,
+    distinct the result (merged aliases collapse duplicate facts).
+    Oracle = unrolled MATERIALIZED min-label propagation + two
+    rewrite joins + DISTINCT."""
+    from tabbyray.ops.kgconstruct import sameas_closure
+    return sameas_closure(_kg_mixed(), num_partitions=8)
+
+
+def _q_kg_sameas_closure_join(sf_dir: str):
+    """Same closure FORCED through the fully distributed
+    label-propagation components plan (the path a corpus-scale alias
+    graph takes — per-round state one row per node, every exchange
+    hash-partitioned); oracle identical to kg_sameas_closure."""
+    from tabbyray.ops.kgconstruct import sameas_closure
+    return sameas_closure(_kg_mixed(), num_partitions=8,
+                          components_mode="join")
+
+
+def _q_kg_functional_violations(sf_dir: str):
+    """Constraint validation for the declared-functional predicate
+    (locatedIn): subjects asserting >1 DISTINCT object — the rows a
+    curation pass must reconcile before load. One distinct exchange +
+    one combiner aggregate + a vectorized filter; oracle = DISTINCT +
+    GROUP BY + HAVING."""
+    from tabbyray.ops.kgconstruct import functional_violations
+    return functional_violations(
+        _kg_mixed(), ["http://example.org/kg/p/locatedIn"],
+        num_partitions=8)
+
+
+def _q_kg_transe_negatives(sf_dir: str):
+    """Deterministic TransE-style negative sampling over the mixed
+    stream (rdf:type / sameAs excluded): every distinct edge gets one
+    hash-seeded corrupted-object counterpart drawn from the corpus
+    entity set by md5(triple) % |E| joined against the md5-ordered
+    entity ranking — the entity table never collects anywhere;
+    ``collides`` flags false negatives via one composite-key LEFT
+    join. Oracle = md5_number_lower draw + row_number ranking join."""
+    from tabbyray.ops.kgconstruct import transe_negatives
+    return transe_negatives(_kg_mixed(), num_partitions=8)
+
+
+def _q_kg_transe_negatives_subj(sf_dir: str):
+    """Subject-corruption variant of kg_transe_negatives (TransE
+    training corrupts both endpoints in alternation); same plan with
+    the kept/corrupted roles swapped."""
+    from tabbyray.ops.kgconstruct import transe_negatives
+    return transe_negatives(_kg_mixed(), corrupt="subj",
+                            num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3562,6 +3649,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG schema induction + RDFS reasoning + BGP query (r4 s4)
         "kg_datatype_profile": _q_kg_datatype_profile,
         "kg_type_closure": _q_kg_type_closure,
+        # KG construction stages past profiling (r4 s4): literal
+        # typing, identity resolution, schema induction, negatives
+        "kg_sameas_closure": _q_kg_sameas_closure,
+        "kg_domain_range": _q_kg_domain_range,
+        "kg_typed_literals": _q_kg_typed_literals,
+        "kg_transe_negatives": _q_kg_transe_negatives,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3647,6 +3740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path2_profile": _q_kg_path2_profile,
         "kg_type_closure_join": _q_kg_type_closure_join,
         "kg_bgp_couples": _q_kg_bgp_couples,
+        "kg_sameas_closure_join": _q_kg_sameas_closure_join,
+        "kg_functional_violations": _q_kg_functional_violations,
+        "kg_transe_negatives_subj": _q_kg_transe_negatives_subj,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -3949,10 +4045,12 @@ def _sti_oracles() -> dict[str, str]:
     kbp = os.path.join(fix, "kb.parquet")
     from tabbyray.fixtures import (ensure_kg_edges_fixture,
                                    ensure_kg_literals_fixture,
+                                   ensure_kg_mixed_fixture,
                                    ensure_kg_taxonomy_fixture)
     kg_edges = ensure_kg_edges_fixture()
     kg_lits = ensure_kg_literals_fixture()
     kg_taxo = ensure_kg_taxonomy_fixture()
+    kg_mix = ensure_kg_mixed_fixture()
 
     # C8 winner argmax: first-inserted tie-break == min insertion ord
     # (`commands/SpreadsheetController.php:588-592`)
@@ -4677,6 +4775,148 @@ def _sti_oracles() -> dict[str, str]:
         FROM m JOIN b1 ON b1.who = m.b
                JOIN b1 b2 ON b2.who = m.a AND b2.place = b1.place
     """
+
+    # literal typing: identical CASE chain; winner = max n, tie-break
+    # datatype name asc; value_num only for conforming numeric forms
+    out["kg_typed_literals"] = f"""
+        WITH t AS (SELECT subj, pred, coalesce(obj, '') AS obj
+                   FROM read_parquet('{kg_lits}')),
+        c AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     CASE {dt_case}
+                          ELSE 'string' END AS row_datatype
+              FROM t),
+        g AS MATERIALIZED (
+              SELECT pred, row_datatype AS datatype, count(*) AS n
+              FROM c GROUP BY 1, 2),
+        win AS (SELECT pred, datatype AS pred_datatype
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY pred
+                          ORDER BY n DESC, datatype ASC) AS rn
+                      FROM g)
+                WHERE rn = 1)
+        SELECT c.subj, c.pred, c.obj, win.pred_datatype,
+               c.row_datatype,
+               (c.row_datatype = win.pred_datatype) AS conforms,
+               CASE WHEN c.row_datatype = win.pred_datatype
+                         AND win.pred_datatype IN ('integer', 'decimal')
+                    THEN CAST(c.obj AS DOUBLE) ELSE NULL
+               END AS value_num
+        FROM c JOIN win USING (pred)
+    """
+
+    sameas = "http://www.w3.org/2002/07/owl#sameAs"
+    out["kg_domain_range"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        ty AS MATERIALIZED (
+              SELECT DISTINCT subj AS ent, obj AS cls
+              FROM tri WHERE pred = '{rdf_type}'),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM tri WHERE pred <> '{rdf_type}'),
+        u AS (SELECT e.pred, 'domain' AS side,
+                     coalesce(ty.cls, '(untyped)') AS cls
+              FROM e LEFT JOIN ty ON ty.ent = e.subj
+              UNION ALL
+              SELECT e.pred, 'range',
+                     coalesce(ty.cls, '(untyped)')
+              FROM e LEFT JOIN ty ON ty.ent = e.obj),
+        g AS MATERIALIZED (
+              SELECT pred, side, cls,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2, 3),
+        tot AS (SELECT pred, side, sum(n) AS total
+                FROM g GROUP BY 1, 2)
+        SELECT g.pred, g.side, g.cls, g.n,
+               round(g.n * 1.0 / tot.total, 9) AS share
+        FROM g JOIN tot USING (pred, side)
+    """
+
+    # sameAs components: unrolled min-label propagation over the
+    # symmetrized edge set + self-edges (6 rounds >= fixture chain
+    # diameter), every multi-referenced CTE MATERIALIZED; canonical =
+    # lexicographic min member; then rewrite both endpoints + DISTINCT
+    lp_rounds = "\n".join(
+        f"""        l{k} AS MATERIALIZED (
+              SELECT se.a AS node, min(l{k-1}.lbl) AS lbl
+              FROM se JOIN l{k-1} ON l{k-1}.node = se.b
+              GROUP BY se.a),"""
+        for k in range(1, 7))
+    sameas_sql = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        sa AS MATERIALIZED (
+              SELECT DISTINCT subj AS a, obj AS b
+              FROM tri WHERE pred = '{sameas}' AND subj <> obj),
+        nodes AS MATERIALIZED (
+              SELECT DISTINCT node
+              FROM (SELECT a AS node FROM sa
+                    UNION ALL SELECT b FROM sa)),
+        se AS MATERIALIZED (
+              SELECT a, b FROM sa
+              UNION SELECT b, a FROM sa
+              UNION SELECT node, node FROM nodes),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+{lp_rounds}
+        comp AS MATERIALIZED (SELECT node, lbl AS canon FROM l6),
+        rest AS (SELECT subj, pred, obj FROM tri
+                 WHERE pred <> '{sameas}')
+        SELECT DISTINCT coalesce(cs.canon, r.subj) AS subj, r.pred,
+                        coalesce(co.canon, r.obj) AS obj
+        FROM rest r LEFT JOIN comp cs ON cs.node = r.subj
+                    LEFT JOIN comp co ON co.node = r.obj
+    """
+    out["kg_sameas_closure"] = sameas_sql
+    out["kg_sameas_closure_join"] = sameas_sql
+
+    out["kg_functional_violations"] = f"""
+        WITH e AS (SELECT DISTINCT subj, pred, obj
+                   FROM read_parquet('{kg_mix}')
+                   WHERE pred = 'http://example.org/kg/p/locatedIn')
+        SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs
+        FROM e GROUP BY 1, 2 HAVING count(*) > 1
+    """
+
+    # TransE negatives: md5_number_lower == the engine's _hash64 (low
+    # 8 digest bytes LE); ranking == global ORDER BY (hash, entity)
+    def _transe_sql(corrupt: str, kept: str) -> str:
+        return f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred NOT IN ('{rdf_type}', '{sameas}')),
+        ents AS MATERIALIZED (
+              SELECT DISTINCT entity
+              FROM (SELECT subj AS entity FROM e
+                    UNION ALL SELECT obj FROM e)),
+        nc AS (SELECT count(*) AS c FROM ents),
+        ranked AS MATERIALIZED (
+              SELECT entity,
+                     CAST(row_number() OVER (
+                         ORDER BY md5_number_lower(entity), entity)
+                         - 1 AS BIGINT) AS r
+              FROM ents),
+        drawn AS MATERIALIZED (
+              SELECT e.*,
+                     CAST(md5_number_lower(
+                         'neg-{corrupt}|' || subj || '|' || pred
+                         || '|' || obj) % (SELECT c FROM nc)
+                         AS BIGINT) AS r
+              FROM e),
+        neg AS MATERIALIZED (
+              SELECT d.subj, d.pred, d.obj, rk.entity AS neg_ent
+              FROM drawn d JOIN ranked rk ON rk.r = d.r)
+        SELECT n.subj, n.pred, n.obj, n.neg_ent,
+               (n.neg_ent = n.{corrupt}
+                OR ex.{kept} IS NOT NULL) AS collides
+        FROM neg n LEFT JOIN e ex
+          ON ex.{kept} = n.{kept} AND ex.pred = n.pred
+             AND ex.{corrupt} = n.neg_ent
+    """
+    out["kg_transe_negatives"] = _transe_sql("obj", "subj")
+    out["kg_transe_negatives_subj"] = _transe_sql("subj", "obj")
     return out
 
 

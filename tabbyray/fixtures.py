@@ -1688,3 +1688,104 @@ def ensure_kg_taxonomy_fixture(n_entities: int = 400, seed: int = 91,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_kg_mixed_fixture(n_entities: int = 150, seed: int = 97,
+                            root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic MIXED KG triple stream for the construction-stage
+    oracles (``ops.kgconstruct``: domain/range induction, owl:sameAs
+    closure, functional-constraint validation, negative sampling) —
+    one parquet with (subj, pred, obj) holding four triple families in
+    one stream, as a real ingest would:
+
+    * ``rdf:type`` assertions — ~70% of entities typed with 1-2
+      classes from {Person, Agent, Org, Place}; the rest untyped (the
+      domain/range profile must bucket them under '(untyped)')
+    * fact edges — ``worksFor`` (mostly Person->Org), ``locatedIn``
+      (declared FUNCTIONAL; ~8 planted violators assert 2-3 distinct
+      places), ``knows`` (N:M noise)
+    * ``owl:sameAs`` — alias chains of length 1-3 hanging off ~25
+      base entities (a1 sameAs e, a2 sameAs a1, ...), plus reversed
+      duplicates and a few self-loops; a share of the fact edges is
+      asserted ABOUT aliases so the closure rewrite visibly merges
+      facts
+    Duplicate rows re-emitted on purpose (ops must distinct first)."""
+    path = os.path.join(root, f"kgmixed-v1-s{seed}-e{n_entities}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    ent = [f"http://example.org/kg/e{i}" for i in range(n_entities)]
+    pred = "http://example.org/kg/p/{}".format
+    cls = "http://example.org/kg/C/{}".format
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sameas = "http://www.w3.org/2002/07/owl#sameAs"
+    rows: list[tuple[str, str, str]] = []
+
+    # classes: persons 0..79, orgs 80..119, places 120..149 (with
+    # holes -> untyped endpoints, and some Person+Agent multi-typing)
+    for i in range(n_entities):
+        if rng.random() < 0.3:
+            continue                      # untyped entity
+        if i < 80:
+            rows.append((ent[i], rdf_type, cls("Person")))
+            if rng.random() < 0.4:
+                rows.append((ent[i], rdf_type, cls("Agent")))
+        elif i < 120:
+            rows.append((ent[i], rdf_type, cls("Org")))
+        else:
+            rows.append((ent[i], rdf_type, cls("Place")))
+
+    # sameAs alias chains over the first 25 persons
+    alias_of: dict[str, str] = {}
+    for i in range(25):
+        prev = ent[i]
+        for j in range(rng.randint(1, 3)):
+            a = f"http://alias.example.org/kg/e{i}x{j}"
+            rows.append((a, sameas, prev))
+            if rng.random() < 0.4:        # reversed duplicate
+                rows.append((prev, sameas, a))
+            alias_of[a] = ent[i]
+            prev = a
+    for i in rng.sample(range(25), 4):    # self-loops (must be ignored)
+        rows.append((ent[i], sameas, ent[i]))
+    aliases = list(alias_of)
+
+    def some_subject(i: int) -> str:
+        """Base entity i, or (30%) one of its aliases when it has any."""
+        mine = [a for a, b in alias_of.items() if b == ent[i]]
+        if mine and rng.random() < 0.3:
+            return rng.choice(mine)
+        return ent[i]
+
+    # worksFor: persons -> orgs (some via alias subjects)
+    for i in range(70):
+        if rng.random() < 0.75:
+            rows.append((some_subject(i), pred("worksFor"),
+                         ent[rng.randrange(80, 120)]))
+    # locatedIn: FUNCTIONAL — orgs/persons one place each, 8 violators
+    located = rng.sample(range(120), 90)
+    violators = set(located[:8])
+    for i in located:
+        rows.append((ent[i], pred("locatedIn"),
+                     ent[rng.randrange(120, n_entities)]))
+        if i in violators:
+            for _ in range(rng.randint(1, 2)):
+                rows.append((ent[i], pred("locatedIn"),
+                             ent[rng.randrange(120, n_entities)]))
+    # knows: N:M noise, some alias endpoints on either side
+    pool = ent[:80] + aliases
+    for _ in range(120):
+        a, b = rng.sample(pool, 2)
+        rows.append((a, pred("knows"), b))
+
+    rows += [rows[i] for i in range(0, len(rows), 8)]   # duplicates
+    rng.shuffle(rows)
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -1,0 +1,422 @@
+"""KG-construction ops past schema profiling: literal typing,
+domain/range induction, owl:sameAs closure, constraint validation and
+embedding-training negative sampling.
+
+The reference pipeline mints triples with hard-coded ontology
+properties and datatypes (components/CanonicalTableAnnotator.php:
+382-415) and never reconciles co-referent URIs beyond exact string
+identity; a corpus-scale KG build needs the statistical versions:
+datatypes induced from the lexical forms, domain/range measured from
+the typed instance stream, identity resolved through sameAs chains,
+and constraint violations surfaced instead of silently kept. All ops
+here are Dataset -> Dataset, combiner-first, with bounded driver
+state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .kgprofile import RDF_TYPE, classify_datatypes, datatype_profile
+from .relational import (grouped_argmax, hash_aggregate, hash_join,
+                         partial_agg_sum)
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def _distinct_triples(triples: rd.Dataset, keep, drop,
+                      cols=("subj", "pred", "obj"),
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Distinct (subj, pred, obj) restricted by predicate: ``keep`` a
+    set of predicates to retain (None = all), ``drop`` a set to
+    exclude. One combiner-backed exchange."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("pred"), pa.string())
+        mask = None
+        if keep is not None:
+            mask = pc.is_in(p, value_set=pa.array(sorted(keep)))
+        if drop:
+            m2 = pc.invert(pc.is_in(p, value_set=pa.array(sorted(drop))))
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        ft = t.filter(mask) if mask is not None else t
+        out = {c: pc.cast(ft.column(s), pa.string())
+               for s, c in zip(("subj", "pred", "obj"), cols)}
+        out["one"] = pa.array([1] * ft.num_rows, pa.int64())
+        return pa.table(out)
+
+    ded = hash_aggregate(
+        triples.map_batches(f, batch_format="pyarrow"),
+        keys=list(cols), sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(c, pa.string()) for c in cols]
+                             + [("_n", pa.int64())]))
+    return ded.drop_columns(["_n"])
+
+
+def typed_literals(triples: rd.Dataset,
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Literal typing pass: induce each predicate's MAJORITY lexical
+    datatype from the stream (:func:`datatype_profile`), then stamp
+    every triple with the predicate's datatype, its own row-level
+    class, a ``conforms`` flag, and the parsed double ``value_num``
+    for conforming integer/decimal forms (null otherwise) — the
+    typed-column materialization a downstream query engine needs.
+
+    Winner rule: max count, tie-break datatype name asc (one
+    :func:`grouped_argmax` over the tiny per-pred profile). One
+    co-partitioned join stamps the winner back; no driver state.
+    Oracle = the same regex CASE chain + QUALIFY row_number +
+    CAST(obj AS DOUBLE)."""
+    import pyarrow.compute as pc
+
+    prof = datatype_profile(triples, num_partitions=num_partitions)
+    win = grouped_argmax(prof, key="pred", order_col="n",
+                         tie_col="datatype",
+                         out_cols=["pred", "datatype"],
+                         num_partitions=num_partitions)
+    win = win.map_batches(
+        lambda t: pa.table({"pred": t.column("pred"),
+                            "pred_datatype": t.column("datatype")}),
+        batch_format="pyarrow")
+
+    def classify(t: pa.Table) -> pa.Table:
+        obj = pc.cast(t.column("obj"), pa.string())
+        return pa.table({
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": obj,
+            "row_datatype": classify_datatypes(obj.combine_chunks())})
+
+    rows = triples.map_batches(classify, batch_format="pyarrow")
+    j = hash_join(
+        rows, win, on="pred", num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("row_datatype", pa.string())]),
+        right_schema=pa.schema([("pred", pa.string()),
+                                ("pred_datatype", pa.string())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        conforms = pc.equal(t.column("row_datatype"),
+                            t.column("pred_datatype"))
+        numeric = pc.and_(conforms, pc.is_in(
+            t.column("pred_datatype"),
+            value_set=pa.array(["integer", "decimal"])))
+        obj = t.column("obj").to_pandas()
+        num = pd.to_numeric(obj.where(numeric.to_pandas()),
+                            errors="coerce")
+        return pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"),
+            "pred_datatype": t.column("pred_datatype"),
+            "row_datatype": t.column("row_datatype"),
+            "conforms": pc.cast(conforms, pa.bool_()),
+            "value_num": pa.array(num, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def domain_range_profile(triples: rd.Dataset,
+                         type_pred: str = RDF_TYPE,
+                         untyped_label: str = "(untyped)",
+                         num_partitions: "int | None" = None
+                         ) -> rd.Dataset:
+    """rdfs:domain / rdfs:range induction: for every non-type
+    predicate, the distribution of the SUBJECT's asserted classes
+    (side='domain') and the OBJECT's (side='range') over the distinct
+    edge set — multi-typed entities count once per class (bag via the
+    join), untyped endpoints bucket under ``untyped_label``. Output:
+    (pred, side, cls, n, share) with share per (pred, side), quantized
+    9 dp like the oracle.
+
+    Plan: two distinct exchanges (types, edges), two co-partitioned
+    LEFT joins (subject side, object side), one (pred, side, cls)
+    combiner aggregate + a small rollup join."""
+    import pyarrow.compute as pc
+
+    ty = _distinct_triples(triples, keep={type_pred}, drop=None,
+                           cols=("ent", "_tp", "cls"),
+                           num_partitions=num_partitions) \
+        .drop_columns(["_tp"]).materialize()
+    e = _distinct_triples(triples, keep=None, drop={type_pred},
+                          num_partitions=num_partitions).materialize()
+
+    def side_rows(col: str, side: str) -> rd.Dataset:
+        proj = e.map_batches(
+            lambda t, c=col: pa.table({"ent": t.column(c),
+                                       "pred": t.column("pred")}),
+            batch_format="pyarrow")
+        j = hash_join(
+            proj, ty, on="ent", how="left",
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("ent", pa.string()),
+                                   ("pred", pa.string())]),
+            right_schema=pa.schema([("ent", pa.string()),
+                                    ("cls", pa.string())]))
+        return j.map_batches(
+            lambda t, s=side: pa.table({
+                "pred": t.column("pred"),
+                "side": pa.array([s] * t.num_rows, pa.string()),
+                "cls": pc.fill_null(t.column("cls"), untyped_label),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+
+    u = side_rows("subj", "domain").union(side_rows("obj", "range"))
+    g = hash_aggregate(
+        u, keys=["pred", "side", "cls"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("pred", pa.string()),
+                              ("side", pa.string()),
+                              ("cls", pa.string()),
+                              ("n", pa.int64())])).materialize()
+    tot = partial_agg_sum(g, ["pred", "side"], {"n": "total"})
+    j = hash_join(
+        g, tot, on=["pred", "side"], num_partitions=num_partitions,
+        left_schema=pa.schema([("pred", pa.string()),
+                               ("side", pa.string()),
+                               ("cls", pa.string()),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("pred", pa.string()),
+                                ("side", pa.string()),
+                                ("total", pa.int64())]))
+
+    def share(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        total = t.column("total").to_numpy(zero_copy_only=False)
+        return pa.table({"pred": t.column("pred"),
+                         "side": t.column("side"),
+                         "cls": t.column("cls"), "n": t.column("n"),
+                         "share": pa.array(np.round(n * 1.0 / total, 9),
+                                           pa.float64())})
+
+    return j.map_batches(share, batch_format="pyarrow")
+
+
+def sameas_closure(triples: rd.Dataset,
+                   sameas_pred: str = OWL_SAMEAS,
+                   num_partitions: "int | None" = None,
+                   components_mode: str = "auto") -> rd.Dataset:
+    """owl:sameAs identity resolution applied to a triple stream: the
+    sameAs edge subset (undirected, self-loops dropped) is closed into
+    connected components (:func:`tabbyray.ops.linkage.string_components`
+    — count-gated local union-find / distributed label propagation),
+    every remaining triple is rewritten through the canonical member
+    (lexicographic min of the component), the sameAs triples
+    themselves are dropped, and the rewritten stream is distinct-ed
+    (merged aliases collapse duplicate facts). Output: (subj, pred,
+    obj), set semantics.
+
+    Plan: one distinct exchange for the sameAs pairs, the components
+    rounds, two co-partitioned LEFT joins (subject, object rewrite),
+    one final distinct exchange."""
+    import pyarrow.compute as pc
+
+    from .linkage import string_components
+
+    sa = _distinct_triples(triples, keep={sameas_pred}, drop=None,
+                           cols=("a", "_sp", "b"),
+                           num_partitions=num_partitions) \
+        .drop_columns(["_sp"])
+    sa = sa.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("a"), t.column("b"))),
+        batch_format="pyarrow").materialize()
+
+    def node_col(c: str):
+        return sa.map_batches(
+            lambda t, cc=c: pa.table({"node": t.column(cc)}),
+            batch_format="pyarrow")
+
+    nodes = hash_aggregate(
+        node_col("a").union(node_col("b")).map_batches(
+            lambda t: t.append_column(
+                "one", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        keys=["node"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("node", pa.string()),
+                              ("_n", pa.int64())])).drop_columns(["_n"])
+
+    comp = string_components(sa, nodes, edge_cols=("a", "b"),
+                             node_col="node", mode=components_mode,
+                             num_partitions=num_partitions)
+    comp = comp.materialize()   # consumed by both rewrite joins
+
+    rest = triples.map_batches(
+        lambda t: (lambda ft: pa.table({
+            "subj": pc.cast(ft.column("subj"), pa.string()),
+            "pred": pc.cast(ft.column("pred"), pa.string()),
+            "obj": pc.cast(ft.column("obj"), pa.string())}))(
+            t.filter(pc.not_equal(pc.cast(t.column("pred"), pa.string()),
+                                  sameas_pred))),
+        batch_format="pyarrow")
+
+    def rewrite(ds: rd.Dataset, col: str, others: list[str]) -> rd.Dataset:
+        renamed = ds.map_batches(
+            lambda t, c=col: pa.table(
+                {"node": t.column(c),
+                 **{o: t.column(o) for o in others}}),
+            batch_format="pyarrow")
+        j = hash_join(
+            renamed, comp, on="node", how="left",
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("node", pa.string())]
+                                  + [(o, pa.string()) for o in others]),
+            right_schema=pa.schema([("node", pa.string()),
+                                    ("component", pa.string())]))
+        return j.map_batches(
+            lambda t, c=col: pa.table(
+                {c: pc.coalesce(t.column("component"), t.column("node")),
+                 **{o: t.column(o) for o in others}}),
+            batch_format="pyarrow")
+
+    rw = rewrite(rest, "subj", ["pred", "obj"])
+    rw = rewrite(rw, "obj", ["subj", "pred"])
+    return _distinct_triples(rw, keep=None, drop=None,
+                             num_partitions=num_partitions)
+
+
+def functional_violations(triples: rd.Dataset,
+                          functional_preds: "list[str]",
+                          num_partitions: "int | None" = None
+                          ) -> rd.Dataset:
+    """Constraint validation for DECLARED functional predicates (the
+    ontology facts the reference hard-codes): emit (subj, pred,
+    n_objs) for every subject that asserts more than one DISTINCT
+    object for a functional predicate — the rows a curation pass must
+    reconcile before load. One distinct exchange + one fan-out
+    aggregate + a vectorized filter."""
+    import pyarrow.compute as pc
+
+    e = _distinct_triples(triples, keep=set(functional_preds),
+                          drop=None, num_partitions=num_partitions)
+    g = hash_aggregate(
+        e.map_batches(
+            lambda t: pa.table({"subj": t.column("subj"),
+                                "pred": t.column("pred"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["subj", "pred"], sum_cols={"one": "n_objs"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("n_objs", pa.int64())]))
+    return g.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_objs"),
+                                      pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+
+
+def transe_negatives(triples: rd.Dataset,
+                     exclude_preds: "tuple[str, ...]" = (RDF_TYPE,
+                                                         OWL_SAMEAS),
+                     corrupt: str = "obj",
+                     n_buckets: int = 1024,
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Hash-seeded TransE-style negative sampling: every distinct
+    edge gets one corrupted counterpart whose ``corrupt`` endpoint is
+    replaced by a pseudo-random entity drawn DETERMINISTICALLY from
+    the corpus entity set — md5 of the full triple modulo the entity
+    count, looked up by JOIN against the md5-ordered entity ranking
+    (:func:`tabbyray.ops.sampling.global_hash_shuffle`), so the entity
+    table is never collected anywhere. ``collides`` flags false
+    negatives (the draw equals the true endpoint, or the corrupted
+    triple exists in the edge set — one composite-key LEFT join).
+
+    Output: (subj, pred, obj, neg_ent, collides). Driver state is the
+    ranking's per-bucket prefix-sum (``n_buckets`` rows) and one
+    count; everything else is co-partitioned exchanges. Same-on-rerun
+    by construction (training reproducibility)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .sampling import _hash64
+
+    if corrupt not in ("subj", "obj"):
+        raise ValueError(f"corrupt must be 'subj' or 'obj', "
+                         f"got {corrupt!r}")
+
+    e = _distinct_triples(triples, keep=None, drop=set(exclude_preds),
+                          num_partitions=num_partitions).materialize()
+
+    def ends(c: str):
+        return e.map_batches(
+            lambda t, cc=c: pa.table({"entity": t.column(cc)}),
+            batch_format="pyarrow")
+
+    ents = hash_aggregate(
+        ends("subj").union(ends("obj")).map_batches(
+            lambda t: t.append_column(
+                "one", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        keys=["entity"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("entity", pa.string()),
+                              ("_n", pa.int64())])
+    ).drop_columns(["_n"]).materialize()
+    n_ents = ents.count()
+
+    from .sampling import global_hash_shuffle
+    ranked = global_hash_shuffle(ents, "entity", n_buckets=n_buckets,
+                                 id_type=pa.string())
+    ranked = ranked.map_batches(
+        lambda t: pa.table({"_r": t.column("shuffle_rank"),
+                            "neg_ent": t.column("entity")}),
+        batch_format="pyarrow")
+
+    def draw(t: pa.Table) -> pa.Table:
+        s = t.column("subj").to_pylist()
+        p = t.column("pred").to_pylist()
+        o = t.column("obj").to_pylist()
+        r = np.fromiter(
+            (_hash64(f"neg-{corrupt}|{a}|{b}|{c}") % n_ents
+             for a, b, c in zip(s, p, o)),
+            dtype=np.int64, count=len(s))
+        return t.append_column("_r", pa.array(r, pa.int64()))
+
+    drawn = e.map_batches(draw, batch_format="pyarrow")
+    neg = hash_join(
+        drawn, ranked, on="_r", num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("_r", pa.int64())]),
+        right_schema=pa.schema([("_r", pa.int64()),
+                                ("neg_ent", pa.string())])
+    ).drop_columns(["_r"])
+
+    kept = "subj" if corrupt == "obj" else "obj"
+    exists_right = e.map_batches(
+        lambda t: pa.table({kept: t.column(kept),
+                            "pred": t.column("pred"),
+                            "neg_ent": t.column(corrupt),
+                            "_hit": pa.array([1] * t.num_rows,
+                                             pa.int64())}),
+        batch_format="pyarrow")
+    j = hash_join(
+        neg, exists_right, on=[kept, "pred", "neg_ent"], how="left",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("neg_ent", pa.string())]),
+        right_schema=pa.schema([(kept, pa.string()),
+                                ("pred", pa.string()),
+                                ("neg_ent", pa.string()),
+                                ("_hit", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        same = pc.equal(t.column("neg_ent"), t.column(corrupt))
+        hit = pc.is_valid(t.column("_hit"))
+        return pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"), "neg_ent": t.column("neg_ent"),
+            "collides": pc.cast(pc.or_(same, hit), pa.bool_())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
