@@ -445,6 +445,40 @@ def _q_kg_transe_negatives_subj(sf_dir: str):
                             num_partitions=8)
 
 
+def _q_kg_path_rules(sf_dir: str):
+    """AMIE-style closed path-rule mining over the mixed stream:
+    support + standard confidence for every p1(x,z) AND p2(z,y) =>
+    p3(x,y) rule (the inference rules the reference hard-codes by
+    hand, mined from the data). One distinct exchange + ONE mid-node
+    co-partitioned self-join + a (p1,p2,x,y) distinct aggregate + one
+    composite (x,y) head join + two rollups; oracle = the same joins
+    in SQL. Runs over the edge fixture (inverse pair + symmetric
+    predicate -> 71 mined rules with real confidence spread)."""
+    from tabbyray.ops.kgconstruct import mine_path_rules
+    return mine_path_rules(_kg_edges(), num_partitions=8)
+
+
+def _q_kg_class_cooccurrence(sf_dir: str):
+    """Ontology-QA class co-assertion profile over the taxonomy
+    fixture's rdf:type stream: per unordered class pair the co-typed
+    entity count + per-class counts + Jaccard (zero overlap between
+    frequent classes = disjointness evidence). One distinct exchange +
+    one entity-key self-join + pair aggregate + two rollup joins;
+    oracle = DISTINCT + self-join + GROUP BY."""
+    from tabbyray.ops.kgconstruct import class_cooccurrence
+    return class_cooccurrence(_kg_taxo(), num_partitions=8)
+
+
+def _q_kg_fact_summary(sf_dir: str):
+    """Per-entity top-3 fact summary ranked by predicate idf
+    (ln(N_subjects / n_subjects(p)), quantized before ranking; ties
+    (pred, obj) asc) — the entity-card selection a KG front-end
+    serves. One per-pred distinct-subject count + one stamp join + ONE
+    combiner top-k exchange; oracle = QUALIFY-style row_number."""
+    from tabbyray.ops.kgconstruct import entity_fact_summary
+    return entity_fact_summary(_kg_mixed(), k=3, num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3655,6 +3689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_range": _q_kg_domain_range,
         "kg_typed_literals": _q_kg_typed_literals,
         "kg_transe_negatives": _q_kg_transe_negatives,
+        "kg_path_rules": _q_kg_path_rules,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3743,6 +3778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_closure_join": _q_kg_sameas_closure_join,
         "kg_functional_violations": _q_kg_functional_violations,
         "kg_transe_negatives_subj": _q_kg_transe_negatives_subj,
+        "kg_class_cooccurrence": _q_kg_class_cooccurrence,
+        "kg_fact_summary": _q_kg_fact_summary,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -4917,6 +4954,71 @@ def _sti_oracles() -> dict[str, str]:
     """
     out["kg_transe_negatives"] = _transe_sql("obj", "subj")
     out["kg_transe_negatives_subj"] = _transe_sql("subj", "obj")
+
+    out["kg_path_rules"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_edges}')),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred NOT IN ('{rdf_type}', '{sameas}')),
+        paths AS MATERIALIZED (
+              SELECT DISTINCT e1.pred AS p1, e2.pred AS p2,
+                              e1.subj AS x, e2.obj AS y
+              FROM e e1 JOIN e e2 ON e2.subj = e1.obj
+              WHERE e1.subj <> e2.obj),
+        body AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_body
+                 FROM paths GROUP BY 1, 2),
+        sup AS (SELECT p.p1, p.p2, h.pred AS p3,
+                       CAST(count(*) AS BIGINT) AS support
+                FROM paths p
+                JOIN e h ON h.subj = p.x AND h.obj = p.y
+                GROUP BY 1, 2, 3)
+        SELECT s.p1, s.p2, s.p3, s.support, b.n_body,
+               round(s.support * 1.0 / b.n_body, 9) AS confidence
+        FROM sup s JOIN body b USING (p1, p2)
+    """
+
+    out["kg_class_cooccurrence"] = f"""
+        WITH ty AS MATERIALIZED (
+              SELECT DISTINCT subj AS ent, obj AS cls
+              FROM read_parquet('{kg_taxo}')
+              WHERE pred = '{rdf_type}'),
+        per AS MATERIALIZED (
+              SELECT cls, CAST(count(*) AS BIGINT) AS n
+              FROM ty GROUP BY cls),
+        pairs AS (SELECT a.cls AS cls_a, b.cls AS cls_b,
+                         CAST(count(*) AS BIGINT) AS n_both
+                  FROM ty a JOIN ty b
+                    ON a.ent = b.ent AND a.cls < b.cls
+                  GROUP BY 1, 2)
+        SELECT p.cls_a, p.cls_b, p.n_both, pa.n AS n_a, pb.n AS n_b,
+               round(p.n_both * 1.0 / (pa.n + pb.n - p.n_both), 9)
+                   AS jaccard
+        FROM pairs p JOIN per pa ON pa.cls = p.cls_a
+                     JOIN per pb ON pb.cls = p.cls_b
+    """
+
+    out["kg_fact_summary"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred <> '{sameas}'),
+        tot AS (SELECT count(DISTINCT subj) AS n FROM e),
+        idf AS MATERIALIZED (
+              SELECT pred,
+                     round(ln((SELECT n FROM tot) * 1.0
+                              / count(DISTINCT subj)), 9) AS idf
+              FROM e GROUP BY pred)
+        SELECT subj, pred, obj, idf
+        FROM (SELECT e.subj, e.pred, e.obj, idf.idf,
+                     row_number() OVER (
+                         PARTITION BY e.subj
+                         ORDER BY idf.idf DESC, e.pred ASC,
+                                  e.obj ASC) AS rn
+              FROM e JOIN idf USING (pred))
+        WHERE rn <= 3
+    """
     return out
 
 

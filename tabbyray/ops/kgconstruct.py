@@ -420,3 +420,261 @@ def transe_negatives(triples: rd.Dataset,
             "collides": pc.cast(pc.or_(same, hit), pa.bool_())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def mine_path_rules(triples: rd.Dataset,
+                    exclude_preds: "tuple[str, ...]" = (RDF_TYPE,
+                                                        OWL_SAMEAS),
+                    min_support: int = 1,
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """AMIE-style closed path-rule mining: for every rule
+    ``p1(x,z) AND p2(z,y) => p3(x,y)`` measure support = |distinct
+    (x,y) pairs with a p1.p2 path AND a p3 edge| and standard
+    confidence = support / n_body (|distinct path pairs|) — the
+    schema-enrichment pass a KG-construction pipeline runs to propose
+    inference rules the reference hard-codes by hand
+    (components/CanonicalTableAnnotator.php:382-415 fixes its relation
+    vocabulary a priori; at corpus scale the rules are mined).
+
+    x == y path pairs (cycles) are excluded from both counts. Plan:
+    one distinct exchange, ONE mid-node co-partitioned self-join, one
+    (p1,p2,x,y) distinct aggregate, one composite (x,y) join against
+    the head edges, two small rollups; confidence quantized 9 dp like
+    the oracle. Output: (p1, p2, p3, support, n_body, confidence)."""
+    import pyarrow.compute as pc
+
+    e = _distinct_triples(triples, keep=None, drop=set(exclude_preds),
+                          num_partitions=num_partitions).materialize()
+
+    left = e.map_batches(
+        lambda t: pa.table({"x": t.column("subj"),
+                            "p1": t.column("pred"),
+                            "mid": t.column("obj")}),
+        batch_format="pyarrow")
+    right = e.map_batches(
+        lambda t: pa.table({"mid": t.column("subj"),
+                            "p2": t.column("pred"),
+                            "y": t.column("obj")}),
+        batch_format="pyarrow")
+    j = hash_join(
+        left, right, on="mid", num_partitions=num_partitions,
+        left_schema=pa.schema([("x", pa.string()), ("p1", pa.string()),
+                               ("mid", pa.string())]),
+        right_schema=pa.schema([("mid", pa.string()),
+                                ("p2", pa.string()),
+                                ("y", pa.string())]))
+    paths = hash_aggregate(
+        j.map_batches(
+            lambda t: (lambda ft: pa.table({
+                "p1": ft.column("p1"), "p2": ft.column("p2"),
+                "x": ft.column("x"), "y": ft.column("y"),
+                "one": pa.array([1] * ft.num_rows, pa.int64())}))(
+                t.filter(pc.not_equal(t.column("x"), t.column("y")))),
+            batch_format="pyarrow"),
+        keys=["p1", "p2", "x", "y"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("p1", pa.string()), ("p2", pa.string()),
+                              ("x", pa.string()), ("y", pa.string()),
+                              ("_n", pa.int64())])
+    ).drop_columns(["_n"]).materialize()   # consumed by body + support
+
+    body = partial_agg_sum(
+        paths.map_batches(
+            lambda t: pa.table({"p1": t.column("p1"),
+                                "p2": t.column("p2"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        ["p1", "p2"], {"one": "n_body"})
+
+    heads = e.map_batches(
+        lambda t: pa.table({"x": t.column("subj"),
+                            "p3": t.column("pred"),
+                            "y": t.column("obj")}),
+        batch_format="pyarrow")
+    hits = hash_join(
+        paths, heads, on=["x", "y"], num_partitions=num_partitions,
+        left_schema=pa.schema([("p1", pa.string()), ("p2", pa.string()),
+                               ("x", pa.string()), ("y", pa.string())]),
+        right_schema=pa.schema([("x", pa.string()), ("p3", pa.string()),
+                                ("y", pa.string())]))
+    support = partial_agg_sum(
+        hits.map_batches(
+            lambda t: pa.table({"p1": t.column("p1"),
+                                "p2": t.column("p2"),
+                                "p3": t.column("p3"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        ["p1", "p2", "p3"], {"one": "support"})
+
+    out = hash_join(
+        support, body, on=["p1", "p2"], num_partitions=num_partitions,
+        left_schema=pa.schema([("p1", pa.string()), ("p2", pa.string()),
+                               ("p3", pa.string()),
+                               ("support", pa.int64())]),
+        right_schema=pa.schema([("p1", pa.string()),
+                                ("p2", pa.string()),
+                                ("n_body", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+        t = t.filter(pc.greater_equal(
+            t.column("support"), pa.scalar(min_support, pa.int64())))
+        s = t.column("support").to_numpy(zero_copy_only=False)
+        b = t.column("n_body").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p1": t.column("p1"), "p2": t.column("p2"),
+            "p3": t.column("p3"), "support": t.column("support"),
+            "n_body": t.column("n_body"),
+            "confidence": pa.array(np.round(s * 1.0 / b, 9),
+                                   pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def class_cooccurrence(triples: rd.Dataset,
+                       type_pred: str = RDF_TYPE,
+                       num_partitions: "int | None" = None) -> rd.Dataset:
+    """Ontology-QA class co-assertion profile: for every UNORDERED
+    class pair (cls_a < cls_b) the number of entities asserting BOTH,
+    each class's own entity count and the Jaccard overlap — zero
+    co-occurrence between frequent classes is the disjointness
+    evidence an ontology-repair pass consumes. One distinct exchange,
+    one entity-key self-join, one pair aggregate, two small per-class
+    rollup joins; jaccard quantized 9 dp."""
+    import pyarrow.compute as pc
+
+    ty = _distinct_triples(triples, keep={type_pred}, drop=None,
+                           cols=("ent", "_tp", "cls"),
+                           num_partitions=num_partitions) \
+        .drop_columns(["_tp"]).materialize()
+
+    per_cls = partial_agg_sum(
+        ty.map_batches(
+            lambda t: pa.table({"cls": t.column("cls"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        "cls", {"one": "n"}).materialize()
+
+    other = ty.map_batches(
+        lambda t: pa.table({"ent": t.column("ent"),
+                            "cls_b": t.column("cls")}),
+        batch_format="pyarrow")
+    j = hash_join(
+        ty, other, on="ent", num_partitions=num_partitions,
+        left_schema=pa.schema([("ent", pa.string()),
+                               ("cls", pa.string())]),
+        right_schema=pa.schema([("ent", pa.string()),
+                                ("cls_b", pa.string())]))
+    pairs = partial_agg_sum(
+        j.map_batches(
+            lambda t: (lambda ft: pa.table({
+                "cls_a": ft.column("cls"), "cls_b": ft.column("cls_b"),
+                "one": pa.array([1] * ft.num_rows, pa.int64())}))(
+                t.filter(pc.less(t.column("cls"), t.column("cls_b")))),
+            batch_format="pyarrow"),
+        ["cls_a", "cls_b"], {"one": "n_both"})
+
+    def rn(col_in: str, col_out: str):
+        return per_cls.map_batches(
+            lambda t, ci=col_in, co=col_out: pa.table(
+                {ci: t.column("cls"), co: t.column("n")}),
+            batch_format="pyarrow")
+
+    j2 = hash_join(
+        pairs, rn("cls_a", "n_a"), on="cls_a",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("cls_a", pa.string()),
+                               ("cls_b", pa.string()),
+                               ("n_both", pa.int64())]),
+        right_schema=pa.schema([("cls_a", pa.string()),
+                                ("n_a", pa.int64())]))
+    j3 = hash_join(
+        j2, rn("cls_b", "n_b"), on="cls_b",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("cls_a", pa.string()),
+                               ("cls_b", pa.string()),
+                               ("n_both", pa.int64()),
+                               ("n_a", pa.int64())]),
+        right_schema=pa.schema([("cls_b", pa.string()),
+                                ("n_b", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+        nb = t.column("n_both").to_numpy(zero_copy_only=False)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        n2 = t.column("n_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cls_a": t.column("cls_a"), "cls_b": t.column("cls_b"),
+            "n_both": t.column("n_both"), "n_a": t.column("n_a"),
+            "n_b": t.column("n_b"),
+            "jaccard": pa.array(
+                np.round(nb * 1.0 / (na + n2 - nb), 9), pa.float64())})
+
+    return j3.map_batches(finish, batch_format="pyarrow")
+
+
+def entity_fact_summary(triples: rd.Dataset, k: int = 3,
+                        exclude_preds: "tuple[str, ...]" = (OWL_SAMEAS,),
+                        num_partitions: "int | None" = None
+                        ) -> rd.Dataset:
+    """Per-entity top-k fact summary ranked by predicate
+    informativeness: idf(p) = ln(N_subjects / n_subjects asserting p)
+    (quantized 9 dp BEFORE ranking so the order is reproducible across
+    engines), rank per subject by (idf desc, pred asc, obj asc), keep
+    k — the entity-card selection a KG front-end serves. One distinct
+    exchange, one per-pred distinct-subject count, one co-partitioned
+    stamp join + ONE combiner top-k exchange (grouped_topk: each batch
+    prunes to k per subject locally). N_subjects is the only driver
+    scalar."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .relational import distinct_count, grouped_topk
+
+    e = _distinct_triples(triples, keep=None, drop=set(exclude_preds),
+                          num_partitions=num_partitions).materialize()
+
+    n_subj = distinct_count(e, "pred", "subj", alias="n_subj",
+                            key_type=pa.string()).materialize()
+    total = hash_aggregate(
+        e.map_batches(
+            lambda t: pa.table({"subj": t.column("subj"),
+                                "one": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["subj"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("_n", pa.int64())])).count()
+
+    def idf(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = t.column("n_subj").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pred": t.column("pred"),
+            "idf": pa.array(np.round(np.log(total * 1.0 / n), 9),
+                            pa.float64())})
+
+    stamped = hash_join(
+        e, n_subj.map_batches(idf, batch_format="pyarrow"), on="pred",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string())]),
+        right_schema=pa.schema([("pred", pa.string()),
+                                ("idf", pa.float64())]))
+    # tie key (pred asc, obj asc) as one string: chr(31) sorts below
+    # every URI/literal character in the fixtures
+    stamped = stamped.map_batches(
+        lambda t: t.append_column(
+            "_tie", pc.binary_join_element_wise(
+                t.column("pred"), t.column("obj"), "\x1f")),
+        batch_format="pyarrow")
+    return grouped_topk(stamped, key="subj", order_col="idf",
+                        tie_col="_tie",
+                        out_cols=["subj", "pred", "obj", "idf"], k=k,
+                        num_partitions=num_partitions)

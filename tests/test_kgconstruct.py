@@ -130,3 +130,71 @@ def test_transe_negatives_corrupt_subj(ray_session):
         assert bool(r["collides"]) == expect
     with pytest.raises(ValueError):
         transe_negatives(_tri(rows), corrupt="pred")
+
+
+def test_mine_path_rules(ray_session):
+    from tabbyray.ops.kgconstruct import mine_path_rules
+    rows = [
+        ("a", "p", "b"), ("b", "q", "c"),
+        ("a", "p", "b2"), ("b2", "q", "c"),   # 2nd path, same (x,y)
+        ("a", "r", "c"), ("a", "t", "c"),     # two head edges
+        ("c", "s", "d"),
+        ("a", "p", "b"),                      # duplicate
+        ("a", RDF_TYPE, "Thing"),             # excluded
+    ]
+    got = (mine_path_rules(_tri(rows), num_partitions=4)
+           .to_pandas().set_index(["p1", "p2", "p3"]).sort_index())
+    # bodies: (p,q)->{(a,c)}, (q,s)->{(b,d),(b2,d)}, (r,s)/(t,s)->{(a,d)}
+    # only (a,c) has head edges: r and t
+    assert set(got.index) == {("p", "q", "r"), ("p", "q", "t")}
+    for p3 in ("r", "t"):
+        assert got.loc[("p", "q", p3), "support"] == 1
+        assert got.loc[("p", "q", p3), "n_body"] == 1
+        assert got.loc[("p", "q", p3), "confidence"] == 1.0
+    assert mine_path_rules(_tri(rows), min_support=2,
+                           num_partitions=4).count() == 0
+
+
+def test_class_cooccurrence(ray_session):
+    from tabbyray.ops.kgconstruct import class_cooccurrence
+    rows = [("a", RDF_TYPE, "P"), ("a", RDF_TYPE, "Q"),
+            ("b", RDF_TYPE, "P"),
+            ("c", RDF_TYPE, "P"), ("c", RDF_TYPE, "Q"),
+            ("c", RDF_TYPE, "R"), ("d", RDF_TYPE, "R"),
+            ("a", RDF_TYPE, "P"),            # duplicate
+            ("a", "knows", "b")]             # not a type triple
+    got = (class_cooccurrence(_tri(rows), num_partitions=4)
+           .to_pandas().set_index(["cls_a", "cls_b"]).sort_index())
+    assert set(got.index) == {("P", "Q"), ("P", "R"), ("Q", "R")}
+    assert got.loc[("P", "Q"), "n_both"] == 2
+    assert got.loc[("P", "Q"), "n_a"] == 3        # P entities
+    assert got.loc[("P", "Q"), "n_b"] == 2
+    assert abs(got.loc[("P", "Q"), "jaccard"] - 2 / 3) < 1e-9
+    assert abs(got.loc[("P", "R"), "jaccard"] - 0.25) < 1e-9
+    assert abs(got.loc[("Q", "R"), "jaccard"] - 1 / 3) < 1e-9
+
+
+def test_entity_fact_summary(ray_session):
+    import math
+
+    from tabbyray.ops.kgconstruct import entity_fact_summary
+    rows = [
+        ("s1", "common", "x"), ("s1", "rare", "y"), ("s1", "mid", "z"),
+        ("s1", "common", "a"),
+        ("s2", "common", "x"), ("s2", "mid", "z"),
+        ("s3", "common", "q"),
+        ("s1", "common", "x"),                # duplicate
+        ("s1", OWL_SAMEAS, "s9"),             # excluded
+    ]
+    got = entity_fact_summary(_tri(rows), k=3,
+                              num_partitions=4).to_pandas()
+    s1 = got[got["subj"] == "s1"].sort_values(
+        ["idf", "pred", "obj"], ascending=[False, True, True])
+    # N=3 subjects; idf: rare=ln3, mid=ln1.5, common=0
+    assert list(s1[["pred", "obj"]].itertuples(index=False, name=None)) \
+        == [("rare", "y"), ("mid", "z"), ("common", "a")]
+    assert abs(s1.iloc[0]["idf"] - round(math.log(3), 9)) < 1e-12
+    s3 = got[got["subj"] == "s3"]
+    assert len(s3) == 1 and s3.iloc[0]["pred"] == "common"
+    assert s3.iloc[0]["idf"] == 0.0
+    assert len(got) == 3 + 2 + 1
