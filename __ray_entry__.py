@@ -479,6 +479,35 @@ def _q_kg_fact_summary(sf_dir: str):
     return entity_fact_summary(_kg_mixed(), k=3, num_partitions=8)
 
 
+def _kg_export_triples():
+    import ray.data as rd
+    paths = _sti_export_paths()
+    return rd.read_parquet(paths["triples"],
+                           columns=["url", "subj", "pred", "obj"],
+                           override_num_blocks=8)
+
+
+def _q_kg_triple_provenance(sf_dir: str):
+    """Provenance rollup over the flagship's multi-page triple stream:
+    per distinct fact the distinct-source count, total assertion count
+    and min source url (the audit trail the reference never keeps).
+    One (s,p,o,url) combiner distinct + one sum + one min aggregate +
+    a co-partitioned join; oracle = two GROUP BYs."""
+    from tabbyray.ops.kgconstruct import triple_provenance
+    return triple_provenance(_kg_export_triples(), num_partitions=8)
+
+
+def _q_kg_resolve_conflicts(sf_dir: str):
+    """Truth discovery by source voting over the flagship triple
+    stream: per (subj, pred) the object asserted by the most distinct
+    pages wins (ties obj asc), with vote count + competing-object
+    count. One (s,p,o,url) distinct + one vote count + ONE
+    grouped-argmax combiner exchange + a rollup join; oracle =
+    QUALIFY-style row_number."""
+    from tabbyray.ops.kgconstruct import resolve_conflicts
+    return resolve_conflicts(_kg_export_triples(), num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3690,6 +3719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_typed_literals": _q_kg_typed_literals,
         "kg_transe_negatives": _q_kg_transe_negatives,
         "kg_path_rules": _q_kg_path_rules,
+        "kg_resolve_conflicts": _q_kg_resolve_conflicts,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3780,6 +3810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_negatives_subj": _q_kg_transe_negatives_subj,
         "kg_class_cooccurrence": _q_kg_class_cooccurrence,
         "kg_fact_summary": _q_kg_fact_summary,
+        "kg_triple_provenance": _q_kg_triple_provenance,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -4996,6 +5027,39 @@ def _sti_oracles() -> dict[str, str]:
                    AS jaccard
         FROM pairs p JOIN per pa ON pa.cls = p.cls_a
                      JOIN per pb ON pb.cls = p.cls_b
+    """
+
+    out["kg_triple_provenance"] = f"""
+        WITH t AS (SELECT subj, pred, obj, url
+                   FROM read_parquet('{triples}')),
+        ps AS MATERIALIZED (
+              SELECT subj, pred, obj, url,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM t GROUP BY 1, 2, 3, 4)
+        SELECT subj, pred, obj,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(n) AS BIGINT) AS n_assertions,
+               min(url) AS first_source
+        FROM ps GROUP BY 1, 2, 3
+    """
+
+    out["kg_resolve_conflicts"] = f"""
+        WITH t AS (SELECT subj, pred, obj, url
+                   FROM read_parquet('{triples}')),
+        v AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_sources
+              FROM t GROUP BY 1, 2, 3),
+        win AS (SELECT subj, pred, obj, n_sources
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY subj, pred
+                          ORDER BY n_sources DESC, obj ASC) AS rn
+                      FROM v)
+                WHERE rn = 1),
+        no AS (SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs
+               FROM v GROUP BY 1, 2)
+        SELECT w.subj, w.pred, w.obj, w.n_sources, no.n_objs
+        FROM win w JOIN no USING (subj, pred)
     """
 
     out["kg_fact_summary"] = f"""

@@ -678,3 +678,149 @@ def entity_fact_summary(triples: rd.Dataset, k: int = 3,
                         tie_col="_tie",
                         out_cols=["subj", "pred", "obj", "idf"], k=k,
                         num_partitions=num_partitions)
+
+
+def triple_provenance(triples: rd.Dataset, source_col: str = "url",
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Provenance rollup for a multi-source triple stream: per
+    distinct (subj, pred, obj) the number of DISTINCT sources
+    asserting it, the total assertion count (duplicates included —
+    extraction multiplicity), and the lexicographic-min source (a
+    stable exemplar for audits). The reference keeps no provenance at
+    all (commands/SpreadsheetController.php:570-684 emits bare
+    annotations); at corpus scale every fact must be auditable back
+    to pages. Plan: one (s,p,o,source) combiner distinct that also
+    sums raw multiplicity, then one per-triple sum aggregate + one
+    per-triple min aggregate + a co-partitioned join — every exchange
+    is triple-hash partitioned."""
+    from .relational import hash_min
+
+    def proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": pc.cast(t.column("obj"), pa.string()),
+            "source": pc.cast(t.column(source_col), pa.string()),
+            "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    per_src = hash_aggregate(
+        triples.map_batches(proj, batch_format="pyarrow"),
+        keys=["subj", "pred", "obj", "source"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("source", pa.string()),
+                              ("n", pa.int64())])).materialize()
+
+    sums = hash_aggregate(
+        per_src.map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "one": pa.array([1] * t.num_rows, pa.int64()),
+                "n": t.column("n")}),
+            batch_format="pyarrow"),
+        keys=["subj", "pred", "obj"],
+        sum_cols={"one": "n_sources", "n": "n_assertions"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("n_sources", pa.int64()),
+                              ("n_assertions", pa.int64())]))
+    mins = hash_min(
+        per_src.select_columns(["subj", "pred", "obj", "source"]),
+        keys=["subj", "pred", "obj"],
+        min_cols={"source": "first_source"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("first_source", pa.string())]))
+    return hash_join(
+        sums, mins, on=["subj", "pred", "obj"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("n_sources", pa.int64()),
+                               ("n_assertions", pa.int64())]),
+        right_schema=pa.schema([("subj", pa.string()),
+                                ("pred", pa.string()),
+                                ("obj", pa.string()),
+                                ("first_source", pa.string())]))
+
+
+def resolve_conflicts(triples: rd.Dataset, source_col: str = "url",
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Truth discovery by source voting: per (subj, pred) elect the
+    object asserted by the most DISTINCT sources (ties broken by obj
+    asc — deterministic), reporting the winner's vote count and how
+    many competing objects were seen. The fusion step that turns a
+    multi-source extraction stream into one loadable fact per
+    functional slot. Plan: one (s,p,o,source) combiner distinct + one
+    per-(s,p,o) vote count + ONE grouped-argmax combiner exchange + a
+    small per-(s,p) distinct-obj rollup join."""
+    import pyarrow.compute as pc
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": pc.cast(t.column("obj"), pa.string()),
+            "source": pc.cast(t.column(source_col), pa.string()),
+            "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    votes = hash_aggregate(
+        hash_aggregate(
+            triples.map_batches(proj, batch_format="pyarrow"),
+            keys=["subj", "pred", "obj", "source"],
+            sum_cols={"one": "_n"}, num_partitions=num_partitions,
+            out_schema=pa.schema([("subj", pa.string()),
+                                  ("pred", pa.string()),
+                                  ("obj", pa.string()),
+                                  ("source", pa.string()),
+                                  ("_n", pa.int64())])
+        ).map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["subj", "pred", "obj"], sum_cols={"one": "n_sources"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("n_sources", pa.int64())])).materialize()
+
+    # composite (subj, pred) key: \x1f never occurs in URIs
+    keyed = votes.map_batches(
+        lambda t: t.append_column(
+            "_k", pc.binary_join_element_wise(
+                t.column("subj"), t.column("pred"), "\x1f")),
+        batch_format="pyarrow")
+    win = grouped_argmax(keyed, key="_k", order_col="n_sources",
+                         tie_col="obj",
+                         out_cols=["subj", "pred", "obj", "n_sources"],
+                         num_partitions=num_partitions)
+
+    n_objs = partial_agg_sum(
+        votes.map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        ["subj", "pred"], {"one": "n_objs"})
+    return hash_join(
+        win, n_objs, on=["subj", "pred"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("n_sources", pa.int64())]),
+        right_schema=pa.schema([("subj", pa.string()),
+                                ("pred", pa.string()),
+                                ("n_objs", pa.int64())]))

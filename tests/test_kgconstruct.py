@@ -198,3 +198,39 @@ def test_entity_fact_summary(ray_session):
     assert len(s3) == 1 and s3.iloc[0]["pred"] == "common"
     assert s3.iloc[0]["idf"] == 0.0
     assert len(got) == 3 + 2 + 1
+
+
+def _tri4(rows, nparts=3):
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "url"])
+    return rd.from_pandas(df).repartition(nparts)
+
+
+def test_triple_provenance(ray_session):
+    from tabbyray.ops.kgconstruct import triple_provenance
+    rows = [
+        ("a", "p", "x", "u1"), ("a", "p", "x", "u1"),   # dup assertion
+        ("a", "p", "x", "u2"),
+        ("a", "p", "y", "u3"),
+        ("b", "q", "z", "u2"), ("b", "q", "z", "u4"),
+        ("b", "q", "z", "u1"),
+    ]
+    got = (triple_provenance(_tri4(rows), num_partitions=4)
+           .to_pandas().set_index(["subj", "pred", "obj"]).sort_index())
+    assert got.loc[("a", "p", "x")].tolist() == [2, 3, "u1"]
+    assert got.loc[("a", "p", "y")].tolist() == [1, 1, "u3"]
+    assert got.loc[("b", "q", "z")].tolist() == [3, 3, "u1"]
+
+
+def test_resolve_conflicts(ray_session):
+    from tabbyray.ops.kgconstruct import resolve_conflicts
+    rows = [
+        ("a", "p", "x", "u1"), ("a", "p", "x", "u1"),   # dup source
+        ("a", "p", "x", "u2"), ("a", "p", "y", "u3"),
+        ("b", "p", "n", "u2"), ("b", "p", "m", "u1"),   # 1-1 tie -> m
+        ("c", "q", "z", "u9"), ("c", "q", "z", "u9"),
+    ]
+    got = (resolve_conflicts(_tri4(rows), num_partitions=4)
+           .to_pandas().set_index(["subj", "pred"]).sort_index())
+    assert got.loc[("a", "p")].tolist() == ["x", 2, 2]
+    assert got.loc[("b", "p")].tolist() == ["m", 1, 2]
+    assert got.loc[("c", "q")].tolist() == ["z", 1, 1]
