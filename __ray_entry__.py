@@ -508,6 +508,39 @@ def _q_kg_resolve_conflicts(sf_dir: str):
     return resolve_conflicts(_kg_export_triples(), num_partitions=8)
 
 
+def _q_kg_partition_cut(sf_dir: str):
+    """Graph-partitioning quality profile over the KG edge fixture:
+    per candidate partition count (8, 64) the cross-bucket edge share
+    under md5 hash partitioning + the subject-side load balance — the
+    diagnostic that decides whether hub entities need salting before
+    a distributed traversal. One distinct exchange + one vectorized
+    hash/bucket combiner aggregate + a P-row rollup; oracle =
+    md5_number_lower buckets + two GROUP BYs."""
+    from tabbyray.ops.kgconstruct import partition_cut_profile
+    return partition_cut_profile(_kg_edges(), num_partitions=8)
+
+
+def _q_kg_namespace_profile(sf_dir: str):
+    """URI namespace inventory per triple role over the flagship
+    triple stream (the prefix table a Turtle/RDF-XML serializer
+    needs): namespace = URI up to its last '/' or '#', literals
+    bucketed. One vectorized regex extract + ONE combiner aggregate;
+    oracle = regexp_extract + GROUP BY."""
+    from tabbyray.ops.kgconstruct import namespace_profile
+    return namespace_profile(
+        _kg_export_triples().drop_columns(["url"]), num_partitions=8)
+
+
+def _q_kg_literal_canon(sf_dir: str):
+    """Literal cleaning pass over the raw lexical-form stream:
+    comma-grouped integers rewritten to canonical digit strings with
+    a changed flag (the '1,200' forms kg_typed_literals flags as
+    non-conforming). Pure vectorized map, zero exchanges; oracle =
+    regexp_full_match + replace."""
+    from tabbyray.ops.kgconstruct import canonicalize_numeric_literals
+    return canonicalize_numeric_literals(_kg_literals())
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3720,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_negatives": _q_kg_transe_negatives,
         "kg_path_rules": _q_kg_path_rules,
         "kg_resolve_conflicts": _q_kg_resolve_conflicts,
+        "kg_partition_cut": _q_kg_partition_cut,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3811,6 +3845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_class_cooccurrence": _q_kg_class_cooccurrence,
         "kg_fact_summary": _q_kg_fact_summary,
         "kg_triple_provenance": _q_kg_triple_provenance,
+        "kg_namespace_profile": _q_kg_namespace_profile,
+        "kg_literal_canon": _q_kg_literal_canon,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -5060,6 +5096,68 @@ def _sti_oracles() -> dict[str, str]:
                FROM v GROUP BY 1, 2)
         SELECT w.subj, w.pred, w.obj, w.n_sources, no.n_objs
         FROM win w JOIN no USING (subj, pred)
+    """
+
+    out["kg_partition_cut"] = f"""
+        WITH e AS MATERIALIZED (
+              SELECT subj, obj
+              FROM (SELECT DISTINCT subj, pred, obj
+                    FROM read_parquet('{kg_edges}')
+                    WHERE pred NOT IN ('{rdf_type}', '{sameas}'))),
+        h AS MATERIALIZED (
+              SELECT md5_number_lower(subj) AS hs,
+                     md5_number_lower(obj) AS ho
+              FROM e),
+        per AS MATERIALIZED (
+              SELECT CAST(8 AS BIGINT) AS n_parts,
+                     CAST(hs % 8 AS BIGINT) AS bucket,
+                     CAST(hs % 8 <> ho % 8 AS BIGINT) AS cut
+              FROM h
+              UNION ALL
+              SELECT 64, CAST(hs % 64 AS BIGINT),
+                     CAST(hs % 64 <> ho % 64 AS BIGINT)
+              FROM h),
+        b AS MATERIALIZED (
+              SELECT n_parts, bucket,
+                     CAST(count(*) AS BIGINT) AS load,
+                     CAST(sum(cut) AS BIGINT) AS n_cut
+              FROM per GROUP BY 1, 2)
+        SELECT n_parts, CAST(sum(load) AS BIGINT) AS n_edges,
+               CAST(sum(n_cut) AS BIGINT) AS n_cut,
+               CAST(max(load) AS BIGINT) AS max_bucket_edges,
+               round(sum(n_cut) * 1.0 / sum(load), 9) AS cut_share,
+               round(max(load) * n_parts * 1.0 / sum(load), 9)
+                   AS balance
+        FROM b GROUP BY n_parts
+    """
+
+    out["kg_namespace_profile"] = f"""
+        WITH t AS (SELECT subj, pred, obj
+                   FROM read_parquet('{triples}')),
+        u AS (SELECT coalesce(subj, '') AS v, 'subj' AS role FROM t
+              UNION ALL
+              SELECT coalesce(pred, ''), 'pred' FROM t
+              UNION ALL
+              SELECT coalesce(obj, ''), 'obj' FROM t)
+        SELECT coalesce(nullif(regexp_extract(
+                   v, '^(https?://.*[/#])', 1), ''), '(literal)')
+                   AS namespace,
+               role, CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2
+    """
+
+    out["kg_literal_canon"] = f"""
+        WITH t AS (SELECT subj, pred, coalesce(obj, '') AS obj
+                   FROM read_parquet('{kg_lits}')),
+        m AS (SELECT subj, pred, obj,
+                     regexp_full_match(
+                         obj, '[0-9]{{1,3}}(?:,[0-9]{{3}})+') AS hit
+              FROM t)
+        SELECT subj, pred, obj,
+               CASE WHEN hit THEN replace(obj, ',', '')
+                    ELSE obj END AS obj_canon,
+               hit AS changed
+        FROM m
     """
 
     out["kg_fact_summary"] = f"""

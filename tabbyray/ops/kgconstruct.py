@@ -824,3 +824,142 @@ def resolve_conflicts(triples: rd.Dataset, source_col: str = "url",
         right_schema=pa.schema([("subj", pa.string()),
                                 ("pred", pa.string()),
                                 ("n_objs", pa.int64())]))
+
+
+def partition_cut_profile(triples: rd.Dataset,
+                          n_parts_list: "tuple[int, ...]" = (8, 64),
+                          exclude_preds: "tuple[str, ...]" = (RDF_TYPE,
+                                                              OWL_SAMEAS),
+                          num_partitions: "int | None" = None
+                          ) -> rd.Dataset:
+    """Graph-partitioning quality profile for hash-partitioned KG
+    storage: for each candidate partition count P, the share of
+    distinct edges whose endpoints hash to different buckets
+    (md5 % P — every cut edge is one cross-node message in a
+    distributed traversal) and the subject-side load balance
+    (max bucket edges / ideal). The diagnostic that decides whether
+    plain hash partitioning suffices or hub entities need salting.
+    Plan: one distinct exchange, one vectorized per-batch hash +
+    per-(P, bucket) combiner aggregate, two tiny rollups (one row per
+    bucket) — driver state is P rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .sampling import _hash64
+
+    e = _distinct_triples(triples, keep=None, drop=set(exclude_preds),
+                          num_partitions=num_partitions)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_parts", pa.int64()),
+                            ("bucket", pa.int64()),
+                            ("one", pa.int64()), ("cut", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        s = t.column("subj").to_pylist()
+        o = t.column("obj").to_pylist()
+        uniq = {v: _hash64(v) for v in set(s) | set(o)}
+        hs = np.fromiter((uniq[v] for v in s), dtype=np.uint64,
+                         count=len(s))
+        ho = np.fromiter((uniq[v] for v in o), dtype=np.uint64,
+                         count=len(o))
+        parts = []
+        for p in n_parts_list:
+            bs = (hs % p).astype(np.int64)
+            bo = (ho % p).astype(np.int64)
+            parts.append(pa.table({
+                "n_parts": pa.array([int(p)] * len(s), pa.int64()),
+                "bucket": pa.array(bs, pa.int64()),
+                "one": pa.array([1] * len(s), pa.int64()),
+                "cut": pa.array((bs != bo).astype(np.int64),
+                                pa.int64())}))
+        return pa.concat_tables(parts)
+
+    per_bucket = hash_aggregate(
+        e.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["n_parts", "bucket"],
+        sum_cols={"one": "load", "cut": "n_cut"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("n_parts", pa.int64()),
+                              ("bucket", pa.int64()),
+                              ("load", pa.int64()),
+                              ("n_cut", pa.int64())]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        g = df.groupby("n_parts", as_index=False).agg(
+            n_edges=("load", "sum"), n_cut=("n_cut", "sum"),
+            max_bucket_edges=("load", "max"))
+        g["cut_share"] = np.round(g["n_cut"] / g["n_edges"], 9)
+        g["balance"] = np.round(
+            g["max_bucket_edges"] * g["n_parts"] / g["n_edges"], 9)
+        return g
+
+    # the per-(P, bucket) table is at most sum(n_parts_list) rows
+    from .relational import typed_groupby_map
+    out_schema = pa.schema([
+        ("n_parts", pa.int64()), ("n_edges", pa.int64()),
+        ("n_cut", pa.int64()), ("max_bucket_edges", pa.int64()),
+        ("cut_share", pa.float64()), ("balance", pa.float64())])
+    return typed_groupby_map(
+        per_bucket.map_batches(
+            lambda t: t.append_column(
+                "_g", pc.cast(pc.multiply(t.column("n_parts"), 0),
+                              pa.int64())),
+            batch_format="pyarrow"),
+        "_g", finish, out_schema)
+
+
+def namespace_profile(triples: rd.Dataset,
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """URI namespace inventory per triple role — the prefix table a
+    serializer (Turtle/RDF-XML) and a vocabulary audit need: namespace
+    = the URI up to its LAST '/' or '#' (greedy regex), non-URI values
+    bucket as '(literal)'. Counts the raw stream (assertion
+    multiplicity, not distinct). One vectorized regex extract + ONE
+    (namespace, role) combiner aggregate."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        parts = []
+        for role in ("subj", "pred", "obj"):
+            v = pc.fill_null(pc.cast(t.column(role), pa.string()), "")
+            ns = pc.struct_field(
+                pc.extract_regex(v, r"^(?P<ns>https?://.*[/#])"), "ns")
+            parts.append(pa.table({
+                "namespace": pc.fill_null(ns, "(literal)"),
+                "role": pa.array([role] * t.num_rows, pa.string()),
+                "one": pa.array([1] * t.num_rows, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return hash_aggregate(
+        triples.map_batches(f, batch_format="pyarrow"),
+        keys=["namespace", "role"], sum_cols={"one": "n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("namespace", pa.string()),
+                              ("role", pa.string()),
+                              ("n", pa.int64())]))
+
+
+def canonicalize_numeric_literals(triples: rd.Dataset) -> rd.Dataset:
+    """Literal cleaning pass: comma-grouped integers
+    (``^[0-9]{1,3}(,[0-9]{3})+$`` — the '1,200' forms typed_literals
+    flags as non-conforming) are rewritten to their canonical digit
+    string; everything else passes through. Output keeps the raw form
+    plus ``obj_canon`` and a ``changed`` flag so a curation diff is
+    one filter. Pure map — zero exchanges."""
+    import pyarrow.compute as pc
+
+    pat = r"^[0-9]{1,3}(?:,[0-9]{3})+$"
+
+    def f(t: pa.Table) -> pa.Table:
+        obj = pc.fill_null(pc.cast(t.column("obj"), pa.string()), "")
+        m = pc.match_substring_regex(obj, pat)
+        canon = pc.if_else(m, pc.replace_substring(obj, ",", ""), obj)
+        return pa.table({
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": obj, "obj_canon": canon,
+            "changed": pc.cast(m, pa.bool_())})
+
+    return triples.map_batches(f, batch_format="pyarrow")

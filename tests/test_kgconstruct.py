@@ -234,3 +234,58 @@ def test_resolve_conflicts(ray_session):
     assert got.loc[("a", "p")].tolist() == ["x", 2, 2]
     assert got.loc[("b", "p")].tolist() == ["m", 1, 2]
     assert got.loc[("c", "q")].tolist() == ["z", 1, 1]
+
+
+def test_partition_cut_profile(ray_session):
+    import numpy as np
+
+    from tabbyray.ops.kgconstruct import partition_cut_profile
+    from tabbyray.ops.sampling import _hash64
+    rows = [(f"n{i}", "linksTo", f"n{(i * 5 + 2) % 9}") for i in range(9)]
+    rows += rows[:3]                                   # duplicates
+    rows += [("n0", RDF_TYPE, "Thing")]                # excluded
+    got = (partition_cut_profile(_tri(rows), n_parts_list=(4,),
+                                 num_partitions=4)
+           .to_pandas().set_index("n_parts"))
+    edges = {(s, o) for s, p, o in rows if p == "linksTo"}
+    bs = np.array([_hash64(s) % 4 for s, _ in edges])
+    bo = np.array([_hash64(o) % 4 for _, o in edges])
+    assert got.loc[4, "n_edges"] == len(edges)
+    assert got.loc[4, "n_cut"] == int((bs != bo).sum())
+    loads = np.bincount(bs, minlength=4)
+    assert got.loc[4, "max_bucket_edges"] == loads.max()
+    assert abs(got.loc[4, "cut_share"]
+               - round(float((bs != bo).mean()), 9)) < 1e-12
+    assert abs(got.loc[4, "balance"]
+               - round(float(loads.max() * 4 / len(edges)), 9)) < 1e-12
+
+
+def test_namespace_profile(ray_session):
+    from tabbyray.ops.kgconstruct import namespace_profile
+    rows = [
+        ("http://a.org/r/x", "http://a.org/p/q", "http://b.org/r#frag"),
+        ("http://a.org/r/y", "http://a.org/p/q", "plain literal"),
+        ("http://a.org/r/y", "http://a.org/p/q", ""),
+    ]
+    got = (namespace_profile(_tri(rows), num_partitions=4)
+           .to_pandas().set_index(["namespace", "role"]).sort_index())
+    assert got.loc[("http://a.org/r/", "subj"), "n"] == 3
+    assert got.loc[("http://a.org/p/", "pred"), "n"] == 3
+    assert got.loc[("http://b.org/r#", "obj"), "n"] == 1
+    assert got.loc[("(literal)", "obj"), "n"] == 2
+
+
+def test_canonicalize_numeric_literals(ray_session):
+    from tabbyray.ops.kgconstruct import canonicalize_numeric_literals
+    rows = [("s", "p", "1,200"), ("s", "p", "12,345,678"),
+            ("s", "p", "1200"), ("s", "p", "1,20"),     # bad grouping
+            ("s", "p", "a,bcd"), ("s", "p", "")]
+    got = (canonicalize_numeric_literals(_tri(rows))
+           .to_pandas().set_index("obj"))
+    assert got.loc["1,200", "obj_canon"] == "1200"
+    assert bool(got.loc["1,200", "changed"])
+    assert got.loc["12,345,678", "obj_canon"] == "12345678"
+    assert got.loc["1,20", "obj_canon"] == "1,20"
+    assert not bool(got.loc["1,20", "changed"])
+    assert got.loc["a,bcd", "obj_canon"] == "a,bcd"
+    assert got.loc["", "obj_canon"] == ""
