@@ -112,12 +112,97 @@ def crawl_main(argv) -> int:
     return 0
 
 
+def kgbuild_main(argv) -> int:
+    """KG materialize surface: a raw multi-source triple stream in
+    (subj, pred, obj [, url]), a loadable KG out —
+
+    1. owl:sameAs closure (identity resolution, alias facts merged,
+       sameAs triples dropped, distinct) -> ``facts/`` written
+       HASH-BUCKET-PARTITIONED on subj (bucket=K dirs: co-locates each
+       entity's adjacency and lets a rerun repair buckets
+       independently);
+    2. per-fact provenance rollup (when a source column is present)
+       -> ``provenance/``;
+    3. functional-constraint validation on the CLOSED facts (alias
+       merges can surface violations raw data hides) ->
+       ``violations/``.
+    """
+    ap = argparse.ArgumentParser(prog="tabbyray kgbuild")
+    ap.add_argument("--triples", required=True,
+                    help="triples parquet file or directory "
+                         "(subj, pred, obj [, url])")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--functional", default="",
+                    help="comma-separated predicates declared "
+                         "functional (validated post-closure)")
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="hash-bucket partitions for facts/")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import (functional_violations,
+                                          sameas_closure,
+                                          triple_provenance)
+
+    files = ([args.triples] if os.path.isfile(args.triples)
+             else sorted(glob.glob(os.path.join(args.triples,
+                                                "**", "*.parquet"),
+                         recursive=True)))
+    names = set(pq.read_schema(files[0]).names)
+    has_source = "url" in names
+    cols = ["subj", "pred", "obj"] + (["url"] if has_source else [])
+    tri = rd.read_parquet(files, columns=cols)
+
+    summary = {"out": args.out}
+    facts = sameas_closure(
+        tri.select_columns(["subj", "pred", "obj"])).materialize()
+    summary["n_facts"] = facts.count()
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        from tabbyray.ops.sampling import _hash64
+        b = [(_hash64(v) % args.buckets)
+             for v in t.column("subj").to_pylist()]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    facts_dir = os.path.join(args.out, "facts")
+    facts.map_batches(bucketed, batch_format="pyarrow").write_parquet(
+        facts_dir, partition_cols=["bucket"])
+    summary["facts_dir"] = facts_dir
+
+    if has_source:
+        prov = triple_provenance(tri).materialize()
+        prov_dir = os.path.join(args.out, "provenance")
+        prov.write_parquet(prov_dir)
+        summary["n_provenance"] = prov.count()
+        summary["provenance_dir"] = prov_dir
+
+    fpreds = [p for p in args.functional.split(",") if p]
+    if fpreds:
+        viol = functional_violations(facts, fpreds).materialize()
+        viol_dir = os.path.join(args.out, "violations")
+        viol.write_parquet(viol_dir)
+        summary["n_violations"] = viol.count()
+        summary["violations_dir"] = viol_dir
+
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
     if argv and argv[0] == "crawl":
         return crawl_main(argv[1:])
+    if argv and argv[0] == "kgbuild":
+        return kgbuild_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tabbyray")
     ap.add_argument("--pages", required=True, help="pages parquet file or directory")
     ap.add_argument("--kb", required=True, help="KB index parquet (FIXTURES.md F2)")

@@ -1705,12 +1705,13 @@ def ensure_kg_mixed_fixture(n_entities: int = 150, seed: int = 97,
       (declared FUNCTIONAL; ~8 planted violators assert 2-3 distinct
       places), ``knows`` (N:M noise)
     * ``owl:sameAs`` — alias chains of length 1-3 hanging off ~25
-      base entities (a1 sameAs e, a2 sameAs a1, ...), plus reversed
+      base entities (alias URIs sort AFTER their base, so the
+      closure's lexicographic-min canonical is the base entity) (a1 sameAs e, a2 sameAs a1, ...), plus reversed
       duplicates and a few self-loops; a share of the fact edges is
       asserted ABOUT aliases so the closure rewrite visibly merges
       facts
     Duplicate rows re-emitted on purpose (ops must distinct first)."""
-    path = os.path.join(root, f"kgmixed-v1-s{seed}-e{n_entities}.parquet")
+    path = os.path.join(root, f"kgmixed-v2-s{seed}-e{n_entities}.parquet")
     if os.path.exists(path):
         return path
     rng = random.Random(seed)
@@ -1740,7 +1741,7 @@ def ensure_kg_mixed_fixture(n_entities: int = 150, seed: int = 97,
     for i in range(25):
         prev = ent[i]
         for j in range(rng.randint(1, 3)):
-            a = f"http://alias.example.org/kg/e{i}x{j}"
+            a = f"http://example.org/kg/e{i}-alias{j}"
             rows.append((a, sameas, prev))
             if rng.random() < 0.4:        # reversed duplicate
                 rows.append((prev, sameas, a))

@@ -208,3 +208,32 @@ def test_cli_resolve_entities(smoke_fixture, tmp_path):
         nt += open(f).read()
     for raw in rew.subj_raw.unique():
         assert f"<{raw}>" not in nt
+
+
+def test_cli_kgbuild(tmp_path):
+    """kgbuild surface: sameAs-closed bucket-partitioned facts +
+    functional-violation report; counts must match the library ops."""
+    from tabbyray.fixtures import ensure_kg_mixed_fixture
+    fix = ensure_kg_mixed_fixture()
+    out = str(tmp_path / "kg")
+    r = subprocess.run(
+        [sys.executable, "-m", "tabbyray", "kgbuild",
+         "--triples", fix, "--out", out,
+         "--functional", "http://example.org/kg/p/locatedIn",
+         "--buckets", "4", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, RAY_ADDRESS="local"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_facts"] == 399          # == kg_sameas_closure oracle
+    assert summary["n_violations"] == 8
+    buckets = sorted(glob.glob(os.path.join(out, "facts", "bucket=*")))
+    assert len(buckets) == 4
+    # no sameAs survives; every alias subject was rewritten
+    import pandas as pd
+    facts = pd.concat([pd.read_parquet(b) for b in buckets])
+    assert len(facts) == 399
+    assert not facts["pred"].str.contains("sameAs").any()
+    assert not facts["subj"].str.contains("-alias").any()
+    assert not facts["obj"].str.contains("-alias").any()
