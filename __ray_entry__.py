@@ -541,6 +541,46 @@ def _q_kg_literal_canon(sf_dir: str):
     return canonicalize_numeric_literals(_kg_literals())
 
 
+def _q_kg_resolve_latest(sf_dir: str):
+    """Recency-policy truth discovery over the flagship triple stream:
+    per (subj, pred) slot the object of the LATEST page capture wins
+    (ties obj asc) — the fusion rule for slots that legitimately
+    change over time. One url co-partitioned stamp join + ONE
+    grouped-argmax combiner exchange + a distinct-object rollup;
+    oracle = epoch_us join + QUALIFY-style row_number."""
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import resolve_latest
+    _sti_export_paths()
+    pages = rd.read_parquet(
+        os.path.join(_fixture(200), "pages.parquet"),
+        columns=["url", "warc_ts"], override_num_blocks=4)
+    return resolve_latest(_kg_export_triples(), pages,
+                          num_partitions=8)
+
+
+def _q_kg_infer_types(sf_dir: str):
+    """KG completion by schema statistics over the mixed stream:
+    untyped endpoints of a predicate whose induced domain (or range)
+    is >= 50% one class get that class proposed, with supporting
+    share. domain/range induction + one grouped argmax + two untyped
+    LEFT joins + a distinct; oracle = the same plan in SQL."""
+    from tabbyray.ops.kgconstruct import infer_types
+    return infer_types(_kg_mixed(), min_share=0.5, num_partitions=8)
+
+
+def _q_kg_entity_fact_jaccard(sf_dir: str):
+    """Duplicate-entity candidates by fact overlap over the mixed
+    stream: Jaccard between entities' distinct (pred, obj) feature
+    sets through the co-citation self-join machinery (entity = source,
+    feature = target). One distinct exchange + one feature-key
+    self-join + pair aggregate + two degree joins; oracle = the same
+    self-join in SQL."""
+    from tabbyray.ops.kgconstruct import entity_fact_jaccard
+    return entity_fact_jaccard(_kg_mixed(), min_common=1,
+                               num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3754,6 +3794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_rules": _q_kg_path_rules,
         "kg_resolve_conflicts": _q_kg_resolve_conflicts,
         "kg_partition_cut": _q_kg_partition_cut,
+        "kg_infer_types": _q_kg_infer_types,
         # entity linkage / resolution (the KG entity-merge stage)
         "fuzzy_entity_match": _q_fuzzy_entity_match,
         "fuzzy_entity_match_top1": _q_fuzzy_entity_match_top1,
@@ -3847,6 +3888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triple_provenance": _q_kg_triple_provenance,
         "kg_namespace_profile": _q_kg_namespace_profile,
         "kg_literal_canon": _q_kg_literal_canon,
+        "kg_resolve_latest": _q_kg_resolve_latest,
+        "kg_entity_fact_jaccard": _q_kg_entity_fact_jaccard,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -5158,6 +5201,103 @@ def _sti_oracles() -> dict[str, str]:
                     ELSE obj END AS obj_canon,
                hit AS changed
         FROM m
+    """
+
+    pages_pq = os.path.join(fix, "pages.parquet")
+    out["kg_resolve_latest"] = f"""
+        WITH tr AS (SELECT url, subj, pred, obj
+                    FROM read_parquet('{triples}')),
+        pg AS MATERIALIZED (
+              SELECT url, epoch_us(warc_ts) AS ts_us
+              FROM read_parquet('{pages_pq}')),
+        st AS MATERIALIZED (
+              SELECT tr.subj, tr.pred, tr.obj, pg.ts_us
+              FROM tr JOIN pg USING (url)),
+        win AS (SELECT subj, pred, obj, ts_us
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY subj, pred
+                          ORDER BY ts_us DESC, obj ASC) AS rn
+                      FROM st)
+                WHERE rn = 1),
+        no AS (SELECT subj, pred,
+                      CAST(count(DISTINCT obj) AS BIGINT) AS n_objs
+               FROM st GROUP BY 1, 2)
+        SELECT w.subj, w.pred, w.obj, w.ts_us, no.n_objs
+        FROM win w JOIN no USING (subj, pred)
+    """
+
+    out["kg_infer_types"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        ty AS MATERIALIZED (
+              SELECT DISTINCT subj AS ent, obj AS cls
+              FROM tri WHERE pred = '{rdf_type}'),
+        tyent AS MATERIALIZED (SELECT DISTINCT ent FROM ty),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM tri WHERE pred <> '{rdf_type}'),
+        u AS (SELECT e.pred, 'domain' AS side,
+                     coalesce(ty.cls, '(untyped)') AS cls
+              FROM e LEFT JOIN ty ON ty.ent = e.subj
+              UNION ALL
+              SELECT e.pred, 'range', coalesce(ty.cls, '(untyped)')
+              FROM e LEFT JOIN ty ON ty.ent = e.obj),
+        g AS MATERIALIZED (
+              SELECT pred, side, cls,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2, 3),
+        tot AS (SELECT pred, side, sum(n) AS total
+                FROM g GROUP BY 1, 2),
+        prof AS MATERIALIZED (
+              SELECT g.pred, g.side, g.cls, g.n,
+                     round(g.n * 1.0 / tot.total, 9) AS share
+              FROM g JOIN tot USING (pred, side)),
+        win AS MATERIALIZED (
+              SELECT pred, side, cls, share
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY pred, side
+                        ORDER BY n DESC, cls ASC) AS rn
+                    FROM prof WHERE cls <> '(untyped)')
+              WHERE rn = 1 AND share >= 0.5),
+        ud AS (SELECT DISTINCT e.subj AS ent, e.pred FROM e
+               LEFT JOIN tyent t ON t.ent = e.subj
+               WHERE t.ent IS NULL),
+        ur AS (SELECT DISTINCT e.obj AS ent, e.pred FROM e
+               LEFT JOIN tyent t ON t.ent = e.obj
+               WHERE t.ent IS NULL)
+        SELECT DISTINCT * FROM (
+            SELECT u.ent, w.cls, u.pred, 'domain' AS side, w.share
+            FROM ud u JOIN win w
+              ON w.pred = u.pred AND w.side = 'domain'
+            UNION ALL
+            SELECT u.ent, w.cls, u.pred, 'range', w.share
+            FROM ur u JOIN win w
+              ON w.pred = u.pred AND w.side = 'range')
+    """
+
+    out["kg_entity_fact_jaccard"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred NOT IN ('{rdf_type}', '{sameas}')),
+        f AS MATERIALIZED (
+              SELECT subj AS ent,
+                     pred || chr(31) || obj AS feat
+              FROM e),
+        deg AS MATERIALIZED (
+              SELECT ent, CAST(count(*) AS BIGINT) AS d
+              FROM f GROUP BY ent),
+        pr AS (SELECT a.ent AS ent_a, b.ent AS ent_b,
+                      CAST(count(*) AS BIGINT) AS n_common
+               FROM f a JOIN f b
+                 ON a.feat = b.feat AND a.ent < b.ent
+               GROUP BY 1, 2)
+        SELECT pr.ent_a, pr.ent_b, pr.n_common,
+               round(pr.n_common * 1.0
+                     / (da.d + db.d - pr.n_common), 9) AS jaccard
+        FROM pr JOIN deg da ON da.ent = pr.ent_a
+                JOIN deg db ON db.ent = pr.ent_b
     """
 
     out["kg_fact_summary"] = f"""

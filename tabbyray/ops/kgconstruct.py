@@ -963,3 +963,231 @@ def canonicalize_numeric_literals(triples: rd.Dataset) -> rd.Dataset:
             "changed": pc.cast(m, pa.bool_())})
 
     return triples.map_batches(f, batch_format="pyarrow")
+
+
+def resolve_latest(triples: rd.Dataset, pages: rd.Dataset,
+                   url_col: str = "url", ts_col: str = "warc_ts",
+                   num_partitions: "int | None" = None) -> rd.Dataset:
+    """Recency-policy truth discovery: per (subj, pred) slot elect the
+    object of the LATEST source capture (ties: obj asc), the fusion
+    rule for slots that legitimately change over time (population,
+    employer) where source voting would keep the stale majority.
+    Output: (subj, pred, obj, ts_us, n_objs) — ts_us = the winning
+    assertion's capture time as epoch micros (int64 keeps the hash
+    comparison engine-neutral).
+
+    Plan: one url co-partitioned join stamps each assertion with its
+    capture time + ONE grouped-argmax combiner exchange + a distinct-
+    object rollup join."""
+    import pyarrow.compute as pc
+
+    ts = pages.map_batches(
+        lambda t: pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "ts_us": pc.cast(t.column(ts_col), pa.int64())}),
+        batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": pc.cast(t.column("obj"), pa.string())})
+
+    stamped = hash_join(
+        triples.map_batches(proj, batch_format="pyarrow"), ts,
+        on="url", num_partitions=num_partitions,
+        left_schema=pa.schema([("url", pa.string()),
+                               ("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string())]),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("ts_us", pa.int64())])).materialize()
+
+    keyed = stamped.map_batches(
+        lambda t: t.append_column(
+            "_k", pc.binary_join_element_wise(
+                t.column("subj"), t.column("pred"), "\x1f")),
+        batch_format="pyarrow")
+    win = grouped_argmax(keyed, key="_k", order_col="ts_us",
+                         tie_col="obj",
+                         out_cols=["subj", "pred", "obj", "ts_us"],
+                         num_partitions=num_partitions)
+
+    objs = hash_aggregate(
+        stamped.map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["subj", "pred", "obj"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("_n", pa.int64())]))
+    n_objs = partial_agg_sum(
+        objs.map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        ["subj", "pred"], {"one": "n_objs"})
+    return hash_join(
+        win, n_objs, on=["subj", "pred"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string()),
+                               ("ts_us", pa.int64())]),
+        right_schema=pa.schema([("subj", pa.string()),
+                                ("pred", pa.string()),
+                                ("n_objs", pa.int64())]))
+
+
+def infer_types(triples: rd.Dataset, type_pred: str = RDF_TYPE,
+                min_share: float = 0.5,
+                untyped_label: str = "(untyped)",
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """KG completion by schema statistics: propose rdf:type assertions
+    for UNTYPED entities from the induced domain/range profile — if
+    >= ``min_share`` of a predicate's typed subjects are Person, an
+    untyped subject of that predicate is proposed Person (likewise
+    objects via side='range'). Output: one distinct proposal row per
+    (ent, cls, pred, side) with the supporting share — a downstream
+    curation gate decides acceptance.
+
+    Winner per (pred, side): max n, tie cls asc, among REAL classes
+    only; its share is measured against all typed endpoints (untyped
+    bucket excluded from the denominator definition used here: share
+    column from :func:`domain_range_profile` includes untyped mass, so
+    a predicate whose endpoints are mostly untyped proposes nothing
+    at min_share=0.5 — deliberately conservative)."""
+    import pyarrow.compute as pc
+
+    prof = domain_range_profile(triples, type_pred=type_pred,
+                                untyped_label=untyped_label,
+                                num_partitions=num_partitions)
+    prof = prof.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("cls"),
+                                        untyped_label)),
+        batch_format="pyarrow")
+    keyed = prof.map_batches(
+        lambda t: t.append_column(
+            "_k", pc.binary_join_element_wise(
+                t.column("pred"), t.column("side"), "\x1f")),
+        batch_format="pyarrow")
+    win = grouped_argmax(keyed, key="_k", order_col="n",
+                         tie_col="cls",
+                         out_cols=["pred", "side", "cls", "share"],
+                         num_partitions=num_partitions)
+    win = win.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("share"), pa.scalar(min_share, pa.float64()))),
+        batch_format="pyarrow").materialize()
+
+    ty = _distinct_triples(triples, keep={type_pred}, drop=None,
+                           cols=("ent", "_tp", "cls"),
+                           num_partitions=num_partitions) \
+        .drop_columns(["_tp"]).materialize()
+    e = _distinct_triples(triples, keep=None, drop={type_pred},
+                          num_partitions=num_partitions).materialize()
+
+    def side_props(col: str, side: str) -> rd.Dataset:
+        proj = e.map_batches(
+            lambda t, c=col: pa.table({"ent": t.column(c),
+                                       "pred": t.column("pred")}),
+            batch_format="pyarrow")
+        j = hash_join(
+            proj, ty.map_batches(
+                lambda t: pa.table({"ent": t.column("ent"),
+                                    "_any": pa.array(
+                                        [1] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow"),
+            on="ent", how="left", num_partitions=num_partitions,
+            left_schema=pa.schema([("ent", pa.string()),
+                                   ("pred", pa.string())]),
+            right_schema=pa.schema([("ent", pa.string()),
+                                    ("_any", pa.int64())]))
+        untyped = j.map_batches(
+            lambda t, s=side: (lambda ft: pa.table({
+                "ent": ft.column("ent"), "pred": ft.column("pred"),
+                "side": pa.array([s] * ft.num_rows, pa.string())}))(
+                t.filter(pc.is_null(t.column("_any")))),
+            batch_format="pyarrow")
+        wside = win.map_batches(
+            lambda t, s=side: (lambda ft: pa.table({
+                "pred": ft.column("pred"), "cls": ft.column("cls"),
+                "share": ft.column("share")}))(
+                t.filter(pc.equal(t.column("side"), s))),
+            batch_format="pyarrow")
+        return hash_join(
+            untyped, wside, on="pred", num_partitions=num_partitions,
+            left_schema=pa.schema([("ent", pa.string()),
+                                   ("pred", pa.string()),
+                                   ("side", pa.string())]),
+            right_schema=pa.schema([("pred", pa.string()),
+                                    ("cls", pa.string()),
+                                    ("share", pa.float64())]))
+
+    u = side_props("subj", "domain").union(side_props("obj", "range"))
+    # distinct proposals (an entity with k edges of one pred proposes
+    # once); floats are exact copies of one profile row, safe as keys
+    dedup = hash_aggregate(
+        u.map_batches(
+            lambda t: pa.table({
+                "ent": t.column("ent"), "cls": t.column("cls"),
+                "pred": t.column("pred"), "side": t.column("side"),
+                "share": pc.cast(t.column("share"), pa.float64()),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["ent", "cls", "pred", "side", "share"],
+        sum_cols={"one": "_n"}, num_partitions=num_partitions,
+        out_schema=pa.schema([("ent", pa.string()),
+                              ("cls", pa.string()),
+                              ("pred", pa.string()),
+                              ("side", pa.string()),
+                              ("share", pa.float64()),
+                              ("_n", pa.int64())]))
+    return dedup.drop_columns(["_n"])
+
+
+def entity_fact_jaccard(triples: rd.Dataset,
+                        exclude_preds: "tuple[str, ...]" = (RDF_TYPE,
+                                                            OWL_SAMEAS),
+                        min_common: int = 1,
+                        max_feature_df: "int | None" = None,
+                        num_partitions: "int | None" = None
+                        ) -> rd.Dataset:
+    """Duplicate-entity detection by FACT overlap (the ER signal
+    string similarity can't see): Jaccard between entities' distinct
+    (pred, obj) feature sets via the co-citation machinery
+    (:func:`tabbyray.ops.graph.outlink_jaccard` — entity = source,
+    feature = target). ``max_feature_df`` drops features shared by
+    more entities than the cap from pair generation (supernode cut);
+    ``min_common`` prunes weak pairs. Output: (ent_a, ent_b,
+    n_common, jaccard)."""
+    from .graph import outlink_jaccard
+
+    e = _distinct_triples(triples, keep=None, drop=set(exclude_preds),
+                          num_partitions=num_partitions)
+
+    def feat(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "src": t.column("subj"),
+            "dst": pc.binary_join_element_wise(
+                t.column("pred"), t.column("obj"), "\x1f")})
+
+    pairs = outlink_jaccard(
+        e.map_batches(feat, batch_format="pyarrow"),
+        pair_cols=("src", "dst"),
+        max_target_indegree=max_feature_df, min_common=min_common,
+        num_partitions=num_partitions)
+    return pairs.map_batches(
+        lambda t: pa.table({"ent_a": t.column("node_a"),
+                            "ent_b": t.column("node_b"),
+                            "n_common": t.column("common_targets"),
+                            "jaccard": t.column("jaccard")}),
+        batch_format="pyarrow")

@@ -289,3 +289,71 @@ def test_canonicalize_numeric_literals(ray_session):
     assert not bool(got.loc["1,20", "changed"])
     assert got.loc["a,bcd", "obj_canon"] == "a,bcd"
     assert got.loc["", "obj_canon"] == ""
+
+
+def test_resolve_latest(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import resolve_latest
+    tri = _tri4([
+        ("a", "p", "x", "u1"), ("a", "p", "y", "u2"),
+        ("b", "q", "z", "u3"), ("b", "q", "w", "u3"),  # same-ts tie
+        ("a", "p", "x", "u1"),                         # duplicate
+    ])
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2", "u3"], pa.string()),
+        "warc_ts": pa.array([100, 200, 150],
+                            pa.timestamp("us"))})).repartition(2)
+    got = (resolve_latest(tri, pages, num_partitions=4)
+           .to_pandas().set_index(["subj", "pred"]).sort_index())
+    assert got.loc[("a", "p")].tolist() == ["y", 200, 2]
+    assert got.loc[("b", "q")].tolist() == ["w", 150, 2]  # obj asc tie
+
+
+def test_infer_types(ray_session):
+    from tabbyray.ops.kgconstruct import infer_types
+    rows = [
+        ("a", RDF_TYPE, "Person"), ("b", RDF_TYPE, "Person"),
+        ("c", RDF_TYPE, "Org"),
+        ("a", "wf", "o1"), ("b", "wf", "o2"), ("d", "wf", "o3"),
+        ("a", "loc", "c"), ("b", "loc", "e"),
+    ]
+    got = (infer_types(_tri(rows), min_share=0.5, num_partitions=4)
+           .to_pandas().set_index(["ent", "cls"]).sort_index())
+    # d untyped, 2/3 of wf subjects are Person -> propose Person
+    assert set(got.index) == {("d", "Person"), ("e", "Org")}
+    r = got.loc[("d", "Person")]
+    assert r["pred"] == "wf" and r["side"] == "domain"
+    assert abs(r["share"] - round(2 / 3, 9)) < 1e-12
+    r = got.loc[("e", "Org")]
+    assert r["pred"] == "loc" and r["side"] == "range"
+    assert abs(r["share"] - 0.5) < 1e-12
+    # conservative: min_share above the evidence -> nothing proposed
+    assert infer_types(_tri(rows), min_share=0.9,
+                       num_partitions=4).count() == 0
+
+
+def test_entity_fact_jaccard(ray_session):
+    from tabbyray.ops.kgconstruct import entity_fact_jaccard
+    rows = [
+        ("s1", "p", "x"), ("s1", "q", "y"), ("s1", "r", "z"),
+        ("s2", "p", "x"), ("s2", "q", "y"),
+        ("s3", "q", "y"),
+        ("s1", "p", "x"),                         # duplicate
+        ("s1", RDF_TYPE, "T"),                    # excluded
+    ]
+    got = (entity_fact_jaccard(_tri(rows), min_common=2,
+                               num_partitions=4).to_pandas()
+           .set_index(["ent_a", "ent_b"]))
+    assert set(got.index) == {("s1", "s2")}
+    assert got.loc[("s1", "s2"), "n_common"] == 2
+    assert abs(got.loc[("s1", "s2"), "jaccard"] - 2 / 3) < 1e-9
+    # supernode cut: (q, y) has df 3 > 2 -> only (p, x) pairs remain;
+    # degrees stay measured on the FULL feature sets
+    capped = (entity_fact_jaccard(_tri(rows), max_feature_df=2,
+                                  num_partitions=4).to_pandas()
+              .set_index(["ent_a", "ent_b"]))
+    assert set(capped.index) == {("s1", "s2")}
+    assert capped.loc[("s1", "s2"), "n_common"] == 1
+    assert abs(capped.loc[("s1", "s2"), "jaccard"] - 0.25) < 1e-9
