@@ -581,6 +581,22 @@ def _q_kg_entity_fact_jaccard(sf_dir: str):
                                num_partitions=8)
 
 
+def _q_kg_fact_lifespan(sf_dir: str):
+    """Temporal validity per fact over the flagship stream: first /
+    last capture epoch-micros + assertion count (the retire-stale-fact
+    evidence for incremental maintenance). One url stamp join + ONE
+    min/max/count combiner exchange; oracle = join + GROUP BY."""
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import fact_lifespan
+    _sti_export_paths()
+    pages = rd.read_parquet(
+        os.path.join(_fixture(200), "pages.parquet"),
+        columns=["url", "warc_ts"], override_num_blocks=4)
+    return fact_lifespan(_kg_export_triples(), pages,
+                         num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3890,6 +3906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_literal_canon": _q_kg_literal_canon,
         "kg_resolve_latest": _q_kg_resolve_latest,
         "kg_entity_fact_jaccard": _q_kg_entity_fact_jaccard,
+        "kg_fact_lifespan": _q_kg_fact_lifespan,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -5224,6 +5241,20 @@ def _sti_oracles() -> dict[str, str]:
                FROM st GROUP BY 1, 2)
         SELECT w.subj, w.pred, w.obj, w.ts_us, no.n_objs
         FROM win w JOIN no USING (subj, pred)
+    """
+
+    out["kg_fact_lifespan"] = f"""
+        WITH tr AS (SELECT url, subj, pred, obj
+                    FROM read_parquet('{triples}')),
+        pg AS MATERIALIZED (
+              SELECT url, epoch_us(warc_ts) AS ts_us
+              FROM read_parquet('{pages_pq}'))
+        SELECT tr.subj, tr.pred, tr.obj,
+               CAST(min(pg.ts_us) AS BIGINT) AS first_ts_us,
+               CAST(max(pg.ts_us) AS BIGINT) AS last_ts_us,
+               CAST(count(*) AS BIGINT) AS n_captures
+        FROM tr JOIN pg USING (url)
+        GROUP BY 1, 2, 3
     """
 
     out["kg_infer_types"] = f"""

@@ -1191,3 +1191,67 @@ def entity_fact_jaccard(triples: rd.Dataset,
                             "n_common": t.column("common_targets"),
                             "jaccard": t.column("jaccard")}),
         batch_format="pyarrow")
+
+
+def fact_lifespan(triples: rd.Dataset, pages: rd.Dataset,
+                  url_col: str = "url", ts_col: str = "warc_ts",
+                  num_partitions: "int | None" = None) -> rd.Dataset:
+    """Temporal validity profile per fact: first / last capture time
+    (epoch micros) and assertion count across a recrawled corpus — the
+    evidence an incremental KG uses to retire stale facts (a fact not
+    re-asserted since its slot's winner moved on gets an end date).
+    One url co-partitioned stamp join + ONE min/max/count combiner
+    exchange (per-batch pandas groupby partial -> triple-hash
+    partition -> final merge)."""
+    import pyarrow.compute as pc
+
+    from .relational import _resolve_partitions, typed_groupby_map
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    ts = pages.map_batches(
+        lambda t: pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "ts_us": pc.cast(t.column(ts_col), pa.int64())}),
+        batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": pc.cast(t.column("obj"), pa.string())})
+
+    stamped = hash_join(
+        triples.map_batches(proj, batch_format="pyarrow"), ts,
+        on="url", num_partitions=num_partitions,
+        left_schema=pa.schema([("url", pa.string()),
+                               ("subj", pa.string()),
+                               ("pred", pa.string()),
+                               ("obj", pa.string())]),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("ts_us", pa.int64())]))
+
+    keys = ["subj", "pred", "obj"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False).agg(
+            first_ts_us=("ts_us", "min"), last_ts_us=("ts_us", "max"),
+            n_captures=("ts_us", "count"))
+        h = pd.util.hash_pandas_object(
+            g[keys].agg("\x1f".join, axis=1), index=False)
+        return g.assign(_part=(h % num_partitions).astype("int64"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(
+            first_ts_us=("first_ts_us", "min"),
+            last_ts_us=("last_ts_us", "max"),
+            n_captures=("n_captures", "sum"))
+
+    out_schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()),
+        ("obj", pa.string()), ("first_ts_us", pa.int64()),
+        ("last_ts_us", pa.int64()), ("n_captures", pa.int64())])
+    return typed_groupby_map(
+        stamped.map_batches(partial, batch_format="pandas"),
+        "_part", final, out_schema)

@@ -357,3 +357,23 @@ def test_entity_fact_jaccard(ray_session):
     assert set(capped.index) == {("s1", "s2")}
     assert capped.loc[("s1", "s2"), "n_common"] == 1
     assert abs(capped.loc[("s1", "s2"), "jaccard"] - 0.25) < 1e-9
+
+
+def test_fact_lifespan(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import fact_lifespan
+    tri = _tri4([
+        ("a", "p", "x", "u1"), ("a", "p", "x", "u3"),
+        ("a", "p", "x", "u1"),                    # re-asserted same page
+        ("b", "q", "z", "u2"),
+    ])
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2", "u3"], pa.string()),
+        "warc_ts": pa.array([100, 200, 150],
+                            pa.timestamp("us"))})).repartition(2)
+    got = (fact_lifespan(tri, pages, num_partitions=4)
+           .to_pandas().set_index(["subj", "pred", "obj"]).sort_index())
+    assert got.loc[("a", "p", "x")].tolist() == [100, 150, 3]
+    assert got.loc[("b", "q", "z")].tolist() == [200, 200, 1]
