@@ -3778,11 +3778,10 @@ def _q_packed_sequences(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDERED BY SIGNAL: a driver run that truncates after the first ~50
-    # entries must still cover every flagship family (STI pipeline,
-    # dedup, similarity search, joins, graph, sketches, the web-scale
-    # join-path text scorers). Long-tail derived/composed queries follow.
-    return {
+    # Grouped by module below for maintenance; the returned dict is
+    # re-ranked by _SIGNAL_WINDOW so a driver run that truncates after
+    # the first ~50 entries still covers every flagship family.
+    q = {
         # STI / KG-construction pipeline (SURVEY.md §2-3; fixture-driven).
         # Every entry is SQL-oracled: extraction against the GENERATOR
         # gold cells; the scoring/assembly/triple/canonicalize stages
@@ -4057,6 +4056,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
     }
+    head = {k: q[k] for k in _SIGNAL_WINDOW if k in q}
+    head.update((k, v) for k, v in q.items() if k not in head)
+    return head
+
+
+# A driver run that samples only the FIRST ~50 queries() entries must
+# still see one representative of EVERY flagship family (STI pipeline,
+# KG construction, entity resolution, dedup, similarity search, text
+# scoring, sketches, joins, graph, web/crawl, streaming, sampling,
+# multimodal, BPE). The full dict order above groups by module for
+# maintenance; this list re-ranks the head by cross-family signal.
+_SIGNAL_WINDOW = [
+    # STI flagship (reference parity)
+    "sti_extract_cells", "sti_annotations", "sti_annotated_rows",
+    "sti_triples", "sti_canonical_triples", "sti_cpa_triples",
+    # KG construction (tier flagships)
+    "kg_predicate_stats", "kg_triple_delta", "kg_predicate_cardinality",
+    "kg_datatype_profile", "kg_type_closure", "kg_sameas_closure",
+    "kg_domain_range", "kg_typed_literals", "kg_transe_negatives",
+    "kg_path_rules", "kg_resolve_conflicts", "kg_partition_cut",
+    "kg_infer_types", "kg_fact_lifespan",
+    # entity linkage / resolution
+    "fuzzy_entity_match", "entity_resolution", "kg_resolved_triples_full",
+    # dedup family
+    "exact_dedup_keep_first", "minhash_lsh_dedup", "simhash_values",
+    "embedding_neardup", "incremental_dedup_spill",
+    # similarity search
+    "knn_cosine", "knn_ivf",
+    # text scorers (forced join plans = the at-scale paths)
+    "tfidf_scores_join", "doc_unigram_nll_join",
+    "ngram_contamination_join", "dsir_selected",
+    # sketches
+    "cms_frequent_terms", "kmv_distinct_tokens",
+    # joins / relational
+    "customer_order_stats", "latest_order_asof",
+    "value_band_range_join_bucketed", "orders_bloom_semi",
+    "price_quantiles",
+    # graph
+    "supplier_pagerank", "web_host_pagerank", "web_host_communities",
+    # web / crawl curation
+    "web_url_components", "web_host_stats", "web_host_trustrank",
+    "crawl_curated_staged",
+    # streaming, sampling, multimodal, tokenizer
+    "sessionize", "sliding_window_agg",
+    "weighted_doc_sample", "global_shuffle_rank",
+    "multimodal_decode_stats", "bpe_doc_tokens",
+]
 
 
 # -------------------------------------------------------------------------

@@ -83,6 +83,9 @@ def main():
     tri = rd.from_arrow(pa.concat_tables([facts, sa])) \
         .repartition(64).materialize()
     n_in = tri.count()
+    def mark(msg):
+        print(f"[stress] {msg}", file=sys.stderr, flush=True)
+    mark(f"generated {n_in} triples")
 
     out = {"n_triples_in": n_in, "n_entities": n_entities,
            "n_sameas": int(n_alias + n_alias // 2),
@@ -93,23 +96,27 @@ def main():
     t0 = time.monotonic()
     closed = sameas_closure(spo).materialize()
     out["sameas_closure_local_sec"] = round(time.monotonic() - t0, 1)
+    mark(f"closure local {out['sameas_closure_local_sec']}s")
     out["n_facts_closed"] = closed.count()
 
     t0 = time.monotonic()
     closed_j = sameas_closure(spo, components_mode="join").materialize()
     out["sameas_closure_join_sec"] = round(time.monotonic() - t0, 1)
+    mark(f"closure join {out['sameas_closure_join_sec']}s")
     assert closed_j.count() == out["n_facts_closed"]
 
     t0 = time.monotonic()
     cut = partition_cut_profile(spo, n_parts_list=(64, 1024)
                                 ).to_pandas().set_index("n_parts")
     out["partition_cut_sec"] = round(time.monotonic() - t0, 1)
+    mark(f"partition cut {out['partition_cut_sec']}s")
     out["cut_share_64"] = float(cut.loc[64, "cut_share"])
     out["balance_64"] = float(cut.loc[64, "balance"])
 
     t0 = time.monotonic()
     prov = triple_provenance(tri).materialize()
     out["provenance_sec"] = round(time.monotonic() - t0, 1)
+    mark(f"provenance {out['provenance_sec']}s")
     out["n_provenance"] = prov.count()
 
     t0 = time.monotonic()
