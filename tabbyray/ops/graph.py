@@ -65,16 +65,23 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
         n = _flat(t.column(node_col).cast(pa.int64()))
         return pa.table({"src": n, "dst": n})
 
-    edges = (pairs.map_batches(sym, batch_format="pyarrow")
-             .union(nodes.map_batches(self_loops, batch_format="pyarrow"))
-             .materialize())
+    # _coalesced: sort-groupby/map_groups/union keep the INPUT block
+    # count, so without bounding it the label state grows by
+    # blocks(edges) every round and late rounds drown in per-task
+    # scheduling (measured 80 s/round -> ~2 s/round at 4.5k edges)
+    edges = _coalesced(
+        pairs.map_batches(sym, batch_format="pyarrow")
+        .union(nodes.map_batches(self_loops, batch_format="pyarrow")),
+        num_partitions)
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
     def init(t: pa.Table) -> pa.Table:
         n = t.column(node_col).cast(pa.int64())
         return pa.table({"node": n, "lbl": n})
 
-    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    labels = _coalesced(
+        nodes.map_batches(init, batch_format="pyarrow"),
+        num_partitions)
 
     def as_src(t: pa.Table) -> pa.Table:
         return t.rename_columns(["src", "lbl"])
@@ -128,9 +135,11 @@ def connected_components(pairs: rd.Dataset, nodes: rd.Dataset,
             right_schema=pa.schema([("src", pa.int64()),
                                     ("lbl", pa.int64())]),
         ).map_batches(msg_to_node, batch_format="pyarrow")
-        new_labels = typed_groupby_map(
-            msgs.map_batches(partial_min, batch_format="pandas"),
-            "_part", final_min, _LBL_SCHEMA).materialize()
+        new_labels = _coalesced(
+            typed_groupby_map(
+                msgs.map_batches(partial_min, batch_format="pandas"),
+                "_part", final_min, _LBL_SCHEMA),
+            num_partitions)
         total = wrapped_total(new_labels)
         labels = new_labels
         if prev_sum is not None and total == prev_sum:
