@@ -1497,9 +1497,15 @@ def bellman_ford(edges: rd.Dataset, seeds: rd.Dataset,
                 "node": t.column("v"),
                 "dist": pc.add(t.column("dist"), t.column("w"))})
 
-        dist = _min_by_node(
-            dist.union(hop.map_batches(cand, batch_format="pyarrow"))
-        ).materialize()
+        # _coalesced: the union + min-groupby keep input block counts,
+        # so the frontier state would otherwise grow by blocks(ed) of
+        # tiny blocks every relaxation round (same fix as
+        # connected_components / label_propagation)
+        dist = _coalesced(
+            _min_by_node(
+                dist.union(hop.map_batches(cand,
+                                           batch_format="pyarrow"))),
+            num_partitions)
     return dist
 
 
