@@ -126,6 +126,14 @@ def kgbuild_main(argv) -> int:
     3. functional-constraint validation on the CLOSED facts (alias
        merges can surface violations raw data hides) ->
        ``violations/``.
+
+    RESUMABLE at stage granularity: each stage directory carries a
+    ``_MANIFEST.json`` with a fingerprint of the input file list
+    (paths + sizes) and the stage's own config, committed atomically
+    AFTER the stage's parquet lands. A re-submission after a kill
+    skips committed stages (byte-identical output stays in place) and
+    recomputes only uncommitted ones; a stage dir without a manifest
+    is wiped before rewrite so partial output never double-counts.
     """
     ap = argparse.ArgumentParser(prog="tabbyray kgbuild")
     ap.add_argument("--triples", required=True,
@@ -159,35 +167,98 @@ def kgbuild_main(argv) -> int:
     cols = ["subj", "pred", "obj"] + (["url"] if has_source else [])
     tri = rd.read_parquet(files, columns=cols)
 
-    summary = {"out": args.out}
-    facts = sameas_closure(
-        tri.select_columns(["subj", "pred", "obj"])).materialize()
-    summary["n_facts"] = facts.count()
+    import hashlib
+    import shutil
+    input_fp = hashlib.md5(json.dumps(
+        [[f, os.path.getsize(f)] for f in files]).encode()).hexdigest()
 
-    def bucketed(t: pa.Table) -> pa.Table:
-        from tabbyray.ops.sampling import _hash64
-        b = [(_hash64(v) % args.buckets)
-             for v in t.column("subj").to_pylist()]
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+    def stage_done(d: str, fp: str) -> "dict | None":
+        m = os.path.join(d, "_MANIFEST.json")
+        if os.path.exists(m):
+            got = json.load(open(m))
+            if got.get("fingerprint") == fp:
+                return got
+        return None
+
+    def commit_stage(d: str, fp: str, extra: dict) -> None:
+        os.makedirs(d, exist_ok=True)   # an empty stage writes no files
+        m = os.path.join(d, "_MANIFEST.json")
+        tmp = m + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fp, **extra}, f)
+        os.replace(tmp, m)
+
+    def fresh_dir(d: str) -> None:
+        # no manifest -> any content is a partial write; wipe it
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    summary = {"out": args.out, "stages_run": [],
+               "stages_skipped": []}
+    fpreds = [p for p in args.functional.split(",") if p]
 
     facts_dir = os.path.join(args.out, "facts")
-    facts.map_batches(bucketed, batch_format="pyarrow").write_parquet(
-        facts_dir, partition_cols=["bucket"])
+    facts_fp = f"{input_fp}:buckets={args.buckets}"
+    done = stage_done(facts_dir, facts_fp)
+    if done:
+        summary["n_facts"] = done["n_rows"]
+        summary["stages_skipped"].append("facts")
+        facts = None
+    else:
+        fresh_dir(facts_dir)
+        facts = sameas_closure(
+            tri.select_columns(["subj", "pred", "obj"])).materialize()
+        summary["n_facts"] = facts.count()
+
+        def bucketed(t: pa.Table) -> pa.Table:
+            from tabbyray.ops.sampling import _hash64
+            b = [(_hash64(v) % args.buckets)
+                 for v in t.column("subj").to_pylist()]
+            return t.append_column("bucket", pa.array(b, pa.int64()))
+
+        facts.map_batches(bucketed, batch_format="pyarrow") \
+            .write_parquet(facts_dir, partition_cols=["bucket"])
+        commit_stage(facts_dir, facts_fp,
+                     {"n_rows": summary["n_facts"]})
+        summary["stages_run"].append("facts")
     summary["facts_dir"] = facts_dir
 
     if has_source:
-        prov = triple_provenance(tri).materialize()
         prov_dir = os.path.join(args.out, "provenance")
-        prov.write_parquet(prov_dir)
-        summary["n_provenance"] = prov.count()
+        done = stage_done(prov_dir, input_fp)
+        if done:
+            summary["n_provenance"] = done["n_rows"]
+            summary["stages_skipped"].append("provenance")
+        else:
+            fresh_dir(prov_dir)
+            prov = triple_provenance(tri).materialize()
+            prov.write_parquet(prov_dir)
+            summary["n_provenance"] = prov.count()
+            commit_stage(prov_dir, input_fp,
+                         {"n_rows": summary["n_provenance"]})
+            summary["stages_run"].append("provenance")
         summary["provenance_dir"] = prov_dir
 
-    fpreds = [p for p in args.functional.split(",") if p]
     if fpreds:
-        viol = functional_violations(facts, fpreds).materialize()
         viol_dir = os.path.join(args.out, "violations")
-        viol.write_parquet(viol_dir)
-        summary["n_violations"] = viol.count()
+        viol_fp = f"{facts_fp}:functional={','.join(sorted(fpreds))}"
+        done = stage_done(viol_dir, viol_fp)
+        if done:
+            summary["n_violations"] = done["n_rows"]
+            summary["stages_skipped"].append("violations")
+        else:
+            if facts is None:   # facts stage was skipped: read back
+                facts = rd.read_parquet(
+                    sorted(glob.glob(os.path.join(
+                        facts_dir, "bucket=*", "*.parquet"))),
+                    columns=["subj", "pred", "obj"])
+            fresh_dir(viol_dir)
+            viol = functional_violations(facts, fpreds).materialize()
+            viol.write_parquet(viol_dir)
+            summary["n_violations"] = viol.count()
+            commit_stage(viol_dir, viol_fp,
+                         {"n_rows": summary["n_violations"]})
+            summary["stages_run"].append("violations")
         summary["violations_dir"] = viol_dir
 
     print(json.dumps(summary))

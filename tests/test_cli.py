@@ -228,6 +228,7 @@ def test_cli_kgbuild(tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["n_facts"] == 399          # == kg_sameas_closure oracle
     assert summary["n_violations"] == 8
+    assert summary["stages_run"] == ["facts", "violations"]
     buckets = sorted(glob.glob(os.path.join(out, "facts", "bucket=*")))
     assert len(buckets) == 4
     # no sameAs survives; every alias subject was rewritten
@@ -237,3 +238,32 @@ def test_cli_kgbuild(tmp_path):
     assert not facts["pred"].str.contains("sameAs").any()
     assert not facts["subj"].str.contains("-alias").any()
     assert not facts["obj"].str.contains("-alias").any()
+    # resume: a re-submission skips every committed stage and reports
+    # identical counts from the manifests alone
+    r2 = subprocess.run(
+        [sys.executable, "-m", "tabbyray", "kgbuild",
+         "--triples", fix, "--out", out,
+         "--functional", "http://example.org/kg/p/locatedIn",
+         "--buckets", "4", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, RAY_ADDRESS="local"))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["stages_run"] == []
+    assert sorted(s2["stages_skipped"]) == ["facts", "violations"]
+    assert s2["n_facts"] == 399 and s2["n_violations"] == 8
+    # a stage whose config changed (new functional pred) recomputes
+    # ONLY itself
+    r3 = subprocess.run(
+        [sys.executable, "-m", "tabbyray", "kgbuild",
+         "--triples", fix, "--out", out,
+         "--functional", "http://example.org/kg/p/worksFor",
+         "--buckets", "4", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, RAY_ADDRESS="local"))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s3["stages_run"] == ["violations"]
+    assert s3["stages_skipped"] == ["facts"]
