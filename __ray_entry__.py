@@ -597,6 +597,38 @@ def _q_kg_fact_lifespan(sf_dir: str):
                          num_partitions=8)
 
 
+def _q_kg_resolve_weighted(sf_dir: str):
+    """Trust-weighted truth discovery over the flagship stream: each
+    distinct source votes with a deterministic md5-derived trust score
+    (stand-in for a TrustRank column; integer-valued so the float sums
+    are exact), winner per (subj, pred) by total weight, ties obj asc.
+    One distinct + one source LEFT join + one weight-sum combiner +
+    ONE grouped-argmax exchange; oracle = md5_number_lower weights +
+    QUALIFY-style row_number."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import resolve_conflicts_weighted
+    from tabbyray.ops.sampling import _hash64
+    _sti_export_paths()
+    pages = rd.read_parquet(
+        os.path.join(_fixture(200), "pages.parquet"),
+        columns=["url"], override_num_blocks=4)
+
+    def trust(t: pa.Table) -> pa.Table:
+        u = t.column("url").to_pylist()
+        return pa.table({
+            "url": pa.array(u, pa.string()),
+            "weight": pa.array([1.0 + (_hash64(x) % 5) for x in u],
+                               pa.float64())})
+
+    return resolve_conflicts_weighted(
+        _kg_export_triples(),
+        pages.map_batches(trust, batch_format="pyarrow"),
+        num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3906,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resolve_latest": _q_kg_resolve_latest,
         "kg_entity_fact_jaccard": _q_kg_entity_fact_jaccard,
         "kg_fact_lifespan": _q_kg_fact_lifespan,
+        "kg_resolve_weighted": _q_kg_resolve_weighted,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -5287,6 +5320,35 @@ def _sti_oracles() -> dict[str, str]:
                FROM st GROUP BY 1, 2)
         SELECT w.subj, w.pred, w.obj, w.ts_us, no.n_objs
         FROM win w JOIN no USING (subj, pred)
+    """
+
+    out["kg_resolve_weighted"] = f"""
+        WITH t AS (SELECT url, subj, pred, obj
+                   FROM read_parquet('{triples}')),
+        ps AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj, url FROM t),
+        w AS MATERIALIZED (
+              SELECT url,
+                     1.0 + CAST(md5_number_lower(url) % 5 AS DOUBLE)
+                         AS wt
+              FROM (SELECT DISTINCT url
+                    FROM read_parquet('{pages_pq}'))),
+        v AS MATERIALIZED (
+              SELECT ps.subj, ps.pred, ps.obj,
+                     round(sum(coalesce(w.wt, 1.0)), 9) AS wt
+              FROM ps LEFT JOIN w USING (url)
+              GROUP BY 1, 2, 3),
+        win AS (SELECT subj, pred, obj, wt
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY subj, pred
+                          ORDER BY wt DESC, obj ASC) AS rn
+                      FROM v)
+                WHERE rn = 1),
+        no AS (SELECT subj, pred,
+                      CAST(count(*) AS BIGINT) AS n_objs
+               FROM v GROUP BY 1, 2)
+        SELECT w2.subj, w2.pred, w2.obj, w2.wt AS weight, no.n_objs
+        FROM win w2 JOIN no USING (subj, pred)
     """
 
     out["kg_fact_lifespan"] = f"""

@@ -377,3 +377,25 @@ def test_fact_lifespan(ray_session):
            .to_pandas().set_index(["subj", "pred", "obj"]).sort_index())
     assert got.loc[("a", "p", "x")].tolist() == [100, 150, 3]
     assert got.loc[("b", "q", "z")].tolist() == [200, 200, 1]
+
+
+def test_resolve_conflicts_weighted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.kgconstruct import resolve_conflicts_weighted
+    tri = _tri4([
+        ("a", "p", "x", "u2"), ("a", "p", "x", "u3"),
+        ("a", "p", "y", "u1"),          # one trusted source outvotes 2
+        ("b", "q", "z", "u2"), ("b", "q", "z", "u2"),   # dup source
+    ])
+    w = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "weight": pa.array([3.0, 0.5], pa.float64())})).repartition(2)
+    got = (resolve_conflicts_weighted(tri, w, num_partitions=4)
+           .to_pandas().set_index(["subj", "pred"]).sort_index())
+    # y: 3.0 beats x: 0.5 + default 1.0 = 1.5
+    assert got.loc[("a", "p"), "obj"] == "y"
+    assert abs(got.loc[("a", "p"), "weight"] - 3.0) < 1e-12
+    assert got.loc[("a", "p"), "n_objs"] == 2
+    assert got.loc[("b", "q")].tolist() == ["z", 0.5, 1]
