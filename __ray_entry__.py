@@ -629,6 +629,17 @@ def _q_kg_resolve_weighted(sf_dir: str):
         num_partitions=8)
 
 
+def _q_kg_conflict_rate(sf_dir: str):
+    """Per-predicate conflict dashboard over the flagship stream: slot
+    count, conflicted-slot count (>1 distinct object) and share — the
+    metric that decides which predicates need a fusion policy. Two
+    combiner aggregates + one per-pred rollup; oracle = two GROUP
+    BYs + CASE."""
+    from tabbyray.ops.kgconstruct import predicate_conflict_rate
+    return predicate_conflict_rate(_kg_export_triples(),
+                                   num_partitions=8)
+
+
 def _q_sti_cpa_triples(sf_dir: str):
     """Triples whose predicate was selected from KB adjacency (CPA
     property selection) rather than minted from the heading label."""
@@ -3939,6 +3950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_fact_jaccard": _q_kg_entity_fact_jaccard,
         "kg_fact_lifespan": _q_kg_fact_lifespan,
         "kg_resolve_weighted": _q_kg_resolve_weighted,
+        "kg_conflict_rate": _q_kg_conflict_rate,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -5320,6 +5332,21 @@ def _sti_oracles() -> dict[str, str]:
                FROM st GROUP BY 1, 2)
         SELECT w.subj, w.pred, w.obj, w.ts_us, no.n_objs
         FROM win w JOIN no USING (subj, pred)
+    """
+
+    out["kg_conflict_rate"] = f"""
+        WITH t AS (SELECT subj, pred, obj
+                   FROM read_parquet('{triples}')),
+        s AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+        slot AS MATERIALIZED (
+              SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs
+              FROM s GROUP BY 1, 2)
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_slots,
+               CAST(sum(CASE WHEN n_objs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conflicted,
+               round(sum(CASE WHEN n_objs > 1 THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 9) AS conflict_share
+        FROM slot GROUP BY pred
     """
 
     out["kg_resolve_weighted"] = f"""

@@ -1375,3 +1375,64 @@ def resolve_conflicts_weighted(triples: rd.Dataset,
         right_schema=pa.schema([("subj", pa.string()),
                                 ("pred", pa.string()),
                                 ("n_objs", pa.int64())]))
+
+
+def predicate_conflict_rate(triples: rd.Dataset,
+                            source_col: str = "url",
+                            num_partitions: "int | None" = None
+                            ) -> rd.Dataset:
+    """Per-predicate curation dashboard: how many (subj, pred) slots
+    exist, how many are CONFLICTED (>1 distinct object), and the
+    conflict share — the metric that decides which predicates need a
+    fusion policy before load. Rolls up the distinct (s, p, o) slot
+    stream with two combiner aggregates + one vectorized finish;
+    quantized 9 dp."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    slots = hash_aggregate(
+        triples.map_batches(
+            lambda t: pa.table({
+                "subj": pc.cast(t.column("subj"), pa.string()),
+                "pred": pc.cast(t.column("pred"), pa.string()),
+                "obj": pc.cast(t.column("obj"), pa.string()),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["subj", "pred", "obj"], sum_cols={"one": "_n"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("_n", pa.int64())]))
+    per_slot = hash_aggregate(
+        slots.map_batches(
+            lambda t: pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "one": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["subj", "pred"], sum_cols={"one": "n_objs"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("n_objs", pa.int64())]))
+    per_pred = partial_agg_sum(
+        per_slot.map_batches(
+            lambda t: pa.table({
+                "pred": t.column("pred"),
+                "one": pa.array([1] * t.num_rows, pa.int64()),
+                "conf": pc.cast(pc.greater(
+                    t.column("n_objs"), pa.scalar(1, pa.int64())),
+                    pa.int64())}),
+            batch_format="pyarrow"),
+        "pred", {"one": "n_slots", "conf": "n_conflicted"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_slots").to_numpy(zero_copy_only=False)
+        nc = t.column("n_conflicted").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pred": t.column("pred"), "n_slots": t.column("n_slots"),
+            "n_conflicted": t.column("n_conflicted"),
+            "conflict_share": pa.array(np.round(nc * 1.0 / ns, 9),
+                                       pa.float64())})
+
+    return per_pred.map_batches(finish, batch_format="pyarrow")

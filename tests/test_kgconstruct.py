@@ -399,3 +399,16 @@ def test_resolve_conflicts_weighted(ray_session):
     assert abs(got.loc[("a", "p"), "weight"] - 3.0) < 1e-12
     assert got.loc[("a", "p"), "n_objs"] == 2
     assert got.loc[("b", "q")].tolist() == ["z", 0.5, 1]
+
+
+def test_predicate_conflict_rate(ray_session):
+    from tabbyray.ops.kgconstruct import predicate_conflict_rate
+    rows = [
+        ("a", "p", "x", "u1"), ("a", "p", "y", "u2"),   # conflicted
+        ("b", "p", "z", "u1"),
+        ("a", "q", "m", "u1"), ("a", "q", "m", "u3"),   # same obj: not
+    ]
+    got = (predicate_conflict_rate(_tri4(rows), num_partitions=4)
+           .to_pandas().set_index("pred").sort_index())
+    assert got.loc["p"].tolist() == [2, 1, 0.5]
+    assert got.loc["q"].tolist() == [1, 0, 0.0]
