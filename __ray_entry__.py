@@ -3820,6 +3820,115 @@ def _q_packed_sequences(sf_dir: str):
     return packed_sequences(_docs(sf_dir), seq_len=2048)
 
 
+def _kg_onto(num_blocks: int = 8):
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_kg_ontology_fixture
+    return rd.read_parquet(ensure_kg_ontology_fixture(),
+                           override_num_blocks=num_blocks)
+
+
+def _q_kg_subproperty_entailment(sf_dir: str):
+    """rdfs7 materialization through the transitive subPropertyOf
+    closure (the schema-level inference the reference's hard-coded
+    ontology map sidesteps, components/CanonicalTableAnnotator.php:
+    382-415): axiom set closed behind a count gate + shipped once via
+    ray.put, one vectorized per-batch merge, one min-rank combiner
+    dedup (asserted beats entailed). Oracle = WITH RECURSIVE closure +
+    join + min-rank GROUP BY."""
+    from tabbyray.ops.kginfer import subproperty_entailment
+    return subproperty_entailment(_kg_onto(), num_partitions=8)
+
+
+def _q_kg_inverse_entailment(sf_dir: str):
+    """owl:inverseOf + owl:SymmetricProperty mirror materialization
+    with asserted-beats-entailed provenance (pre-materialized mirrors
+    stay 'asserted'). Axioms = one gated collect; facts mirror via one
+    vectorized merge + one min-rank combiner exchange. Oracle = axiom
+    self-extraction + UNION ALL mirrors + min-rank GROUP BY."""
+    from tabbyray.ops.kginfer import inverse_symmetric_entailment
+    return inverse_symmetric_entailment(_kg_onto(), num_partitions=8)
+
+
+def _q_kg_transitive_closure(sf_dir: str):
+    """owl:TransitiveProperty min-hop closure (ancestorOf descent
+    forest, chains to depth 5): declarations via gated collect, edges
+    stay distributed through bounded frontier rounds of composite-key
+    (pred, node) hash_join + per-round min-depth combiner — the
+    type_closure join plan generalized to many predicates at once.
+    Oracle = WITH RECURSIVE bounded at the same round cap + min(d)."""
+    from tabbyray.ops.kginfer import transitive_entailment
+    return transitive_entailment(_kg_onto(), num_partitions=8)
+
+
+def _q_kg_characteristic_sets(sf_dir: str):
+    """Characteristic-set statistics (Neumann & Moerkotte, ICDE 2011)
+    over the mixed KG stream: subjects grouped by their exact distinct
+    predicate set — THE star-join cardinality-estimation statistic.
+    One (s,p,o) distinct + one (subj,pred) combiner count + one
+    subj-hash exchange w/ vectorized per-partition set assembly + one
+    cset combiner rollup; oracle = DISTINCT + GROUP BY + ordered
+    string_agg + GROUP BY."""
+    from tabbyray.ops.kginfer import characteristic_sets
+    return characteristic_sets(_kg_mixed(), num_partitions=8)
+
+
+def _q_kg_ifp_pairs(sf_dir: str):
+    """Identity-pair inference from shared owl:InverseFunctionalProperty
+    values (email): one gated declaration collect, one distinct + one
+    (pred,obj)-hash exchange with per-partition pair generation
+    (skew-capped), one pair combiner count. Oracle = DISTINCT +
+    self-join a < b + GROUP BY."""
+    from tabbyray.ops.kginfer import ifp_pairs
+    return ifp_pairs(_kg_onto(), num_partitions=8)
+
+
+def _q_kg_ifp_resolve(sf_dir: str):
+    """IFP identity RESOLUTION: the pair stream closed into connected
+    components (identity chains merge transitively; canonical = lex
+    min member, feeding straight into a sameAs rewrite). Oracle =
+    the pair SQL + unrolled min-label propagation (6 rounds >= the
+    fixture's component diameter)."""
+    from tabbyray.ops.kginfer import ifp_resolve
+    return ifp_resolve(_kg_onto(), num_partitions=8)
+
+
+def _q_kg_shacl_violations(sf_dir: str):
+    """SHACL-lite cardinality validation over the mixed stream: every
+    Person must carry >=1 worksFor, every Org exactly one locatedIn
+    (the declared-functional predicate — its planted violators surface
+    as 'max' rows, jobless persons as 'min'). One type distinct + one
+    distinct-object count + shape explode + one LEFT composite join +
+    vectorized filter; oracle = VALUES shapes + LEFT JOIN + CASE."""
+    from tabbyray.ops.kginfer import shacl_validate
+    return shacl_validate(
+        _kg_mixed(),
+        [("http://example.org/kg/C/Person",
+          "http://example.org/kg/p/worksFor", 1, None),
+         ("http://example.org/kg/C/Org",
+          "http://example.org/kg/p/locatedIn", 1, 1)],
+        num_partitions=8)
+
+
+def _q_kg_fact_intervals(sf_dir: str):
+    """Gaps-and-islands validity intervals per flagship fact: capture
+    timestamps coalesced into maximal runs with gaps <= 12h (the
+    retire/revive signal fact_lifespan's single [first,last] span
+    papers over). One url stamp join + one (s,p,o)-hash exchange with
+    vectorized island assembly; oracle = lag + boundary-cumsum window
+    + GROUP BY."""
+    import ray.data as rd
+
+    from tabbyray.ops.kginfer import fact_intervals
+    _sti_export_paths()
+    pages = rd.read_parquet(
+        os.path.join(_fixture(200), "pages.parquet"),
+        columns=["url", "warc_ts"], override_num_blocks=4)
+    return fact_intervals(_kg_export_triples(), pages,
+                          max_gap_us=12 * 3600 * 1_000_000,
+                          num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Grouped by module below for maintenance; the returned dict is
     # re-ranked by _SIGNAL_WINDOW so a driver run that truncates after
@@ -3951,6 +4060,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_lifespan": _q_kg_fact_lifespan,
         "kg_resolve_weighted": _q_kg_resolve_weighted,
         "kg_conflict_rate": _q_kg_conflict_rate,
+        # OWL/RDFS entailment + shape validation (ops/kginfer.py)
+        "kg_subproperty_entailment": _q_kg_subproperty_entailment,
+        "kg_inverse_entailment": _q_kg_inverse_entailment,
+        "kg_transitive_closure": _q_kg_transitive_closure,
+        "kg_characteristic_sets": _q_kg_characteristic_sets,
+        "kg_ifp_pairs": _q_kg_ifp_pairs,
+        "kg_ifp_resolve": _q_kg_ifp_resolve,
+        "kg_shacl_violations": _q_kg_shacl_violations,
+        "kg_fact_intervals": _q_kg_fact_intervals,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -4122,6 +4240,9 @@ _SIGNAL_WINDOW = [
     "kg_domain_range", "kg_typed_literals", "kg_transe_negatives",
     "kg_path_rules", "kg_resolve_conflicts", "kg_partition_cut",
     "kg_infer_types", "kg_fact_lifespan",
+    # OWL/RDFS entailment + shape validation (ops/kginfer.py)
+    "kg_subproperty_entailment", "kg_transitive_closure",
+    "kg_ifp_resolve", "kg_shacl_violations", "kg_characteristic_sets",
     # entity linkage / resolution
     "fuzzy_entity_match", "entity_resolution", "kg_resolved_triples_full",
     # dedup family
@@ -4301,11 +4422,13 @@ def _sti_oracles() -> dict[str, str]:
     from tabbyray.fixtures import (ensure_kg_edges_fixture,
                                    ensure_kg_literals_fixture,
                                    ensure_kg_mixed_fixture,
+                                   ensure_kg_ontology_fixture,
                                    ensure_kg_taxonomy_fixture)
     kg_edges = ensure_kg_edges_fixture()
     kg_lits = ensure_kg_literals_fixture()
     kg_taxo = ensure_kg_taxonomy_fixture()
     kg_mix = ensure_kg_mixed_fixture()
+    kg_onto = ensure_kg_ontology_fixture()
 
     # C8 winner argmax: first-inserted tie-break == min insertion ord
     # (`commands/SpreadsheetController.php:588-592`)
@@ -5390,6 +5513,210 @@ def _sti_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_captures
         FROM tr JOIN pg USING (url)
         GROUP BY 1, 2, 3
+    """
+
+    # --- OWL/RDFS entailment family (ops/kginfer.py) ---
+    subprop = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    owl_inv = "http://www.w3.org/2002/07/owl#inverseOf"
+    owl_sym = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+    owl_trans = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+    owl_ifp = "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
+
+    out["kg_subproperty_entailment"] = f"""
+        WITH RECURSIVE tri AS (SELECT subj, pred, obj
+                               FROM read_parquet('{kg_onto}')),
+        ax AS MATERIALIZED (
+              SELECT DISTINCT subj AS sub, obj AS sup
+              FROM tri WHERE pred = '{subprop}'),
+        clo AS (SELECT sub, sup FROM ax
+                UNION
+                SELECT clo.sub, ax.sup
+                FROM clo JOIN ax ON ax.sub = clo.sup),
+        facts AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM tri WHERE pred <> '{subprop}'),
+        u AS (SELECT subj, pred, obj, 0 AS rk FROM facts
+              UNION ALL
+              SELECT f.subj, c.sup AS pred, f.obj, 1 AS rk
+              FROM facts f JOIN clo c ON c.sub = f.pred)
+        SELECT subj, pred, obj,
+               CASE WHEN min(rk) = 0 THEN 'asserted'
+                    ELSE 'rdfs7' END AS origin
+        FROM u GROUP BY 1, 2, 3
+    """
+
+    out["kg_inverse_entailment"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_onto}')),
+        inv AS MATERIALIZED (
+              SELECT DISTINCT subj AS p, obj AS q
+              FROM tri WHERE pred = '{owl_inv}'),
+        sym AS MATERIALIZED (
+              SELECT DISTINCT subj AS p FROM tri
+              WHERE pred = '{rdf_type}' AND obj = '{owl_sym}'),
+        mapping AS MATERIALIZED (
+              SELECT p AS pred, q AS mp, 1 AS mrk FROM inv
+              UNION ALL SELECT q, p, 1 FROM inv
+              UNION ALL SELECT p, p, 2 FROM sym),
+        facts AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM tri WHERE pred <> '{owl_inv}'),
+        u AS (SELECT subj, pred, obj, 0 AS rk FROM facts
+              UNION ALL
+              SELECT f.obj AS subj, m.mp AS pred, f.subj AS obj,
+                     m.mrk AS rk
+              FROM facts f JOIN mapping m ON m.pred = f.pred)
+        SELECT subj, pred, obj,
+               CASE min(rk) WHEN 0 THEN 'asserted'
+                            WHEN 1 THEN 'owl_inv'
+                            ELSE 'owl_sym' END AS origin
+        FROM u GROUP BY 1, 2, 3
+    """
+
+    # bounded at the SAME round cap as the engine (max_rounds=8 ==
+    # max emitted depth 8); fixture chains reach depth 5
+    out["kg_transitive_closure"] = f"""
+        WITH RECURSIVE tri AS (SELECT subj, pred, obj
+                               FROM read_parquet('{kg_onto}')),
+        tp AS MATERIALIZED (
+              SELECT DISTINCT subj AS p FROM tri
+              WHERE pred = '{rdf_type}' AND obj = '{owl_trans}'),
+        e AS MATERIALIZED (
+              SELECT DISTINCT tri.subj, tri.pred, tri.obj
+              FROM tri JOIN tp ON tp.p = tri.pred),
+        r AS (SELECT subj, pred, obj, 1 AS d FROM e
+              UNION
+              SELECT r.subj, r.pred, e.obj, r.d + 1
+              FROM r JOIN e ON e.pred = r.pred AND e.subj = r.obj
+              WHERE r.d < 8)
+        SELECT subj, pred, obj, CAST(min(d) AS BIGINT) AS depth
+        FROM r GROUP BY 1, 2, 3
+    """
+
+    out["kg_characteristic_sets"] = f"""
+        WITH f AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{kg_mix}')),
+        sp AS MATERIALIZED (
+              SELECT subj, pred, count(*) AS npo FROM f GROUP BY 1, 2),
+        cs AS (SELECT subj,
+                      string_agg(pred, '|' ORDER BY pred) AS cset,
+                      count(*) AS np, sum(npo) AS nf
+               FROM sp GROUP BY subj)
+        SELECT cset, CAST(max(np) AS BIGINT) AS n_preds,
+               CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(nf) AS BIGINT) AS n_facts
+        FROM cs GROUP BY cset
+    """
+
+    ifp_pairs_ctes = f"""
+        tri AS (SELECT subj, pred, obj
+                FROM read_parquet('{kg_onto}')),
+        ifp AS MATERIALIZED (
+              SELECT DISTINCT subj AS p FROM tri
+              WHERE pred = '{rdf_type}' AND obj = '{owl_ifp}'),
+        v AS MATERIALIZED (
+              SELECT DISTINCT tri.subj, tri.pred, tri.obj
+              FROM tri JOIN ifp ON ifp.p = tri.pred)"""
+    out["kg_ifp_pairs"] = f"""
+        WITH {ifp_pairs_ctes}
+        SELECT v1.subj AS a, v2.subj AS b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM v v1 JOIN v v2
+             ON v1.pred = v2.pred AND v1.obj = v2.obj
+                AND v1.subj < v2.subj
+        GROUP BY 1, 2
+    """
+
+    # min-label propagation unrolled 6 rounds (>= the fixture's
+    # component diameter), the kg_sameas_closure oracle pattern
+    ifp_lp = "\n".join(
+        f"""        m{k} AS MATERIALIZED (
+              SELECT se.a AS node, min(m{k-1}.lbl) AS lbl
+              FROM se JOIN m{k-1} ON m{k-1}.node = se.b
+              GROUP BY se.a),"""
+        for k in range(1, 7))
+    out["kg_ifp_resolve"] = f"""
+        WITH {ifp_pairs_ctes},
+        pr AS MATERIALIZED (
+              SELECT DISTINCT v1.subj AS a, v2.subj AS b
+              FROM v v1 JOIN v v2
+                   ON v1.pred = v2.pred AND v1.obj = v2.obj
+                      AND v1.subj < v2.subj),
+        nodes AS MATERIALIZED (
+              SELECT DISTINCT node
+              FROM (SELECT a AS node FROM pr
+                    UNION ALL SELECT b FROM pr)),
+        se AS MATERIALIZED (
+              SELECT a, b FROM pr
+              UNION SELECT b, a FROM pr
+              UNION SELECT node, node FROM nodes),
+        m0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+{ifp_lp}
+        fin AS (SELECT node, lbl FROM m6)
+        SELECT node AS entity, lbl AS canon FROM fin
+    """
+
+    kg_person = "http://example.org/kg/C/Person"
+    kg_org = "http://example.org/kg/C/Org"
+    kg_worksfor = "http://example.org/kg/p/worksFor"
+    kg_locatedin = "http://example.org/kg/p/locatedIn"
+    out["kg_shacl_violations"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_mix}')),
+        ty AS MATERIALIZED (
+              SELECT DISTINCT subj AS entity, obj AS cls
+              FROM tri WHERE pred = '{rdf_type}'),
+        f AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred IN ('{kg_worksfor}', '{kg_locatedin}')),
+        cnt AS MATERIALIZED (
+              SELECT subj AS entity, pred, count(*) AS n
+              FROM f GROUP BY 1, 2),
+        shapes(cls, pred, minc, maxc) AS (
+              VALUES ('{kg_person}', '{kg_worksfor}', 1,
+                      CAST(NULL AS INTEGER)),
+                     ('{kg_org}', '{kg_locatedin}', 1, 1)),
+        j AS (SELECT ty.entity, ty.cls, s.pred,
+                     coalesce(cnt.n, 0) AS n, s.minc, s.maxc
+              FROM ty JOIN shapes s ON s.cls = ty.cls
+              LEFT JOIN cnt ON cnt.entity = ty.entity
+                            AND cnt.pred = s.pred)
+        SELECT entity, cls, pred, CAST(n AS BIGINT) AS n_objs,
+               CASE WHEN n < minc THEN 'min' ELSE 'max' END AS violation
+        FROM j
+        WHERE n < minc OR (maxc IS NOT NULL AND n > maxc)
+    """
+
+    out["kg_fact_intervals"] = f"""
+        WITH tr AS (SELECT url, subj, pred, obj
+                    FROM read_parquet('{triples}')),
+        pg AS MATERIALIZED (
+              SELECT url, epoch_us(warc_ts) AS ts_us
+              FROM read_parquet('{pages_pq}')),
+        st AS MATERIALIZED (
+              -- duplicate (fact, ts) captures pre-grouped so ts_us is
+              -- UNIQUE per partition: with ties, lag() and the
+              -- boundary-cumsum below may see DIFFERENT tie orders and
+              -- mint phantom islands
+              SELECT tr.subj, tr.pred, tr.obj, pg.ts_us,
+                     count(*) AS cnt
+              FROM tr JOIN pg USING (url) GROUP BY 1, 2, 3, 4),
+        l AS (SELECT *, lag(ts_us) OVER (
+                  PARTITION BY subj, pred, obj ORDER BY ts_us) AS pts
+              FROM st),
+        i AS (SELECT *, sum(CASE WHEN pts IS NULL
+                                      OR ts_us - pts > {12 * 3600 * 1_000_000}
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY subj, pred, obj
+                              ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS isl
+              FROM l)
+        SELECT subj, pred, obj,
+               CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(max(ts_us) AS BIGINT) AS end_us,
+               CAST(sum(cnt) AS BIGINT) AS n_captures
+        FROM i GROUP BY subj, pred, obj, isl
     """
 
     out["kg_infer_types"] = f"""

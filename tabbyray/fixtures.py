@@ -1790,3 +1790,157 @@ def ensure_kg_mixed_fixture(n_entities: int = 150, seed: int = 97,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_kg_ontology_fixture(n_entities: int = 180, seed: int = 101,
+                               root: str = "/tmp/tabbyray_fixtures"
+                               ) -> str:
+    """Deterministic triple stream carrying ONTOLOGY AXIOMS alongside
+    instance data, for the OWL/RDFS entailment oracles
+    (``ops.kginfer``): one parquet with (subj, pred, obj) mixing
+
+    * ``rdfs:subPropertyOf`` axioms — a 2-level chain
+      (hasCEO < hasEmployee < affiliatedWith) plus two properties
+      sharing one superproperty (parentOf, mentorOf < relatedTo)
+    * one ``owl:inverseOf`` axiom — (employs, worksAt); instance
+      edges exist on BOTH sides, ~35% already materialized as mirrors
+      (the entailment op must dedup against asserted rows)
+    * an ``owl:SymmetricProperty`` declaration — friendOf, ~40% of
+      edges pre-mirrored
+    * an ``owl:TransitiveProperty`` declaration — ancestorOf, an
+      ACYCLIC forest of descent chains of depth 4-6 with branching
+      (so the closure adds real multi-hop pairs; min-depth matters
+      through remarriage-style shortcut edges)
+    * an ``owl:InverseFunctionalProperty`` declaration — email;
+      ~10 planted identity groups of 2-3 entities share an address,
+      including one CHAIN (a~b via m1, b~c via m2) so pair->component
+      resolution is visible
+    * ``linksTo`` N:M noise
+
+    Duplicate rows re-emitted on purpose (ops must distinct first);
+    hasCEO instance edges are a SUBSET relation of hasEmployee only
+    through entailment (a few entailed rows are also asserted, so the
+    asserted-beats-entailed min-rank is exercised)."""
+    path = os.path.join(root, f"kgonto-v1-s{seed}-e{n_entities}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    ent = [f"http://example.org/kg/e{i}" for i in range(n_entities)]
+    pred = "http://example.org/kg/p/{}".format
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    subprop = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    inverse = "http://www.w3.org/2002/07/owl#inverseOf"
+    owl_sym = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+    owl_trans = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+    owl_ifp = "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
+    rows: list[tuple[str, str, str]] = []
+
+    # --- axioms ---
+    rows += [(pred("hasCEO"), subprop, pred("hasEmployee")),
+             (pred("hasEmployee"), subprop, pred("affiliatedWith")),
+             (pred("parentOf"), subprop, pred("relatedTo")),
+             (pred("mentorOf"), subprop, pred("relatedTo")),
+             (pred("employs"), inverse, pred("worksAt")),
+             (pred("friendOf"), rdf_type, owl_sym),
+             (pred("ancestorOf"), rdf_type, owl_trans),
+             (pred("email"), rdf_type, owl_ifp)]
+
+    # --- instances ---
+    # orgs 100..139, persons 0..99, places 140..
+    # hasCEO: each org one CEO; ~25% ALSO asserted as hasEmployee
+    for o in range(100, 140):
+        c = rng.randrange(100)
+        rows.append((ent[o], pred("hasCEO"), ent[c]))
+        if rng.random() < 0.25:
+            rows.append((ent[o], pred("hasEmployee"), ent[c]))
+    # hasEmployee noise
+    for _ in range(60):
+        rows.append((ent[rng.randrange(100, 140)], pred("hasEmployee"),
+                     ent[rng.randrange(100)]))
+    # parentOf / mentorOf
+    for _ in range(40):
+        a, b = rng.sample(range(100), 2)
+        rows.append((ent[a], pred("parentOf"), ent[b]))
+    for _ in range(20):
+        a, b = rng.sample(range(100), 2)
+        rows.append((ent[a], pred("mentorOf"), ent[b]))
+    # employs / worksAt with partial materialized mirrors
+    for _ in range(40):
+        o, p = rng.randrange(100, 140), rng.randrange(100)
+        rows.append((ent[o], pred("employs"), ent[p]))
+        if rng.random() < 0.35:
+            rows.append((ent[p], pred("worksAt"), ent[o]))
+    for _ in range(15):   # worksAt-only side
+        o, p = rng.randrange(100, 140), rng.randrange(100)
+        rows.append((ent[p], pred("worksAt"), ent[o]))
+    # friendOf symmetric ~40% pre-mirrored
+    for _ in range(40):
+        a, b = rng.sample(range(100), 2)
+        rows.append((ent[a], pred("friendOf"), ent[b]))
+        if rng.random() < 0.4:
+            rows.append((ent[b], pred("friendOf"), ent[a]))
+    # ancestorOf: acyclic descent forest — edges only i -> j with
+    # j > i inside a family block, chains of depth 4-6, branching 1-2,
+    # plus grandparent shortcut edges (min-depth tiebreak)
+    fam_starts = list(range(0, 96, 12))          # 8 family blocks
+    anc_edges: list[tuple[int, int]] = []
+    for s in fam_starts:
+        gen = [s]
+        nxt_id = s + 1
+        for _depth in range(rng.randint(4, 6)):
+            nxt_gen = []
+            for g in gen:
+                for _ in range(rng.randint(1, 2)):
+                    if nxt_id >= s + 12:
+                        break
+                    anc_edges.append((g, nxt_id))
+                    nxt_gen.append(nxt_id)
+                    nxt_id += 1
+            if not nxt_gen:
+                break
+            gen = nxt_gen
+    for g, c in anc_edges:
+        rows.append((ent[g], pred("ancestorOf"), ent[c]))
+    for g, c in rng.sample(anc_edges, min(5, len(anc_edges))):
+        # shortcut: great-grandparent asserted directly (depth-1 row
+        # that the closure would otherwise derive at depth >= 2)
+        deeper = [d for (p2, d) in anc_edges if p2 == c]
+        if deeper:
+            rows.append((ent[g], pred("ancestorOf"),
+                         ent[rng.choice(deeper)]))
+    # linksTo noise
+    for _ in range(60):
+        a, b = rng.sample(range(n_entities), 2)
+        rows.append((ent[a], pred("linksTo"), ent[b]))
+    # email IFP: base addresses + planted shared groups (incl a chain)
+    for i in range(60):
+        rows.append((ent[i], pred("email"),
+                     f"mailto:u{i}@example.org"))
+    for g in range(8):
+        # disjoint member blocks (components stay separable); group
+        # sizes alternate 2/3
+        base = 60 + 4 * g
+        members = list(range(base, base + 2 + (g % 2)))
+        addr = f"mailto:shared{g}@example.org"
+        for m in members:
+            rows.append((ent[m], pred("email"), addr))
+    # ONE deliberate cross-group bridge: a member of group 0 also
+    # asserts group 1's address (components must merge through it)
+    rows.append((ent[60], pred("email"), "mailto:shared1@example.org"))
+    # the chain: e150~e151 via c1, e151~e152 via c2
+    rows += [(ent[150], pred("email"), "mailto:chain1@example.org"),
+             (ent[151], pred("email"), "mailto:chain1@example.org"),
+             (ent[151], pred("email"), "mailto:chain2@example.org"),
+             (ent[152], pred("email"), "mailto:chain2@example.org")]
+
+    rows += [rows[i] for i in range(0, len(rows), 9)]   # duplicates
+    rng.shuffle(rows)
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
