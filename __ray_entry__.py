@@ -3929,6 +3929,32 @@ def _q_kg_fact_intervals(sf_dir: str):
                           num_partitions=8)
 
 
+def _q_kg_domain_range_entailment(sf_dir: str):
+    """rdfs2/rdfs3 type materialization: every fact whose predicate
+    carries a declared rdfs:domain / rdfs:range axiom types its
+    subject / object; partially asserted rdf:type rows keep 'asserted'
+    provenance by min-rank. Two gated axiom collects + two vectorized
+    per-batch merges + one min-rank combiner exchange; oracle = axiom
+    joins + UNION ALL + min-rank GROUP BY."""
+    from tabbyray.ops.kginfer import domain_range_entailment
+    return domain_range_entailment(_kg_onto(), num_partitions=8)
+
+
+def _q_kg_rule_derived_facts(sf_dir: str):
+    """The mine-then-apply loop closed: the AMIE rules kg_path_rules
+    mines (support >= 2, confidence >= 0.1 — the edge fixture is
+    noise-heavy by design; the surviving 'spouses born in the same
+    place' family is the signal) applied back onto the graph, deriving
+    only facts NOT already asserted, with best-rule confidence and
+    deriving-rule count. Rule table via gated collect; derivation =
+    one pred-pruned mid-node self-join + per-batch rule merge + one
+    (fact, rule) dedup + one fact rollup + one anti-join; oracle =
+    the kg_path_rules SQL + join + ANTI JOIN + max/count GROUP BY."""
+    from tabbyray.ops.kginfer import apply_path_rules
+    return apply_path_rules(_kg_edges(), min_confidence=0.1,
+                            min_support=2, num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Grouped by module below for maintenance; the returned dict is
     # re-ranked by _SIGNAL_WINDOW so a driver run that truncates after
@@ -4069,6 +4095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ifp_resolve": _q_kg_ifp_resolve,
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_fact_intervals": _q_kg_fact_intervals,
+        "kg_domain_range_entailment": _q_kg_domain_range_entailment,
+        "kg_rule_derived_facts": _q_kg_rule_derived_facts,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -4243,6 +4271,7 @@ _SIGNAL_WINDOW = [
     # OWL/RDFS entailment + shape validation (ops/kginfer.py)
     "kg_subproperty_entailment", "kg_transitive_closure",
     "kg_ifp_resolve", "kg_shacl_violations", "kg_characteristic_sets",
+    "kg_rule_derived_facts",
     # entity linkage / resolution
     "fuzzy_entity_match", "entity_resolution", "kg_resolved_triples_full",
     # dedup family
@@ -5686,6 +5715,75 @@ def _sti_oracles() -> dict[str, str]:
                CASE WHEN n < minc THEN 'min' ELSE 'max' END AS violation
         FROM j
         WHERE n < minc OR (maxc IS NOT NULL AND n > maxc)
+    """
+
+    rdfs_domain = "http://www.w3.org/2000/01/rdf-schema#domain"
+    rdfs_range = "http://www.w3.org/2000/01/rdf-schema#range"
+    out["kg_domain_range_entailment"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_onto}')),
+        dom AS MATERIALIZED (
+              SELECT DISTINCT subj AS pred, obj AS cls
+              FROM tri WHERE pred = '{rdfs_domain}'),
+        rng AS MATERIALIZED (
+              SELECT DISTINCT subj AS pred, obj AS cls
+              FROM tri WHERE pred = '{rdfs_range}'),
+        facts AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred NOT IN ('{rdf_type}', '{rdfs_domain}',
+                                 '{rdfs_range}')),
+        u AS (SELECT subj AS entity, obj AS cls, 0 AS rk
+              FROM tri WHERE pred = '{rdf_type}'
+              UNION ALL
+              SELECT f.subj, d.cls, 1
+              FROM facts f JOIN dom d ON d.pred = f.pred
+              UNION ALL
+              SELECT f.obj, r.cls, 2
+              FROM facts f JOIN rng r ON r.pred = f.pred)
+        SELECT entity, cls,
+               CASE min(rk) WHEN 0 THEN 'asserted'
+                            WHEN 1 THEN 'rdfs2'
+                            ELSE 'rdfs3' END AS origin
+        FROM u GROUP BY 1, 2
+    """
+
+    # the kg_path_rules mining SQL + rule application: derive facts
+    # not already asserted, best-rule confidence + deriving-rule count
+    out["kg_rule_derived_facts"] = f"""
+        WITH tri AS (SELECT subj, pred, obj
+                     FROM read_parquet('{kg_edges}')),
+        e AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred NOT IN ('{rdf_type}', '{sameas}')),
+        paths AS MATERIALIZED (
+              SELECT DISTINCT e1.pred AS p1, e2.pred AS p2,
+                              e1.subj AS x, e2.obj AS y
+              FROM e e1 JOIN e e2 ON e2.subj = e1.obj
+              WHERE e1.subj <> e2.obj),
+        body AS (SELECT p1, p2, count(*) AS n_body
+                 FROM paths GROUP BY 1, 2),
+        sup AS (SELECT p.p1, p.p2, h.pred AS p3,
+                       count(*) AS support
+                FROM paths p
+                JOIN e h ON h.subj = p.x AND h.obj = p.y
+                GROUP BY 1, 2, 3),
+        rules AS MATERIALIZED (
+              SELECT s.p1, s.p2, s.p3,
+                     round(s.support * 1.0 / b.n_body, 9) AS confidence
+              FROM sup s JOIN body b USING (p1, p2)
+              WHERE s.support >= 2
+                AND round(s.support * 1.0 / b.n_body, 9) >= 0.1),
+        drv AS MATERIALIZED (
+              SELECT DISTINCT p.x AS subj, r.p3 AS pred, p.y AS obj,
+                              r.p1, r.p2, r.confidence
+              FROM paths p JOIN rules r
+                   ON r.p1 = p.p1 AND r.p2 = p.p2),
+        nw AS (SELECT d.* FROM drv d
+               ANTI JOIN e ON e.subj = d.subj AND e.pred = d.pred
+                           AND e.obj = d.obj)
+        SELECT subj, pred, obj, max(confidence) AS confidence,
+               CAST(count(*) AS BIGINT) AS n_rules
+        FROM nw GROUP BY 1, 2, 3
     """
 
     out["kg_fact_intervals"] = f"""

@@ -1815,13 +1815,17 @@ def ensure_kg_ontology_fixture(n_entities: int = 180, seed: int = 101,
       ~10 planted identity groups of 2-3 entities share an address,
       including one CHAIN (a~b via m1, b~c via m2) so pair->component
       resolution is visible
+    * ``rdfs:domain`` / ``rdfs:range`` axioms (employs, worksAt,
+      ancestorOf, hasCEO) plus PARTIAL asserted rdf:type rows — the
+      rdfs2/rdfs3 entailment must add the missing types while the
+      asserted ones keep 'asserted' provenance
     * ``linksTo`` N:M noise
 
     Duplicate rows re-emitted on purpose (ops must distinct first);
     hasCEO instance edges are a SUBSET relation of hasEmployee only
     through entailment (a few entailed rows are also asserted, so the
     asserted-beats-entailed min-rank is exercised)."""
-    path = os.path.join(root, f"kgonto-v1-s{seed}-e{n_entities}.parquet")
+    path = os.path.join(root, f"kgonto-v2-s{seed}-e{n_entities}.parquet")
     if os.path.exists(path):
         return path
     rng = random.Random(seed)
@@ -1844,6 +1848,22 @@ def ensure_kg_ontology_fixture(n_entities: int = 180, seed: int = 101,
              (pred("friendOf"), rdf_type, owl_sym),
              (pred("ancestorOf"), rdf_type, owl_trans),
              (pred("email"), rdf_type, owl_ifp)]
+    rdfs_domain = "http://www.w3.org/2000/01/rdf-schema#domain"
+    rdfs_range = "http://www.w3.org/2000/01/rdf-schema#range"
+    cls = "http://example.org/kg/C/{}".format
+    rows += [(pred("employs"), rdfs_domain, cls("Org")),
+             (pred("employs"), rdfs_range, cls("Person")),
+             (pred("worksAt"), rdfs_domain, cls("Person")),
+             (pred("worksAt"), rdfs_range, cls("Org")),
+             (pred("ancestorOf"), rdfs_domain, cls("Person")),
+             (pred("ancestorOf"), rdfs_range, cls("Person")),
+             (pred("hasCEO"), rdfs_range, cls("Person"))]
+    # PARTIAL asserted types: entailment must fill the gaps while the
+    # asserted rows keep 'asserted' provenance
+    for i in range(0, 30):
+        rows.append((ent[i], rdf_type, cls("Person")))
+    for o in range(100, 120):
+        rows.append((ent[o], rdf_type, cls("Org")))
 
     # --- instances ---
     # orgs 100..139, persons 0..99, places 140..

@@ -663,3 +663,238 @@ def fact_intervals(triples: rd.Dataset, pages: rd.Dataset,
     return typed_groupby_map(
         stamped.map_batches(part, batch_format="pandas"),
         "_part", islands, out_schema)
+
+
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+
+
+def domain_range_entailment(triples: rd.Dataset,
+                            domain_pred: str = RDFS_DOMAIN,
+                            range_pred: str = RDFS_RANGE,
+                            type_pred: str = RDF_TYPE,
+                            axiom_max: int = 1_000_000,
+                            num_partitions: "int | None" = None
+                            ) -> rd.Dataset:
+    """rdfs2 + rdfs3 type entailment: a fact (s, p, o) with an axiom
+    (p rdfs:domain C) entails (s rdf:type C); with (p rdfs:range C)
+    it entails (o rdf:type C). Output: distinct (entity, cls, origin)
+    with origin in {'asserted' (0) < 'rdfs2' (1) < 'rdfs3' (2)} by
+    min-rank — a type both asserted and inferable stays 'asserted'.
+
+    The axiom tables are schema-sized (two gated collects, shipped
+    once via ray.put); the fact stream mirrors per batch with two
+    vectorized pandas merges and dedups through one min-rank combiner
+    exchange. Range axioms on literal-valued predicates would type
+    the literal strings — declare ranges only on object properties
+    (garbage in, garbage out, as in any RDFS reasoner)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def axioms(pred_uri: str, what: str) -> pa.Table:
+        ax = _distinct_triples(triples, keep={pred_uri}, drop=None,
+                               cols=("pred", "_a", "cls"),
+                               num_partitions=num_partitions) \
+            .drop_columns(["_a"])
+        rows = _axiom_collect(ax, axiom_max,
+                              f"domain_range_entailment[{what}]")
+        return pa.table({
+            "pred": pa.array([r["pred"] for r in rows], pa.string()),
+            "_cls": pa.array([r["cls"] for r in rows], pa.string())})
+
+    dom_ref = ray.put(axioms(domain_pred, "domain"))
+    rng_ref = ray.put(axioms(range_pred, "range"))
+
+    schema = pa.schema([("entity", pa.string()), ("cls", pa.string()),
+                        ("_rk", pa.int64())])
+
+    def asserted(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("pred"), pa.string())
+        ft = t.filter(pc.equal(p, type_pred))
+        return pa.table({
+            "entity": pc.cast(ft.column("subj"), pa.string()),
+            "cls": pc.cast(ft.column("obj"), pa.string()),
+            "_rk": pa.array([0] * ft.num_rows, pa.int64())})
+
+    def inferred(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("pred"), pa.string())
+        keep = pc.invert(pc.is_in(
+            p, value_set=pa.array([type_pred, domain_pred, range_pred])))
+        ft = t.filter(keep)
+        df = pd.DataFrame({
+            "subj": ft.column("subj").to_pandas(),
+            "pred": ft.column("pred").to_pandas(),
+            "obj": ft.column("obj").to_pandas()})
+        dom = df.merge(ray.get(dom_ref).to_pandas(), on="pred",
+                       how="inner")
+        rng = df.merge(ray.get(rng_ref).to_pandas(), on="pred",
+                       how="inner")
+        out = pd.concat([
+            pd.DataFrame({"entity": dom["subj"], "cls": dom["_cls"],
+                          "_rk": 1}),
+            pd.DataFrame({"entity": rng["obj"], "cls": rng["_cls"],
+                          "_rk": 2})], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(schema)
+
+    union = triples.map_batches(asserted, batch_format="pyarrow") \
+        .union(triples.map_batches(inferred, batch_format="pyarrow"))
+    ranked = hash_min(union, ["entity", "cls"], {"_rk": "_rk"},
+                      num_partitions=num_partitions, out_schema=schema)
+    items = [(0, "asserted"), (1, "rdfs2"), (2, "rdfs3")]
+    lut = pa.array([n for _, n in items], pa.string())
+
+    def label(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("_rk"),
+                          value_set=pa.array([r for r, _ in items],
+                                             pa.int64()))
+        return pa.table({"entity": t.column("entity"),
+                         "cls": t.column("cls"),
+                         "origin": pc.take(lut, idx)})
+
+    return ranked.map_batches(label, batch_format="pyarrow")
+
+
+def apply_path_rules(triples: rd.Dataset,
+                     min_confidence: float = 0.25,
+                     min_support: int = 2,
+                     exclude_preds: "tuple[str, ...] | None" = None,
+                     max_rules: int = 100_000,
+                     num_partitions: "int | None" = None) -> rd.Dataset:
+    """Apply the AMIE-style rules
+    :func:`tabbyray.ops.kgconstruct.mine_path_rules` mines back onto
+    the graph: for every surviving rule p1(x,z) AND p2(z,y) => p3(x,y)
+    with confidence >= ``min_confidence`` and support >=
+    ``min_support``, derive the facts (x, p3, y) NOT already asserted
+    — the mine-then-apply loop that grows a web-extracted KG beyond
+    its source pages. Output: (subj, pred, obj, confidence, n_rules)
+    with confidence = the best deriving rule's confidence and n_rules
+    = how many distinct rules derive the fact.
+
+    The surviving RULE table is catalog-sized (one gated collect,
+    shipped via ray.put); the derivation stays distributed: both edge
+    sides pre-filtered to the rule-body predicates, ONE mid-node
+    co-partitioned self-join, per-batch vectorized rule merge, one
+    (fact, rule) dedup exchange, one fact rollup, one anti-join
+    against the asserted edge set. Confidence is quantized to 9 dp by
+    the miner on both engines."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .kgconstruct import mine_path_rules
+
+    num_partitions = _resolve_partitions(num_partitions)
+    if exclude_preds is None:
+        from .kgconstruct import OWL_SAMEAS
+        exclude_preds = (RDF_TYPE, OWL_SAMEAS)
+
+    mined = mine_path_rules(triples, exclude_preds=exclude_preds,
+                            min_support=min_support,
+                            num_partitions=num_partitions)
+    mined = mined.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("confidence"),
+            pa.scalar(min_confidence, pa.float64()))),
+        batch_format="pyarrow")
+    rules = _axiom_collect(mined, max_rules, "apply_path_rules[rules]")
+    rules_tbl = pa.table({
+        "p1": pa.array([r["p1"] for r in rules], pa.string()),
+        "p2": pa.array([r["p2"] for r in rules], pa.string()),
+        "p3": pa.array([r["p3"] for r in rules], pa.string()),
+        # int64 nano-quantized confidence: exact as a group key in the
+        # (fact, rule) dedup exchange (floats group fine in pandas but
+        # an int key is bit-stable across engines)
+        "_conf_i": pa.array([int(round(r["confidence"] * 1e9))
+                             for r in rules], pa.int64())})
+    ref = ray.put(rules_tbl)
+    p1_set = sorted({r["p1"] for r in rules})
+    p2_set = sorted({r["p2"] for r in rules})
+
+    e = _distinct_triples(triples, keep=None, drop=set(exclude_preds),
+                          num_partitions=num_partitions).materialize()
+
+    def side(pred_set, s_name, o_name):
+        vs = pa.array(pred_set, pa.string())
+
+        def f(t: pa.Table) -> pa.Table:
+            ft = t.filter(pc.is_in(t.column("pred"), value_set=vs))
+            return pa.table({s_name: ft.column("subj"),
+                             "pred": ft.column("pred"),
+                             o_name: ft.column("obj")})
+        return f
+
+    left = e.map_batches(side(p1_set, "x", "mid"),
+                         batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"x": t.column("x"),
+                            "p1": t.column("pred"),
+                            "mid": t.column("mid")}),
+        batch_format="pyarrow")
+    right = e.map_batches(side(p2_set, "mid", "y"),
+                          batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"mid": t.column("mid"),
+                            "p2": t.column("pred"),
+                            "y": t.column("y")}),
+        batch_format="pyarrow")
+    j = hash_join(
+        left, right, on="mid", num_partitions=num_partitions,
+        left_schema=pa.schema([("x", pa.string()), ("p1", pa.string()),
+                               ("mid", pa.string())]),
+        right_schema=pa.schema([("mid", pa.string()),
+                                ("p2", pa.string()),
+                                ("y", pa.string())]))
+
+    def derive(t: pa.Table) -> pa.Table:
+        df = t.select(["x", "p1", "p2", "y"]).to_pandas()
+        df = df[df["x"] != df["y"]]
+        m = df.merge(ray.get(ref).to_pandas(), on=["p1", "p2"],
+                     how="inner")
+        out = pd.DataFrame({"subj": m["x"], "pred": m["p3"],
+                            "obj": m["y"], "p1": m["p1"],
+                            "p2": m["p2"], "_conf_i": m["_conf_i"],
+                            "one": 1})
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                       ("obj", pa.string()), ("p1", pa.string()),
+                       ("p2", pa.string()), ("_conf_i", pa.int64()),
+                       ("one", pa.int64())]))
+
+    per_rule = hash_aggregate(
+        j.map_batches(derive, batch_format="pyarrow"),
+        keys=["subj", "pred", "obj", "p1", "p2", "_conf_i"],
+        sum_cols={"one": "_n"}, num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("pred", pa.string()),
+                              ("obj", pa.string()),
+                              ("p1", pa.string()),
+                              ("p2", pa.string()),
+                              ("_conf_i", pa.int64()),
+                              ("_n", pa.int64())]))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[["subj", "pred", "obj"]].agg("\x1f".join, axis=1),
+            index=False)
+        return df.assign(_part=(h % num_partitions).astype("int64"))
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            _conf_i=("_conf_i", "max"), n_rules=("_conf_i", "size"))
+        out["confidence"] = out.pop("_conf_i") / 1e9
+        out["n_rules"] = out["n_rules"].astype("int64")
+        return out[["subj", "pred", "obj", "confidence", "n_rules"]]
+
+    fact_schema = pa.schema(list(_TRIPLE_SCHEMA)
+                            + [("confidence", pa.float64()),
+                               ("n_rules", pa.int64())])
+    derived = typed_groupby_map(
+        per_rule.map_batches(part, batch_format="pandas"),
+        "_part", rollup, fact_schema)
+    return hash_join(
+        derived, e, on=["subj", "pred", "obj"], how="anti",
+        num_partitions=num_partitions,
+        left_schema=fact_schema,
+        right_schema=pa.schema(list(_TRIPLE_SCHEMA)))

@@ -191,3 +191,56 @@ def test_fact_intervals_islands(ray_session):
     assert (second.start_us, second.end_us, second.n_captures) == (400, 400, 1)
     other = got[got.obj == "o2"].iloc[0]
     assert (other.start_us, other.end_us, other.n_captures) == (120, 120, 1)
+
+
+def test_domain_range_entailment(ray_session):
+    from tabbyray.ops.kginfer import (RDFS_DOMAIN, RDFS_RANGE,
+                                      domain_range_entailment)
+    rows = [
+        ("emp", RDFS_DOMAIN, "Org"), ("emp", RDFS_RANGE, "Person"),
+        ("o1", "emp", "a"),
+        ("o1", RDF_TYPE, "Org"),          # asserted beats rdfs2
+        ("o2", "emp", "b"),               # o2 Org inferred, b Person
+        ("x", "other", "y"),              # no axiom -> nothing
+    ]
+    got = (domain_range_entailment(_tri(rows), num_partitions=4)
+           .to_pandas().set_index(["entity", "cls"])["origin"]
+           .sort_index())
+    assert got.loc[("o1", "Org")] == "asserted"
+    assert got.loc[("a", "Person")] == "rdfs3"
+    assert got.loc[("o2", "Org")] == "rdfs2"
+    assert got.loc[("b", "Person")] == "rdfs3"
+    assert ("x", "y") not in got.index
+    assert len(got) == 4
+
+
+def test_apply_path_rules_new_facts_only(ray_session):
+    from tabbyray.ops.kginfer import apply_path_rules
+    # rule p.q => r: 3 body paths, head asserted for 2 -> conf 2/3;
+    # the third path derives ONE new fact
+    rows = [
+        ("a1", "p", "m1"), ("m1", "q", "b1"), ("a1", "r", "b1"),
+        ("a2", "p", "m2"), ("m2", "q", "b2"), ("a2", "r", "b2"),
+        ("a3", "p", "m3"), ("m3", "q", "b3"),      # head missing
+    ]
+    got = (apply_path_rules(_tri(rows), min_confidence=0.5,
+                            min_support=2, num_partitions=4)
+           .to_pandas())
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row.subj, row.pred, row.obj) == ("a3", "r", "b3")
+    assert abs(row.confidence - round(2 / 3, 9)) < 1e-12
+    assert row.n_rules == 1
+
+
+def test_apply_path_rules_confidence_gate(ray_session):
+    from tabbyray.ops.kginfer import apply_path_rules
+    rows = [
+        ("a1", "p", "m1"), ("m1", "q", "b1"), ("a1", "r", "b1"),
+        ("a2", "p", "m2"), ("m2", "q", "b2"), ("a2", "r", "b2"),
+        ("a3", "p", "m3"), ("m3", "q", "b3"),
+    ]
+    got = (apply_path_rules(_tri(rows), min_confidence=0.9,
+                            min_support=2, num_partitions=4)
+           .to_pandas())
+    assert len(got) == 0          # conf 2/3 < 0.9 -> rule gated out
