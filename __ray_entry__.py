@@ -3955,6 +3955,70 @@ def _q_kg_rule_derived_facts(sf_dir: str):
                             min_support=2, num_partitions=8)
 
 
+def _q_kg_fp_object_pairs(sf_dir: str):
+    """Object-identity inference from owl:FunctionalProperty semantics
+    over the mixed stream: the planted locatedIn violators' multiple
+    places become same-entity candidates (OWL functionality
+    entailment, the dual of IFP subject pairing). One distinct + one
+    (pred, subj)-hash exchange + pair generation + combiner count;
+    oracle = DISTINCT + self-join a < b + GROUP BY."""
+    from tabbyray.ops.kginfer import fp_object_pairs
+    return fp_object_pairs(_kg_mixed(),
+                           ["http://example.org/kg/p/locatedIn"],
+                           num_partitions=8)
+
+
+def _q_kg_retired_facts(sf_dir: str):
+    """Stale-fact detection over the flagship stream: facts whose
+    subject was re-captured > 60s after the fact's own last capture
+    (the fixture's recrawl horizon is ~3 minutes; at corpus scale the
+    knob is days) —
+    the page moved on, the fact did not come back (the incremental-
+    maintenance retire signal). One url stamp join + two max combiner
+    exchanges + one subj join + vectorized filter; oracle = join +
+    two GROUP BYs + join + filter."""
+    import ray.data as rd
+
+    from tabbyray.ops.kginfer import retired_facts
+    _sti_export_paths()
+    pages = rd.read_parquet(
+        os.path.join(_fixture(200), "pages.parquet"),
+        columns=["url", "warc_ts"], override_num_blocks=4)
+    return retired_facts(_kg_export_triples(), pages,
+                         max_gap_us=60 * 1_000_000,
+                         num_partitions=8)
+
+
+def _q_kg_ntriples_roundtrip(sf_dir: str):
+    """RDF serialization ROUND-TRIP: the flagship triple stream
+    written through the N-Triples sink (tabbyray/io.py, the
+    reference's RDF surface fixed — components/RDFCodeGenerator.php
+    only writes, and malformed) and parsed back by the new N-Triples
+    SOURCE; escaping must survive bit-exactly. Oracle = the original
+    triples parquet (multiplicity preserved)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.io import read_ntriples, write_ntriples
+    paths = _sti_export_paths()
+    key = os.path.basename(os.path.dirname(paths["triples"]))
+    root = os.path.join("/tmp/tabbyray_fixtures", f"ntround-{key}")
+    parts = os.path.join(root, "parts")
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        tri = rd.read_parquet(
+            paths["triples"],
+            columns=["subj", "pred", "obj", "obj_is_literal"],
+            override_num_blocks=8)
+        os.makedirs(parts, exist_ok=True)
+        write_ntriples(tri, parts)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return read_ntriples(parts).map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Grouped by module below for maintenance; the returned dict is
     # re-ranked by _SIGNAL_WINDOW so a driver run that truncates after
@@ -4097,6 +4161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_intervals": _q_kg_fact_intervals,
         "kg_domain_range_entailment": _q_kg_domain_range_entailment,
         "kg_rule_derived_facts": _q_kg_rule_derived_facts,
+        "kg_fp_object_pairs": _q_kg_fp_object_pairs,
+        "kg_retired_facts": _q_kg_retired_facts,
+        "kg_ntriples_roundtrip": _q_kg_ntriples_roundtrip,
         "web_strip_tracking": _q_web_strip_tracking,
         "web_latest_clean": _q_web_latest_clean,
         "web_robots_sitemaps": _q_web_robots_sitemaps,
@@ -5784,6 +5851,46 @@ def _sti_oracles() -> dict[str, str]:
         SELECT subj, pred, obj, max(confidence) AS confidence,
                CAST(count(*) AS BIGINT) AS n_rules
         FROM nw GROUP BY 1, 2, 3
+    """
+
+    out["kg_fp_object_pairs"] = f"""
+        WITH v AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{kg_mix}')
+              WHERE pred = 'http://example.org/kg/p/locatedIn')
+        SELECT v1.obj AS a, v2.obj AS b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM v v1 JOIN v v2
+             ON v1.pred = v2.pred AND v1.subj = v2.subj
+                AND v1.obj < v2.obj
+        GROUP BY 1, 2
+    """
+
+    out["kg_retired_facts"] = f"""
+        WITH tr AS (SELECT url, subj, pred, obj
+                    FROM read_parquet('{triples}')),
+        pg AS MATERIALIZED (
+              SELECT url, epoch_us(warc_ts) AS ts_us
+              FROM read_parquet('{pages_pq}')),
+        st AS MATERIALIZED (
+              SELECT tr.subj, tr.pred, tr.obj, pg.ts_us
+              FROM tr JOIN pg USING (url)),
+        fl AS (SELECT subj, pred, obj, max(ts_us) AS last_seen_us
+               FROM st GROUP BY 1, 2, 3),
+        sl AS (SELECT subj, max(ts_us) AS subj_last_capture_us
+               FROM st GROUP BY 1)
+        SELECT fl.subj, fl.pred, fl.obj,
+               CAST(fl.last_seen_us AS BIGINT) AS last_seen_us,
+               CAST(sl.subj_last_capture_us AS BIGINT)
+                   AS subj_last_capture_us
+        FROM fl JOIN sl USING (subj)
+        WHERE sl.subj_last_capture_us - fl.last_seen_us
+              > {60 * 1_000_000}
+    """
+
+    out["kg_ntriples_roundtrip"] = f"""
+        SELECT subj, pred, obj, obj_is_literal
+        FROM read_parquet('{triples}')
     """
 
     out["kg_fact_intervals"] = f"""

@@ -76,6 +76,112 @@ def write_ntriples(triples: rd.Dataset, path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# N-Triples SOURCE (round-trips the sink above; tolerant of the wider
+# grammar: typed literals, language tags, comments, blank lines)
+# ---------------------------------------------------------------------------
+
+# one triple line: <iri> <iri> (<iri> | "literal"[@lang | ^^<dtype>]) .
+_NT_LINE = None          # compiled lazily (module import stays cheap)
+_NT_UNESC = None
+
+
+def _nt_patterns():
+    global _NT_LINE, _NT_UNESC
+    if _NT_LINE is None:
+        import re
+        _NT_LINE = re.compile(
+            r'^<([^>]*)>\s+<([^>]*)>\s+'
+            r'(?:<([^>]*)>'                          # IRI object
+            r'|"((?:[^"\\]|\\.)*)"'                  # literal body
+            r'(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?'   # lang / datatype
+            r')\s*\.\s*$')
+        _NT_UNESC = re.compile(
+            r'\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))')
+    return _NT_LINE, _NT_UNESC
+
+
+_NT_SIMPLE = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t",
+              "b": "\b", "f": "\f", "'": "'"}
+
+
+def _nt_unescape(s: str) -> str:
+    _, unesc = _nt_patterns()
+
+    def sub(m):
+        u4, u8, ch = m.groups()
+        if u4 is not None:
+            return chr(int(u4, 16))
+        if u8 is not None:
+            return chr(int(u8, 16))
+        if ch in _NT_SIMPLE:
+            return _NT_SIMPLE[ch]
+        raise ValueError(f"invalid N-Triples escape \\{ch}")
+    return unesc.sub(sub, s)
+
+
+_NT_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("obj_is_literal", pa.bool_()), ("obj_lang", pa.string()),
+    ("obj_datatype", pa.string())])
+
+
+def parse_ntriples_lines(lines: rd.Dataset, text_col: str = "text",
+                         strict: bool = True) -> rd.Dataset:
+    """Dataset[line:str] -> Dataset[(subj, pred, obj, obj_is_literal,
+    obj_lang, obj_datatype)] — the inverse of
+    :func:`to_ntriples_lines`, accepting the wider N-Triples grammar
+    (language tags, ``^^<datatype>`` literals, ``#`` comments, blank
+    lines). ``strict=True`` raises on an unparseable line with the
+    offending text; ``strict=False`` drops it. Parsing is inherently
+    per-line (one compiled regex match per line inside the batch —
+    the vectorizable work, split/filter, stays in Arrow)."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        line_re, _ = _nt_patterns()
+        subs, preds, objs, lits, langs, dts = [], [], [], [], [], []
+        for raw in t.column(text_col).to_pylist():
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            m = line_re.match(line)
+            if not m:
+                if strict:
+                    raise ValueError(f"unparseable N-Triples line: {raw!r}")
+                continue
+            s, p, o_iri, o_lit, lang, dtype = m.groups()
+            subs.append(_nt_unescape(s))
+            preds.append(_nt_unescape(p))
+            if o_iri is not None:
+                objs.append(_nt_unescape(o_iri))
+                lits.append(False)
+                langs.append(None)
+                dts.append(None)
+            else:
+                objs.append(_nt_unescape(o_lit))
+                lits.append(True)
+                langs.append(lang)
+                dts.append(_nt_unescape(dtype) if dtype else None)
+        return pa.table({
+            "subj": pa.array(subs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+            "obj_is_literal": pa.array(lits, pa.bool_()),
+            "obj_lang": pa.array(langs, pa.string()),
+            "obj_datatype": pa.array(dts, pa.string())})
+
+    return lines.map_batches(parse, batch_format="pyarrow")
+
+
+def read_ntriples(path: str, strict: bool = True) -> rd.Dataset:
+    """Read sharded ``*.nt`` files back into a triples Dataset — the
+    source the reference never had (its RDF output was terminal;
+    `components/RDFCodeGenerator.php` only writes). One read task per
+    file shard; parsing streams per batch."""
+    return parse_ntriples_lines(rd.read_text(path), text_col="text",
+                                strict=strict)
+
+
+# ---------------------------------------------------------------------------
 # RDF/XML (reference surface parity, malformations fixed)
 # ---------------------------------------------------------------------------
 

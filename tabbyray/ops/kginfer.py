@@ -898,3 +898,144 @@ def apply_path_rules(triples: rd.Dataset,
         num_partitions=num_partitions,
         left_schema=fact_schema,
         right_schema=pa.schema(list(_TRIPLE_SCHEMA)))
+
+
+def fp_object_pairs(triples: rd.Dataset,
+                    functional_preds: "list[str]",
+                    max_group: int = 10_000,
+                    num_partitions: "int | None" = None) -> rd.Dataset:
+    """Object-identity inference from owl:FunctionalProperty semantics
+    (the dual of :func:`ifp_pairs`): a functional predicate maps each
+    subject to ONE individual, so two distinct objects asserted for
+    the same (subject, functional pred) are entailed to denote the
+    same entity — OWL's functionality entailment, which a curation
+    pass surfaces either as merge candidates or (closed-world) as the
+    conflicts :func:`tabbyray.ops.kgconstruct.functional_violations`
+    reports. Output: (a, b, n_shared) with a < b and n_shared = the
+    number of distinct (pred, subject) witnesses.
+
+    Same plan as ifp_pairs with the grouping flipped to (pred, subj):
+    one distinct exchange, one (pred, subj)-hash exchange with
+    per-partition pair generation (skew-capped), one combiner count."""
+    num_partitions = _resolve_partitions(num_partitions)
+
+    vals = _distinct_triples(triples, keep=set(functional_preds),
+                             drop=None, num_partitions=num_partitions)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["pred"] + "\x1f" + df["subj"], index=False)
+        return df.assign(_part=(h % num_partitions).astype("int64"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["pred", "subj"], sort=False):
+            members = sorted(grp["obj"].unique())
+            k = len(members)
+            if k > max_group:
+                raise ValueError(
+                    f"fp_object_pairs: one (pred, subj) slot asserts "
+                    f"{k} objects (> max_group={max_group}); resolve "
+                    "conflicts upstream before identity inference")
+            for i in range(k):
+                for j in range(i + 1, k):
+                    out_a.append(members[i])
+                    out_b.append(members[j])
+        return pd.DataFrame({"a": out_a, "b": out_b,
+                             "one": [1] * len(out_a)})
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("one", pa.int64())])
+    p = typed_groupby_map(
+        vals.map_batches(part, batch_format="pandas"), "_part",
+        pairs, pair_schema)
+    return hash_aggregate(
+        p, keys=["a", "b"], sum_cols={"one": "n_shared"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n_shared", pa.int64())]))
+
+
+def retired_facts(triples: rd.Dataset, pages: rd.Dataset,
+                  max_gap_us: int,
+                  url_col: str = "url", ts_col: str = "warc_ts",
+                  num_partitions: "int | None" = None) -> rd.Dataset:
+    """Stale-fact detection for incremental KG maintenance: a fact is
+    RETIRED when its subject was re-captured at least ``max_gap_us``
+    after the fact's own last capture — the page moved on, the fact
+    did not come back. Output: (subj, pred, obj, last_seen_us,
+    subj_last_capture_us), one row per retired fact.
+
+    One url stamp join, then per-fact last-capture and per-subject
+    last-capture from the SAME stamped stream (one min/max combiner
+    exchange each), one subj co-partitioned join, one vectorized
+    filter. The subject rollup is one row per subject — skew-safe."""
+    import pyarrow.compute as pc
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    ts = pages.map_batches(
+        lambda t: pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "ts_us": pc.cast(t.column(ts_col), pa.int64())}),
+        batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(t.column(url_col), pa.string()),
+            "subj": pc.cast(t.column("subj"), pa.string()),
+            "pred": pc.cast(t.column("pred"), pa.string()),
+            "obj": pc.cast(t.column("obj"), pa.string())})
+
+    stamped = hash_join(
+        triples.map_batches(proj, batch_format="pyarrow"), ts,
+        on="url", num_partitions=num_partitions,
+        left_schema=pa.schema([("url", pa.string())]
+                              + list(_TRIPLE_SCHEMA)),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("ts_us", pa.int64())])).materialize()
+
+    neg = stamped.map_batches(
+        lambda t: pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"),
+            "_neg": pc.negate(t.column("ts_us"))}),
+        batch_format="pyarrow")
+    fact_last = hash_min(
+        neg, ["subj", "pred", "obj"], {"_neg": "_neg"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema(list(_TRIPLE_SCHEMA)
+                             + [("_neg", pa.int64())])).map_batches(
+        lambda t: pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"),
+            "last_seen_us": pc.negate(t.column("_neg"))}),
+        batch_format="pyarrow")
+
+    sneg = stamped.map_batches(
+        lambda t: pa.table({"subj": t.column("subj"),
+                            "_neg": pc.negate(t.column("ts_us"))}),
+        batch_format="pyarrow")
+    subj_last = hash_min(
+        sneg, ["subj"], {"_neg": "_neg"},
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("subj", pa.string()),
+                              ("_neg", pa.int64())])).map_batches(
+        lambda t: pa.table({
+            "subj": t.column("subj"),
+            "subj_last_capture_us": pc.negate(t.column("_neg"))}),
+        batch_format="pyarrow")
+
+    j = hash_join(
+        fact_last, subj_last, on="subj",
+        num_partitions=num_partitions,
+        left_schema=pa.schema(list(_TRIPLE_SCHEMA)
+                              + [("last_seen_us", pa.int64())]),
+        right_schema=pa.schema([("subj", pa.string()),
+                                ("subj_last_capture_us", pa.int64())]))
+    return j.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.subtract(t.column("subj_last_capture_us"),
+                        t.column("last_seen_us")),
+            pa.scalar(max_gap_us, pa.int64()))),
+        batch_format="pyarrow")

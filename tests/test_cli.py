@@ -267,3 +267,57 @@ def test_cli_kgbuild(tmp_path):
     s3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert s3["stages_run"] == ["violations"]
     assert s3["stages_skipped"] == ["facts"]
+
+
+def test_ntriples_roundtrip_escapes(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.io import parse_ntriples_lines, to_ntriples_lines
+    tri = pd.DataFrame(
+        [("http://e/s1", "http://e/p", 'quote " and \\ back', True),
+         ("http://e/s2", "http://e/p", "tab\there\nnewline", True),
+         ("http://e/s3", "http://e/p", "unicode é中", True),
+         ("http://e/s4", "http://e/p", "http://e/o", False)],
+        columns=["subj", "pred", "obj", "obj_is_literal"])
+    lines = to_ntriples_lines(rd.from_pandas(tri))
+    back = (parse_ntriples_lines(lines)
+            .to_pandas()[["subj", "pred", "obj", "obj_is_literal"]]
+            .sort_values("subj").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        back, tri.sort_values("subj").reset_index(drop=True))
+
+
+def test_ntriples_parser_wider_grammar(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.io import parse_ntriples_lines
+    lines = rd.from_pandas(pd.DataFrame({"text": [
+        "# a comment",
+        "",
+        '<http://e/s> <http://e/p> "hi"@en .',
+        '<http://e/s> <http://e/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        "<http://e/s> <http://e/p> <http://e/o> .",
+    ]}))
+    got = parse_ntriples_lines(lines).to_pandas()
+    assert len(got) == 3
+    en = got[got.obj == "hi"].iloc[0]
+    assert en.obj_lang == "en" and en.obj_is_literal
+    num = got[got.obj == "42"].iloc[0]
+    assert num.obj_datatype.endswith("#integer")
+    iri = got[got.obj == "http://e/o"].iloc[0]
+    assert not iri.obj_is_literal and iri.obj_lang is None
+
+
+def test_ntriples_parser_strict_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from tabbyray.io import parse_ntriples_lines
+    bad = rd.from_pandas(pd.DataFrame({"text": ["not a triple"]}))
+    with pytest.raises(Exception):
+        parse_ntriples_lines(bad).to_pandas()
+    ok = parse_ntriples_lines(bad, strict=False).to_pandas()
+    assert len(ok) == 0

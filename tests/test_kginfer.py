@@ -244,3 +244,36 @@ def test_apply_path_rules_confidence_gate(ray_session):
                             min_support=2, num_partitions=4)
            .to_pandas())
     assert len(got) == 0          # conf 2/3 < 0.9 -> rule gated out
+
+
+def test_fp_object_pairs(ray_session):
+    from tabbyray.ops.kginfer import fp_object_pairs
+    rows = [
+        ("s1", "loc", "x"), ("s1", "loc", "y"), ("s1", "loc", "x"),
+        ("s2", "loc", "x"), ("s2", "loc", "y"),    # second witness
+        ("s3", "loc", "z"),                        # single obj: no pair
+        ("s1", "other", "x"), ("s1", "other", "w"),  # not functional
+    ]
+    got = (fp_object_pairs(_tri(rows), ["loc"], num_partitions=4)
+           .to_pandas().set_index(["a", "b"])["n_shared"].sort_index())
+    assert got.loc[("x", "y")] == 2
+    assert len(got) == 1
+
+
+def test_retired_facts(ray_session):
+    from tabbyray.ops.kginfer import retired_facts
+    tri = pd.DataFrame(
+        [("u1", "s", "p", "old"),                  # only at t=100
+         ("u1", "s", "p", "kept"), ("u2", "s", "p", "kept"),
+         ("u3", "s2", "q", "solo")],               # subject never recrawled
+        columns=["url", "subj", "pred", "obj"])
+    pages = pd.DataFrame([("u1", 100), ("u2", 500), ("u3", 100)],
+                         columns=["url", "warc_ts"])
+    got = (retired_facts(rd.from_pandas(tri).repartition(2),
+                         rd.from_pandas(pages).repartition(2),
+                         max_gap_us=200, num_partitions=4)
+           .to_pandas())
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.subj, r.obj, r.last_seen_us, r.subj_last_capture_us) == \
+        ("s", "old", 100, 500)
