@@ -1642,6 +1642,59 @@ def _q_web_visible_text(sf_dir: str):
     return visible_text(ds)
 
 
+def _read_structured():
+    import ray.data as rd
+
+    from tabbyray.fixtures import ensure_structured_fixture
+    return rd.read_parquet(ensure_structured_fixture(),
+                           override_num_blocks=4)
+
+
+def _q_web_jsonld_triples(sf_dir: str):
+    """schema.org JSON-LD extraction — the highest-precision triple
+    source a Common-Crawl KG pass has: (url, subj, pred, obj) per
+    scalar property of each valid ld+json block (invalid JSON and
+    nested values skipped). Stateless map-side scan, zero shuffle;
+    oracle = the same RE2 pattern + DuckDB json_valid/json_keys/
+    json_extract_string."""
+    from tabbyray.ops.structured import jsonld_records
+    return jsonld_records(_read_structured())
+
+
+def _q_web_microdata_props(sf_dir: str):
+    """Microdata item scopes: (url, itemtype, itemprop, value) with
+    each property span bound to its ENCLOSING scope (multi-scope
+    pages supported). Map-side only; oracle = two-level unnest of the
+    same RE2 patterns."""
+    from tabbyray.ops.structured import microdata_records
+    return microdata_records(_read_structured())
+
+
+def _q_web_meta_properties(sf_dir: str):
+    """OpenGraph/article ``<meta property>`` harvest: (url, property,
+    content), raw attribute text (no entity decode — documented).
+    Map-side only."""
+    from tabbyray.ops.structured import meta_properties
+    return meta_properties(_read_structured())
+
+
+def _q_web_jsonld_type_counts(sf_dir: str):
+    """schema.org coverage census: per @type, distinct typed subjects
+    and their scalar-fact count — two combiner hash-aggregates
+    ((type,subj) then (type)), no driver state."""
+    from tabbyray.ops.structured import jsonld_type_counts
+    return jsonld_type_counts(_read_structured(), num_partitions=8)
+
+
+def _q_web_structured_triples(sf_dir: str):
+    """Unified (subj, pred, obj, src) view over all three in-page
+    structured-data carriers (JSON-LD / microdata / meta) in ONE html
+    pass — the web-native fan-in that feeds the kgconstruct stages
+    alongside table-mined triples. Zero shuffle."""
+    from tabbyray.ops.structured import structured_triples
+    return structured_triples(_read_structured())
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style quality gate (Rae et al. 2021 table A1 subset):
     per-doc integer rule counters + composite ``passes`` — every
@@ -4188,6 +4241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_robots_rules": _q_web_robots_rules,
         "web_robots_gate": _q_web_robots_gate,
         "web_visible_text": _q_web_visible_text,
+        "web_jsonld_triples": _q_web_jsonld_triples,
+        "web_microdata_props": _q_web_microdata_props,
+        "web_meta_properties": _q_web_meta_properties,
+        "web_jsonld_type_counts": _q_web_jsonld_type_counts,
+        "web_structured_triples": _q_web_structured_triples,
         "gopher_quality": _q_gopher_quality,
         "web_anchor_text_rollup": _q_web_anchor_text_rollup,
         "web_url_indegree": _q_web_url_indegree,
@@ -6031,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
                                    ensure_clustered_embeddings,
                                    ensure_crawl_fixture,
                                    ensure_html_fixture,
+                                   ensure_structured_fixture,
                                    ensure_link_fixture,
                                    ensure_lineset_docs,
                                    ensure_quality_docs,
@@ -6048,6 +6107,7 @@ def oracle_sql() -> dict[str, str]:
     _linedocs_path = ensure_lineset_docs()            # idempotent, ~ms
     _robots_path = ensure_robots_fixture()            # idempotent, ~ms
     _html_path = ensure_html_fixture()                # idempotent, ~ms
+    _structured_path = ensure_structured_fixture()    # idempotent, ~ms
     _quality_path = ensure_quality_docs()             # idempotent, ~ms
     _rep_path = ensure_repetition_docs()              # idempotent, ~ms
     _anchor_fix = ensure_anchor_entity_fixture()      # idempotent, ~ms
@@ -7435,6 +7495,7 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY host
     """
     out["web_visible_text"] = _visible_text_oracle(_html_path)
+    out.update(_structured_oracles(_structured_path))
     out["gopher_quality"] = _gopher_oracle(_quality_path, GOPHER_STOPWORDS)
     out["gopher_repetition"] = _gopher_repetition_oracle(_rep_path)
     out.update(_anchor_entity_oracles(_anchor_fix))
@@ -8900,6 +8961,112 @@ def _robots_oracles(robots_path: str, capture_path: str) -> dict[str, str]:
                CAST(COALESCE(w.allow, 1) AS BIGINT) AS allowed,
                COALESCE(w.rule_path, '') AS rule_path
         FROM d LEFT JOIN w ON w.canon_url = d.canon_url
+    """
+    return out
+
+
+def _structured_oracles(path: str) -> dict:
+    """Oracle SQL for the in-page structured-data family: the SAME RE2
+    patterns as tabbyray/ops/structured.py (_JSONLD_RE/_SCOPE_RE/
+    _ITEMPROP_RE/_META_RE) + DuckDB's JSON functions; the scalar-only
+    contract is enforced with json_type on both sides (Python skips
+    dict/list/None; SQL skips OBJECT/ARRAY/NULL)."""
+    jsonld_base = f"""
+        blocks AS (SELECT url, unnest(regexp_extract_all(html,
+                       '(?s)<script type="application/ld\\+json">(.*?)</script>',
+                       1)) AS b
+                   FROM read_parquet('{path}')),
+        v AS MATERIALIZED (SELECT url, b FROM blocks
+              WHERE CASE WHEN json_valid(b)
+                         THEN json_type(b) = 'OBJECT'
+                              AND json_type(b, '$."@id"') = 'VARCHAR'
+                         ELSE false END),
+        kv AS (SELECT url, json_extract_string(b, '$."@id"') AS subj,
+                      unnest(json_keys(b)) AS pred, b
+               FROM v),
+        jrec AS (SELECT url, subj, pred,
+                        json_extract_string(b, '$."' || pred || '"') AS obj
+                 FROM kv
+                 WHERE pred NOT IN ('@id', '@context')
+                   AND json_type(b, '$."' || pred || '"')
+                       NOT IN ('OBJECT', 'ARRAY', 'NULL'))"""
+    scopes = f"""
+        scopes AS (SELECT url, unnest(regexp_extract_all(html,
+                       '(?s)<div itemscope itemtype="[^"]*">.*?</div>'))
+                       AS frag
+                   FROM read_parquet('{path}')),
+        mrec AS (SELECT url,
+                        regexp_extract(frag, 'itemtype="([^"]*)"', 1)
+                            AS itemtype,
+                        unnest(regexp_extract_all(frag,
+                            '<span itemprop="[^"]*">[^<]*</span>')) AS sp
+                 FROM scopes)"""
+    meta = f"""
+        metas AS (SELECT url, unnest(regexp_extract_all(html,
+                      '<meta property="[^"]*" content="[^"]*">')) AS m
+                  FROM read_parquet('{path}'))"""
+    out = {}
+    out["web_jsonld_triples"] = f"""
+        WITH {jsonld_base}
+        SELECT url, subj, pred, obj FROM jrec
+    """
+    out["web_microdata_props"] = f"""
+        WITH {scopes}
+        SELECT url, itemtype,
+               regexp_extract(sp, 'itemprop="([^"]*)"', 1) AS itemprop,
+               regexp_extract(sp, '>([^<]*)<', 1) AS value
+        FROM mrec
+    """
+    out["web_meta_properties"] = f"""
+        WITH {meta}
+        SELECT url,
+               regexp_extract(m, 'property="([^"]*)"', 1) AS property,
+               regexp_extract(m, 'content="([^"]*)"', 1) AS content
+        FROM metas
+    """
+    out["web_jsonld_type_counts"] = f"""
+        WITH {jsonld_base},
+        typed AS (SELECT url, b, json_extract_string(b, '$."@id"') AS subj,
+                         json_extract_string(b, '$."@type"') AS rdf_type
+                  FROM v
+                  WHERE json_type(b, '$."@type"') = 'VARCHAR'),
+        ent AS (SELECT DISTINCT rdf_type, subj FROM typed),
+        fact_rows AS (SELECT t.rdf_type, unnest(json_keys(t.b)) AS k, t.b
+                      FROM typed t),
+        fc AS (SELECT rdf_type, count(*) AS n_facts
+               FROM fact_rows
+               WHERE k NOT IN ('@id', '@context', '@type')
+                 AND json_type(b, '$."' || k || '"')
+                     NOT IN ('OBJECT', 'ARRAY', 'NULL')
+               GROUP BY rdf_type),
+        ec AS (SELECT rdf_type, count(*) AS n_entities
+               FROM ent GROUP BY rdf_type)
+        SELECT ec.rdf_type, ec.n_entities,
+               coalesce(fc.n_facts, 0) AS n_facts
+        FROM ec LEFT JOIN fc USING (rdf_type)
+    """
+    out["web_structured_triples"] = f"""
+        WITH {jsonld_base},
+        {scopes.lstrip()},
+        {meta.lstrip()}
+        SELECT subj, pred, obj, 'jsonld' AS src FROM jrec
+        UNION ALL
+        SELECT url AS subj, 'md:itemtype' AS pred,
+               regexp_extract(frag, 'itemtype="([^"]*)"', 1) AS obj,
+               'microdata' AS src
+        FROM scopes
+        UNION ALL
+        SELECT url AS subj,
+               'md:' || regexp_extract(sp, 'itemprop="([^"]*)"', 1) AS pred,
+               regexp_extract(sp, '>([^<]*)<', 1) AS obj,
+               'microdata' AS src
+        FROM mrec
+        UNION ALL
+        SELECT url AS subj,
+               'meta:' || regexp_extract(m, 'property="([^"]*)"', 1) AS pred,
+               regexp_extract(m, 'content="([^"]*)"', 1) AS obj,
+               'meta' AS src
+        FROM metas
     """
     return out
 

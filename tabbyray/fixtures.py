@@ -1964,3 +1964,95 @@ def ensure_kg_ontology_fixture(n_entities: int = 180, seed: int = 101,
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+_SD_TYPES = ["Person", "Place", "Organization", "Book", "Event"]
+_SD_PROPS = ["name", "alternateName", "jobTitle", "addressLocality",
+             "publisher", "headline", "genre", "nationality"]
+_SD_WORDS = _WEB_PATH_WORDS + ["Anna", "Bor", "Carta", "Delta", "данные",
+                               "graph", "corpus", "Rock & Roll", "O'Neil"]
+_SD_META = ["og:title", "og:type", "og:site_name", "og:locale",
+            "article:section"]
+
+
+def ensure_structured_fixture(n_pages: int = 500, seed: int = 67,
+                              root: str = "/tmp/tabbyray_fixtures") -> str:
+    """Deterministic structured-data corpus: ``structured.parquet`` with
+    (url:string, html:string). Pages embed the three in-page structured
+    -data carriers a Common-Crawl KG-construction pass mines:
+
+    * 0-3 ``<script type="application/ld+json">`` blocks — flat JSON-LD
+      objects with ``@id``/``@type`` plus 2-5 scalar properties (strings
+      incl. non-ASCII / '&' / "'", and ints). ~10% of blocks are
+      deliberately INVALID JSON (must be skipped), ~15% carry one nested
+      -object property (skipped by the scalar-only contract).
+    * 0-2 microdata scopes — ``<div itemscope itemtype="...">`` holding
+      1-4 canonical ``<span itemprop="p">v</span>`` spans with filler
+      text between them (no nested divs inside a scope, values '<'- and
+      '"'-free: the canonical-serialization contract, same spirit as
+      the anchor-text fixture).
+    * 0-4 ``<meta property="..." content="...">`` head tags (values
+      HTML-escaped; extraction keeps the raw escaped text — no entity
+      decode, documented).
+
+    Filler paragraphs surround every carrier so offsets are irregular.
+    """
+    key = f"structured-v1-s{seed}-p{n_pages}.parquet"
+    path = os.path.join(root, key)
+    if os.path.exists(path):
+        return path
+    rng = random.Random(seed)
+    urls, htmls = [], []
+    for i in range(n_pages):
+        host = rng.choice(_WEB_SUBS) + rng.choice(_WEB_DOMAINS)
+        urls.append(f"https://{host}/sd{i}")
+        head = []
+        for _ in range(rng.randint(0, 4)):
+            prop = rng.choice(_SD_META)
+            val = _html.escape(" ".join(
+                rng.choice(_SD_WORDS) for _ in range(rng.randint(1, 3))),
+                quote=True)
+            head.append(f'<meta property="{prop}" content="{val}">')
+        body = []
+        for j in range(rng.randint(0, 3)):
+            if rng.random() < 0.10:
+                body.append('<script type="application/ld+json">'
+                            f'{{bad json {i}_{j}</script>')
+                continue
+            obj = {"@id": f"https://kg.example/e{i}_{j}",
+                   "@type": rng.choice(_SD_TYPES)}
+            for p in rng.sample(_SD_PROPS, rng.randint(2, 5)):
+                if rng.random() < 0.2:
+                    obj[p] = rng.randrange(1, 2000)
+                else:
+                    obj[p] = " ".join(rng.choice(_SD_WORDS)
+                                      for _ in range(rng.randint(1, 3)))
+            if rng.random() < 0.15:
+                obj["address"] = {"streetAddress": rng.choice(_SD_WORDS)}
+            body.append('<script type="application/ld+json">'
+                        + json.dumps(obj) + '</script>')
+        for _ in range(rng.randint(0, 2)):
+            itype = f"https://schema.org/{rng.choice(_SD_TYPES)}"
+            spans = []
+            for p in rng.sample(_SD_PROPS, rng.randint(1, 4)):
+                v = " ".join(rng.choice(_SD_WORDS)
+                             for _ in range(rng.randint(1, 2))).replace(
+                    "&", "and").replace('"', "")
+                spans.append(f'<span itemprop="{p}">{v}</span>')
+                if rng.random() < 0.5:
+                    spans.append(" " + rng.choice(_BOILER) + " ")
+            body.append(f'<div itemscope itemtype="{itype}">'
+                        + "".join(spans) + '</div>')
+        filler = [f"<p>{' '.join(rng.choice(_BOILER) for _ in range(rng.randint(2, 8)))}</p>"
+                  for _ in range(rng.randint(1, 4))]
+        parts = body + filler
+        rng.shuffle(parts)
+        htmls.append("<html><head>" + "".join(head) + "</head><body>"
+                     + "".join(parts) + "</body></html>")
+    table = pa.table({"url": pa.array(urls, pa.string()),
+                      "html": pa.array(htmls, pa.string())})
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
