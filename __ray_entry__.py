@@ -3135,6 +3135,53 @@ def _q_multimodal_decode_stats(sf_dir: str):
     return decode_stats(media)
 
 
+def _make_wav_media(sf_dir: str):
+    """documents → REAL RIFF/WAVE binary payloads (deterministic
+    ``_ramp_audio`` formula shared with the SQL oracles)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import _ramp_audio, encode_wav
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def make_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            samples, sr = _ramp_audio(d)
+            payloads.append(encode_wav(samples, sr))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+        })
+
+    return docs.map_batches(make_media, batch_format="pyarrow",
+                            batch_size=64)
+
+
+def _q_audio_decode_stats(sf_dir: str):
+    """REAL audio decode, hash-checked: each documents row becomes a
+    true 16-bit PCM mono RIFF/WAVE payload, the actor-pool
+    ``WAVStatsDecoder`` PARSES the bytes (chunk walker, fmt
+    validation), and the SQL oracle recomputes the exact integer
+    stats arithmetically from doc_id — any codec bug breaks the
+    hash. The audio leg of the multimodal axis."""
+    from tabbyray.ops.multimodal import audio_decode_stats
+    return audio_decode_stats(_make_wav_media(sf_dir))
+
+
+def _q_audio_frame_energy(sf_dir: str):
+    """WAV decode → fixed 64-sample framing → exact integer energy /
+    peak per frame (tail partial frame dropped) — the VAD/feature-
+    window shape; decode once per clip in the actor, numpy reshape
+    for the frames."""
+    from tabbyray.ops.multimodal import audio_frame_energy
+    return audio_frame_energy(_make_wav_media(sf_dir), frame=64)
+
+
 def _q_customers_no_events(sf_dir: str):
     """Big-big ANTI join: customers with no click events. The events
     side is narrowed to keys + batch-deduped inside hash_join; one
@@ -4279,6 +4326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": _q_frequent_tokens,
         "orders_bloom_semi": _q_orders_bloom_semi,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
+        "audio_decode_stats": _q_audio_decode_stats,
+        "audio_frame_energy": _q_audio_frame_energy,
         # joins (shuffle / asof / outer / anti / broadcast)
         "customer_order_stats": _q_customer_order_stats,
         "latest_order_asof": _q_latest_order_asof,
@@ -6517,6 +6566,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem b
               ON b.l_orderkey = a.l_orderkey
              AND b.l_linenumber = a.l_linenumber + 1
+        """,
+        # WAV decode stats: clip d has d%400+100 samples at rate
+        # 8000+(d%4)*4000, sample i = (d*37 + i*i) % 4096 - 2048 —
+        # recomputed arithmetically, so the hash breaks on any
+        # RIFF-chunk/PCM parsing bug
+        "audio_decode_stats": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 400 + 100 AS BIGINT) AS n,
+                              CAST(8000 + (doc_id % 4) * 4000 AS BIGINT)
+                                  AS sample_rate
+                       FROM documents),
+            u AS (SELECT doc_id, n, sample_rate,
+                         CAST(unnest(range(n)) AS BIGINT) AS i
+                  FROM d),
+            s AS (SELECT doc_id, n, sample_rate,
+                         (doc_id * 37 + i * i) % 4096 - 2048 AS amp
+                  FROM u)
+            SELECT doc_id AS media_id, sample_rate, n AS n_samples,
+                   CAST(sum(amp) AS BIGINT) AS sum_amp,
+                   CAST(sum(amp * amp) AS BIGINT) AS sum_sq,
+                   CAST(min(amp) AS BIGINT) AS min_amp,
+                   CAST(max(amp) AS BIGINT) AS max_amp
+            FROM s GROUP BY doc_id, sample_rate, n
+        """,
+        "audio_frame_energy": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 400 + 100 AS BIGINT) AS n
+                       FROM documents),
+            u AS (SELECT doc_id, n,
+                         CAST(unnest(range(n)) AS BIGINT) AS i
+                  FROM d),
+            s AS (SELECT doc_id, i // 64 AS frame_idx,
+                         (doc_id * 37 + i * i) % 4096 - 2048 AS amp
+                  FROM u WHERE i < (n // 64) * 64)
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(sum(amp * amp) AS BIGINT) AS energy,
+                   CAST(max(abs(amp)) AS BIGINT) AS peak
+            FROM s GROUP BY doc_id, frame_idx
         """,
         "multimodal_decode_stats": """
             WITH d AS (SELECT doc_id,

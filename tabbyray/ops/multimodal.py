@@ -333,3 +333,140 @@ def synth_video_table(n: int = 16, seed: int = 42) -> pa.Table:
         "width": pa.array([i % 13 + 4 for i in range(n)], pa.int32()),
         "height": pa.array([i % 7 + 3 for i in range(n)], pa.int32()),
     })
+
+
+# ---------------------------------------------------------------------------
+# real codec: 16-bit PCM mono WAV (pure python/numpy, RIFF headers)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode an int16 mono sample array as a standard RIFF/WAVE file
+    (PCM format 1, 16-bit, little-endian): real headers — any audio
+    player opens the output. The audio analog of ``encode_bmp``."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1,
+                      sample_rate, byte_rate, 2, 16)
+    header = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data),
+                         b"WAVE")
+    return header + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Parse a RIFF/WAVE payload back to (int16 sample array,
+    sample_rate). A real chunk walker: validates the RIFF/WAVE magic,
+    iterates chunks (skipping unknown ones, honoring odd-size padding),
+    requires PCM mono 16-bit. Cross-validated against the stdlib
+    ``wave`` module in tests."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    sample_rate, data = None, None
+    while pos + 8 <= min(end, len(payload)):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _br, _ba, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={channels} "
+                    f"bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)            # chunks pad to even
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+class WAVStatsDecoder:
+    """Actor-pool decode stage over REAL WAV payloads: parses each
+    binary payload with ``decode_wav`` and emits exact integer per-clip
+    stats (sample_rate, n_samples, sum_amp, sum_sq, min/max) — the
+    decode→feature shape of an audio-curation pipeline with SQL-
+    verifiable output. Callable CLASS per the actor contract."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, srs, ns, sums, sqs, mins, maxs = [], [], [], [], [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            samples, sr = decode_wav(payload)
+            s = samples.astype(np.int64)
+            ids.append(media_id)
+            srs.append(sr)
+            ns.append(len(s))
+            sums.append(int(s.sum()))
+            sqs.append(int((s * s).sum()))
+            mins.append(int(s.min()))
+            maxs.append(int(s.max()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(srs, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sum_amp": pa.array(sums, pa.int64()),
+            "sum_sq": pa.array(sqs, pa.int64()),
+            "min_amp": pa.array(mins, pa.int64()),
+            "max_amp": pa.array(maxs, pa.int64()),
+        })
+
+
+def audio_decode_stats(media: rd.Dataset, batch_size: int = 64,
+                       concurrency=(1, 4)) -> rd.Dataset:
+    """Actor-pool WAV decode + exact per-clip integer stats."""
+    return media.map_batches(WAVStatsDecoder, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency)
+
+
+class WAVFrameEnergy:
+    """Actor-pool framing stage: decode each WAV payload, split into
+    fixed-size frames (tail partial frame DROPPED — the contract), emit
+    one row per frame with its exact integer energy (sum of squares)
+    and peak |amplitude|. The VAD/feature-window shape of an audio
+    pipeline: decode once per clip, vectorized numpy reshape for the
+    frame loop."""
+
+    def __init__(self, frame: int = 64):
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, energy, peak = [], [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            samples, _sr = decode_wav(payload)
+            n_frames = len(samples) // self.frame
+            if n_frames == 0:
+                continue
+            m = samples[:n_frames * self.frame].astype(np.int64) \
+                .reshape(n_frames, self.frame)
+            ids.extend([media_id] * n_frames)
+            fidx.extend(range(n_frames))
+            energy.extend((m * m).sum(axis=1).tolist())
+            peak.extend(np.abs(m).max(axis=1).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "energy": pa.array(energy, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })
+
+
+def audio_frame_energy(media: rd.Dataset, frame: int = 64,
+                       batch_size: int = 64,
+                       concurrency=(1, 4)) -> rd.Dataset:
+    """Actor-pool WAV decode → fixed-frame energy/peak rows."""
+    return media.map_batches(WAVFrameEnergy, batch_format="pyarrow",
+                             fn_constructor_args=(frame,),
+                             batch_size=batch_size,
+                             concurrency=concurrency)
+
+
+def _ramp_audio(media_id: int) -> "tuple[np.ndarray, int]":
+    """Deterministic synthesis formula shared by fixtures AND the SQL
+    oracles: n = id % 400 + 100 samples at rate 8000 + (id % 4) * 4000,
+    sample i = ((id * 37 + i * i) % 4096) - 2048."""
+    n = media_id % 400 + 100
+    i = np.arange(n, dtype=np.int64)
+    samples = ((media_id * 37 + i * i) % 4096 - 2048).astype(np.int16)
+    return samples, 8000 + (media_id % 4) * 4000

@@ -1272,3 +1272,61 @@ def test_ngram_containment_vs_jaccard(ray_session):
     assert len(cont) == 1 and cont.containment[0] == 1.0
     jac = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
     assert len(jac) == 0                               # 6/28 < 0.5
+
+
+def test_wav_codec_roundtrip_and_stdlib_parity(ray_session):
+    """The real WAV codec: encode→decode is identity; the encoded bytes
+    are a VALID wave file per the stdlib ``wave`` module (independent
+    parser — catches header bugs a self-roundtrip can't); the chunk
+    walker skips unknown chunks and honors odd-size padding."""
+    import io
+    import struct
+    import wave
+
+    from tabbyray.ops.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(11)
+    for n in (1, 64, 100, 499):
+        for sr in (8000, 16000, 44100):
+            samples = rng.randint(-32768, 32768, n).astype(np.int16)
+            payload = encode_wav(samples, sr)
+            got, got_sr = decode_wav(payload)
+            assert got_sr == sr and np.array_equal(got, samples)
+            with wave.open(io.BytesIO(payload)) as w:
+                assert (w.getnchannels(), w.getsampwidth(),
+                        w.getframerate(), w.getnframes()) == (1, 2, sr, n)
+                assert w.readframes(n) == samples.astype("<i2").tobytes()
+    # unknown chunk (odd size -> pad byte) inserted before data: the
+    # walker must skip it and still find fmt/data
+    samples = np.array([1, -2, 3], np.int16)
+    payload = encode_wav(samples, 8000)
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    patched = payload[:fmt_end] + junk + payload[fmt_end:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    got, got_sr = decode_wav(patched)
+    assert got_sr == 8000 and np.array_equal(got, samples)
+
+
+def test_wav_frame_energy_stage(ray_session):
+    """Framing contract: tail partial frame dropped, exact integer
+    energy/peak per 64-sample frame."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import audio_frame_energy, encode_wav
+
+    s0 = np.arange(130, dtype=np.int16) - 65          # 2 frames + tail 2
+    s1 = np.full(63, 7, np.int16)                     # 0 full frames
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_wav(s0, 8000), encode_wav(s1, 8000)],
+                            pa.binary()),
+    }))
+    out = audio_frame_energy(media, frame=64).to_pandas()
+    assert set(out["media_id"]) == {0}
+    out = out.sort_values("frame_idx")
+    m = s0[:128].astype(np.int64).reshape(2, 64)
+    assert list(out["energy"]) == (m * m).sum(axis=1).tolist()
+    assert list(out["peak"]) == np.abs(m).max(axis=1).tolist()
