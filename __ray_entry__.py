@@ -3182,6 +3182,115 @@ def _q_audio_frame_energy(sf_dir: str):
     return audio_frame_energy(_make_wav_media(sf_dir), frame=64)
 
 
+def _make_warc_fixture(sf_dir: str) -> str:
+    """documents → REAL sharded ``.warc.gz`` files (Common Crawl
+    layout: one gzip member per record, HTTP response envelopes) under
+    /tmp, cached per sf_dir. Bodies are the raw document text bytes;
+    url / timestamp / status follow fixed formulas shared with the SQL
+    oracles."""
+    import datetime as _dt
+    import hashlib as _h
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tabbyray.warc import write_warc
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join("/tmp/tabbyray_fixtures",
+                       "warc-v1-" + _h.md5(sf_dir.encode()).hexdigest()[:10])
+    done = out + ".done"  # OUTSIDE the dir: readers glob every file in it
+    n_docs = pq.read_metadata(docs_path).num_rows
+    if os.path.exists(done) and open(done).read() == str(n_docs):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        base = _dt.datetime(2026, 1, 1)
+        return pa.table({
+            "url": pa.array(
+                [f"http://h{d % 13}.example.org/doc/{d}" for d in ids]),
+            "warc_ts": pa.array(
+                [(base + _dt.timedelta(seconds=d % 86400))
+                 .strftime("%Y-%m-%dT%H:%M:%SZ") for d in ids]),
+            "html": pa.array([(x or "").encode("utf-8") for x in texts],
+                             pa.binary()),
+            "status": pa.array([404 if d % 7 == 0 else 200 for d in ids],
+                               pa.int32()),
+        })
+
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    write_warc(docs.map_batches(to_pages, batch_format="pyarrow"),
+               out, status_col="status")
+    with open(done, "w") as f:
+        f.write(str(n_docs))
+    return out
+
+
+def _q_warc_roundtrip(sf_dir: str):
+    """Common-Crawl-native ingest: documents → sharded .warc.gz (one
+    gzip member per record, HTTP response envelopes) → streaming
+    `read_warc` (incremental member decode, bounded per-task memory)
+    → per-record byte digest. The md5 over the decoded body proves the
+    WARC writer+parser roundtrip is byte-exact against DuckDB's md5 of
+    the source text."""
+    import hashlib as _h
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tabbyray.warc import read_warc
+
+    pages = read_warc(_make_warc_fixture(sf_dir))
+
+    def digest(t: pa.Table) -> pa.Table:
+        bodies = t.column("html").to_pylist()
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts": t.column("warc_ts"),
+            "http_status": pc.cast(t.column("http_status"), pa.int64()),
+            "n_bytes": pa.array([len(b) for b in bodies], pa.int64()),
+            "body_md5": pa.array([_h.md5(b).hexdigest() for b in bodies],
+                                 pa.string()),
+        })
+
+    return pages.map_batches(digest, batch_format="pyarrow")
+
+
+def _q_warc_host_fetch_stats(sf_dir: str):
+    """WARC ingest → per-host fetch rollup (the crawl-ops dashboard
+    shape): host parsed from the record's Target-URI (REAL string
+    parsing, not the generator formula), per-batch combiner, 13-group
+    aggregate."""
+    import pyarrow as pa
+
+    from tabbyray.ops.relational import partial_agg_sum
+    from tabbyray.warc import read_warc
+
+    pages = read_warc(_make_warc_fixture(sf_dir))
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls]
+        ok = [1 if s == 200 else 0
+              for s in t.column("http_status").to_pylist()]
+        nb = [len(b) for b in t.column("html").to_pylist()]
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "ok": pa.array(ok, pa.int64()),
+            "nb": pa.array(nb, pa.int64()),
+        })
+
+    prepped = pages.map_batches(prep, batch_format="pyarrow")
+    return partial_agg_sum(prepped, "host",
+                           {"ok": "n_ok", "nb": "total_bytes"},
+                           count_alias="n_fetches")
+
+
 def _q_customers_no_events(sf_dir: str):
     """Big-big ANTI join: customers with no click events. The events
     side is narrowed to keys + batch-deduped inside hash_join; one
@@ -4328,6 +4437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_stats": _q_multimodal_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "audio_frame_energy": _q_audio_frame_energy,
+        # WARC source/sink (Common-Crawl-native ingest; tabbyray/warc.py)
+        "warc_roundtrip": _q_warc_roundtrip,
+        "warc_host_fetch_stats": _q_warc_host_fetch_stats,
         # joins (shuffle / asof / outer / anti / broadcast)
         "customer_order_stats": _q_customer_order_stats,
         "latest_order_asof": _q_latest_order_asof,
@@ -4471,6 +4583,8 @@ _SIGNAL_WINDOW = [
     "sessionize", "sliding_window_agg",
     "weighted_doc_sample", "global_shuffle_rank",
     "multimodal_decode_stats", "bpe_doc_tokens",
+    # sources/sinks (Common-Crawl-native WARC ingest)
+    "warc_roundtrip",
 ]
 
 
@@ -6604,6 +6718,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(amp * amp) AS BIGINT) AS energy,
                    CAST(max(abs(amp)) AS BIGINT) AS peak
             FROM s GROUP BY doc_id, frame_idx
+        """,
+        # WARC roundtrip: the Ray side md5-digests the body bytes it
+        # decoded back out of real sharded .warc.gz files (one gzip
+        # member per record, HTTP envelopes stripped by the streaming
+        # parser) — any writer/parser byte defect breaks the hash
+        "warc_roundtrip": """
+            SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   strftime(TIMESTAMP '2026-01-01 00:00:00'
+                            + to_seconds(doc_id % 86400),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+                        AS BIGINT) AS http_status,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS body_md5
+            FROM documents
+        """,
+        "warc_host_fetch_stats": """
+            WITH f AS (SELECT doc_id % 13 AS hk,
+                              CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END
+                                  AS ok,
+                              strlen(text) AS nb
+                       FROM documents)
+            SELECT 'h' || CAST(hk AS VARCHAR) || '.example.org' AS host,
+                   CAST(sum(ok) AS BIGINT) AS n_ok,
+                   CAST(sum(nb) AS BIGINT) AS total_bytes,
+                   CAST(count(*) AS BIGINT) AS n_fetches
+            FROM f GROUP BY hk
         """,
         "multimodal_decode_stats": """
             WITH d AS (SELECT doc_id,

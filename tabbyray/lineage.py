@@ -38,8 +38,13 @@ def shard_inputs(pages_path: str, num_shards: int) -> list[list[str]]:
     if os.path.isdir(pages_path):
         files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
         if not files:
+            # WARC directory input (Common-Crawl shard layout)
+            files = sorted(glob.glob(os.path.join(pages_path, "*.warc"))
+                           + glob.glob(os.path.join(pages_path, "*.warc.gz")))
+        if not files:
             raise FileNotFoundError(
-                f"no *.parquet files found in pages directory {pages_path!r}")
+                f"no *.parquet or *.warc[.gz] files found in pages "
+                f"directory {pages_path!r}")
     else:
         files = [pages_path]
     num_shards = min(num_shards, len(files)) or 1

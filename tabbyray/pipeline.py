@@ -25,6 +25,7 @@ Physical plan (SURVEY.md §4.2):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import pyarrow as pa
@@ -248,8 +249,36 @@ def read_pages(path, columns: Optional[list[str]] = None,
         # On a multi-node cluster scale this with total cores (~2-8
         # blocks per core).
         override_num_blocks = 64
+    if _is_warc_input(path):
+        # Common-Crawl-native ingest: stream records out of sharded
+        # .warc.gz (one read task per shard file, incremental gzip-
+        # member decode — tabbyray/warc.py), then keep only the
+        # columns extraction needs. warc_ts/status/rec_type drop here,
+        # the binary html drops after the extract map as usual.
+        from .warc import read_warc
+        if columns and "text" in columns:
+            raise ValueError(
+                "check_text_invariant needs a stored text column; WARC "
+                "captures carry only the raw body — run against parquet "
+                "pages to verify the invariant")
+        pages = read_warc(path)
+        return pages.select_columns(["url", "html"])
     return rd.read_parquet(path, columns=columns or ["url", "html"],
                            override_num_blocks=override_num_blocks)
+
+
+def _is_warc_input(path) -> bool:
+    """True when the pages input is WARC: a .warc/.warc.gz file (or
+    list of them), or a directory containing any."""
+    import glob as _glob
+    if isinstance(path, (list, tuple)):
+        return bool(path) and _is_warc_input(path[0])
+    if str(path).endswith((".warc", ".warc.gz")):
+        return True
+    if os.path.isdir(path):
+        return (not _glob.glob(os.path.join(path, "*.parquet"))
+                and bool(_glob.glob(os.path.join(path, "*.warc*"))))
+    return False
 
 
 def extract_stage(pages: rd.Dataset, gazetteer_ref=None, *,
