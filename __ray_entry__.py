@@ -2605,6 +2605,34 @@ def _q_embedding_neardup(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def _q_semdedup_clusters(sf_dir: str):
+    """SemDeDup stage 1 (arXiv:2303.09540): deterministic seed
+    clustering of the embeddings — bounded bottom-k seed pick (n_seeds
+    rows to the driver), broadcast seed matrix, one cosine-argmax
+    matmul per batch. Zero shuffles."""
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import semdedup_assign
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return semdedup_assign(embs, n_seeds=8)
+
+
+def _q_semdedup_kept(sf_dir: str):
+    """SemDeDup stage 2: within-cluster pairwise prune (drop any row
+    with an earlier cluster-mate at cosine >= tau). One hash exchange
+    on cluster; per-cluster vectorized matmul capped by
+    max_cluster_rows."""
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import semdedup
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return semdedup(embs, n_seeds=8, tau=0.4)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from tabbyray.ops.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
@@ -4418,6 +4446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_values": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
+        "semdedup_clusters": _q_semdedup_clusters,
+        "semdedup_kept": _q_semdedup_kept,
         "span_dedup_docs": _q_span_dedup,
         "neardup_clusters": _q_neardup_clusters,
         "cluster_representatives": _q_cluster_representatives,
@@ -4562,7 +4592,7 @@ _SIGNAL_WINDOW = [
     "fuzzy_entity_match", "entity_resolution", "kg_resolved_triples_full",
     # dedup family
     "exact_dedup_keep_first", "minhash_lsh_dedup", "simhash_values",
-    "embedding_neardup", "incremental_dedup_spill",
+    "embedding_neardup", "incremental_dedup_spill", "semdedup_kept",
     # similarity search
     "knn_cosine", "knn_ivf",
     # text scorers (forced join plans = the at-scale paths)
@@ -7087,6 +7117,55 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # SemDeDup: seeds = 8 lowest-id embeddings; cluster = argmax
+        # cosine (round 9dp, ties -> lowest seed id); kept = rows with
+        # no lower-id cluster-mate at cosine >= tau. Both stages are
+        # re-derived from raw vectors — any assignment or prune defect
+        # breaks the hash.
+        "semdedup_clusters": """
+            WITH seeds AS (
+                SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+            sims AS (
+                SELECT e.vec_id, s.sid,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), s.sv), 9) AS sim
+                FROM embeddings e CROSS JOIN seeds s),
+            best AS (
+                SELECT vec_id, sid, sim,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, sid) AS rn
+                FROM sims)
+            SELECT vec_id, sid AS cluster, sim FROM best WHERE rn = 1
+        """,
+        "semdedup_kept": """
+            WITH seeds AS (
+                SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+            sims AS (
+                SELECT e.vec_id, s.sid,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), s.sv), 9) AS sim
+                FROM embeddings e CROSS JOIN seeds s),
+            asg AS (
+                SELECT vec_id, sid AS cluster
+                FROM (SELECT vec_id, sid, sim,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY sim DESC, sid)
+                                 AS rn
+                      FROM sims) WHERE rn = 1),
+            dups AS (
+                SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+                WHERE round(list_cosine_similarity(
+                    CAST(ea.embedding AS DOUBLE[]),
+                    CAST(eb.embedding AS DOUBLE[])), 9) >= 0.4)
+            SELECT vec_id, cluster FROM asg
+            WHERE vec_id NOT IN (SELECT vec_id FROM dups)
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "customers_no_events": """

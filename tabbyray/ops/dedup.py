@@ -996,3 +996,117 @@ def doc_line_dedup(docs: rd.Dataset, id_col: str = "doc_id",
                 pa.int64())})
 
     return docs.map_batches(dedup, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# SemDeDup: embedding-cluster semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540 — public paper; method: k-means the embeddings,
+# prune near-duplicates within each cluster so the pairwise cost is
+# O(sum c_i^2), not O(N^2))
+# -------------------------------------------------------------------------
+
+def semdedup_assign(embs: rd.Dataset, n_seeds: int = 8,
+                    id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> rd.Dataset:
+    """Deterministic cluster assignment: seeds are the ``n_seeds``
+    LOWEST-id embeddings (found via a bounded two-stage bottom-k — per
+    batch partial, one merge block, ``n_seeds`` rows ever reach the
+    driver), broadcast once; each batch assigns rows to the seed with
+    the highest cosine (rounded to 9 dp; ties -> lowest seed id). Zero
+    iterations on purpose: assignment is reproducible in plain SQL, so
+    the whole dedup chain is oracle-checkable, and at scale it is one
+    broadcast matmul per batch. (Swap in ``simsearch.kmeans_centroids``
+    seeds for quality-over-auditability.)
+
+    Output: ``(id_col, cluster:int64, sim:float64)``.
+    """
+    def bottomk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        order = np.argsort(np.asarray(t.column(id_col)))[:n_seeds]
+        return t.take(order)
+
+    seed_rows = (embs.select_columns([id_col, emb_col])
+                 .map_batches(bottomk, batch_format="pyarrow")
+                 .repartition(1)
+                 .map_batches(bottomk, batch_format="pyarrow")
+                 .take(n_seeds))
+    seed_rows.sort(key=lambda r: r[id_col])
+    sids = np.array([r[id_col] for r in seed_rows], dtype=np.int64)
+    S = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                  for r in seed_rows])
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    ref = ray.put((sids, S))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        seed_ids, seed_m = ray.get(ref)
+        rows = np.stack([np.asarray(e, dtype=np.float64)
+                         for e in t.column(emb_col).to_pylist()])
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        sims = np.round(rows @ seed_m.T, 9)
+        best = np.argmax(sims, axis=1)          # first max = lowest sid
+        return pa.table({
+            id_col: pa.array(np.asarray(t.column(id_col)), pa.int64()),
+            "cluster": pa.array(seed_ids[best], pa.int64()),
+            "sim": pa.array(sims[np.arange(len(best)), best],
+                            pa.float64()),
+        })
+
+    return embs.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(embs: rd.Dataset, n_seeds: int = 8, tau: float = 0.7,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             max_cluster_rows: int = 100_000) -> rd.Dataset:
+    """SemDeDup pruning: within each cluster, DROP any row that has an
+    earlier (lower-id) cluster-mate with cosine >= ``tau`` (rounded to
+    9 dp) — the anchor-by-id variant of the paper's keep-one-per-
+    duplicate-group, chosen because it is order-free (no sequential
+    scan) and exactly reproducible by a SQL self-join.
+
+    Plan: assignment (broadcast matmul per batch) -> ONE hash exchange
+    on cluster -> per-cluster vectorized pairwise (normalized matmul;
+    upper-triangle mask). Pairwise state is c^2 for a c-row cluster:
+    clusters above ``max_cluster_rows`` raise actionably (raise
+    ``n_seeds`` — the paper's production setting is k ~ N/10k — or
+    pre-shard by LSH band via ``embedding_neardup_pairs``).
+
+    Output: the KEPT rows ``(id_col, cluster:int64)``.
+    """
+    from .relational import typed_groupby_map
+
+    asg = semdedup_assign(embs, n_seeds, id_col, emb_col)
+    joined = _attach_embeddings(asg, embs, id_col, emb_col)
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("cluster", pa.int64())])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster {int(df['cluster'].iloc[0])} holds "
+                f"{len(df)} rows > max_cluster_rows={max_cluster_rows}; "
+                "raise n_seeds (target c ~ N/n_seeds) or pre-shard")
+        df = df.sort_values(id_col, kind="stable")
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in df[emb_col]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = np.round(M @ M.T, 9)
+        # drop row j if any i<j has sims[i,j] >= tau
+        dup = (np.triu(sims >= tau, k=1)).any(axis=0)
+        return df.loc[~dup, [id_col, "cluster"]]
+
+    return typed_groupby_map(joined, "cluster", prune, out_schema)
+
+
+def _attach_embeddings(asg: rd.Dataset, embs: rd.Dataset, id_col: str,
+                       emb_col: str) -> rd.Dataset:
+    """Co-partitioned re-attach of the embedding column to the
+    assignment rows (hash exchange on id). The embedding never rides
+    through the assignment shuffle twice."""
+    from .relational import hash_join
+    return hash_join(asg, embs.select_columns([id_col, emb_col]),
+                     on=id_col, how="inner")

@@ -1330,3 +1330,53 @@ def test_wav_frame_energy_stage(ray_session):
     m = s0[:128].astype(np.int64).reshape(2, 64)
     assert list(out["energy"]) == (m * m).sum(axis=1).tolist()
     assert list(out["peak"]) == np.abs(m).max(axis=1).tolist()
+
+
+def test_semdedup_hand_case(ray_session):
+    """Two tight groups + one outlier; seeds are ids 0 and 1. Within
+    each cluster the later near-identical rows drop, the anchor (lowest
+    id) survives, and the outlier is untouched."""
+    import numpy as np
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import semdedup, semdedup_assign
+
+    def vec(base, eps):
+        v = np.zeros(8)
+        v[base] = 1.0
+        v[(base + 1) % 8] = eps
+        return (v / np.linalg.norm(v)).tolist()
+
+    rows = [
+        {"vec_id": 0, "embedding": vec(0, 0.0)},    # seed A
+        {"vec_id": 1, "embedding": vec(4, 0.0)},    # seed B
+        {"vec_id": 2, "embedding": vec(0, 0.01)},   # dup of 0
+        {"vec_id": 3, "embedding": vec(0, 0.02)},   # dup of 0 (and 2)
+        {"vec_id": 4, "embedding": vec(4, 0.01)},   # dup of 1
+        {"vec_id": 5, "embedding": vec(2, 0.0)},    # orthogonal to both
+    ]
+    embs = rd.from_items(rows).repartition(3)
+    asg = semdedup_assign(embs, n_seeds=2).to_pandas().set_index("vec_id")
+    assert asg.loc[[0, 2, 3], "cluster"].tolist() == [0, 0, 0]
+    assert asg.loc[[1, 4], "cluster"].tolist() == [1, 1]
+    assert asg.loc[0, "sim"] == 1.0
+
+    kept = semdedup(embs, n_seeds=2, tau=0.9).to_pandas()
+    assert sorted(kept.vec_id) == [0, 1, 5]
+    # tau above every cross-pair similarity: nothing drops
+    all_kept = semdedup(embs, n_seeds=2, tau=1.1).to_pandas()
+    assert sorted(all_kept.vec_id) == [0, 1, 2, 3, 4, 5]
+
+
+def test_semdedup_oversized_cluster_raises(ray_session):
+    import numpy as np
+    import pytest as _pt
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import semdedup
+
+    rows = [{"vec_id": i,
+             "embedding": (np.ones(4) / 2.0).tolist()} for i in range(12)]
+    with _pt.raises(Exception, match="max_cluster_rows"):
+        semdedup(rd.from_items(rows), n_seeds=1, tau=0.99,
+                 max_cluster_rows=5).to_pandas()
