@@ -3084,6 +3084,43 @@ def _q_multimodal_frames(sf_dir: str):
     return sample_frames(videos, n_frames=3)
 
 
+def _q_video_y4m_frames(sf_dir: str):
+    """REAL YUV4MPEG2 parsing, hash-checked: each doc becomes a
+    standard .y4m stream ("YUV4MPEG2 ..." header + FRAME-delimited
+    planar frames; 420jpeg chroma planes present and skipped), the
+    sampler parses the stream and sums each evenly-sampled Y plane;
+    the oracle recomputes sampling + sums arithmetically."""
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import (_ramp_image, encode_y4m,
+                                         y4m_sample_frames)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def make_videos(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            total = d % 5 + 4
+            frames = [_ramp_image(d, f) for f in range(total)]
+            # even dims -> the REAL 420 chroma layout; odd -> mono
+            h, w = frames[0].shape
+            cs = "420jpeg" if (h % 2 == 0 and w % 2 == 0) else "mono"
+            payloads.append(encode_y4m(frames, fps=(30, 1),
+                                       colorspace=cs))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * len(ids),
+                             pa.string()),
+        })
+
+    videos = docs.map_batches(make_videos, batch_format="pyarrow",
+                              batch_size=32)
+    return y4m_sample_frames(videos, n_frames=3)
+
+
 def _q_next_line_quantity(sf_dir: str):
     """COMPOSITE-key hash join: each order line joined to the NEXT
     line of the same order on (l_orderkey, l_linenumber) — one
@@ -4562,6 +4599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
+        "video_y4m_frames": _q_video_y4m_frames,
     }
     head = {k: q[k] for k in _SIGNAL_WINDOW if k in q}
     head.update((k, v) for k, v in q.items() if k not in head)
@@ -6849,6 +6887,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((doc_id * 31 + src_frame * 7 + i) % 256)
                         AS BIGINT) AS sum_pixel
             FROM u GROUP BY 1, 2, 3, 4, 5
+        """,
+        # Y4M: same ramp arithmetic, REAL YUV4MPEG2 container on the
+        # Ray side (frame markers, chroma-plane strides)
+        "video_y4m_frames": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                              CAST(doc_id % 7 + 3 AS BIGINT) AS h,
+                              CAST(doc_id % 5 + 4 AS BIGINT) AS total
+                       FROM documents),
+            f AS (SELECT doc_id, w, h, total,
+                         CAST(unnest(range(3)) AS BIGINT) AS frame_idx
+                  FROM d),
+            s AS (SELECT *, frame_idx * total // 3 AS src_frame FROM f),
+            u AS (SELECT doc_id, frame_idx, src_frame, total, w, h,
+                         CAST(unnest(range(w * h)) AS BIGINT) AS i
+                  FROM s)
+            SELECT doc_id AS media_id, frame_idx, src_frame,
+                   total AS n_frames, w AS width, h AS height,
+                   CAST(sum((doc_id * 31 + src_frame * 7 + i) % 256)
+                        AS BIGINT) AS sum_pixel
+            FROM u GROUP BY 1, 2, 3, 4, 5, 6
         """,
         "price_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q,

