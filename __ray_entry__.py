@@ -4016,6 +4016,24 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir), min_df=10)
 
 
+def _q_phrase_match_docs(sf_dir: str):
+    """Exact phrase search, scan plan: stateless per-batch token-
+    sequence match (zero shuffles) — the plan when raw text is hot."""
+    from tabbyray.ops.text import phrase_match
+    return phrase_match(_docs(sf_dir), ["sort", "merge"])
+
+
+def _q_phrase_match_postings(sf_dir: str):
+    """Exact phrase search, positional-INDEX plan: postings pruned to
+    the phrase terms at the explode, slot-adjusted candidate starts,
+    one doc-hash exchange, per-partition verify. Repeated-term phrase
+    on purpose (every 'batch' posting fans out to both slots;
+    overlapping starts in a 'batch batch batch' run each count)."""
+    from tabbyray.ops.text import phrase_match_postings, positional_postings
+    post = positional_postings(_docs(sf_dir), terms={"batch"})
+    return phrase_match_postings(post, ["batch", "batch"])
+
+
 def _q_bigram_topk(sf_dir: str):
     from tabbyray.ops.text import bigram_counts_topk
     return bigram_counts_topk(_docs(sf_dir), k=100)
@@ -4577,6 +4595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "embedding_covariance": _q_embedding_covariance,
         "inverted_index": _q_inverted_index,
+        "phrase_match_docs": _q_phrase_match_docs,
+        "phrase_match_postings": _q_phrase_match_postings,
         "bigram_topk": _q_bigram_topk,
         "lang_char_moments": _q_lang_char_moments,
         "source_char_moments": _q_source_char_moments,
@@ -7545,6 +7565,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS doc_ids
             FROM dt GROUP BY term HAVING count(*) >= 10
+        """,
+        # exact phrase search: 1-based list indexing over the token
+        # array; a start position matches when every phrase slot
+        # agrees. Both plans (scan / positional-index adjacency join)
+        # verify against the same derivation.
+        "phrase_match_docs": """
+            WITH tok AS (SELECT doc_id, string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ') AS ts
+                         FROM documents),
+            s AS (SELECT doc_id, ts,
+                         CAST(unnest(range(1, len(ts))) AS BIGINT) AS p
+                  FROM tok),
+            m AS (SELECT doc_id FROM s
+                  WHERE ts[p] = 'sort' AND ts[p + 1] = 'merge')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM m GROUP BY doc_id
+        """,
+        "phrase_match_postings": """
+            WITH tok AS (SELECT doc_id, string_split(
+                             trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ') AS ts
+                         FROM documents),
+            s AS (SELECT doc_id, ts,
+                         CAST(unnest(range(1, len(ts))) AS BIGINT) AS p
+                  FROM tok),
+            m AS (SELECT doc_id FROM s
+                  WHERE ts[p] = 'batch' AND ts[p + 1] = 'batch')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM m GROUP BY doc_id
         """,
         # parallel unnest gives (token, position); bigram = self-join
         # on position + 1 within the doc

@@ -2214,3 +2214,117 @@ def trigram_backoff_scores(docs: rd.Dataset,
                                          pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# Phrase search (exact token-sequence match) — the positional-index
+# retrieval shape: scan plan for raw docs, adjacency-join plan for
+# pre-exploded postings
+# -------------------------------------------------------------------------
+
+def phrase_match(docs: rd.Dataset, phrase: "list[str]",
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> rd.Dataset:
+    """Docs containing the exact token sequence ``phrase`` (whitespace
+    tokenization, same normal form as ``inverted_index``), with the
+    occurrence count (overlapping starts each count). STATELESS scan —
+    zero shuffles; the right plan whenever the raw text is on hand.
+    Output: (id_col, n_matches), matches only."""
+    if not phrase:
+        raise ValueError("phrase_match: empty phrase")
+    k = len(phrase)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, counts = [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(),
+                                t.column(text_col).to_pylist()):
+            toks = _WS.sub(" ", (text or "")).strip().split(" ")
+            n = sum(1 for i in range(len(toks) - k + 1)
+                    if toks[i:i + k] == phrase)
+            if n:
+                ids.append(doc_id)
+                counts.append(n)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_matches": pa.array(counts, pa.int64())})
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+def positional_postings(docs: rd.Dataset, terms=None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """Positional posting explode: one (term, doc_id, pos) row per
+    token occurrence (pos is 0-based). ``terms`` prunes AT THE EXPLODE
+    — a k-term phrase query ships only the phrase terms' postings into
+    the exchange, not the corpus."""
+    want = set(terms) if terms is not None else None
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms_out, ids, pos = [], [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(),
+                                t.column(text_col).to_pylist()):
+            for p, tok in enumerate(
+                    _WS.sub(" ", (text or "")).strip().split(" ")):
+                if want is None or tok in want:
+                    terms_out.append(tok)
+                    ids.append(doc_id)
+                    pos.append(p)
+        return pa.table({"term": pa.array(terms_out, pa.string()),
+                         id_col: pa.array(ids, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def phrase_match_postings(postings: rd.Dataset, phrase: "list[str]",
+                          id_col: str = "doc_id",
+                          num_partitions: "int | None" = None) -> rd.Dataset:
+    """Phrase match over a positional index — the plan when only the
+    INDEX exists (the raw text stayed cold). A posting of phrase slot
+    j at position p contributes candidate start s = p - j; a start
+    where all k slots contributed is a match. Handles repeated phrase
+    terms (each posting fans out to every slot its term occupies).
+    ONE doc-hash exchange; per-partition vectorized verify.
+    Output: (id_col, n_matches), matches only — identical to
+    ``phrase_match`` on the same corpus (tested + oracled)."""
+    from .relational import _resolve_partitions, typed_groupby_map
+
+    if not phrase:
+        raise ValueError("phrase_match_postings: empty phrase")
+    k = len(phrase)
+    slots: "dict[str, list[int]]" = {}
+    for j, w in enumerate(phrase):
+        slots.setdefault(w, []).append(j)
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ids, starts, js = [], [], []
+        for term, doc_id, p in zip(t.column("term").to_pylist(),
+                                   t.column(id_col).to_pylist(),
+                                   t.column("pos").to_pylist()):
+            for j in slots.get(term, ()):
+                if p - j >= 0:
+                    ids.append(doc_id)
+                    starts.append(p - j)
+                    js.append(j)
+        out = pa.table({id_col: pa.array(ids, pa.int64()),
+                        "s": pa.array(starts, pa.int64()),
+                        "j": pa.array(js, pa.int64())})
+        part = pa.array(np.asarray(ids, dtype=np.int64) % num_partitions
+                        if ids else np.array([], dtype=np.int64),
+                        pa.int64())
+        return out.append_column("_part", part)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        full = (g.groupby([id_col, "s"])["j"].nunique()
+                 .reset_index(name="nj"))
+        hits = full[full["nj"] == k]
+        out = hits.groupby(id_col).size().reset_index(name="n_matches")
+        out["n_matches"] = out["n_matches"].astype("int64")
+        return out
+
+    cand = postings.map_batches(candidates, batch_format="pyarrow")
+    return typed_groupby_map(
+        cand, "_part", verify,
+        out_schema=pa.schema([(id_col, pa.int64()),
+                              ("n_matches", pa.int64())]))

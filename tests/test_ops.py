@@ -1437,3 +1437,35 @@ def test_y4m_frame_sampler_stage(ray_session):
     assert list(out.sum_pixel) == [16 * (10 + s) for s in (0, 2, 4)] + \
                                   [16 * (20 + s) for s in (0, 2, 4)]
     assert set(out.n_frames) == {6}
+
+
+def test_phrase_match_plans_agree(ray_session):
+    """Scan plan vs positional-index adjacency-join plan on a hand
+    corpus with overlapping repeated-term matches ('x x x x' holds two
+    'x x x' starts)."""
+    import ray.data as rd
+
+    from tabbyray.ops.text import (phrase_match, phrase_match_postings,
+                                   positional_postings)
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b c a b"},
+        {"doc_id": 2, "text": "x x x x"},
+        {"doc_id": 3, "text": "a  b\tc"},      # messy whitespace
+        {"doc_id": 4, "text": "b a"},
+        {"doc_id": 5, "text": ""},
+    ]).repartition(3)
+
+    ab = phrase_match(docs, ["a", "b"]).to_pandas().set_index("doc_id")
+    assert ab["n_matches"].to_dict() == {1: 2, 3: 1}
+
+    xxx = phrase_match(docs, ["x", "x", "x"]).to_pandas()
+    assert xxx.set_index("doc_id")["n_matches"].to_dict() == {2: 2}
+
+    for phrase in (["a", "b"], ["x", "x", "x"], ["a", "b", "c"]):
+        post = positional_postings(docs, terms=set(phrase))
+        via_idx = (phrase_match_postings(post, phrase).to_pandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+        via_scan = (phrase_match(docs, phrase).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+        assert via_idx.equals(via_scan), phrase
