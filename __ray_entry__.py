@@ -3526,6 +3526,22 @@ def _q_kmv_distinct_tokens(sf_dir: str):
     return kmv_distinct(tok_ds, "lang", "tok", k=64)
 
 
+def _q_hll_distinct_orders(sf_dir: str):
+    """HyperLogLog distinct l_orderkey per returnflag (p=6, m=64):
+    per-batch max-rank register partials (<= m rows/key/batch — the
+    key domain never shuffles), one groupby exchange, integer-exact
+    harmonic sum so the float estimate is bit-for-bit SQL-identical."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import hll_distinct
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_orderkey"])
+    return hll_distinct(li, "l_returnflag", "l_orderkey", p=6,
+                        key_type=pa.string())
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Exact theta-frequent tokens via the two-pass bounded-state
     heavy-hitters plan (per-batch candidates -> broadcast -> exact
@@ -4517,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": _q_supplier_pagerank,
         "cms_frequent_terms": _q_cms_frequent_terms,
         "kmv_distinct_tokens": _q_kmv_distinct_tokens,
+        "hll_distinct_orders": _q_hll_distinct_orders,
         "frequent_tokens": _q_frequent_tokens,
         "orders_bloom_semi": _q_orders_bloom_semi,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
@@ -7282,6 +7299,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # KMV bottom-k estimator, bit-for-bit: same md5-prefix hash,
         # same (k-1) * 2^64 / h_k double arithmetic as ops/sketch.py
+        # HLL p=6: bucket = md5-high-64 >> 58; rank = leading zeros of
+        # the low 58 bits + 1 (integer string logic, no float log2);
+        # harmonic sum as an exact HUGEINT before ONE double division
+        "hll_distinct_orders": """
+            WITH v AS (SELECT DISTINCT l_returnflag AS k,
+                              CAST(l_orderkey AS VARCHAR) AS val
+                       FROM lineitem),
+            h AS (SELECT k,
+                         ('0x' || substr(md5(val), 1, 16))::UBIGINT AS hv
+                  FROM v),
+            b AS (SELECT k, CAST(hv >> 58 AS BIGINT) AS bucket,
+                         CAST(59 - length(ltrim(bin(
+                             hv & ((1::UBIGINT << 58) - 1)), '0'))
+                             AS BIGINT) AS rank
+                  FROM h),
+            reg AS (SELECT k, bucket, max(rank) AS mr
+                    FROM b GROUP BY 1, 2),
+            agg AS (SELECT k,
+                           sum(CAST(1::BIGINT << (59 - mr) AS HUGEINT))
+                               AS s_nz,
+                           count(*) AS nb
+                    FROM reg GROUP BY k),
+            est AS (SELECT k,
+                           CAST(0.709 AS DOUBLE) * 64 * 64
+                               * power(2.0, 59)
+                               / CAST(s_nz + CAST(64 - nb AS HUGEINT)
+                                      * CAST(1::BIGINT << 59 AS HUGEINT)
+                                      AS DOUBLE) AS raw,
+                           64 - nb AS zeros
+                    FROM agg)
+            SELECT k AS l_returnflag,
+                   CASE WHEN raw <= 160.0 AND zeros > 0
+                        THEN 64 * ln(64.0 / zeros) ELSE raw END
+                       AS est_distinct
+            FROM est
+        """,
         "kmv_distinct_tokens": """
             WITH tok AS (SELECT DISTINCT lang,
                                 unnest(string_split(trim(regexp_replace(

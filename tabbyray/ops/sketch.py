@@ -258,3 +258,79 @@ def cms_frequent_estimates(docs: rd.Dataset, width: int = 1024,
 
     return (corpus_term_counts(docs, num_partitions)
             .map_batches(est, batch_format="pyarrow"))
+
+
+# -------------------------------------------------------------------------
+# HyperLogLog (Flajolet-Fusy-Gandouet-Meunier 2007, public paper) —
+# per-key approximate COUNT(DISTINCT) at m-register state per key
+# -------------------------------------------------------------------------
+
+def hll_distinct(ds: rd.Dataset, key: str, value_col: str, p: int = 6,
+                 key_type: "pa.DataType | None" = None) -> rd.Dataset:
+    """Per-key HLL distinct estimate.
+
+    Hash = md5-high-64 of ``str(value)`` (the ``_h64`` convention the
+    KMV sketch shares with its SQL oracle); bucket = top ``p`` bits;
+    rank = leading zeros of the low ``64-p`` bits + 1. The register
+    merge is max() — order-free — and the harmonic sum is computed as
+    an EXACT integer (sum of 2^(rbits+1-M) over all m registers)
+    before one float division, so the estimate is bit-for-bit
+    reproducible in SQL (no float-accumulation order sensitivity).
+    Small-range correction (linear counting) applies below 2.5m when
+    empty registers remain; the 64-bit large-range correction is
+    unreachable at any realistic cardinality and is omitted.
+
+    Plan: per-batch (key, bucket) -> max-rank partial (<= m rows per
+    key per batch — the value domain never moves), ONE groupby
+    exchange, per-key finish. State per key is m registers anywhere.
+    Output: (key, est_distinct: double).
+    """
+    import math
+
+    m = 1 << p
+    rbits = 64 - p
+    low_mask = (1 << rbits) - 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].drop_duplicates()
+        regs: dict = {}
+        for kv, v in zip(d[key], d[value_col]):
+            h = _h64(str(v))
+            bucket = h >> rbits
+            rem = h & low_mask
+            rank = rbits - rem.bit_length() + 1
+            cur = regs.get((kv, bucket), 0)
+            if rank > cur:
+                regs[(kv, bucket)] = rank
+        if not regs:
+            return pd.DataFrame({key: pd.Series([], dtype=d[key].dtype),
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "r": pd.Series([], dtype="int64")})
+        ks, bs, rs = zip(*((kv, b, r) for (kv, b), r in regs.items()))
+        return pd.DataFrame({key: list(ks), "bucket": bs, "r": rs})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_e = [], []
+        for kv, grp in g.groupby(key, sort=True):
+            mr = grp.groupby("bucket")["r"].max()
+            nb = len(mr)
+            s = int(sum(1 << (rbits + 1 - int(r)) for r in mr))
+            s += (m - nb) * (1 << (rbits + 1))
+            est = alpha * m * m * 2.0 ** (rbits + 1) / float(s)
+            zeros = m - nb
+            if est <= 2.5 * m and zeros > 0:
+                est = m * math.log(m / zeros)
+            out_k.append(kv)
+            out_e.append(est)
+        return pd.DataFrame({key: out_k, "est_distinct": out_e})
+
+    kt = key_type or pa.string()
+    partials = ds.map_batches(
+        lambda t: pa.Table.from_pandas(partial(t.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow")
+    return typed_groupby_map(
+        partials, key, final,
+        out_schema=pa.schema([(key, kt), ("est_distinct", pa.float64())]))

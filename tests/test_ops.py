@@ -1469,3 +1469,27 @@ def test_phrase_match_plans_agree(ray_session):
         via_scan = (phrase_match(docs, phrase).to_pandas()
                     .sort_values("doc_id").reset_index(drop=True))
         assert via_idx.equals(via_scan), phrase
+
+
+def test_hll_distinct_accuracy_and_paths(ray_session):
+    """HLL estimate within the ~1.04/sqrt(m) error band on a known
+    cardinality (raw-estimator path), exact-ish via linear counting at
+    tiny cardinality (small-range path), and batch-split invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import hll_distinct
+
+    rows = [{"k": "big", "v": int(i)} for i in range(3000)]
+    rows += [{"k": "small", "v": int(i % 7)} for i in range(100)]
+    ds = rd.from_items(rows)
+    for parts in (2, 9):
+        out = (hll_distinct(ds.repartition(parts), "k", "v", p=6)
+               .to_pandas().set_index("k")["est_distinct"])
+        assert abs(out["big"] - 3000) / 3000 < 0.35   # 3 sigma at m=64
+        assert abs(out["small"] - 7) < 2.5            # linear counting
+        if parts == 2:
+            first = out
+    # partitioning must not change a single bit of the estimate
+    assert (hll_distinct(ds.repartition(9), "k", "v", p=6)
+            .to_pandas().set_index("k")["est_distinct"]).equals(first)
