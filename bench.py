@@ -186,7 +186,12 @@ def run_bench() -> dict:
         rd.read_parquet(os.path.join(flx, "labels.parquet"),
                         override_num_blocks=8)).to_pandas()
     queries["entity_resolution"] = round(time.monotonic() - t0, 3)
-    for name in ("tfidf_doc_similarity", "novelty_ratio"):
+    for name in ("tfidf_doc_similarity", "novelty_ratio",
+                 # round-4 session-6 representatives: Common-Crawl WARC
+                 # ingest roundtrip, SemDeDup embedding pruning, the
+                 # positional-index phrase join, HLL distinct
+                 "warc_roundtrip", "semdedup_kept",
+                 "phrase_match_postings", "hll_distinct_orders"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):
