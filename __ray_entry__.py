@@ -2605,6 +2605,22 @@ def _q_embedding_neardup(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking: Rabin-style windowed-fingerprint
+    boundaries (split after char i when md5-high-64 of the trailing
+    8-char window has its low 5 bits zero). Stateless explode, zero
+    shuffles; every boundary decision re-derived in SQL."""
+    from tabbyray.ops.dedup import cdc_chunks
+    return cdc_chunks(_docs(sf_dir), window=8, mask_bits=5)
+
+
+def _q_cdc_dup_chunks(sf_dir: str):
+    """Cross-doc CDC chunk dedup ledger: one chunk-hash exchange over
+    (chunk_md5, doc, len) partials — chunk text never moves."""
+    from tabbyray.ops.dedup import cdc_dup_chunks
+    return cdc_dup_chunks(_docs(sf_dir), window=8, mask_bits=5)
+
+
 def _q_semdedup_clusters(sf_dir: str):
     """SemDeDup stage 1 (arXiv:2303.09540): deterministic seed
     clustering of the embeddings — bounded bottom-k seed pick (n_seeds
@@ -4519,6 +4535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "semdedup_clusters": _q_semdedup_clusters,
         "semdedup_kept": _q_semdedup_kept,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dup_chunks": _q_cdc_dup_chunks,
         "span_dedup_docs": _q_span_dedup,
         "neardup_clusters": _q_neardup_clusters,
         "cluster_representatives": _q_cluster_representatives,
@@ -7212,6 +7230,67 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # CDC: boundary after char i iff md5-high-64(window) has low 5
+        # bits zero; chunks = spans between consecutive boundaries +
+        # the tail; every span re-derived positionally in SQL
+        "cdc_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            pos AS (SELECT doc_id, text, n,
+                           CAST(unnest(range(8, n + 1)) AS BIGINT) AS i
+                    FROM d),
+            b AS (SELECT doc_id, text, n, i FROM pos
+                  WHERE ('0x' || substr(md5(substr(text, i - 7, 8)),
+                                        1, 16))::UBIGINT % 32 = 0),
+            body AS (SELECT doc_id, text,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY i) - 1
+                                AS chunk_idx,
+                            lag(i, 1, 0) OVER (PARTITION BY doc_id
+                                               ORDER BY i) AS s,
+                            i AS e
+                     FROM b),
+            lastb AS (SELECT doc_id, max(i) AS lb, count(*) AS nb
+                      FROM b GROUP BY doc_id),
+            tail AS (SELECT d.doc_id, d.text,
+                            coalesce(l.nb, 0) AS chunk_idx,
+                            coalesce(l.lb, 0) AS s, d.n AS e
+                     FROM d LEFT JOIN lastb l USING (doc_id)
+                     WHERE d.n - coalesce(l.lb, 0) > 0),
+            allc AS (SELECT * FROM body UNION ALL SELECT * FROM tail)
+            SELECT doc_id, chunk_idx, s + 1 AS start,
+                   e - s AS len,
+                   md5(substr(text, s + 1, e - s)) AS chunk_md5
+            FROM allc
+        """,
+        "cdc_dup_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            pos AS (SELECT doc_id, text, n,
+                           CAST(unnest(range(8, n + 1)) AS BIGINT) AS i
+                    FROM d),
+            b AS (SELECT doc_id, text, n, i FROM pos
+                  WHERE ('0x' || substr(md5(substr(text, i - 7, 8)),
+                                        1, 16))::UBIGINT % 32 = 0),
+            body AS (SELECT doc_id, text,
+                            lag(i, 1, 0) OVER (PARTITION BY doc_id
+                                               ORDER BY i) AS s,
+                            i AS e
+                     FROM b),
+            lastb AS (SELECT doc_id, max(i) AS lb FROM b GROUP BY doc_id),
+            tail AS (SELECT d.doc_id, d.text,
+                            coalesce(l.lb, 0) AS s, d.n AS e
+                     FROM d LEFT JOIN lastb l USING (doc_id)
+                     WHERE d.n - coalesce(l.lb, 0) > 0),
+            allc AS (SELECT * FROM body UNION ALL SELECT * FROM tail),
+            ch AS (SELECT doc_id, e - s AS len,
+                          md5(substr(text, s + 1, e - s)) AS chunk_md5
+                   FROM allc)
+            SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(min(len) AS BIGINT) AS chunk_len
+            FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2
         """,
         # SemDeDup: seeds = 8 lowest-id embeddings; cluster = argmax
         # cosine (round 9dp, ties -> lowest seed id); kept = rows with

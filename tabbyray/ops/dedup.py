@@ -1110,3 +1110,93 @@ def _attach_embeddings(asg: rd.Dataset, embs: rd.Dataset, id_col: str,
     from .relational import hash_join
     return hash_join(asg, embs.select_columns([id_col, emb_col]),
                      on=id_col, how="inner")
+
+
+# -------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style CDC; cf. LBFS Muthitacharoen et
+# al. 2001 / FastCDC Xia et al. 2016 — public papers). Boundary rule
+# here is the windowed-fingerprint form: split AFTER character i when
+# the md5-high-64 of the trailing W-char window has its low k bits
+# zero. Stateless per position (no min/max clamps), so insertions only
+# reshape chunks near the edit — the CDC property — and every boundary
+# decision is independently SQL-reproducible. A production variant
+# would swap the per-window digest for the O(1) gear-hash recurrence;
+# the chunk STREAM and all downstream plumbing are identical.
+# -------------------------------------------------------------------------
+
+def cdc_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """Explode each doc into content-defined chunks. Stateless
+    map_batches — zero shuffles. Output: (id_col, chunk_idx,
+    start: 1-based char offset, len, chunk_md5). Docs shorter than
+    ``window`` (or with no boundary) yield one whole-doc chunk; empty
+    docs yield none."""
+    mask = (1 << mask_bits) - 1
+
+    def split_one(text: str) -> "list[tuple[int, int]]":
+        n = len(text)
+        bounds = []
+        for i in range(window, n + 1):          # i = 1-based window end
+            w = text[i - window:i]
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+            if h & mask == 0:
+                bounds.append(i)
+        spans, s = [], 0
+        for e in bounds:
+            spans.append((s, e))
+            s = e
+        if n - s > 0:
+            spans.append((s, n))
+        return spans
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, starts, lens, digests = [], [], [], [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(),
+                                t.column(text_col).to_pylist()):
+            for ci, (s, e) in enumerate(split_one(text or "")):
+                ids.append(doc_id)
+                idxs.append(ci)
+                starts.append(s + 1)
+                lens.append(e - s)
+                digests.append(hashlib.md5(
+                    text[s:e].encode("utf-8")).hexdigest())
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "len": pa.array(lens, pa.int64()),
+            "chunk_md5": pa.array(digests, pa.string()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def cdc_dup_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   min_occ: int = 2) -> rd.Dataset:
+    """Cross-doc chunk dedup ledger: chunks occurring >= ``min_occ``
+    times corpus-wide, with occurrence and distinct-doc counts — the
+    storage-dedup bookkeeping step. ONE chunk-hash exchange over
+    (chunk_md5, doc) partials; chunk text never moves."""
+    from .relational import typed_groupby_map
+
+    chunks = cdc_chunks(docs, window, mask_bits, id_col, text_col)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("chunk_md5").agg(
+            n_occ=("chunk_md5", "size"),
+            n_docs=(id_col, "nunique"),
+            chunk_len=("len", "first"))
+        out = out[out["n_occ"] >= min_occ].reset_index()
+        for c in ("n_occ", "n_docs", "chunk_len"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return typed_groupby_map(
+        chunks.select_columns(["chunk_md5", id_col, "len"]),
+        "chunk_md5", finish,
+        out_schema=pa.schema([("chunk_md5", pa.string()),
+                              ("n_occ", pa.int64()),
+                              ("n_docs", pa.int64()),
+                              ("chunk_len", pa.int64())]))

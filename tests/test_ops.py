@@ -1493,3 +1493,45 @@ def test_hll_distinct_accuracy_and_paths(ray_session):
     # partitioning must not change a single bit of the estimate
     assert (hll_distinct(ds.repartition(9), "k", "v", p=6)
             .to_pandas().set_index("k")["est_distinct"]).equals(first)
+
+
+def test_cdc_chunking_properties(ray_session):
+    """The CDC property: an insertion near the front only reshapes
+    chunks that overlap the edit — every later boundary shifts by
+    exactly the insertion length and the trailing chunk contents (and
+    so their digests) are unchanged. Plus edge cases: short docs,
+    empty docs, boundary-at-end."""
+    import hashlib as _h
+
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import cdc_chunks, cdc_dup_chunks
+
+    base = ("the fast key order sort table scan merge part window small "
+            "hash scan join order batch batch batch stream spark window")
+    edited = "Z" + base
+    docs = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": edited},
+        {"doc_id": 3, "text": "tiny"},       # shorter than the window
+        {"doc_id": 4, "text": ""},           # no chunks at all
+    ])
+    ch = cdc_chunks(docs, window=8, mask_bits=4).to_pandas()
+    one = ch[ch.doc_id == 1].sort_values("chunk_idx")
+    two = ch[ch.doc_id == 2].sort_values("chunk_idx")
+    # reassembly covers each doc exactly
+    assert one["len"].sum() == len(base)
+    assert two["len"].sum() == len(edited)
+    # trailing digests realign after the edit: strictly more shared
+    # digests than a full reshuffle would leave
+    shared = set(one.chunk_md5) & set(two.chunk_md5)
+    assert len(shared) >= len(one) - 2, (len(shared), len(one))
+    # short doc -> one whole-doc chunk; empty doc -> none
+    tiny = ch[ch.doc_id == 3]
+    assert len(tiny) == 1 and tiny.iloc[0]["len"] == 4
+    assert tiny.iloc[0].chunk_md5 == _h.md5(b"tiny").hexdigest()
+    assert (ch.doc_id == 4).sum() == 0
+
+    dup = cdc_dup_chunks(docs, window=8, mask_bits=4).to_pandas()
+    assert (dup.n_occ >= 2).all()
+    assert set(dup.chunk_md5) <= shared
