@@ -2311,6 +2311,80 @@ def _q_exact_dedup_keep_first(sf_dir: str):
     return exact_dedup_keep_first(_docs(sf_dir))
 
 
+def _q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape — aggregate OF an aggregate including the empty
+    side: per-customer order count via a combiner aggregate, LEFT join
+    onto customers (zero-order customers surface as NULL -> 0), then
+    the tiny distribution rollup. Two bounded exchanges."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import (hash_aggregate, hash_join,
+                                         partial_agg_sum)
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    per_cust = hash_aggregate(
+        orders.map_batches(ones, batch_format="pyarrow"),
+        ["c_custkey"], {"one": "c_count"})
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    joined = hash_join(
+        cust, per_cust, on="c_custkey", how="left",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_count", pa.int64())]))
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cc = pc.fill_null(pc.cast(t.column("c_count"), pa.int64()), 0)
+        return pa.table({"c_count": cc,
+                         "one": pa.nulls(t.num_rows,
+                                         pa.int64()).fill_null(1)})
+
+    return partial_agg_sum(joined.map_batches(fill, batch_format="pyarrow"),
+                           "c_count", {"one": "custdist"})
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — HAVING over a high-cardinality aggregate then
+    join BACK to the dimension row: per-order quantity combiner
+    aggregate, threshold filter (sum > 150), hash join to orders."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.relational import hash_aggregate, hash_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    per_order = hash_aggregate(li.map_batches(qty, batch_format="pyarrow"),
+                               ["o_orderkey"], {"qty": "total_qty"})
+    big = per_order.filter(expr="total_qty > 150")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return hash_join(
+        orders, big, on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("total_qty", pa.int64())]))
+
+
 def _q_customer_order_stats(sf_dir: str):
     """hash_join showcase: per-customer order rollup joined to names."""
     import pyarrow.compute as pc
@@ -4562,6 +4636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_host_fetch_stats": _q_warc_host_fetch_stats,
         # joins (shuffle / asof / outer / anti / broadcast)
         "customer_order_stats": _q_customer_order_stats,
+        "order_count_distribution": _q_order_count_distribution,
+        "large_orders": _q_large_orders,
         "latest_order_asof": _q_latest_order_asof,
         "customers_no_events": _q_customers_no_events,
         "customer_event_outer": _q_customer_event_outer,
@@ -6515,6 +6591,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
                 ORDER BY doc_id) = 1
+        """,
+        "order_count_distribution": """
+            WITH per AS (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c LEFT JOIN orders o
+                    ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per GROUP BY c_count
+        """,
+        "large_orders": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   CAST(t.total_qty AS BIGINT) AS total_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                             AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(CAST(l_quantity AS BIGINT)) > 150) t
+                ON t.l_orderkey = o.o_orderkey
         """,
         "customer_order_stats": """
             SELECT c.c_custkey AS custkey, c.c_name AS c_name,
