@@ -2679,6 +2679,22 @@ def _q_embedding_neardup(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Static training-data mixing: per-source target weights
+    (w = idx%5 + 1), largest-remainder apportionment of a 100-doc
+    budget, quota filled per source in deterministic (md5(id), id)
+    order. One count combiner + one key exchange."""
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import mixture_sample
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+    weights = {f"src{i}": float(i % 5 + 1) for i in range(20)}
+    return mixture_sample(docs, "source", weights, total=100,
+                          id_col="doc_id")
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking: Rabin-style windowed-fingerprint
     boundaries (split after char i when md5-high-64 of the trailing
@@ -4611,6 +4627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_kept": _q_semdedup_kept,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dup_chunks,
+        "mixture_sample": _q_mixture_sample,
         "span_dedup_docs": _q_span_dedup,
         "neardup_clusters": _q_neardup_clusters,
         "cluster_representatives": _q_cluster_representatives,
@@ -7327,6 +7344,42 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # mixture: weights from the source index, largest-remainder
+        # apportionment re-derived in SQL (frac ties break by source),
+        # per-source quota filled in (md5(id), id) order
+        "mixture_sample": """
+            WITH srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                          FROM documents GROUP BY source),
+            w AS (SELECT source, n,
+                         CAST(CAST(substr(source, 4) AS INT) % 5 + 1
+                              AS DOUBLE) AS wt
+                  FROM srcs),
+            tot AS (SELECT sum(wt) AS tw FROM w),
+            q AS (SELECT source, n, wt * 100 / tw AS quota
+                  FROM w, tot),
+            base AS (SELECT source, n, CAST(floor(quota) AS BIGINT) AS b,
+                            quota - floor(quota) AS frac
+                     FROM q),
+            rem AS (SELECT CAST(100 - sum(b) AS BIGINT) AS r FROM base),
+            ranked AS (SELECT source, n, b, frac,
+                              row_number() OVER (ORDER BY frac DESC,
+                                                 source) AS rk
+                       FROM base),
+            quota_f AS (SELECT source,
+                               least(n, b + CASE WHEN rk <= (SELECT r
+                                                             FROM rem)
+                                            THEN 1 ELSE 0 END) AS k
+                        FROM ranked),
+            sel AS (SELECT d.doc_id, d.source,
+                           row_number() OVER (
+                               PARTITION BY d.source
+                               ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                        d.doc_id) AS rn
+                    FROM documents d)
+            SELECT s.doc_id, s.source
+            FROM sel s JOIN quota_f q USING (source)
+            WHERE s.rn <= q.k
         """,
         # CDC: boundary after char i iff md5-high-64(window) has low 5
         # bits zero; chunks = spans between consecutive boundaries +

@@ -272,3 +272,68 @@ def weighted_sample_k(ds: rd.Dataset, id_col: str, weight_col: str,
 
     return top_n(ds.map_batches(add_key, batch_format="pyarrow"),
                  ["skey", id_col], [False, True], k)
+
+
+# -------------------------------------------------------------------------
+# Training-mixture apportionment (static data mixing: fixed per-source
+# target proportions, largest-remainder rounding, deterministic
+# hash-ordered selection — the corpus-mixing step in front of
+# tokenize/pack)
+# -------------------------------------------------------------------------
+
+def mixture_quotas(counts: "dict[str, int]", weights: "dict[str, float]",
+                   total: int) -> "dict[str, int]":
+    """Largest-remainder apportionment of ``total`` rows across keys
+    proportional to ``weights``, capped at each key's availability.
+    Ties on the fractional part break by key ascending. Pure driver
+    math over one row per key."""
+    keys = sorted(weights)
+    W = float(sum(weights[k] for k in keys))
+    quota = {k: weights[k] * total / W for k in keys}
+    base = {k: int(quota[k]) for k in keys}
+    rem = total - sum(base.values())
+    by_frac = sorted(keys, key=lambda k: (-(quota[k] - base[k]), k))
+    for k in by_frac[:rem]:
+        base[k] += 1
+    return {k: min(base[k], counts.get(k, 0)) for k in keys}
+
+
+def mixture_sample(ds: rd.Dataset, key_col: str, weights: "dict[str, float]",
+                   total: int, id_col: str) -> rd.Dataset:
+    """Select ~``total`` rows matching the target mixture: per-key
+    quotas via ``mixture_quotas`` (needs only one count row per key on
+    the driver — a combiner aggregate, never the data), then each
+    key's quota filled by the deterministic hash order
+    (md5(str(id)), id) — the ``doc_hash_sample`` convention, so the
+    selection is stable under any partitioning and reproducible in
+    SQL. One key exchange. Keys short on rows keep what they have (no
+    redistribution; the shortfall is visible in the output counts)."""
+    import hashlib
+
+    from .relational import partial_agg_sum, typed_groupby_map
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t.column(key_col),
+                         "one": pa.nulls(t.num_rows,
+                                         pa.int64()).fill_null(1)})
+
+    cnt = partial_agg_sum(
+        ds.select_columns([key_col]).map_batches(ones,
+                                                 batch_format="pyarrow"),
+        key_col, {"one": "n"}).to_pandas()
+    counts = dict(zip(cnt[key_col], cnt["n"].astype(int)))
+    quotas = mixture_quotas(counts, weights, total)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        k = quotas.get(g[key_col].iloc[0], 0)
+        if not k:
+            return g.iloc[0:0][[id_col, key_col]]
+        h = g[id_col].map(lambda v: hashlib.md5(
+            str(v).encode()).hexdigest())
+        g = g.assign(_h=h).sort_values(["_h", id_col], kind="stable")
+        return g.head(k)[[id_col, key_col]]
+
+    return typed_groupby_map(
+        ds.select_columns([id_col, key_col]), key_col, pick,
+        out_schema=pa.schema([(id_col, pa.int64()),
+                              (key_col, pa.string())]))

@@ -1535,3 +1535,33 @@ def test_cdc_chunking_properties(ray_session):
     dup = cdc_dup_chunks(docs, window=8, mask_bits=4).to_pandas()
     assert (dup.n_occ >= 2).all()
     assert set(dup.chunk_md5) <= shared
+
+
+def test_mixture_quotas_and_sample(ray_session):
+    """Largest-remainder apportionment: quotas sum to the budget,
+    fractional ties break by key, availability caps bind (shortfall is
+    NOT redistributed), and the selection is stable under
+    repartitioning."""
+    import ray.data as rd
+
+    from tabbyray.ops.sampling import mixture_quotas, mixture_sample
+
+    q = mixture_quotas({"a": 100, "b": 100, "c": 100},
+                       {"a": 1.0, "b": 1.0, "c": 1.0}, 10)
+    assert sum(q.values()) == 10 and q["a"] == 4  # tie -> 'a' first
+    assert q == {"a": 4, "b": 3, "c": 3}
+
+    # availability cap: 'a' has only 2 rows, budget stays unfilled
+    q2 = mixture_quotas({"a": 2, "b": 100}, {"a": 3.0, "b": 1.0}, 8)
+    assert q2 == {"a": 2, "b": 2}
+
+    rows = [{"doc_id": i, "src": f"s{i % 3}"} for i in range(60)]
+    ds = rd.from_items(rows)
+    w = {"s0": 2.0, "s1": 1.0, "s2": 1.0}
+    a = (mixture_sample(ds.repartition(2), "src", w, 20, "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (mixture_sample(ds.repartition(7), "src", w, 20, "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    got = a.groupby("src").size().to_dict()
+    assert got == {"s0": 10, "s1": 5, "s2": 5}
