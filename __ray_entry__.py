@@ -2475,6 +2475,31 @@ def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
                                       t.column("embedding").to_pylist())}
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark admission ledger: arrival order simulated by a
+    deterministic md5 permutation of event_id (the fixture's ingest
+    sequence is perfectly time-sorted, so reordering is synthesized
+    with the same formula on both sides); an event is late when its
+    event time trails the per-user running-max event time of earlier
+    arrivals by more than the allowed lateness (1 day)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import late_events
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+        arr = [_h.md5(str(e).encode()).hexdigest()
+               for e in t.column("event_id").to_pylist()]
+        return t.append_column("arrival", pa.array(arr, pa.string()))
+
+    return late_events(ev.map_batches(arrival, batch_format="pyarrow"),
+                       allowed_lateness_s=86400, order_col="arrival")
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -4680,6 +4705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user": _q_top_event_per_user,
         "hourly_user_agg": _q_hourly_user_agg,
         "sessionize": _q_sessionize,
+        "late_events": _q_late_events,
         "sliding_window_agg": _q_sliding_window,
         "lineitem_rollup": _q_lineitem_rollup,
         "event_funnel": _q_event_funnel,
@@ -6530,6 +6556,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        # watermark: per-user running max event time over EARLIER
+        # arrivals (md5-permuted ingest order), integer-microsecond
+        # lateness arithmetic
+        "late_events": """
+            WITH w AS (
+                SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                    event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+                FROM events)
+            SELECT event_id, user_id,
+                   CAST(CASE WHEN pm IS NOT NULL
+                             AND tsu < pm - 86400000000::BIGINT
+                        THEN 1 ELSE 0 END AS BIGINT) AS late,
+                   CAST(coalesce(greatest(
+                       (pm - 86400000000::BIGINT - tsu) // 1000000,
+                       0), 0) AS BIGINT) AS lag_s
+            FROM w
         """,
         "sessionize": """
             WITH o AS (

@@ -388,3 +388,53 @@ def rolling_user_avg(events: rd.Dataset, window: int = 3,
     return typed_groupby_map(
         events.map_batches(add_part, batch_format="pandas"), "part",
         roll, schema)
+
+
+def late_events(events: rd.Dataset, allowed_lateness_s: int = 3600,
+                order_col: str = "event_id",
+                num_partitions: "int | None" = None) -> rd.Dataset:
+    """Event-time watermark check: in ARRIVAL order (``order_col``,
+    ties broken by event_id — the ingest sequence, which at real
+    ingest is reordered relative to event time), flag each event whose
+    event time ``ts`` is older than the per-user watermark, i.e. the
+    running max event time of everything that arrived BEFORE it, minus
+    ``allowed_lateness_s``. The streaming-window admission rule (late
+    data would be dropped or side-outputted); here the full ledger is
+    emitted so the decision is auditable. One hash shuffle on user_id;
+    running max is a vectorized in-partition cummax. Output:
+    (event_id, user_id, late: int64 0/1, lag_s: whole seconds behind
+    the watermark, 0 when on time or first arrival)."""
+    num_partitions = _resolve_partitions(num_partitions)
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_id", "ts"]
+        if order_col not in cols:
+            cols.append(order_col)
+        df = df[cols].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", order_col, "event_id"],
+                          kind="stable")
+        # normalize to int64 NANOseconds regardless of the parquet
+        # resolution (pandas 2.x keeps us-resolution datetimes as-is)
+        ts = g["ts"].astype("datetime64[ns]").astype("int64")
+        prev_max = (ts.groupby(g["user_id"]).cummax()
+                    .groupby(g["user_id"]).shift(1))
+        wm = prev_max - allowed_lateness_s * 1_000_000_000
+        lag_ns = (wm - ts).clip(lower=0).fillna(0)
+        out = g[["event_id", "user_id"]].copy()
+        out["late"] = (lag_ns > 0).astype("int64")
+        out["lag_s"] = (lag_ns // 1_000_000_000).astype("int64")
+        return out
+
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("late", pa.int64()), ("lag_s", pa.int64())])
+    return typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"), "part", window,
+        schema)
