@@ -2704,6 +2704,49 @@ def _q_embedding_neardup(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink -> source fidelity through Ray's native
+    write_json/read_json (the interchange format most external
+    curation tooling speaks): documents written as sharded .jsonl,
+    read back, and digested — the md5 over the re-read text proves the
+    JSON string escaping roundtrips byte-exactly against DuckDB's md5
+    of the source column."""
+    import hashlib as _h
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join(
+        "/tmp/tabbyray_fixtures",
+        "jsonl-v1-" + _h.md5(sf_dir.encode()).hexdigest()[:10])
+    done = out + ".done"
+    n_docs = pq.read_metadata(docs_path).num_rows
+    if not (os.path.exists(done) and open(done).read() == str(n_docs)):
+        shutil.rmtree(out, ignore_errors=True)
+        (rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+         .write_json(out))
+        with open(done, "w") as f:
+            f.write(str(n_docs))
+
+    back = rd.read_json(out)
+
+    def digest(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            "text_md5": pa.array(
+                [_h.md5(x.encode("utf-8")).hexdigest() for x in texts],
+                pa.string()),
+        })
+
+    return back.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_mixture_sample(sf_dir: str):
     """Static training-data mixing: per-source target weights
     (w = idx%5 + 1), largest-remainder apportionment of a 100-doc
@@ -4653,6 +4696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dup_chunks,
         "mixture_sample": _q_mixture_sample,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "span_dedup_docs": _q_span_dedup,
         "neardup_clusters": _q_neardup_clusters,
         "cluster_representatives": _q_cluster_representatives,
@@ -7392,6 +7436,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS text_md5
+            FROM documents
         """,
         # mixture: weights from the source index, largest-remainder
         # apportionment re-derived in SQL (frac ties break by source),
