@@ -1124,23 +1124,38 @@ def _attach_embeddings(asg: rd.Dataset, embs: rd.Dataset, id_col: str,
 # the chunk STREAM and all downstream plumbing are identical.
 # -------------------------------------------------------------------------
 
-def cdc_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
-               id_col: str = "doc_id",
-               text_col: str = "text") -> rd.Dataset:
-    """Explode each doc into content-defined chunks. Stateless
-    map_batches — zero shuffles. Output: (id_col, chunk_idx,
-    start: 1-based char offset, len, chunk_md5). Docs shorter than
-    ``window`` (or with no boundary) yield one whole-doc chunk; empty
-    docs yield none."""
-    mask = (1 << mask_bits) - 1
+class _CDCChunker:
+    """Actor-pool CDC stage. The boundary decision (is this window's
+    md5 low-bits zero?) repeats heavily across documents — natural
+    text re-uses short character windows — so the actor keeps a
+    window -> boundary?  cache that persists across batches (state in
+    __init__, the actor-pool pattern; bounded, dropped wholesale when
+    full). Output rows are identical to the uncached path (oracle- and
+    test-pinned)."""
 
-    def split_one(text: str) -> "list[tuple[int, int]]":
-        n = len(text)
+    def __init__(self, window: int, mask_bits: int, id_col: str,
+                 text_col: str, cache_max: int = 2_000_000):
+        self.window = window
+        self.mask = (1 << mask_bits) - 1
+        self.id_col = id_col
+        self.text_col = text_col
+        self.cache_max = cache_max
+        self._cache: "dict[str, bool]" = {}
+
+    def _split_one(self, text: str) -> "list[tuple[int, int]]":
+        n, window = len(text), self.window
+        cache, mask = self._cache, self.mask
         bounds = []
         for i in range(window, n + 1):          # i = 1-based window end
             w = text[i - window:i]
-            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
-            if h & mask == 0:
+            hit = cache.get(w)
+            if hit is None:
+                hit = (int(hashlib.md5(w.encode("utf-8"))
+                           .hexdigest()[:16], 16) & mask) == 0
+                if len(cache) >= self.cache_max:
+                    cache.clear()
+                cache[w] = hit
+            if hit:
                 bounds.append(i)
         spans, s = [], 0
         for e in bounds:
@@ -1150,11 +1165,12 @@ def cdc_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
             spans.append((s, n))
         return spans
 
-    def explode(t: pa.Table) -> pa.Table:
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_col = self.id_col
         ids, idxs, starts, lens, digests = [], [], [], [], []
         for doc_id, text in zip(t.column(id_col).to_pylist(),
-                                t.column(text_col).to_pylist()):
-            for ci, (s, e) in enumerate(split_one(text or "")):
+                                t.column(self.text_col).to_pylist()):
+            for ci, (s, e) in enumerate(self._split_one(text or "")):
                 ids.append(doc_id)
                 idxs.append(ci)
                 starts.append(s + 1)
@@ -1169,7 +1185,19 @@ def cdc_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
             "chunk_md5": pa.array(digests, pa.string()),
         })
 
-    return docs.map_batches(explode, batch_format="pyarrow")
+
+def cdc_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
+               id_col: str = "doc_id", text_col: str = "text",
+               concurrency=(1, 8)) -> rd.Dataset:
+    """Explode each doc into content-defined chunks. Actor-pool
+    map_batches (per-worker window-digest cache) — zero shuffles.
+    Output: (id_col, chunk_idx, start: 1-based char offset, len,
+    chunk_md5). Docs shorter than ``window`` (or with no boundary)
+    yield one whole-doc chunk; empty docs yield none."""
+    return docs.map_batches(
+        _CDCChunker, fn_constructor_args=(window, mask_bits, id_col,
+                                          text_col),
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 def cdc_dup_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
