@@ -2812,6 +2812,16 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
 
 
+def _q_ngram_jaccard_prefix(sf_dir: str):
+    """PPJoin-style prefix-filtered exact Jaccard join — the at-scale
+    plan (candidates only from md5-ordered prefix posting lists +
+    length filter, then composite-key verify joins). Same oracle as
+    the all-postings plan: the filter is lossless by the prefix
+    theorem, and the hash proves it."""
+    from tabbyray.ops.dedup import ngram_jaccard_prefix
+    return ngram_jaccard_prefix(_docs(sf_dir), n=3, threshold=0.5)
+
+
 def _q_minhash_signatures(sf_dir: str):
     """Signatures exploded to (doc_id, perm_id, minhash) scalar rows so
     the DuckDB oracle (md5_number_lower shingle hash + the inlined
@@ -4690,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_values": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "embedding_neardup": _q_embedding_neardup,
         "semdedup_clusters": _q_semdedup_clusters,
         "semdedup_kept": _q_semdedup_kept,
@@ -7587,6 +7598,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT vec_id FROM dups)
         """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # prefix-filtered plan, identical output contract
+        "ngram_jaccard_prefix": _NGRAM_JACCARD_SQL,
         "customers_no_events": """
             SELECT c_custkey, c_name, c_acctbal
             FROM customer c

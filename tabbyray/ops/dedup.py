@@ -1228,3 +1228,116 @@ def cdc_dup_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
                               ("n_occ", pa.int64()),
                               ("n_docs", pa.int64()),
                               ("chunk_len", pa.int64())]))
+
+
+def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
+                         threshold: float = 0.5) -> rd.Dataset:
+    """Prefix-filtered exact Jaccard pair join (PPJoin family — Xiao et
+    al. WWW'08, Bayardo et al. WWW'07; public papers). Output-identical
+    to :func:`ngram_jaccard_pairs` (same oracle), but candidate pairs
+    come only from PREFIX posting lists: each doc's distinct shingles
+    are put in a global order (md5 — stateless, no df table to
+    broadcast) and only the first floor((1-t)|s|)+1 participate in the
+    self-merge. Any pair with Jaccard >= t must collide inside both
+    prefixes, so nothing is lost; hot shingles deep in documents never
+    build posting lists. A length filter (min|s| >= t*max|s|) prunes
+    further before verification.
+
+    Plan: prefix self-merge (one shingle-hash exchange) -> pair-hash
+    candidate dedup -> TWO verify joins (attach A's full shingle set,
+    composite-key inner join against B's) -> per-pair intersection
+    aggregate. All exchanges are key-hash partitioned; no driver state.
+    """
+    import hashlib as _hl
+
+    from .relational import hash_join, typed_groupby_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, shs, ns, pref = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            sh = sorted(_shingles(text, n),
+                        key=lambda s: (_hl.md5(s.encode()).hexdigest(), s))
+            plen = int((1.0 - threshold) * len(sh)) + 1
+            for i, s in enumerate(sh):
+                ids.append(doc_id)
+                shs.append(s)
+                ns.append(len(sh))
+                pref.append(1 if i < plen else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingle": pa.array(shs, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "pref": pa.array(pref, pa.int64())})
+
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+
+    def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
+        df = df[df["pref"] == 1].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["shingle"], index=False)
+                      % P).astype("int64")
+        return df
+
+    def cand(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        lo = m[["n_x", "n_y"]].min(axis=1)
+        hi = m[["n_x", "n_y"]].max(axis=1)
+        m = m[lo >= threshold * hi]            # length filter
+        out = (m[["doc_id_x", "doc_id_y", "n_x", "n_y"]]
+               .drop_duplicates(["doc_id_x", "doc_id_y"]))
+        return out.rename(columns={"doc_id_x": "doc_a",
+                                   "doc_id_y": "doc_b",
+                                   "n_x": "n_a", "n_y": "n_b"})
+
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("n_a", pa.int64()), ("n_b", pa.int64())])
+    cands = typed_groupby_map(
+        rows.map_batches(add_part, batch_format="pandas"), "part", cand,
+        cand_schema)
+
+    def add_pair_part(df: pd.DataFrame, P: int = 32) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = ((df["doc_a"] * 1_000_003 + df["doc_b"]) % P
+                       ).astype("int64")
+        return df
+
+    cands = typed_groupby_map(
+        cands.map_batches(add_pair_part, batch_format="pandas"), "_part",
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "n_a", "n_b"]],
+        cand_schema)
+
+    # verify: attach A's full shingle set, then composite-key inner
+    # join against B's rows — surviving rows ARE the intersection
+    a_rows = rows.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_id"),
+                            "shingle": t.column("shingle")}),
+        batch_format="pyarrow")
+    b_rows = rows.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc_id"),
+                            "shingle": t.column("shingle")}),
+        batch_format="pyarrow")
+    j1 = hash_join(
+        cands, a_rows, on="doc_a",
+        left_schema=cand_schema,
+        right_schema=pa.schema([("doc_a", pa.int64()),
+                                ("shingle", pa.string())]))
+    j2 = hash_join(
+        j1, b_rows, on=["doc_b", "shingle"],
+        left_schema=pa.schema(list(cand_schema)
+                              + [("shingle", pa.string())]),
+        right_schema=pa.schema([("doc_b", pa.int64()),
+                                ("shingle", pa.string())]))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("shingle", "size"), n_a=("n_a", "first"),
+            n_b=("n_b", "first"))
+        union = (out["n_a"] + out["n_b"] - out["inter"]).clip(lower=1)
+        out["jaccard"] = out["inter"] / union
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    return typed_groupby_map(
+        j2.map_batches(add_pair_part, batch_format="pandas"), "_part",
+        finalize, _pair_schema(["doc_a", "doc_b", "jaccard"]))

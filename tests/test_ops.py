@@ -1565,3 +1565,35 @@ def test_mixture_quotas_and_sample(ray_session):
     assert a.equals(b)
     got = a.groupby("src").size().to_dict()
     assert got == {"s0": 10, "s1": 5, "s2": 5}
+
+
+def test_ngram_jaccard_prefix_equals_allpairs(ray_session):
+    """The PPJoin prefix filter is lossless: identical pair sets and
+    jaccard values as the all-postings plan across thresholds, on a
+    corpus with planted near-dups, subsets and unrelated docs."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import ngram_jaccard_pairs, ngram_jaccard_prefix
+
+    rng = random.Random(5)
+    words = "a b c d e f g h i j k l".split()
+    rows = []
+    for i in range(40):
+        base = [words[rng.randrange(len(words))] for _ in range(30)]
+        rows.append({"doc_id": 2 * i, "text": " ".join(base)})
+        mut = list(base)
+        for _ in range(rng.randrange(0, 6)):     # 0-5 edits -> near-dups
+            mut[rng.randrange(len(mut))] = words[rng.randrange(len(words))]
+        rows.append({"doc_id": 2 * i + 1, "text": " ".join(mut)})
+    docs = rd.from_items(rows).repartition(5)
+
+    for t in (0.3, 0.6, 0.9):
+        a = (ngram_jaccard_pairs(docs, n=3, threshold=t).to_pandas()
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        b = (ngram_jaccard_prefix(docs, n=3, threshold=t).to_pandas()
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        assert len(a) > 0, t
+        pd.testing.assert_frame_equal(a, b)
