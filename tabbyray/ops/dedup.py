@@ -1269,7 +1269,17 @@ def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
                          "n": pa.array(ns, pa.int64()),
                          "pref": pa.array(pref, pa.int64())})
 
-    rows = docs.map_batches(explode, batch_format="pyarrow")
+    # the shingle explode feeds THREE consumers (candidate generation
+    # and both verify sides) — materialize once instead of recomputing
+    # the explode per branch (object store spills at scale; recompute
+    # would triple the upstream read), and bound the block count: the
+    # downstream sort-groupbys/joins keep the INPUT block grain, so
+    # tiny-block inputs would pay per-task scheduling at every one of
+    # the 5 exchanges (the ops/graph._coalesced lesson)
+    from .relational import auto_partitions
+    from .graph import _coalesced
+    rows = _coalesced(docs.map_batches(explode, batch_format="pyarrow"),
+                      auto_partitions())
 
     def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
         df = df[df["pref"] == 1].copy()
