@@ -2475,6 +2475,32 @@ def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
                                       t.column("embedding").to_pylist())}
 
 
+def _q_supplier_busy_spans(sf_dir: str):
+    """Gaps-and-islands interval coalescing: each line item occupies
+    the supplier for [shipdate, shipdate + quantity days]; overlapping
+    or touching occupations merge into maximal busy spans. One
+    supplier-hash exchange, vectorized running-max islands."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import interval_coalesce
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        lo = pc.cast(
+            pc.cast(t.column("l_shipdate"), pa.date32()).cast(pa.int32()),
+            pa.int64())
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "lo": lo, "hi": pc.add(lo, q)})
+
+    return interval_coalesce(li.map_batches(iv, batch_format="pyarrow"),
+                             "l_suppkey", "lo", "hi")
+
+
 def _q_late_events(sf_dir: str):
     """Watermark admission ledger: arrival order simulated by a
     deterministic md5 permutation of event_id (the fixture's ingest
@@ -4761,6 +4787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_agg": _q_hourly_user_agg,
         "sessionize": _q_sessionize,
         "late_events": _q_late_events,
+        "supplier_busy_spans": _q_supplier_busy_spans,
         "sliding_window_agg": _q_sliding_window,
         "lineitem_rollup": _q_lineitem_rollup,
         "event_funnel": _q_event_funnel,
@@ -6608,6 +6635,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        # gaps-and-islands: island starts where lo > running max hi of
+        # earlier intervals (ties inside (lo, hi) order are inert)
+        "supplier_busy_spans": """
+            WITH iv AS (SELECT l_suppkey,
+                               datediff('day', DATE '1970-01-01',
+                                        l_shipdate) AS lo,
+                               datediff('day', DATE '1970-01-01',
+                                        l_shipdate)
+                                   + CAST(l_quantity AS BIGINT) AS hi
+                        FROM lineitem),
+            w AS (SELECT l_suppkey, lo, hi,
+                         max(hi) OVER (PARTITION BY l_suppkey
+                                       ORDER BY lo, hi
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            isl AS (SELECT l_suppkey, lo, hi,
+                           sum(CASE WHEN pmax IS NULL OR lo > pmax
+                               THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY l_suppkey
+                                     ORDER BY lo, hi
+                                     ROWS UNBOUNDED PRECEDING) AS island
+                    FROM w)
+            SELECT l_suppkey, CAST(min(lo) AS BIGINT) AS span_lo,
+                   CAST(max(hi) AS BIGINT) AS span_hi,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM isl GROUP BY l_suppkey, island
         """,
         # watermark: per-user running max event time over EARLIER
         # arrivals (md5-permuted ingest order), integer-microsecond

@@ -438,3 +438,48 @@ def late_events(events: rd.Dataset, allowed_lateness_s: int = 3600,
     return typed_groupby_map(
         events.map_batches(add_part, batch_format="pandas"), "part", window,
         schema)
+
+
+def interval_coalesce(intervals: rd.Dataset, key: str, lo_col: str,
+                      hi_col: str,
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """Gaps-and-islands: merge overlapping-or-touching [lo, hi]
+    intervals per key into maximal spans (the validity-interval
+    coalescing step of a temporal KG, or per-entity busy periods).
+    Touching means lo == previous max hi — merged. One key-hash
+    exchange; islands found by a vectorized running max per partition.
+    lo/hi are integers (caller converts dates to epoch days/us).
+    Output: (key, span_lo, span_hi, n_intervals)."""
+    num_partitions = _resolve_partitions(num_partitions)
+    import numpy as np
+    import pyarrow as pa
+
+    from .relational import typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, lo_col, hi_col]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df[key], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, lo_col, hi_col], kind="stable")
+        hi = g[hi_col].astype("int64")
+        lo = g[lo_col].astype("int64")
+        pmax = hi.groupby(g[key]).cummax().groupby(g[key]).shift(1)
+        new = (pmax.isna() | (lo > pmax)).astype("int64")
+        island = new.groupby(g[key].to_numpy()).cumsum()
+        out = (pd.DataFrame({key: g[key].to_numpy(),
+                             "_i": island.to_numpy(),
+                             "lo": lo.to_numpy(), "hi": hi.to_numpy()})
+               .groupby([key, "_i"], as_index=False)
+               .agg(span_lo=("lo", "min"), span_hi=("hi", "max"),
+                    n_intervals=("lo", "size")))
+        out["n_intervals"] = out["n_intervals"].astype("int64")
+        return out[[key, "span_lo", "span_hi", "n_intervals"]]
+
+    return typed_groupby_map(
+        intervals.map_batches(add_part, batch_format="pandas"), "part",
+        islands,
+        pa.schema([(key, pa.int64()), ("span_lo", pa.int64()),
+                   ("span_hi", pa.int64()), ("n_intervals", pa.int64())]))

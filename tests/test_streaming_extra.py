@@ -28,3 +28,23 @@ def test_late_events_hand_trace(ray_session):
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert list(out.late) == [0, 0, 1, 0, 1, 0]
     assert list(out.lag_s) == [0, 0, 80, 0, 110, 0]
+
+
+def test_interval_coalesce_hand_case(ray_session):
+    """Overlap merges, touching merges, gaps split; counts per span."""
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import interval_coalesce
+
+    iv = rd.from_items([
+        {"k": 1, "lo": 0, "hi": 5},
+        {"k": 1, "lo": 3, "hi": 8},    # overlaps -> same span
+        {"k": 1, "lo": 8, "hi": 10},   # touches  -> same span
+        {"k": 1, "lo": 12, "hi": 13},  # gap      -> new span
+        {"k": 1, "lo": 1, "hi": 2},    # nested   -> same first span
+        {"k": 2, "lo": 0, "hi": 1},
+    ]).repartition(3)
+    out = (interval_coalesce(iv, "k", "lo", "hi").to_pandas()
+           .sort_values(["k", "span_lo"]).reset_index(drop=True))
+    assert out.values.tolist() == [
+        [1, 0, 10, 4], [1, 12, 13, 1], [2, 0, 1, 1]]
