@@ -1003,6 +1003,14 @@ def _q_web_url_components(sf_dir: str):
     return ds.drop_columns(["warc_ts"])
 
 
+def _q_web_scd2_versions(sf_dir: str):
+    """SCD type-2 over the capture log: consecutive same-signature
+    captures collapse into version rows with validity intervals
+    (valid_to = next version's start, -1 while current)."""
+    from tabbyray.ops.web import scd2_versions
+    return scd2_versions(_web_captures())
+
+
 def _q_web_latest_captures(sf_dir: str):
     """Recrawl dedup: latest capture per canonical URL (grouped_argmax
     over one canon-hash exchange); oracle = QUALIFY row_number over the
@@ -4593,6 +4601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-capture family (Common-Crawl-style crawl bookkeeping)
         "web_url_components": _q_web_url_components,
         "web_latest_captures": _q_web_latest_captures,
+        "web_scd2_versions": _q_web_scd2_versions,
         "web_host_stats": _q_web_host_stats,
         "web_anchors": _q_web_anchors,
         "web_resolved_links": _q_web_resolved_links,
@@ -8785,6 +8794,33 @@ def _web_oracles(capture_path: str) -> dict[str, str]:
                      OR url_len > 120 OR n_query_params > 4) AS BIGINT)
                    AS suspicious
         FROM f
+    """
+    # SCD2: version starts where the signature changes vs the lag;
+    # valid_to = lead(valid_from) else -1 while current
+    out["web_scd2_versions"] = f"""
+        WITH c AS (SELECT url, epoch_us(warc_ts) AS tsu, content_len
+                   FROM read_parquet('{capture_path}')),
+        o AS (SELECT url, tsu, content_len,
+                     lag(content_len) OVER (PARTITION BY url
+                                            ORDER BY tsu) AS prev
+              FROM c),
+        st AS (SELECT url, tsu, content_len,
+                      sum(CASE WHEN prev IS NULL OR content_len <> prev
+                          THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY url ORDER BY tsu
+                                ROWS UNBOUNDED PRECEDING) AS ver
+               FROM o),
+        runs AS (SELECT url, ver, content_len,
+                        min(tsu) AS valid_from_us,
+                        count(*) AS n_captures
+                 FROM st GROUP BY url, ver, content_len)
+        SELECT url, content_len,
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(coalesce(lead(valid_from_us)
+                        OVER (PARTITION BY url ORDER BY valid_from_us),
+                        -1) AS BIGINT) AS valid_to_us,
+               CAST(n_captures AS BIGINT) AS n_captures
+        FROM runs
     """
     return out
 

@@ -2448,3 +2448,54 @@ def entity_subsumption(cooc: rd.Dataset,
                                    pa.float64())})
 
     return cooc.map_batches(direct, batch_format="pyarrow")
+
+
+def scd2_versions(captures: rd.Dataset, key_col: str = "url",
+                  sig_col: str = "content_len", ts_col: str = "warc_ts",
+                  num_partitions: "int | None" = None) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 build over the capture log:
+    consecutive captures of a url with the SAME content signature
+    collapse into one version row carrying its validity interval —
+    (key, sig, valid_from_us, valid_to_us, n_captures), where valid_to
+    is the next version's start or -1 for the still-current version.
+    One key-hash exchange; run-length collapse and the lead() are
+    vectorized per partition."""
+    import pandas as pd
+
+    from .relational import _resolve_partitions, typed_groupby_map
+
+    num_partitions = _resolve_partitions(num_partitions)
+
+    def add_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[[key_col, sig_col, ts_col]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df[key_col], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def versions(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        tsu = g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        prev = g.groupby(key_col)[sig_col].shift(1)
+        new = (prev.isna() | (g[sig_col] != prev)).astype("int64")
+        ver = new.groupby(g[key_col].to_numpy()).cumsum()
+        runs = (pd.DataFrame({key_col: g[key_col].to_numpy(),
+                              "_v": ver.to_numpy(),
+                              sig_col: g[sig_col].to_numpy(),
+                              "tsu": tsu.to_numpy()})
+                .groupby([key_col, "_v", sig_col], as_index=False)
+                .agg(valid_from_us=("tsu", "min"),
+                     n_captures=("tsu", "size")))
+        runs = runs.sort_values([key_col, "valid_from_us"], kind="stable")
+        nxt = runs.groupby(key_col)["valid_from_us"].shift(-1)
+        runs["valid_to_us"] = nxt.fillna(-1).astype("int64")
+        runs["n_captures"] = runs["n_captures"].astype("int64")
+        return runs[[key_col, sig_col, "valid_from_us", "valid_to_us",
+                     "n_captures"]]
+
+    return typed_groupby_map(
+        captures.map_batches(add_part, batch_format="pandas"), "part",
+        versions,
+        pa.schema([(key_col, pa.string()), (sig_col, pa.int64()),
+                   ("valid_from_us", pa.int64()),
+                   ("valid_to_us", pa.int64()),
+                   ("n_captures", pa.int64())]))

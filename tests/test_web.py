@@ -1109,3 +1109,35 @@ def test_walk_skipgram_pairs_window(ray_session):
                  for r in walk_skipgram_pairs(
                      walks, window=2, num_partitions=4).take_all())
     assert got == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+
+
+def test_scd2_versions_hand_case(ray_session):
+    """Consecutive same-signature captures collapse; a return to an
+    OLD signature opens a NEW version (type-2, not distinct-values);
+    the last version stays open (valid_to = -1)."""
+    import datetime
+
+    import ray.data as rd
+
+    from tabbyray.ops.web import scd2_versions
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    caps = rd.from_items([
+        {"url": "u", "warc_ts": at(0), "content_len": 10},
+        {"url": "u", "warc_ts": at(1), "content_len": 10},   # same -> collapse
+        {"url": "u", "warc_ts": at(2), "content_len": 20},   # change
+        {"url": "u", "warc_ts": at(3), "content_len": 10},   # back -> NEW version
+        {"url": "v", "warc_ts": at(5), "content_len": 7},
+    ]).repartition(2)
+    out = (scd2_versions(caps).to_pandas()
+           .sort_values(["url", "valid_from_us"]).reset_index(drop=True))
+    us = lambda m: int(at(m).timestamp() * 1_000_000)
+    assert out[out.url == "u"][
+        ["content_len", "valid_from_us", "valid_to_us", "n_captures"]
+    ].values.tolist() == [
+        [10, us(0), us(2), 2], [20, us(2), us(3), 1], [10, us(3), -1, 1]]
+    assert out[out.url == "v"].valid_to_us.tolist() == [-1]
