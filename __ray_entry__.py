@@ -3677,6 +3677,42 @@ def _q_region_revenue(sf_dir: str):
         "r_name", {"rev_cents": "revenue_cents"})
 
 
+def _q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): same one-scan plan as
+    the ROLLUP — distributed combiner aggregate at the finest level,
+    then ALL FOUR grouping sets folded from the tiny finest result on
+    the driver (bounded by the two key domains)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabbyray.ops.relational import partial_agg_sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    fin = partial_agg_sum(li, ["l_returnflag", "l_linestatus"],
+                          {"l_quantity": "sum_qty"},
+                          count_alias="n_rows").to_pandas()
+    by_flag = fin.groupby("l_returnflag", as_index=False)[
+        ["sum_qty", "n_rows"]].sum()
+    by_flag["l_linestatus"] = None
+    by_status = fin.groupby("l_linestatus", as_index=False)[
+        ["sum_qty", "n_rows"]].sum()
+    by_status["l_returnflag"] = None
+    grand = pd.DataFrame([{"l_returnflag": None, "l_linestatus": None,
+                           "sum_qty": fin["sum_qty"].sum(),
+                           "n_rows": fin["n_rows"].sum()}])
+    out = pd.concat([fin, by_flag, by_status, grand], ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]],
+        schema=pa.schema([("l_returnflag", pa.string()),
+                          ("l_linestatus", pa.string()),
+                          ("sum_qty", pa.float64()),
+                          ("n_rows", pa.int64())]),
+        preserve_index=False)
+
+
 def _q_lineitem_rollup(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest level is
     a distributed combiner aggregate; the coarser levels fold the TINY
@@ -4799,6 +4835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_busy_spans": _q_supplier_busy_spans,
         "sliding_window_agg": _q_sliding_window,
         "lineitem_rollup": _q_lineitem_rollup,
+        "lineitem_cube": _q_lineitem_cube,
         "event_funnel": _q_event_funnel,
         "weekly_retention": _q_weekly_retention,
         "token_quantiles": _q_token_quantiles,
@@ -7692,6 +7729,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
