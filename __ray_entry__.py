@@ -2781,6 +2781,18 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return back.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_source_overlap_matrix(sf_dir: str):
+    """Cross-source shared-shingle matrix (which corpora leak into
+    which): partition-local global distinct + source-pair expansion
+    bounded by the source domain, tiny pair aggregate."""
+    from tabbyray.ops.dedup import source_overlap_matrix
+
+    import ray.data as rd
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+    return source_overlap_matrix(docs, n=3)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Static training-data mixing: per-source target weights
     (w = idx%5 + 1), largest-remainder apportionment of a 100-doc
@@ -4778,6 +4790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dup_chunks,
         "mixture_sample": _q_mixture_sample,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "span_dedup_docs": _q_span_dedup,
         "neardup_clusters": _q_neardup_clusters,
@@ -7545,6 +7558,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "source_overlap_matrix": """
+            WITH toks AS (
+                SELECT source,
+                       string_split(trim(regexp_replace(text, '\\s+',
+                    ' ', 'g')), ' ') AS ts
+                FROM documents),
+            sh AS (SELECT DISTINCT source,
+                          CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+                               ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          END AS shingle
+                   FROM (SELECT source, ts,
+                                CAST(unnest(range(1, greatest(len(ts) - 1,
+                                                              2)))
+                                     AS BIGINT) AS i
+                         FROM toks))
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS shared_shingles
+            FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang,

@@ -1351,3 +1351,67 @@ def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
     return typed_groupby_map(
         j2.map_batches(add_pair_part, batch_format="pandas"), "_part",
         finalize, _pair_schema(["doc_a", "doc_b", "jaccard"]))
+
+
+def source_overlap_matrix(docs: rd.Dataset, n: int = 3,
+                          key_col: str = "source",
+                          text_col: str = "text") -> rd.Dataset:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many DISTINCT n-gram shingles they share — the governance view
+    behind 'which corpora leak into which'. Shingles co-partition by
+    hash, so the global (shingle, source) distinct and the per-shingle
+    source-pair expansion are both partition-local (pair fan-out is
+    bounded by the SOURCE domain, not the corpus); one tiny pair
+    aggregate finishes. Output: (src_a, src_b, shared_shingles),
+    src_a < src_b."""
+    from .relational import typed_groupby_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys, shs = [], []
+        for key, text in zip(t.column(key_col).to_pylist(),
+                             t.column(text_col).to_pylist()):
+            for s in _shingles(text or "", n):
+                keys.append(key)
+                shs.append(s)
+        return pa.table({key_col: pa.array(keys, pa.string()),
+                         "shingle": pa.array(shs, pa.string())})
+
+    def add_part(df: pd.DataFrame, P: int = 64) -> pd.DataFrame:
+        df = df.drop_duplicates([key_col, "shingle"])
+        df = df.assign(part=(pd.util.hash_pandas_object(
+            df["shingle"], index=False) % P).astype("int64"))
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, "shingle"])
+        m = g.merge(g, on="shingle")
+        m = m[m[f"{key_col}_x"] < m[f"{key_col}_y"]]
+        out = m.groupby([f"{key_col}_x", f"{key_col}_y"],
+                        as_index=False).agg(shared=("shingle", "size"))
+        return out.rename(columns={f"{key_col}_x": "src_a",
+                                   f"{key_col}_y": "src_b"})
+
+    partials = typed_groupby_map(
+        docs.map_batches(explode, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pandas"),
+        "part", pairs,
+        pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                   ("shared", pa.int64())]))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src_a", "src_b"], as_index=False).agg(
+            shared_shingles=("shared", "sum"))
+        out["shared_shingles"] = out["shared_shingles"].astype("int64")
+        return out
+
+    def pair_part(df: pd.DataFrame, P: int = 8) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(
+            df["src_a"], index=False) % P).astype("int64")
+        return df
+
+    return typed_groupby_map(
+        partials.map_batches(pair_part, batch_format="pandas"), "_part",
+        finish,
+        pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                   ("shared_shingles", pa.int64())]))
