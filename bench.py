@@ -191,7 +191,8 @@ def run_bench() -> dict:
                  # ingest roundtrip, SemDeDup embedding pruning, the
                  # positional-index phrase join, HLL distinct
                  "warc_roundtrip", "semdedup_kept",
-                 "phrase_match_postings", "hll_distinct_orders"):
+                 "phrase_match_postings", "hll_distinct_orders",
+                 "ngram_jaccard_prefix", "cdc_dup_chunks"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "to_pandas"):

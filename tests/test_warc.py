@@ -35,9 +35,8 @@ def warc_dir(ray_session):
 
 
 def test_roundtrip_byte_exact(ray_session, warc_dir):
-    got = read_warc(warc_dir).to_pandas().sort_values(
-        "url", key=lambda s: s.str.len() * 1000 + s.rank()).sort_values(
-        "url").reset_index(drop=True)
+    got = (read_warc(warc_dir).to_pandas()
+           .sort_values("url").reset_index(drop=True))
     want = _pages().to_pandas().sort_values("url").reset_index(drop=True)
     assert list(got.url) == list(want.url)
     assert [bytes(b) for b in got.html] == [bytes(b) for b in want.html]
