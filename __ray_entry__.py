@@ -2483,6 +2483,20 @@ def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
                                       t.column("embedding").to_pylist())}
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    streams (ordered by ts, event_id): one user-hash exchange +
+    per-partition lag, combiner before the tiny pair aggregate."""
+    import ray.data as rd
+
+    from tabbyray.ops.streaming import event_transitions
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    return event_transitions(ev)
+
+
 def _q_supplier_busy_spans(sf_dir: str):
     """Gaps-and-islands interval coalescing: each line item occupies
     the supplier for [shipdate, shipdate + quantity days]; overlapping
@@ -4846,6 +4860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "late_events": _q_late_events,
         "supplier_busy_spans": _q_supplier_busy_spans,
+        "event_transitions": _q_event_transitions,
         "sliding_window_agg": _q_sliding_window,
         "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_cube": _q_lineitem_cube,
@@ -6694,6 +6709,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "event_transitions": """
+            WITH o AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         # gaps-and-islands: island starts where lo > running max hi of
         # earlier intervals (ties inside (lo, hi) order are inert)

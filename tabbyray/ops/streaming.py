@@ -483,3 +483,41 @@ def interval_coalesce(intervals: rd.Dataset, key: str, lo_col: str,
         islands,
         pa.schema([(key, pa.int64()), ("span_lo", pa.int64()),
                    ("span_hi", pa.int64()), ("n_intervals", pa.int64())]))
+
+
+def event_transitions(events: rd.Dataset,
+                      num_partitions: "int | None" = None) -> rd.Dataset:
+    """First-order Markov transition counts over per-user event
+    streams: for each (prev_type -> type) pair, the global count —
+    the session-model estimation step. One user-hash exchange; the lag
+    is vectorized per partition; per-partition pair counts pre-combine
+    before the tiny final aggregate. First event per user has no
+    predecessor and contributes nothing.
+    Output: (prev_type, event_type, n: int64)."""
+    num_partitions = _resolve_partitions(num_partitions)
+    import pyarrow as pa
+
+    from .relational import partial_agg_sum, typed_groupby_map
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_id", "ts", "event_type"]].copy()
+        df["part"] = (pd.util.hash_pandas_object(df["user_id"], index=False)
+                      % num_partitions).astype("int64")
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        out = pd.DataFrame({"prev_type": prev,
+                            "event_type": g["event_type"]}).dropna()
+        out = out.groupby(["prev_type", "event_type"],
+                          as_index=False).size()
+        out["one"] = out.pop("size").astype("int64")
+        return out
+
+    partials = typed_groupby_map(
+        events.map_batches(add_part, batch_format="pandas"), "part", pairs,
+        pa.schema([("prev_type", pa.string()),
+                   ("event_type", pa.string()), ("one", pa.int64())]))
+    return partial_agg_sum(partials, ["prev_type", "event_type"],
+                           {"one": "n"})
