@@ -3806,6 +3806,23 @@ def _q_kmv_distinct_tokens(sf_dir: str):
     return kmv_distinct(tok_ds, "lang", "tok", k=64)
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """Planner-style join-cardinality estimate |orders x lineitem on
+    orderkey| from two count-min sketches: depth*width counters per
+    side, a co-partitioned (d,b) dot join, min over depth rows — the
+    tables never touch. Integer-exact vs the SQL re-derivation."""
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import cms_join_size
+
+    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    return cms_join_size(o, "o_orderkey", li, "l_orderkey",
+                         width=8192, depth=4)
+
+
 def _q_hll_distinct_orders(sf_dir: str):
     """HyperLogLog distinct l_orderkey per returnflag (p=6, m=64):
     per-batch max-rank register partials (<= m rows/key/batch — the
@@ -4821,6 +4838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_frequent_terms": _q_cms_frequent_terms,
         "kmv_distinct_tokens": _q_kmv_distinct_tokens,
         "hll_distinct_orders": _q_hll_distinct_orders,
+        "join_size_estimate": _q_join_size_estimate,
         "frequent_tokens": _q_frequent_tokens,
         "orders_bloom_semi": _q_orders_bloom_semi,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
@@ -7804,6 +7822,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # KMV bottom-k estimator, bit-for-bit: same md5-prefix hash,
         # same (k-1) * 2^64 / h_k double arithmetic as ops/sketch.py
+        # CMS join-size: same "d:value" md5_number_lower bucket hash as
+        # value_cms; est = min over depth of the bucket dot product
+        "join_size_estimate": """
+            WITH dd AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS d),
+            ca AS (SELECT d,
+                          CAST(md5_number_lower(CAST(d AS VARCHAR) || ':'
+                               || CAST(o_orderkey AS VARCHAR)) % 8192
+                               AS BIGINT) AS b,
+                          count(*) AS c
+                   FROM orders, dd GROUP BY 1, 2),
+            cb AS (SELECT d,
+                          CAST(md5_number_lower(CAST(d AS VARCHAR) || ':'
+                               || CAST(l_orderkey AS VARCHAR)) % 8192
+                               AS BIGINT) AS b,
+                          count(*) AS c
+                   FROM lineitem, dd GROUP BY 1, 2),
+            dots AS (SELECT ca.d, sum(ca.c * cb.c) AS dot
+                     FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+                     GROUP BY ca.d)
+            SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots
+        """,
         # HLL p=6: bucket = md5-high-64 >> 58; rank = leading zeros of
         # the low 58 bits + 1 (integer string logic, no float log2);
         # harmonic sum as an exact HUGEINT before ONE double division

@@ -334,3 +334,48 @@ def hll_distinct(ds: rd.Dataset, key: str, value_col: str, p: int = 6,
     return typed_groupby_map(
         partials, key, final,
         out_schema=pa.schema([(key, kt), ("est_distinct", pa.float64())]))
+
+
+def cms_join_size(left: rd.Dataset, left_col: str, right: rd.Dataset,
+                  right_col: str, width: int = 8192,
+                  depth: int = 4) -> pa.Table:
+    """Equi-join cardinality estimate from two count-min sketches
+    (Cormode & Muthukrishnan 2005 §4.2, public paper): |A join B| is
+    estimated by min over rows d of the bucket-wise dot product
+    sum_b cmsA[d,b]*cmsB[d,b] — an OVERestimate that tightens as width
+    grows, never an underestimate. The planner-side trick: both inputs
+    reduce to depth*width counters via per-batch combiners, the dot is
+    one co-partitioned (d,b) join plus a depth-row aggregate — the
+    tables themselves never join. Integer-exact, so the estimate is
+    bit-for-bit SQL-reproducible. Returns a 1-row table
+    (est_join_size: int64)."""
+    from .relational import hash_join, partial_agg_sum
+
+    a = value_cms(left.select_columns([left_col])
+                  .map_batches(lambda t: t.rename_columns(["v"]),
+                               batch_format="pyarrow"),
+                  "v", width, depth)
+    b = value_cms(right.select_columns([right_col])
+                  .map_batches(lambda t: t.rename_columns(["v"]),
+                               batch_format="pyarrow"),
+                  "v", width, depth)
+    b = b.map_batches(lambda t: t.rename_columns(["d", "b", "c2"]),
+                      batch_format="pyarrow")
+    j = hash_join(
+        a, b, on=["d", "b"],
+        left_schema=pa.schema([("d", pa.int64()), ("b", pa.int64()),
+                               ("c", pa.int64())]),
+        right_schema=pa.schema([("d", pa.int64()), ("b", pa.int64()),
+                                ("c2", pa.int64())]))
+
+    def dot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "d": t.column("d"),
+            "prod": pc.multiply(pc.cast(t.column("c"), pa.int64()),
+                                pc.cast(t.column("c2"), pa.int64()))})
+
+    dots = partial_agg_sum(j.map_batches(dot, batch_format="pyarrow"),
+                           "d", {"prod": "dot"}).to_pandas()   # depth rows
+    est = int(dots["dot"].min()) if len(dots) else 0
+    return pa.table({"est_join_size": pa.array([est], pa.int64())})

@@ -1597,3 +1597,21 @@ def test_ngram_jaccard_prefix_equals_allpairs(ray_session):
              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
         assert len(a) > 0, t
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_cms_join_size_overestimates_tightly(ray_session):
+    """CMS join-size estimate is never below the exact join size and
+    converges to it when width >> key domain."""
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import cms_join_size
+
+    left = rd.from_items([{"k": i % 20} for i in range(200)])
+    right = rd.from_items([{"k": i % 30} for i in range(300)])
+    # exact: keys 0..19 appear 10x left; right: k<30 10x -> 20*10*10
+    exact = 20 * 10 * 10
+    est = cms_join_size(left, "k", right, "k", width=4096, depth=4)
+    v = est.column("est_join_size")[0].as_py()
+    assert v == exact                  # wide sketch: no collisions
+    tight = cms_join_size(left, "k", right, "k", width=8, depth=2)
+    assert tight.column("est_join_size")[0].as_py() >= exact
