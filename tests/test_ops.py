@@ -1615,3 +1615,22 @@ def test_cms_join_size_overestimates_tightly(ray_session):
     assert v == exact                  # wide sketch: no collisions
     tight = cms_join_size(left, "k", right, "k", width=8, depth=2)
     assert tight.column("est_join_size")[0].as_py() >= exact
+
+
+def test_hll_registers_merge_associatively(ray_session):
+    """Sketch mergeability: HLL over the union equals HLL computed on
+    disjoint halves and merged (the registers are max-merged by the
+    groupby regardless of how batches split), so per-shard sketches
+    roll up without rescanning."""
+    import ray.data as rd
+
+    from tabbyray.ops.sketch import hll_distinct
+
+    a = [{"k": "x", "v": i} for i in range(0, 4000)]
+    b = [{"k": "x", "v": i} for i in range(2000, 6000)]  # overlap
+    whole = hll_distinct(rd.from_items(a + b), "k", "v", p=8).to_pandas()
+    # same rows arriving as two separate "shards" (different block
+    # layout): identical estimate bit-for-bit
+    split = hll_distinct(rd.from_items(a).union(rd.from_items(b)),
+                         "k", "v", p=8).to_pandas()
+    assert whole.equals(split)
