@@ -908,6 +908,29 @@ def _q_sti_candidates(sf_dir: str):
         cands, batch_format="pyarrow")
 
 
+def _q_sti_cell_candidates(sf_dir: str):
+    """A1 end-to-end: the PIPELINE's per-cell candidate lists as
+    exported by the instrumented flagship (tabbyray/sti_export.py) —
+    (url, table_idx, cell_type, surface_form, ord, entity) for every
+    non-literal cell. The oracle re-derives the whole thing from the
+    generator-gold cells + ``kb.parquet`` ALONE: mention collection
+    with last-occurrence-wins NER maps
+    (`components/CanonicalTableAnnotator.php:1025-1055,885-906`), the
+    literal short-circuit exclusion (`:1062-1073`), then the A1 lookup
+    per norm — exact arm, substring arm, UNION, LIMIT 100,
+    insertion-order dedup (`commands/SpreadsheetController.php:86-103`).
+    Unlike ``sti_candidates`` (which oracles ``KBIndex.candidates``
+    called directly), this pins the candidate lists the LIVE annotator
+    actually produced, so candidate generation inside the pipeline has
+    an independent external oracle (VERDICT r4 Missing #1)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(_sti_export_paths()["candidates"])
+    t = t.filter(pc.invert(t["is_literal"].combine_chunks()))
+    return t.select(["url", "table_idx", "cell_type", "surface_form",
+                     "ord", "entity"])
+
+
 def _q_sti_ner_rank(sf_dir: str):
     """A5 NER-class depth rank parity: ``KBIndex.ner_class_rank`` for
     every (instance URI, NER label) pair; the oracle recomputes the
@@ -4671,6 +4694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sti_norm_parity": _q_sti_norm_parity,
         "sti_lev_parity": _q_sti_lev_parity,
         "sti_candidates": _q_sti_candidates,
+        "sti_cell_candidates": _q_sti_cell_candidates,
         "sti_ner_rank": _q_sti_ner_rank,
         "sti_parent_classes": _q_sti_parent_classes,
         "sti_ctx_rank": _q_sti_ctx_rank,
@@ -5340,6 +5364,80 @@ def _sti_oracles() -> dict[str, str]:
                     AS BIGINT) AS ord,
                uri AS entity
         FROM firsts
+    """
+    # A1 end-to-end over the LIVE annotator's exported candidate table:
+    # mention collection from the generator-gold cells (data values +
+    # heading splits, NER last-occurrence-wins per surface —
+    # `components/CanonicalTableAnnotator.php:1025-1055,885-906`),
+    # literal-NER short-circuit exclusion (`:1062-1073`), then the same
+    # A1 lookup derivation as sti_candidates joined back per cell
+    from tabbyray.constants import LITERAL_INSTANCE_MAP
+    _lit_labels = ", ".join(f"'{lb}'" for lb in sorted(LITERAL_INSTANCE_MAP))
+    out["sti_cell_candidates"] = f"""
+        WITH g AS MATERIALIZED (SELECT * FROM read_parquet('{gold}')),
+        dm AS (SELECT url, table_idx, 0 AS cell_type, data AS surface_form,
+                      arg_max(coalesce(data_ner, ''), row_idx) AS ner
+               FROM g
+               WHERE data <> ''
+                 AND {_NORM_FULL_SQL.format(col='data')} <> ''
+               GROUP BY url, table_idx, data),
+        hs AS (SELECT url, table_idx, 1 AS cell_type, row_idx,
+                      unnest(str_split(coalesce(row_heading, ''), ' | '))
+                          AS s,
+                      list_extract(
+                          str_split(coalesce(row_heading_ner, ''), ' | '),
+                          len(str_split(coalesce(row_heading_ner, ''),
+                                        ' | '))) AS ner
+               FROM g
+               UNION ALL
+               SELECT url, table_idx, 2, row_idx,
+                      unnest(str_split(coalesce(column_heading, ''), ' | ')),
+                      list_extract(
+                          str_split(coalesce(column_heading_ner, ''), ' | '),
+                          len(str_split(coalesce(column_heading_ner, ''),
+                                        ' | ')))
+               FROM g),
+        hm AS (SELECT url, table_idx, cell_type, s AS surface_form,
+                      arg_max(coalesce(ner, ''), row_idx) AS ner
+               FROM hs WHERE {_NORM_FULL_SQL.format(col='s')} <> ''
+               GROUP BY url, table_idx, cell_type, s),
+        m AS (SELECT * FROM dm UNION ALL SELECT * FROM hm),
+        nl AS MATERIALIZED (
+            SELECT url, table_idx, cell_type, surface_form,
+                   {_NORM_FULL_SQL.format(col='surface_form')} AS norm
+            FROM m WHERE ner NOT IN ({_lit_labels})),
+        norms AS (SELECT DISTINCT norm FROM nl),
+        kb AS (SELECT rid, uri, lower(uri) AS luri, is_class, types
+               FROM read_parquet('{kbp}')),
+        kbf AS (SELECT * FROM
+                  (SELECT *, row_number() OVER (
+                       PARTITION BY regexp_extract(uri, '[^/]*$')
+                       ORDER BY rid) AS lrn,
+                          regexp_extract(uri, '[^/]*$') AS localname
+                   FROM kb)
+                WHERE lrn = 1),
+        ex AS (SELECT norm, uri, arm, srid FROM
+                 (SELECT n.norm, k.uri, 0 AS arm, CAST(-1 AS BIGINT) AS srid,
+                         unnest(k.types) AS _t
+                  FROM norms n JOIN kbf k ON k.localname = n.norm
+                  WHERE NOT k.is_class)),
+        sub AS (SELECT n.norm, k.uri, 1 AS arm, k.rid AS srid
+                FROM norms n JOIN kb k
+                  ON NOT k.is_class AND contains(k.luri, lower(n.norm))),
+        numbered AS (SELECT *, row_number() OVER (PARTITION BY norm
+                                                  ORDER BY arm, srid) AS rn
+                     FROM (SELECT * FROM ex UNION ALL SELECT * FROM sub)),
+        firsts AS (SELECT norm, uri, min(rn) AS frn
+                   FROM numbered WHERE rn <= 100 GROUP BY norm, uri),
+        cl AS (SELECT norm,
+                      CAST(row_number() OVER (PARTITION BY norm
+                                              ORDER BY frn) - 1
+                           AS BIGINT) AS ord,
+                      uri AS entity
+               FROM firsts)
+        SELECT nl.url, nl.table_idx, nl.cell_type, nl.surface_form,
+               c.ord, c.entity
+        FROM nl JOIN cl c ON c.norm = nl.norm
     """
     # A5 depth rank (`commands/SpreadsheetController.php:242-257`):
     # intermediates = ancestors-or-self of any rdf:type that themselves
