@@ -1119,19 +1119,29 @@ def _attach_embeddings(asg: rd.Dataset, embs: rd.Dataset, id_col: str,
 # the md5-high-64 of the trailing W-char window has its low k bits
 # zero. Stateless per position (no min/max clamps), so insertions only
 # reshape chunks near the edit — the CDC property — and every boundary
-# decision is independently SQL-reproducible. A production variant
-# would swap the per-window digest for the O(1) gear-hash recurrence;
-# the chunk STREAM and all downstream plumbing are identical.
+# decision is independently SQL-reproducible. The kernel is vectorized
+# md5-exact: numpy windowing + distinct-window collapse + cached md5
+# per DISTINCT window (see _CDCChunker), so no per-char Python loop
+# remains while the boundary rule and oracle stay byte-identical.
 # -------------------------------------------------------------------------
 
 class _CDCChunker:
-    """Actor-pool CDC stage. The boundary decision (is this window's
-    md5 low-bits zero?) repeats heavily across documents — natural
-    text re-uses short character windows — so the actor keeps a
-    window -> boundary?  cache that persists across batches (state in
-    __init__, the actor-pool pattern; bounded, dropped wholesale when
-    full). Output rows are identical to the uncached path (oracle- and
-    test-pinned)."""
+    """Actor-pool CDC stage, vectorized boundary kernel.
+
+    The boundary rule stays md5-exact (oracle-pinned), but the per-char
+    Python loop is gone: each doc's character windows are materialized
+    as one numpy (n-W+1, W) uint32 codepoint matrix (utf-32 view of the
+    text — char-correct for any Unicode), collapsed with ``np.unique``
+    to DISTINCT windows, and only cache-miss distinct windows pay an
+    md5. The boundary bit vector is then one vectorized gather; span
+    starts/ends come from the nonzero positions. Natural text re-uses
+    short windows heavily, so distinct windows per doc ≪ positions and
+    the persistent across-batch cache (state in ``__init__``, the
+    actor-pool pattern; bounded, dropped wholesale when full) makes
+    repeats across documents free. A second bounded cache memoizes
+    chunk digests — duplicate-rich corpora (the CDC use case) repeat
+    chunks by construction. Output rows are byte-identical to
+    ``_split_one_scalar`` (property-tested) and to the SQL oracle."""
 
     def __init__(self, window: int, mask_bits: int, id_col: str,
                  text_col: str, cache_max: int = 2_000_000):
@@ -1140,22 +1150,19 @@ class _CDCChunker:
         self.id_col = id_col
         self.text_col = text_col
         self.cache_max = cache_max
-        self._cache: "dict[str, bool]" = {}
+        self._cache: "dict[bytes, bool]" = {}    # utf-32 window -> boundary?
+        self._chunk_cache: "dict[str, str]" = {}  # chunk text -> md5 hex
 
-    def _split_one(self, text: str) -> "list[tuple[int, int]]":
+    def _split_one_scalar(self, text: str) -> "list[tuple[int, int]]":
+        """Reference kernel (the pre-vectorization per-char loop), kept
+        as the in-repo cross-check for the numpy path."""
         n, window = len(text), self.window
-        cache, mask = self._cache, self.mask
+        mask = self.mask
         bounds = []
         for i in range(window, n + 1):          # i = 1-based window end
             w = text[i - window:i]
-            hit = cache.get(w)
-            if hit is None:
-                hit = (int(hashlib.md5(w.encode("utf-8"))
-                           .hexdigest()[:16], 16) & mask) == 0
-                if len(cache) >= self.cache_max:
-                    cache.clear()
-                cache[w] = hit
-            if hit:
+            if (int(hashlib.md5(w.encode("utf-8"))
+                    .hexdigest()[:16], 16) & mask) == 0:
                 bounds.append(i)
         spans, s = [], 0
         for e in bounds:
@@ -1165,8 +1172,39 @@ class _CDCChunker:
             spans.append((s, n))
         return spans
 
+    def _split_one(self, text: str) -> "list[tuple[int, int]]":
+        n, window = len(text), self.window
+        if n < window:
+            return [(0, n)] if n else []
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        wins = np.lib.stride_tricks.sliding_window_view(codes, window)
+        keys = np.ascontiguousarray(wins).view(f"V{4 * window}").ravel()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        hits_u = np.empty(len(uniq), dtype=bool)
+        cache, mask = self._cache, self.mask
+        for j in range(len(uniq)):
+            b = uniq[j].tobytes()
+            hit = cache.get(b)
+            if hit is None:
+                w = b.decode("utf-32-le")
+                hit = (int(hashlib.md5(w.encode("utf-8"))
+                           .hexdigest()[:16], 16) & mask) == 0
+                if len(cache) >= self.cache_max:
+                    cache.clear()
+                cache[b] = hit
+            hits_u[j] = hit
+        bounds = np.flatnonzero(hits_u[inv]) + window   # 1-based ends
+        if not len(bounds):
+            return [(0, n)]
+        starts = np.concatenate(([0], bounds[:-1]))
+        spans = list(zip(starts.tolist(), bounds.tolist()))
+        if n - spans[-1][1] > 0:
+            spans.append((spans[-1][1], n))
+        return spans
+
     def __call__(self, t: pa.Table) -> pa.Table:
         id_col = self.id_col
+        chunk_cache, cache_max = self._chunk_cache, self.cache_max
         ids, idxs, starts, lens, digests = [], [], [], [], []
         for doc_id, text in zip(t.column(id_col).to_pylist(),
                                 t.column(self.text_col).to_pylist()):
@@ -1175,8 +1213,14 @@ class _CDCChunker:
                 idxs.append(ci)
                 starts.append(s + 1)
                 lens.append(e - s)
-                digests.append(hashlib.md5(
-                    text[s:e].encode("utf-8")).hexdigest())
+                chunk = text[s:e]
+                d = chunk_cache.get(chunk)
+                if d is None:
+                    d = hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    if len(chunk_cache) >= cache_max:
+                        chunk_cache.clear()
+                    chunk_cache[chunk] = d
+                digests.append(d)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "chunk_idx": pa.array(idxs, pa.int64()),
@@ -1205,15 +1249,28 @@ def cdc_dup_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
                    min_occ: int = 2) -> rd.Dataset:
     """Cross-doc chunk dedup ledger: chunks occurring >= ``min_occ``
     times corpus-wide, with occurrence and distinct-doc counts — the
-    storage-dedup bookkeeping step. ONE chunk-hash exchange over
-    (chunk_md5, doc) partials; chunk text never moves."""
-    from .relational import typed_groupby_map
+    storage-dedup bookkeeping step. Combiner-first: each batch
+    pre-aggregates to one (chunk_md5, doc) row, the ONE exchange is
+    keyed ``hash(chunk_md5) % P`` (P partitions regardless of chunk
+    cardinality — grouping on raw chunk_md5 would pay Ray's per-group
+    map_groups overhead once per distinct chunk, which dominated at
+    ~45k chunks), and each partition finishes with one vectorized
+    pandas groupby. Chunk text never moves."""
+    from .relational import _resolve_partitions, typed_groupby_map
 
     chunks = cdc_chunks(docs, window, mask_bits, id_col, text_col)
+    num_partitions = _resolve_partitions(None)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["chunk_md5", id_col], as_index=False).agg(
+            cnt=("len", "size"), len=("len", "first"))
+        h = pd.util.hash_pandas_object(g["chunk_md5"], index=False)
+        g["part"] = (h % num_partitions).astype("int64")
+        return g
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("chunk_md5").agg(
-            n_occ=("chunk_md5", "size"),
+            n_occ=("cnt", "sum"),
             n_docs=(id_col, "nunique"),
             chunk_len=("len", "first"))
         out = out[out["n_occ"] >= min_occ].reset_index()
@@ -1221,9 +1278,10 @@ def cdc_dup_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
             out[c] = out[c].astype("int64")
         return out
 
+    partials = (chunks.select_columns(["chunk_md5", id_col, "len"])
+                .map_batches(partial, batch_format="pandas"))
     return typed_groupby_map(
-        chunks.select_columns(["chunk_md5", id_col, "len"]),
-        "chunk_md5", finish,
+        partials, "part", finish,
         out_schema=pa.schema([("chunk_md5", pa.string()),
                               ("n_occ", pa.int64()),
                               ("n_docs", pa.int64()),

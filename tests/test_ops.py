@@ -1537,6 +1537,32 @@ def test_cdc_chunking_properties(ray_session):
     assert set(dup.chunk_md5) <= shared
 
 
+def test_cdc_vectorized_kernel_matches_scalar():
+    """The numpy distinct-window boundary kernel is byte-identical to
+    the per-char reference loop — across random ASCII, Unicode (incl.
+    non-BMP emoji), empty/short/exact-window-length docs and both
+    window/mask shapes. No Ray needed: pure kernel parity."""
+    import random
+    import string
+
+    from tabbyray.ops.dedup import _CDCChunker
+
+    random.seed(41)
+    alpha = string.ascii_lowercase + " .,"
+    texts = ["".join(random.choice(alpha)
+                     for _ in range(random.randrange(0, 300)))
+             for _ in range(120)]
+    texts += ["", "a", "abcdefg", "abcdefgh", "abcdefghi",
+              "héllo wörld ünïcode " * 25,
+              "日本語のテキスト、長さを確認する。" * 15,
+              "emoji 🙂🙃🙂 mixed ascii " * 20]
+    for window, mask_bits in ((8, 5), (4, 3), (16, 6)):
+        c = _CDCChunker(window, mask_bits, "doc_id", "text")
+        for t in texts:
+            assert c._split_one(t) == c._split_one_scalar(t), (
+                window, mask_bits, t[:40])
+
+
 def test_mixture_quotas_and_sample(ray_session):
     """Largest-remainder apportionment: quotas sum to the budget,
     fractional ties break by key, availability caps bind (shortfall is
