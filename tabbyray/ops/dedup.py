@@ -1311,21 +1311,44 @@ def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
     from .relational import hash_join, typed_groupby_map
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, shs, ns, pref = [], [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            sh = sorted(_shingles(text, n),
-                        key=lambda s: (_hl.md5(s.encode()).hexdigest(), s))
-            plen = int((1.0 - threshold) * len(sh)) + 1
-            for i, s in enumerate(sh):
-                ids.append(doc_id)
-                shs.append(s)
-                ns.append(len(sh))
-                pref.append(1 if i < plen else 0)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "shingle": pa.array(shs, pa.string()),
-                         "n": pa.array(ns, pa.int64()),
-                         "pref": pa.array(pref, pa.int64())})
+        # batch-level distinct-shingle digest table (the minhash_signatures
+        # pattern): md5 runs once per DISTINCT shingle in the batch, the
+        # (digest, shingle) global order becomes an integer rank, and each
+        # doc's prefix ordering is an integer argsort over its rank
+        # vector. ids/n/pref columns are pure repeat/arange algebra —
+        # no per-row Python loop remains.
+        texts = t.column("text").to_pylist()
+        uniq: dict[str, int] = {}
+        doc_idx = []
+        for text in texts:
+            doc_idx.append(np.fromiter(
+                (uniq.setdefault(s, len(uniq)) for s in _shingles(text, n)),
+                dtype=np.int64))
+        if not uniq:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pref": pa.array([], pa.int64())})
+        sh_arr = np.array(list(uniq), dtype=object)
+        dig = np.fromiter((_hl.md5(s.encode()).hexdigest() for s in uniq),
+                          dtype=object, count=len(uniq))
+        order = np.lexsort((sh_arr, dig))      # (digest, shingle) order
+        rank = np.empty(len(uniq), np.int64)
+        rank[order] = np.arange(len(uniq))
+        counts = np.fromiter((len(ix) for ix in doc_idx), np.int64,
+                             count=len(doc_idx))
+        flat = np.concatenate(
+            [ix[np.argsort(rank[ix], kind="stable")] for ix in doc_idx])
+        plens = ((1.0 - threshold) * counts).astype(np.int64) + 1
+        offsets = np.cumsum(counts) - counts
+        pos = np.arange(len(flat)) - np.repeat(offsets, counts)
+        return pa.table({
+            "doc_id": pa.array(
+                np.repeat(t.column("doc_id").to_numpy(), counts)),
+            "shingle": pa.array(sh_arr[flat].tolist(), pa.string()),
+            "n": pa.array(np.repeat(counts, counts)),
+            "pref": pa.array(
+                (pos < np.repeat(plens, counts)).astype(np.int64))})
 
     # the shingle explode feeds THREE consumers (candidate generation
     # and both verify sides) — materialize once instead of recomputing
