@@ -715,12 +715,13 @@ def embedding_neardup_pairs(embs: rd.Dataset, threshold: float = 0.9,
     ref = ray.put((ids, M))
 
     def f(t: pa.Table) -> pa.Table:
+        from .simsearch import to_matrix
         all_ids, all_m = ray.get(ref)
         pos = {v: i for i, v in enumerate(all_ids)}
         vids = t.column("vec_id").to_pylist()
-        rows = np.stack([np.asarray(e, dtype=np.float64)
-                         for e in t.column("embedding").to_pylist()])
-        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        # non-inplace: to_matrix may hand back a read-only zero-copy view
+        rows = to_matrix(t, "embedding")
+        rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
         sims = rows @ all_m.T
         a, b, s = [], [], []
         for r, vid in enumerate(vids):
@@ -748,8 +749,8 @@ def _embedding_neardup_lsh(embs: rd.Dataset, threshold: float,
     collected to the driver."""
     num_partitions = _resolve_partitions(num_partitions)
     def to_buckets(t: pa.Table) -> pa.Table:
-        M = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in t.column("embedding").to_pylist()])
+        from .simsearch import to_matrix
+        M = to_matrix(t, "embedding")
         dim = M.shape[1]
         rng = np.random.RandomState(seed)
         out_tid, out_bucket, out_vid, out_emb = [], [], [], []
@@ -1033,20 +1034,18 @@ def semdedup_assign(embs: rd.Dataset, n_seeds: int = 8,
                  .take(n_seeds))
     seed_rows.sort(key=lambda r: r[id_col])
     sids = np.array([r[id_col] for r in seed_rows], dtype=np.int64)
-    S = np.stack([np.asarray(r[emb_col], dtype=np.float64)
-                  for r in seed_rows])
-    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    S = _unit_rows(np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                             for r in seed_rows]), "semdedup seeds")
     ref = ray.put((sids, S))
 
     def assign(t: pa.Table) -> pa.Table:
+        from .simsearch import to_matrix
         if t.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cluster": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
         seed_ids, seed_m = ray.get(ref)
-        rows = np.stack([np.asarray(e, dtype=np.float64)
-                         for e in t.column(emb_col).to_pylist()])
-        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        rows = _unit_rows(to_matrix(t, emb_col), "semdedup_assign")
         sims = np.round(rows @ seed_m.T, 9)
         best = np.argmax(sims, axis=1)          # first max = lowest sid
         return pa.table({
@@ -1091,15 +1090,29 @@ def semdedup(embs: rd.Dataset, n_seeds: int = 8, tau: float = 0.7,
                 f"{len(df)} rows > max_cluster_rows={max_cluster_rows}; "
                 "raise n_seeds (target c ~ N/n_seeds) or pre-shard")
         df = df.sort_values(id_col, kind="stable")
-        M = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in df[emb_col]])
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        M = _unit_rows(np.array(df[emb_col].tolist(), dtype=np.float64),
+                       "semdedup prune")
         sims = np.round(M @ M.T, 9)
         # drop row j if any i<j has sims[i,j] >= tau
         dup = (np.triu(sims >= tau, k=1)).any(axis=0)
         return df.loc[~dup, [id_col, "cluster"]]
 
     return typed_groupby_map(joined, "cluster", prune, out_schema)
+
+
+def _unit_rows(M: np.ndarray, what: str) -> np.ndarray:
+    """L2-normalize rows, raising loudly on zero-norm vectors: an
+    all-zero embedding would otherwise propagate NaN cosines through
+    argmax/threshold comparisons silently (NaN >= tau is False, so a
+    degenerate row could never be pruned or detected)."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    if M.size and not np.all(n > 0):
+        bad = int(np.flatnonzero(n.ravel() == 0)[0])
+        raise ValueError(
+            f"{what}: zero-norm embedding at row {bad} — cosine is "
+            "undefined; drop or re-embed degenerate vectors first "
+            "(see embedding_norms for the audit pass)")
+    return M / n
 
 
 def _attach_embeddings(asg: rd.Dataset, embs: rd.Dataset, id_col: str,

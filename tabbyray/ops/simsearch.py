@@ -24,6 +24,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def to_matrix(t: pa.Table, vec_col: str,
+              dtype=np.float64) -> np.ndarray:
+    """list<float> / fixed_size_list column -> (n, d) float matrix via
+    the flat child buffer (``list_flatten`` is offset/null-safe) + one
+    reshape — replaces the per-row ``np.stack([... to_pylist()])``
+    idiom. Raises loudly on ragged lists (embedding columns are
+    uniform-length by contract)."""
+    col = t.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            or pa.types.is_fixed_size_list(col.type)):
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        return np.asarray(flat, dtype=dtype).reshape(t.num_rows, -1)
+    # Ray tensor extension (from_items / numpy-built datasets) or other
+    # array-per-row representations: to_numpy handles the layout
+    m = col.to_numpy(zero_copy_only=False)
+    if m.dtype == object:
+        m = (np.stack([np.asarray(e) for e in m]) if len(m)
+             else np.empty((0, 0)))
+    return np.asarray(m, dtype=dtype).reshape(t.num_rows, -1)
+
+
 def knn_brute(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
               exclude_self: bool = True) -> rd.Dataset:
     """Exact top-k cosine neighbors for each query vector.
@@ -39,8 +62,7 @@ def knn_brute(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
     def local_topk(t: pa.Table) -> pa.Table:
         qids, qm = ray.get(ref)
         vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        M = _normalize(np.stack([np.asarray(e, dtype=np.float64)
-                                 for e in t.column("embedding").to_pylist()]))
+        M = _normalize(to_matrix(t, "embedding"))
         sims = qm @ M.T                       # (n_q, n_batch)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(qids):
@@ -70,8 +92,7 @@ def lsh_buckets(embs: rd.Dataset, n_planes: int = 8, seed: int = 42) -> rd.Datas
     """Add a random-hyperplane LSH ``bucket`` column (int, 2**n_planes
     buckets). Deterministic in (seed, dim)."""
     def f(t: pa.Table) -> pa.Table:
-        M = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in t.column("embedding").to_pylist()])
+        M = to_matrix(t, "embedding")
         rng = np.random.RandomState(seed)
         planes = rng.randn(M.shape[1], n_planes)
         bits = (M @ planes) > 0
@@ -108,8 +129,7 @@ def kmeans_centroids(embs: rd.Dataset, n_centroids: int = 16,
                               "n": pa.array([], pa.int64())})
             if t.num_rows == 0:
                 return empty
-            M = np.stack([np.asarray(e, dtype=np.float64)
-                          for e in t.column("embedding").to_pylist()])
+            M = to_matrix(t, "embedding")
             Mn = _normalize(M)
             assign = np.argmax(Mn @ cm.T, axis=1)
             out_c, out_d, out_s, out_n = [], [], [], []
@@ -163,8 +183,7 @@ def knn_ivf(embs: rd.Dataset, queries: dict[int, list[float]], k: int = 10,
         cm = ray.get(ref)
         if t.num_rows == 0:
             return t
-        M = _normalize(np.stack([np.asarray(e, dtype=np.float64)
-                                 for e in t.column("embedding").to_pylist()]))
+        M = _normalize(to_matrix(t, "embedding"))
         assign = np.argmax(M @ cm.T, axis=1)
         mask = pa.array(np.isin(assign, wanted))
         return t.filter(mask)
@@ -273,8 +292,7 @@ def label_centroids(embs: rd.Dataset, label_col: str = "label",
                              "s": pa.array([], pa.float64()),
                              "n": pa.array([], pa.int64())})
         labels = np.asarray(t.column(label_col).to_pylist())
-        M = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in t.column(vec_col).to_pylist()])
+        M = to_matrix(t, vec_col)
         out_l, out_d, out_s, out_n = [], [], [], []
         for lab in np.unique(labels):
             sel = M[labels == lab]
@@ -314,8 +332,7 @@ def embedding_norms(embs: rd.Dataset, id_col: str = "vec_id",
         if t.num_rows == 0:
             return pa.table({id_col: t.column(id_col),
                              "norm": pa.array([], pa.float64())})
-        M = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in t.column(vec_col).to_pylist()])
+        M = to_matrix(t, vec_col)
         return pa.table({id_col: t.column(id_col),
                          "norm": pa.array(np.sqrt((M * M).sum(axis=1)),
                                           pa.float64())})
@@ -345,8 +362,8 @@ def embedding_quantize(embs: rd.Dataset, id_col: str = "vec_id",
     from ray.data.aggregate import Max, Min
 
     def mm_partial(t: pa.Table) -> pa.Table:
-        m = np.array([np.asarray(e, dtype=np.float64)
-                      for e in t.column(vec_col).to_pylist()])
+        m = (to_matrix(t, vec_col) if t.num_rows
+             else np.empty((0, 0), np.float64))
         if m.size == 0:
             return pa.table({"dim": pa.array([], pa.int64()),
                              "lo": pa.array([], pa.float64()),
@@ -368,8 +385,8 @@ def embedding_quantize(embs: rd.Dataset, id_col: str = "vec_id",
 
     def quant(t: pa.Table) -> pa.Table:
         lo_, scale_ = ray.get(ref)
-        m = np.array([np.asarray(e, dtype=np.float64)
-                      for e in t.column(vec_col).to_pylist()])
+        m = (to_matrix(t, vec_col) if t.num_rows
+             else np.empty((0, 0), np.float64))
         if m.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "dim": pa.array([], pa.int64()),
@@ -407,8 +424,6 @@ def embedding_covariance(embs: rd.Dataset, vec_col: str = "embedding",
 
     from .relational import hash_aggregate, hash_join
 
-    n_rows = embs.count()
-
     def partial(t: pa.Table) -> pa.Table:
         schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
                             ("s", pa.float64())])
@@ -423,10 +438,17 @@ def embedding_covariance(embs: rd.Dataset, vec_col: str = "embedding",
         P = X.T @ X
         iu, ju = np.triu_indices(d)
         sx = X.sum(axis=0)
+        # n rides the same partial stream as one (i=-1, j=-1) row —
+        # the input is scanned ONCE (the old separate embs.count()
+        # executed the whole upstream plan a second time)
         return pa.table({
-            "i": pa.array(np.concatenate([iu, np.arange(d)]), pa.int64()),
-            "j": pa.array(np.concatenate([ju, np.full(d, -1)]), pa.int64()),
-            "s": pa.array(np.concatenate([P[iu, ju], sx]), pa.float64())})
+            "i": pa.array(np.concatenate([iu, np.arange(d), [-1]]),
+                          pa.int64()),
+            "j": pa.array(np.concatenate([ju, np.full(d, -1), [-1]]),
+                          pa.int64()),
+            "s": pa.array(np.concatenate([P[iu, ju], sx,
+                                          [float(t.num_rows)]]),
+                          pa.float64())})
 
     agg = hash_aggregate(
         embs.map_batches(partial, batch_format="pyarrow"),
@@ -435,10 +457,21 @@ def embedding_covariance(embs: rd.Dataset, vec_col: str = "embedding",
         out_schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
                               ("s", pa.float64())])).materialize()
 
+    n_tbl = agg.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t.column("i"), -1),
+                                   pc.equal(t.column("j"), -1))),
+        batch_format="pyarrow").take_all()
+    assert len(n_tbl) <= 1, len(n_tbl)
+    n_rows = int(n_tbl[0]["s"]) if n_tbl else 0
+
     moments = agg.map_batches(
-        lambda t: pa.table({"i": t.filter(pc.equal(t.column("j"), -1))
+        lambda t: pa.table({"i": t.filter(
+                                pc.and_(pc.equal(t.column("j"), -1),
+                                        pc.greater_equal(t.column("i"), 0)))
                             .column("i"),
-                            "sx": t.filter(pc.equal(t.column("j"), -1))
+                            "sx": t.filter(
+                                pc.and_(pc.equal(t.column("j"), -1),
+                                        pc.greater_equal(t.column("i"), 0)))
                             .column("s")}),
         batch_format="pyarrow")
     pairs = agg.map_batches(

@@ -1382,6 +1382,21 @@ def test_semdedup_oversized_cluster_raises(ray_session):
                  max_cluster_rows=5).to_pandas()
 
 
+def test_semdedup_zero_norm_embedding_raises(ray_session):
+    """A degenerate all-zero embedding must fail loudly, not propagate
+    NaN cosines that can never be pruned (NaN >= tau is False)."""
+    import pytest as _pt
+    import ray.data as rd
+
+    from tabbyray.ops.dedup import semdedup_assign
+
+    rows = [{"vec_id": 0, "embedding": [1.0, 0.0, 0.0]},
+            {"vec_id": 1, "embedding": [0.0, 0.0, 0.0]},
+            {"vec_id": 2, "embedding": [0.0, 1.0, 0.0]}]
+    with _pt.raises(Exception, match="zero-norm"):
+        semdedup_assign(rd.from_items(rows), n_seeds=2).to_pandas()
+
+
 def test_y4m_codec_roundtrip_and_grammar(ray_session):
     """Real YUV4MPEG2 grammar: header tags, FRAME markers with optional
     parameters, 420 chroma strides, mono streams, default colorspace,
