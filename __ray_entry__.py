@@ -70,6 +70,20 @@ def _docs(sf_dir: str):
                            override_num_blocks=32)
 
 
+def _parquet_content_key(path: str) -> str:
+    """md5 of a parquet file's BYTES. Fixture ``.done`` sentinels keyed
+    on this (not on row count) invalidate cached derived fixtures
+    (WARC/JSONL shards) when the source table is regenerated with the
+    same n_docs but different content — a count-only sentinel would
+    serve stale shards and produce baffling oracle mismatches."""
+    import hashlib as _h
+    h = _h.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def _sti_export_paths() -> dict[str, str]:
     """Ensure the STI intermediate export exists (tabbyray.sti_export)
     and return its fixed parquet paths. The export content is a pure
@@ -2786,7 +2800,6 @@ def _q_jsonl_roundtrip(sf_dir: str):
     import shutil
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -2794,13 +2807,13 @@ def _q_jsonl_roundtrip(sf_dir: str):
         "/tmp/tabbyray_fixtures",
         "jsonl-v1-" + _h.md5(sf_dir.encode()).hexdigest()[:10])
     done = out + ".done"
-    n_docs = pq.read_metadata(docs_path).num_rows
-    if not (os.path.exists(done) and open(done).read() == str(n_docs)):
+    key = _parquet_content_key(docs_path)
+    if not (os.path.exists(done) and open(done).read() == key):
         shutil.rmtree(out, ignore_errors=True)
         (rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
          .write_json(out))
         with open(done, "w") as f:
-            f.write(str(n_docs))
+            f.write(key)
 
     back = rd.read_json(out)
 
@@ -3525,7 +3538,6 @@ def _make_warc_fixture(sf_dir: str) -> str:
     import shutil
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from tabbyray.warc import write_warc
@@ -3534,8 +3546,8 @@ def _make_warc_fixture(sf_dir: str) -> str:
     out = os.path.join("/tmp/tabbyray_fixtures",
                        "warc-v1-" + _h.md5(sf_dir.encode()).hexdigest()[:10])
     done = out + ".done"  # OUTSIDE the dir: readers glob every file in it
-    n_docs = pq.read_metadata(docs_path).num_rows
-    if os.path.exists(done) and open(done).read() == str(n_docs):
+    key = _parquet_content_key(docs_path)
+    if os.path.exists(done) and open(done).read() == key:
         return out
     shutil.rmtree(out, ignore_errors=True)
 
@@ -3559,7 +3571,7 @@ def _make_warc_fixture(sf_dir: str) -> str:
     write_warc(docs.map_batches(to_pages, batch_format="pyarrow"),
                out, status_col="status")
     with open(done, "w") as f:
-        f.write(str(n_docs))
+        f.write(key)
     return out
 
 
@@ -7939,7 +7951,13 @@ def oracle_sql() -> dict[str, str]:
             dots AS (SELECT ca.d, sum(ca.c * cb.c) AS dot
                      FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
                      GROUP BY ca.d)
-            SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots
+            -- depth rows absent from dots have dot = 0: the min over
+            -- all depth rows is then 0 (disjoint-key estimate)
+            SELECT CASE WHEN (SELECT count(*) FROM dots) < 4
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(min(dot) AS BIGINT)
+                   END AS est_join_size
+            FROM dots
         """,
         # HLL p=6: bucket = md5-high-64 >> 58; rank = leading zeros of
         # the low 58 bits + 1 (integer string logic, no float log2);

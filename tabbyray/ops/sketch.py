@@ -377,5 +377,10 @@ def cms_join_size(left: rd.Dataset, left_col: str, right: rd.Dataset,
 
     dots = partial_agg_sum(j.map_batches(dot, batch_format="pyarrow"),
                            "d", {"prod": "dot"}).to_pandas()   # depth rows
-    est = int(dots["dot"].min()) if len(dots) else 0
+    # a depth row with NO overlapping buckets is absent from the inner
+    # join — its true dot product is 0, so the min over depth is 0
+    # (Cormode-Muthukrishnan's estimator would return 0 on disjoint
+    # keys); without this, min() over only the surviving rows could
+    # report a positive size for a provably-empty join
+    est = int(dots["dot"].min()) if len(dots) == depth else 0
     return pa.table({"est_join_size": pa.array([est], pa.int64())})

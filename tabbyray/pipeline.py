@@ -269,15 +269,25 @@ def read_pages(path, columns: Optional[list[str]] = None,
 
 def _is_warc_input(path) -> bool:
     """True when the pages input is WARC: a .warc/.warc.gz file (or
-    list of them), or a directory containing any."""
+    list of them), or a directory containing any. Mixed parquet+WARC
+    lists raise — each element would silently take the first
+    element's reader otherwise."""
     import glob as _glob
     if isinstance(path, (list, tuple)):
-        return bool(path) and _is_warc_input(path[0])
+        if not path:
+            return False
+        flags = {_is_warc_input(p) for p in path}
+        if len(flags) > 1:
+            raise ValueError(
+                "mixed input list (both WARC and non-WARC paths): "
+                f"{list(path)!r} — pass one format per run")
+        return flags.pop()
     if str(path).endswith((".warc", ".warc.gz")):
         return True
     if os.path.isdir(path):
         return (not _glob.glob(os.path.join(path, "*.parquet"))
-                and bool(_glob.glob(os.path.join(path, "*.warc*"))))
+                and bool(_glob.glob(os.path.join(path, "*.warc"))
+                         or _glob.glob(os.path.join(path, "*.warc.gz"))))
     return False
 
 

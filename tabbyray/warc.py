@@ -220,7 +220,10 @@ class WarcDatasource(FileBasedDatasource):
     of payload — one read task per file shard, bounded memory per
     task."""
 
-    _FILE_EXTENSIONS = ["warc", "warc.gz", "arc", "arc.gz"]
+    # WARC/1.x only: legacy ARC files use a version-block header with
+    # no 'WARC/' magic — advertising the extension would accept files
+    # the parser then rejects with a confusing "malformed header"
+    _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
     def __init__(self, paths: Union[str, List[str]], *,
                  record_types: Optional[List[str]] = None,

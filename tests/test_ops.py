@@ -1656,6 +1656,14 @@ def test_cms_join_size_overestimates_tightly(ray_session):
     assert v == exact                  # wide sketch: no collisions
     tight = cms_join_size(left, "k", right, "k", width=8, depth=2)
     assert tight.column("est_join_size")[0].as_py() >= exact
+    # disjoint keys: with a wide sketch no bucket overlaps on any depth
+    # row, the per-depth dot products are all 0, and the min must be 0
+    # (a dropped-row min over survivors would report a positive size)
+    dj = cms_join_size(rd.from_items([{"k": i} for i in range(20)]),
+                       "k",
+                       rd.from_items([{"k": 1000 + i} for i in range(20)]),
+                       "k", width=65536, depth=4)
+    assert dj.column("est_join_size")[0].as_py() == 0
 
 
 def test_hll_registers_merge_associatively(ray_session):

@@ -188,3 +188,24 @@ def test_warc_input_rejects_text_invariant(ray_session, tmp_path):
         "http://a/1", "2026-01-01T00:00:00Z", b"<html></html>"), mtime=0))
     with pytest.raises(ValueError, match="text column"):
         pipeline.read_pages(str(p), columns=["url", "html", "text"])
+
+
+def test_mixed_input_list_raises(ray_session, tmp_path):
+    """A [parquet, warc] list must raise, not silently route every
+    element through the first element's reader; homogeneous lists of
+    either format classify by content."""
+    from tabbyray.pipeline import _is_warc_input
+    pq_path = str(tmp_path / "a.parquet")
+    warc_path = str(tmp_path / "b.warc.gz")
+    assert _is_warc_input([warc_path, str(tmp_path / "c.warc")])
+    assert not _is_warc_input([pq_path, str(tmp_path / "d.parquet")])
+    assert not _is_warc_input([])
+    with pytest.raises(ValueError, match="mixed input list"):
+        _is_warc_input([pq_path, warc_path])
+    # stray .tmp files next to real shards must not flip a directory
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "part-0.warc.gz.tmp").write_bytes(b"")
+    assert not _is_warc_input(str(d))
+    (d / "part-1.warc.gz").write_bytes(b"")
+    assert _is_warc_input(str(d))
