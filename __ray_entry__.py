@@ -2918,6 +2918,17 @@ def _q_ngram_jaccard_prefix(sf_dir: str):
     return ngram_jaccard_prefix(_docs(sf_dir), n=3, threshold=0.5)
 
 
+def _q_ngram_jaccard_prefix_auto(sf_dir: str):
+    """Same PPJoin candidates, size-gated BROADCAST verify (the minhash
+    verify="auto" precedent): below BROADCAST_VERIFY_MAX_DOCS the three
+    verify exchanges collapse into a driver shingle-set check; above
+    the gate it is the shuffle plan verbatim. Same oracle — both modes
+    are output-identical (tested)."""
+    from tabbyray.ops.dedup import ngram_jaccard_prefix
+    return ngram_jaccard_prefix(_docs(sf_dir), n=3, threshold=0.5,
+                                verify="auto")
+
+
 def _q_minhash_signatures(sf_dir: str):
     """Signatures exploded to (doc_id, perm_id, minhash) scalar rows so
     the DuckDB oracle (md5_number_lower shingle hash + the inlined
@@ -4851,6 +4862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_values": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "ngram_jaccard_prefix_auto": _q_ngram_jaccard_prefix_auto,
         "embedding_neardup": _q_embedding_neardup,
         "semdedup_clusters": _q_semdedup_clusters,
         "semdedup_kept": _q_semdedup_kept,
@@ -7889,6 +7901,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # prefix-filtered plan, identical output contract
         "ngram_jaccard_prefix": _NGRAM_JACCARD_SQL,
+        # size-gated broadcast-verify variant, same output contract
+        "ngram_jaccard_prefix_auto": _NGRAM_JACCARD_SQL,
         "customers_no_events": """
             SELECT c_custkey, c_name, c_acctbal
             FROM customer c

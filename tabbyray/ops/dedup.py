@@ -285,9 +285,16 @@ def minhash_lsh_pairs(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
 
     if verify == "shuffle":
         return _verify_pairs_shuffle(docs, cand, shingle_n, threshold)
+    return _verify_pairs_broadcast(docs, cand, shingle_n, threshold)
 
-    # broadcast verification against driver-built shingle sets (opt-in)
-    cand_df = cand.to_pandas().drop_duplicates()
+
+def _verify_pairs_broadcast(docs: rd.Dataset, cand: rd.Dataset,
+                            shingle_n: int, threshold: float) -> rd.Dataset:
+    """Exact-Jaccard verification against driver-built shingle sets —
+    right only while the corpus fits the driver (callers size-gate on
+    ``BROADCAST_VERIFY_MAX_DOCS``), but free of the sort barriers the
+    shuffle verify pays, which dominate wall time at small scale."""
+    cand_df = cand.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
     if len(cand_df) == 0:
         return rd.from_arrow(pa.table(
             {k: pa.array([], t) for k, t in _EMPTY_PAIRS.items()}))
@@ -1302,7 +1309,8 @@ def cdc_dup_chunks(docs: rd.Dataset, window: int = 8, mask_bits: int = 5,
 
 
 def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
-                         threshold: float = 0.5) -> rd.Dataset:
+                         threshold: float = 0.5,
+                         verify: str = "shuffle") -> rd.Dataset:
     """Prefix-filtered exact Jaccard pair join (PPJoin family — Xiao et
     al. WWW'08, Bayardo et al. WWW'07; public papers). Output-identical
     to :func:`ngram_jaccard_pairs` (same oracle), but candidate pairs
@@ -1318,6 +1326,12 @@ def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
     candidate dedup -> TWO verify joins (attach A's full shingle set,
     composite-key inner join against B's) -> per-pair intersection
     aggregate. All exchanges are key-hash partitioned; no driver state.
+
+    ``verify``: "shuffle" (default — the web-scale path above) keeps
+    every stage distributed; "broadcast" swaps the 3 verify exchanges
+    for the driver-built shingle-set check (the minhash precedent —
+    right only while the corpus fits the driver); "auto" gates on
+    ``BROADCAST_VERIFY_MAX_DOCS``. All modes output-identical (tested).
     """
     import hashlib as _hl
 
@@ -1410,6 +1424,12 @@ def ngram_jaccard_prefix(docs: rd.Dataset, n: int = 3,
         lambda g: g.drop_duplicates(["doc_a", "doc_b"])[
             ["doc_a", "doc_b", "n_a", "n_b"]],
         cand_schema)
+
+    if verify == "auto":
+        verify = ("broadcast" if docs.count() <= BROADCAST_VERIFY_MAX_DOCS
+                  else "shuffle")
+    if verify == "broadcast":
+        return _verify_pairs_broadcast(docs, cands, n, threshold)
 
     # verify: attach A's full shingle set, then composite-key inner
     # join against B's rows — surviving rows ARE the intersection

@@ -1638,6 +1638,12 @@ def test_ngram_jaccard_prefix_equals_allpairs(ray_session):
              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
         assert len(a) > 0, t
         pd.testing.assert_frame_equal(a, b)
+        # the size-gated broadcast verify (minhash precedent) must be
+        # output-identical to the distributed shuffle verify
+        c = (ngram_jaccard_prefix(docs, n=3, threshold=t,
+                                  verify="broadcast").to_pandas()
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, c)
 
 
 def test_cms_join_size_overestimates_tightly(ray_session):
