@@ -1163,6 +1163,14 @@ class _CDCChunker:
     chunks by construction. Output rows are byte-identical to
     ``_split_one_scalar`` (property-tested) and to the SQL oracle."""
 
+    # below this many DISTINCT windows the corpus is cache-resident and
+    # the per-window dict probe beats the per-doc np.unique sort (the
+    # vectorized path pays ~2.5x on e.g. templated/synthetic corpora
+    # with a tiny window universe; real web text sits far above this)
+    SMALL_UNIVERSE = 4096
+    # let the vectorized path warm the cache before judging universe size
+    WARMUP_DOCS = 64
+
     def __init__(self, window: int, mask_bits: int, id_col: str,
                  text_col: str, cache_max: int = 2_000_000):
         self.window = window
@@ -1172,6 +1180,7 @@ class _CDCChunker:
         self.cache_max = cache_max
         self._cache: "dict[bytes, bool]" = {}    # utf-32 window -> boundary?
         self._chunk_cache: "dict[str, str]" = {}  # chunk text -> md5 hex
+        self._docs_seen = 0
 
     def _split_one_scalar(self, text: str) -> "list[tuple[int, int]]":
         """Reference kernel (the pre-vectorization per-char loop), kept
@@ -1193,6 +1202,45 @@ class _CDCChunker:
         return spans
 
     def _split_one(self, text: str) -> "list[tuple[int, int]]":
+        """Adaptive dispatch: vectorized distinct-window collapse by
+        default; once the warmed cache shows a SMALL window universe
+        (cache-resident corpus), the per-window dict probe is cheaper
+        than the per-doc sort and takes over. Both paths share the
+        utf-32-keyed cache and are byte-identical (property-tested)."""
+        self._docs_seen += 1
+        if (self._docs_seen > self.WARMUP_DOCS
+                and len(self._cache) < self.SMALL_UNIVERSE):
+            return self._split_one_probe(text)
+        return self._split_one_vec(text)
+
+    def _split_one_probe(self, text: str) -> "list[tuple[int, int]]":
+        n, window = len(text), self.window
+        if n < window:
+            return [(0, n)] if n else []
+        enc = text.encode("utf-32-le")
+        cache, mask = self._cache, self.mask
+        bounds = []
+        for i in range(window, n + 1):
+            w = enc[4 * (i - window):4 * i]
+            hit = cache.get(w)
+            if hit is None:
+                s = w.decode("utf-32-le")
+                hit = (int(hashlib.md5(s.encode("utf-8"))
+                           .hexdigest()[:16], 16) & mask) == 0
+                if len(cache) >= self.cache_max:
+                    cache.clear()
+                cache[w] = hit
+            if hit:
+                bounds.append(i)
+        spans, s = [], 0
+        for e in bounds:
+            spans.append((s, e))
+            s = e
+        if n - s > 0:
+            spans.append((s, n))
+        return spans
+
+    def _split_one_vec(self, text: str) -> "list[tuple[int, int]]":
         n, window = len(text), self.window
         if n < window:
             return [(0, n)] if n else []

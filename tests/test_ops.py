@@ -1574,8 +1574,11 @@ def test_cdc_vectorized_kernel_matches_scalar():
     for window, mask_bits in ((8, 5), (4, 3), (16, 6)):
         c = _CDCChunker(window, mask_bits, "doc_id", "text")
         for t in texts:
-            assert c._split_one(t) == c._split_one_scalar(t), (
-                window, mask_bits, t[:40])
+            ref = c._split_one_scalar(t)
+            assert c._split_one_vec(t) == ref, (window, mask_bits, t[:40])
+            assert c._split_one_probe(t) == ref, (window, mask_bits, t[:40])
+            # the adaptive dispatcher must agree whichever path it picks
+            assert c._split_one(t) == ref, (window, mask_bits, t[:40])
 
 
 def test_mixture_quotas_and_sample(ray_session):
