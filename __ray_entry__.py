@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _STI_CACHE: dict[str, Any] = {}
 
+# CMS join-size sketch shape — shared by _q_join_size_estimate and its
+# SQL oracle so the depth guard and the oracle's depth-row count can't
+# silently diverge
+_CMS_JOIN_WIDTH = 8192
+_CMS_JOIN_DEPTH = 4
+
 
 def _fixture(sf_scale: int = 200):
     from tabbyray.fixtures import ensure_fixture
@@ -70,18 +76,29 @@ def _docs(sf_dir: str):
                            override_num_blocks=32)
 
 
+_CONTENT_KEY_CACHE: dict[tuple, str] = {}
+
+
 def _parquet_content_key(path: str) -> str:
     """md5 of a parquet file's BYTES. Fixture ``.done`` sentinels keyed
     on this (not on row count) invalidate cached derived fixtures
     (WARC/JSONL shards) when the source table is regenerated with the
     same n_docs but different content — a count-only sentinel would
-    serve stale shards and produce baffling oracle mismatches."""
+    serve stale shards and produce baffling oracle mismatches.
+    Memoized per (path, size, mtime_ns) so repeated sentinel checks in
+    one process don't re-read the whole file."""
     import hashlib as _h
+    st = os.stat(path)
+    memo_key = (path, st.st_size, st.st_mtime_ns)
+    hit = _CONTENT_KEY_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
     h = _h.md5()
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
-    return h.hexdigest()
+    _CONTENT_KEY_CACHE[memo_key] = h.hexdigest()
+    return _CONTENT_KEY_CACHE[memo_key]
 
 
 def _sti_export_paths() -> dict[str, str]:
@@ -3866,7 +3883,7 @@ def _q_join_size_estimate(sf_dir: str):
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey"])
     return cms_join_size(o, "o_orderkey", li, "l_orderkey",
-                         width=8192, depth=4)
+                         width=_CMS_JOIN_WIDTH, depth=_CMS_JOIN_DEPTH)
 
 
 def _q_hll_distinct_orders(sf_dir: str):
@@ -5350,18 +5367,11 @@ def _sti_oracles() -> dict[str, str]:
     # KB row per localname (the index's setdefault), instances only, one
     # result row per rdf:type binding; substring arm = case-insensitive
     # containment over instance URIs in KB row order (rid); rows UNION,
-    # LIMIT 100, then order-preserving dedup
-    out["sti_candidates"] = f"""
-        WITH cells AS (SELECT * FROM read_parquet('{cells}')),
-        surf AS (SELECT data AS s FROM cells
-                 UNION ALL
-                 SELECT unnest(str_split(row_heading, ' | ')) FROM cells
-                 UNION ALL
-                 SELECT unnest(str_split(column_heading, ' | ')) FROM cells),
-        norms AS (SELECT DISTINCT norm FROM
-                    (SELECT {_NORM_FULL_SQL.format(col='s')} AS norm
-                     FROM surf)
-                  WHERE norm <> ''),
+    # LIMIT 100, then order-preserving dedup. ONE shared fragment —
+    # interpolated into both sti_candidates and sti_cell_candidates so
+    # the two oracles can never pin divergent derivations. Expects a
+    # prior CTE ``norms(norm)``; emits ``cl(norm, ord, entity)``.
+    a1_chain = f"""
         kb AS (SELECT rid, uri, lower(uri) AS luri, is_class, types,
                       regexp_extract(uri, '[^/]*$') AS localname
                FROM read_parquet('{kbp}')),
@@ -5382,12 +5392,27 @@ def _sti_oracles() -> dict[str, str]:
                                                   ORDER BY arm, srid) AS rn
                      FROM (SELECT * FROM ex UNION ALL SELECT * FROM sub)),
         firsts AS (SELECT norm, uri, min(rn) AS frn
-                   FROM numbered WHERE rn <= 100 GROUP BY norm, uri)
-        SELECT norm,
-               CAST(row_number() OVER (PARTITION BY norm ORDER BY frn) - 1
-                    AS BIGINT) AS ord,
-               uri AS entity
-        FROM firsts
+                   FROM numbered WHERE rn <= 100 GROUP BY norm, uri),
+        cl AS (SELECT norm,
+                      CAST(row_number() OVER (PARTITION BY norm
+                                              ORDER BY frn) - 1
+                           AS BIGINT) AS ord,
+                      uri AS entity
+               FROM firsts)
+    """
+    out["sti_candidates"] = f"""
+        WITH cells AS (SELECT * FROM read_parquet('{cells}')),
+        surf AS (SELECT data AS s FROM cells
+                 UNION ALL
+                 SELECT unnest(str_split(row_heading, ' | ')) FROM cells
+                 UNION ALL
+                 SELECT unnest(str_split(column_heading, ' | ')) FROM cells),
+        norms AS (SELECT DISTINCT norm FROM
+                    (SELECT {_NORM_FULL_SQL.format(col='s')} AS norm
+                     FROM surf)
+                  WHERE norm <> ''),
+        {a1_chain}
+        SELECT norm, ord, entity FROM cl
     """
     # A1 end-to-end over the LIVE annotator's exported candidate table:
     # mention collection from the generator-gold cells (data values +
@@ -5431,34 +5456,7 @@ def _sti_oracles() -> dict[str, str]:
                    {_NORM_FULL_SQL.format(col='surface_form')} AS norm
             FROM m WHERE ner NOT IN ({_lit_labels})),
         norms AS (SELECT DISTINCT norm FROM nl),
-        kb AS (SELECT rid, uri, lower(uri) AS luri, is_class, types
-               FROM read_parquet('{kbp}')),
-        kbf AS (SELECT * FROM
-                  (SELECT *, row_number() OVER (
-                       PARTITION BY regexp_extract(uri, '[^/]*$')
-                       ORDER BY rid) AS lrn,
-                          regexp_extract(uri, '[^/]*$') AS localname
-                   FROM kb)
-                WHERE lrn = 1),
-        ex AS (SELECT norm, uri, arm, srid FROM
-                 (SELECT n.norm, k.uri, 0 AS arm, CAST(-1 AS BIGINT) AS srid,
-                         unnest(k.types) AS _t
-                  FROM norms n JOIN kbf k ON k.localname = n.norm
-                  WHERE NOT k.is_class)),
-        sub AS (SELECT n.norm, k.uri, 1 AS arm, k.rid AS srid
-                FROM norms n JOIN kb k
-                  ON NOT k.is_class AND contains(k.luri, lower(n.norm))),
-        numbered AS (SELECT *, row_number() OVER (PARTITION BY norm
-                                                  ORDER BY arm, srid) AS rn
-                     FROM (SELECT * FROM ex UNION ALL SELECT * FROM sub)),
-        firsts AS (SELECT norm, uri, min(rn) AS frn
-                   FROM numbered WHERE rn <= 100 GROUP BY norm, uri),
-        cl AS (SELECT norm,
-                      CAST(row_number() OVER (PARTITION BY norm
-                                              ORDER BY frn) - 1
-                           AS BIGINT) AS ord,
-                      uri AS entity
-               FROM firsts)
+        {a1_chain}
         SELECT nl.url, nl.table_idx, nl.cell_type, nl.surface_form,
                c.ord, c.entity
         FROM nl JOIN cl c ON c.norm = nl.norm
@@ -7948,17 +7946,20 @@ def oracle_sql() -> dict[str, str]:
         # same (k-1) * 2^64 / h_k double arithmetic as ops/sketch.py
         # CMS join-size: same "d:value" md5_number_lower bucket hash as
         # value_cms; est = min over depth of the bucket dot product
-        "join_size_estimate": """
-            WITH dd AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS d),
+        "join_size_estimate": f"""
+            WITH dd AS (SELECT CAST(unnest(range({_CMS_JOIN_DEPTH}))
+                               AS BIGINT) AS d),
             ca AS (SELECT d,
                           CAST(md5_number_lower(CAST(d AS VARCHAR) || ':'
-                               || CAST(o_orderkey AS VARCHAR)) % 8192
+                               || CAST(o_orderkey AS VARCHAR))
+                               % {_CMS_JOIN_WIDTH}
                                AS BIGINT) AS b,
                           count(*) AS c
                    FROM orders, dd GROUP BY 1, 2),
             cb AS (SELECT d,
                           CAST(md5_number_lower(CAST(d AS VARCHAR) || ':'
-                               || CAST(l_orderkey AS VARCHAR)) % 8192
+                               || CAST(l_orderkey AS VARCHAR))
+                               % {_CMS_JOIN_WIDTH}
                                AS BIGINT) AS b,
                           count(*) AS c
                    FROM lineitem, dd GROUP BY 1, 2),
@@ -7967,7 +7968,8 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY ca.d)
             -- depth rows absent from dots have dot = 0: the min over
             -- all depth rows is then 0 (disjoint-key estimate)
-            SELECT CASE WHEN (SELECT count(*) FROM dots) < 4
+            SELECT CASE WHEN (SELECT count(*) FROM dots)
+                             < {_CMS_JOIN_DEPTH}
                         THEN CAST(0 AS BIGINT)
                         ELSE CAST(min(dot) AS BIGINT)
                    END AS est_join_size

@@ -32,6 +32,11 @@ def build_warc(pages_dir: str, num_cpus: int) -> str:
     marker = WARC_DIR + ".done"
     if os.path.exists(marker):
         return WARC_DIR
+    # a crashed earlier run may have left partial content-addressed
+    # shards; read_warc globs every *.warc.gz, so stale shards would
+    # inflate counts — start clean
+    import shutil
+    shutil.rmtree(WARC_DIR, ignore_errors=True)
     t0 = time.monotonic()
     src = rd.read_parquet(pages_dir, columns=["url", "html"])
     ts = src.map_batches(

@@ -313,8 +313,17 @@ def _verify_pairs_broadcast(docs: rd.Dataset, cand: rd.Dataset,
             out_a.append(int(da))
             out_b.append(int(db))
             out_j.append(j)
-    return rd.from_pandas(pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                                        "jaccard": out_j}))
+    # typed construction: an all-filtered result would otherwise build
+    # float64 doc id columns (pandas' empty-list default) — and an
+    # empty pandas frame loses its schema entirely through Ray's
+    # to_pandas, so the empty case goes through the typed Arrow table
+    if not out_a:
+        return rd.from_arrow(pa.table(
+            {k: pa.array([], t) for k, t in _EMPTY_PAIRS.items()}))
+    return rd.from_pandas(pd.DataFrame(
+        {"doc_a": pd.Series(out_a, dtype="int64"),
+         "doc_b": pd.Series(out_b, dtype="int64"),
+         "jaccard": pd.Series(out_j, dtype="float64")}))
 
 
 def _verify_pairs_shuffle(docs: rd.Dataset, cand: rd.Dataset,
@@ -1114,11 +1123,14 @@ def _unit_rows(M: np.ndarray, what: str) -> np.ndarray:
     degenerate row could never be pruned or detected)."""
     n = np.linalg.norm(M, axis=1, keepdims=True)
     if M.size and not np.all(n > 0):
-        bad = int(np.flatnonzero(n.ravel() == 0)[0])
+        # ~(n > 0) also catches NaN/Inf norms (NaN comparisons are
+        # False), so non-finite embeddings fail with the same message
+        # instead of an IndexError on an empty zero-match
+        bad = int(np.flatnonzero(~(n.ravel() > 0))[0])
         raise ValueError(
-            f"{what}: zero-norm embedding at row {bad} — cosine is "
-            "undefined; drop or re-embed degenerate vectors first "
-            "(see embedding_norms for the audit pass)")
+            f"{what}: zero-norm or non-finite embedding at row {bad} — "
+            "cosine is undefined; drop or re-embed degenerate vectors "
+            "first (see embedding_norms for the audit pass)")
     return M / n
 
 
@@ -1282,12 +1294,19 @@ class _CDCChunker:
                 starts.append(s + 1)
                 lens.append(e - s)
                 chunk = text[s:e]
-                d = chunk_cache.get(chunk)
-                if d is None:
+                # cache only short chunks (the dedup-heavy common case);
+                # a boundary-free doc is ONE whole-text chunk and caching
+                # those would key multi-KB strings — unbounded bytes
+                # under the entry-count cap
+                if len(chunk) <= 1024:
+                    d = chunk_cache.get(chunk)
+                    if d is None:
+                        d = hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                        if len(chunk_cache) >= cache_max:
+                            chunk_cache.clear()
+                        chunk_cache[chunk] = d
+                else:
                     d = hashlib.md5(chunk.encode("utf-8")).hexdigest()
-                    if len(chunk_cache) >= cache_max:
-                        chunk_cache.clear()
-                    chunk_cache[chunk] = d
                 digests.append(d)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
